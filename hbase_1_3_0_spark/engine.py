@@ -1,0 +1,125 @@
+"""Engine — session, catalog, and table storage glue.
+
+The Admin-surface analog (Admin.java: createTable/createNamespace/...) plus
+the physical layout discipline of SURVEY.md §4: cell logs persist as parquet,
+range-partitioned by ``row`` and sorted (row, family, qualifier, ts desc)
+within partitions, with parquet bloom filters on ``row`` — giving Catalyst
+the same pruning surface HBase gets from region boundaries, HFile key ranges
+and row blooms.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_1_3_0_spark.catalog import Catalog, TableMeta
+from hbase_1_3_0_spark.sources import writer
+from hbase_1_3_0_spark.table import Table
+
+
+def build_session(
+    app_name: str = "hbase_1_3_0_spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Tuned local session. At cluster scale the same conf names apply; AQE
+    re-plans shuffle partition counts, broadcasts, and skew joins at runtime."""
+    import os
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        b = b.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path | None = None,
+        now_ms: int | None = None,
+    ):
+        self.spark = spark
+        self.root = Path(root) if root else None
+        self.catalog = Catalog(self.root / "_catalog.json" if self.root else None)
+        self._cells: dict[str, DataFrame] = {}
+        self._now_ms = now_ms
+
+    # -- Admin surface ------------------------------------------------------
+    def create_table(
+        self, meta: TableMeta, cells: DataFrame | None = None
+    ) -> Table:
+        self.catalog.create_table(meta)
+        if cells is not None:
+            self._cells[meta.qualified_name] = cells
+        return self.table(meta.name, meta.namespace)
+
+    def register_cells(self, name: str, cells: DataFrame, meta: TableMeta | None = None) -> Table:
+        """Register an in-memory/ephemeral cell log (no persistence)."""
+        meta = meta or TableMeta(name=name)
+        if meta.qualified_name not in self.catalog.tables():
+            self.catalog.create_table(meta)
+        self._cells[meta.qualified_name] = cells
+        return self.table(meta.name, meta.namespace)
+
+    def table(self, name: str, namespace: str = "default") -> Table:
+        meta = self.catalog.describe(name, namespace)
+        qn = meta.qualified_name
+        if qn in self._cells:
+            cells = self._cells[qn]
+        elif self.root:
+            cells = writer.read_cells(self.spark, self._path(meta))
+        else:
+            raise KeyError(f"no cells registered for {qn}")
+        return Table(meta, cells, self._now_ms)
+
+    def save(self, table: Table) -> Table:
+        """Commit a table's cell log to storage (the write-job commit point =
+        the batch atomicity boundary, SURVEY.md §3.3)."""
+        if not self.root:
+            self._cells[table.meta.qualified_name] = table.cells
+            return table
+        path = self._path(table.meta)
+        writer.write_cells(
+            table.cells, path, num_partitions=table.meta.range_partitions
+        )
+        fresh = writer.read_cells(self.spark, path)
+        self._cells.pop(table.meta.qualified_name, None)
+        return Table(table.meta, fresh, self._now_ms)
+
+    def snapshot(self, table: Table, snapshot_name: str) -> Path:
+        """Snapshot = immutable directory copy of the parquet cell log
+        (TableSnapshotInputFormat analog, TableSnapshotInputFormat.java:86)."""
+        if not self.root:
+            raise ValueError("snapshots need a storage root")
+        import shutil
+
+        src = self._path(table.meta)
+        dst = self.root / "_snapshots" / snapshot_name
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(src, dst)
+        return dst
+
+    def _path(self, meta: TableMeta) -> Path:
+        assert self.root is not None
+        return self.root / meta.namespace / meta.name

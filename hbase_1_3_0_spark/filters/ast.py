@@ -1,0 +1,369 @@
+"""Filter AST — the complete HBase 1.3.0 filter algebra as dataclasses.
+
+Mirrors hbase-client/.../filter/ (SURVEY.md §2.2): the per-cell verdict
+contract of Filter.java:58 plus the row-level hooks (filterRow,
+filterAllRemaining) become, in Spark, (a) boolean Column expressions —
+possibly window-based for row-level verdicts — and (b) whole-DataFrame
+transforms for the order-dependent filters (PageFilter, WhileMatchFilter).
+The compiler lives in :mod:`hbase_1_3_0_spark.filters.compiler`.
+
+The ReturnCode seek hints (SEEK_NEXT_USING_HINT etc., Filter.java:151-176)
+are *physical* instructions; their Spark analog is Catalyst predicate
+pushdown + parquet min/max skipping, so the AST only carries logical
+semantics (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+__all__ = [
+    "CompareOp",
+    "Comparator",
+    "BinaryComparator",
+    "BinaryPrefixComparator",
+    "BitComparator",
+    "LongComparator",
+    "NullComparator",
+    "RegexStringComparator",
+    "SubstringComparator",
+    "Filter",
+    "FilterList",
+    "RowFilter",
+    "FamilyFilter",
+    "QualifierFilter",
+    "ValueFilter",
+    "SingleColumnValueFilter",
+    "SingleColumnValueExcludeFilter",
+    "DependentColumnFilter",
+    "PrefixFilter",
+    "ColumnPrefixFilter",
+    "MultipleColumnPrefixFilter",
+    "ColumnRangeFilter",
+    "ColumnPaginationFilter",
+    "ColumnCountGetFilter",
+    "PageFilter",
+    "InclusiveStopFilter",
+    "TimestampsFilter",
+    "KeyOnlyFilter",
+    "FirstKeyOnlyFilter",
+    "FirstKeyValueMatchingQualifiersFilter",
+    "FuzzyRowFilter",
+    "MultiRowRangeFilter",
+    "RowRange",
+    "RandomRowFilter",
+    "SkipFilter",
+    "WhileMatchFilter",
+]
+
+
+class CompareOp:
+    """CompareFilter.CompareOp (CompareFilter.java:55-69)."""
+
+    LESS = "LESS"
+    LESS_OR_EQUAL = "LESS_OR_EQUAL"
+    EQUAL = "EQUAL"
+    NOT_EQUAL = "NOT_EQUAL"
+    GREATER_OR_EQUAL = "GREATER_OR_EQUAL"
+    GREATER = "GREATER"
+    NO_OP = "NO_OP"
+
+    ALL = (LESS, LESS_OR_EQUAL, EQUAL, NOT_EQUAL, GREATER_OR_EQUAL, GREATER, NO_OP)
+
+
+# ---------------------------------------------------------------------------
+# Comparators (ByteArrayComparable.java:32 subclasses)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Comparator:
+    pass
+
+
+@dataclass(frozen=True)
+class BinaryComparator(Comparator):
+    """Bytes.compareTo semantics — unsigned lexicographic (BinaryComparator.java:35)."""
+
+    value: bytes
+
+
+@dataclass(frozen=True)
+class BinaryPrefixComparator(Comparator):
+    """Compare only up to len(prefix) bytes (BinaryPrefixComparator.java:36)."""
+
+    value: bytes
+
+
+@dataclass(frozen=True)
+class BitComparator(Comparator):
+    """Bitwise op against a mask; EQUAL <=> (operand bitop mask) != 0
+    (BitComparator.java:34). Operands up to 8 bytes (compared via long)."""
+
+    value: bytes
+    bit_op: str = "AND"  # AND | OR | XOR
+
+
+@dataclass(frozen=True)
+class LongComparator(Comparator):
+    """Numeric comparison of an encoded long (LongComparator.java:34).
+
+    ``codec``: 'be8' = 8-byte big-endian (Bytes.toBytes(long)); 'utf8' =
+    canonical decimal string (this engine's fixture value codec)."""
+
+    value: int
+    codec: str = "be8"
+
+
+@dataclass(frozen=True)
+class NullComparator(Comparator):
+    """EQUAL <=> value is absent (NullComparator.java:35)."""
+
+
+@dataclass(frozen=True)
+class RegexStringComparator(Comparator):
+    """Regex over the UTF-8 decoding (RegexStringComparator.java:76)."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class SubstringComparator(Comparator):
+    """Case-insensitive substring match (SubstringComparator.java:46)."""
+
+    substr: str
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Filter:
+    pass
+
+
+@dataclass(frozen=True)
+class FilterList(Filter):
+    """MUST_PASS_ALL (AND, lazy) / MUST_PASS_ONE (OR) tree (FilterList.java:56)."""
+
+    operator: str  # MUST_PASS_ALL | MUST_PASS_ONE
+    filters: tuple[Filter, ...]
+
+    def __init__(self, operator: str, filters) -> None:
+        object.__setattr__(self, "operator", operator)
+        object.__setattr__(self, "filters", tuple(filters))
+
+
+@dataclass(frozen=True)
+class _CompareFilter(Filter):
+    op: str = CompareOp.EQUAL
+    comparator: Comparator = field(default_factory=lambda: NullComparator())
+
+
+@dataclass(frozen=True)
+class RowFilter(_CompareFilter):
+    """Compare the entire row key (RowFilter.java:49)."""
+
+
+@dataclass(frozen=True)
+class FamilyFilter(_CompareFilter):
+    """Compare the column family (FamilyFilter.java:50)."""
+
+
+@dataclass(frozen=True)
+class QualifierFilter(_CompareFilter):
+    """Compare the qualifier (QualifierFilter.java:50)."""
+
+
+@dataclass(frozen=True)
+class ValueFilter(_CompareFilter):
+    """Compare the cell value (ValueFilter.java:48)."""
+
+
+@dataclass(frozen=True)
+class SingleColumnValueFilter(Filter):
+    """Row-level verdict from one column's (latest) value
+    (SingleColumnValueFilter.java:73)."""
+
+    family: str
+    qualifier: bytes
+    op: str
+    comparator: Comparator
+    filter_if_missing: bool = False
+    latest_version_only: bool = True
+
+
+@dataclass(frozen=True)
+class SingleColumnValueExcludeFilter(SingleColumnValueFilter):
+    """Same, but the tested column is excluded from the output
+    (SingleColumnValueExcludeFilter.java:46)."""
+
+
+@dataclass(frozen=True)
+class DependentColumnFilter(Filter):
+    """Inter-column timestamp matching: keep cells whose ts appears on the
+    reference column in the same row (DependentColumnFilter.java:50)."""
+
+    family: str
+    qualifier: bytes
+    drop_dependent_column: bool = False
+    op: str | None = None
+    comparator: Comparator | None = None
+
+
+@dataclass(frozen=True)
+class PrefixFilter(Filter):
+    """Rows with the given key prefix (PrefixFilter.java:40)."""
+
+    prefix: bytes
+
+
+@dataclass(frozen=True)
+class ColumnPrefixFilter(Filter):
+    """Qualifiers with one prefix (ColumnPrefixFilter.java:43)."""
+
+    prefix: bytes
+
+
+@dataclass(frozen=True)
+class MultipleColumnPrefixFilter(Filter):
+    """Qualifiers matching any of N prefixes (MultipleColumnPrefixFilter.java:42)."""
+
+    prefixes: tuple[bytes, ...]
+
+    def __init__(self, prefixes) -> None:
+        object.__setattr__(self, "prefixes", tuple(prefixes))
+
+
+@dataclass(frozen=True)
+class ColumnRangeFilter(Filter):
+    """Qualifier in [min, max] with inclusivity flags (ColumnRangeFilter.java:52)."""
+
+    min_column: bytes | None = None
+    min_inclusive: bool = True
+    max_column: bytes | None = None
+    max_inclusive: bool = False
+
+
+@dataclass(frozen=True)
+class ColumnPaginationFilter(Filter):
+    """Per-row LIMIT/OFFSET over columns (ColumnPaginationFilter.java:43)."""
+
+    limit: int
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class ColumnCountGetFilter(Filter):
+    """First N columns of each row (ColumnCountGetFilter.java:41)."""
+
+    limit: int
+
+
+@dataclass(frozen=True)
+class PageFilter(Filter):
+    """Row LIMIT (PageFilter.java:45). HBase applies it per-region (client may
+    see up to pageSize x regions, PageFilter.java:75-80); this engine applies
+    the *exact global* semantics: first ``page_size`` rows in row-key order."""
+
+    page_size: int
+
+
+@dataclass(frozen=True)
+class InclusiveStopFilter(Filter):
+    """Make the scan stop row inclusive (InclusiveStopFilter.java:43)."""
+
+    stop_row: bytes
+
+
+@dataclass(frozen=True)
+class TimestampsFilter(Filter):
+    """Cells whose ts is in an explicit set (TimestampsFilter.java:45)."""
+
+    timestamps: tuple[int, ...]
+
+    def __init__(self, timestamps) -> None:
+        object.__setattr__(self, "timestamps", tuple(timestamps))
+
+
+@dataclass(frozen=True)
+class KeyOnlyFilter(Filter):
+    """Strip values (KeyOnlyFilter.java:46); ``len_as_val`` returns the value
+    length as a 4-byte int instead."""
+
+    len_as_val: bool = False
+
+
+@dataclass(frozen=True)
+class FirstKeyOnlyFilter(Filter):
+    """Only the first cell of each row (FirstKeyOnlyFilter.java:39)."""
+
+
+@dataclass(frozen=True)
+class FirstKeyValueMatchingQualifiersFilter(Filter):
+    """Row's cells up to (and including) the first whose qualifier is in the
+    set (FirstKeyValueMatchingQualifiersFilter.java:49)."""
+
+    qualifiers: tuple[bytes, ...]
+
+    def __init__(self, qualifiers) -> None:
+        object.__setattr__(self, "qualifiers", tuple(qualifiers))
+
+
+@dataclass(frozen=True)
+class FuzzyRowFilter(Filter):
+    """Row-key mask match (FuzzyRowFilter.java:62): per (pattern, mask) pair,
+    mask byte 0 = position must equal pattern byte, 1 = wildcard."""
+
+    pairs: tuple[tuple[bytes, bytes], ...]
+
+    def __init__(self, pairs) -> None:
+        object.__setattr__(self, "pairs", tuple((bytes(p), bytes(m)) for p, m in pairs))
+
+
+@dataclass(frozen=True)
+class RowRange:
+    """MultiRowRangeFilter.RowRange (MultiRowRangeFilter.java:420)."""
+
+    start_row: bytes | None = None
+    start_inclusive: bool = True
+    stop_row: bytes | None = None
+    stop_inclusive: bool = False
+
+
+@dataclass(frozen=True)
+class MultiRowRangeFilter(Filter):
+    """Union of row ranges in one pass (MultiRowRangeFilter.java:54)."""
+
+    ranges: tuple[RowRange, ...]
+
+    def __init__(self, ranges) -> None:
+        object.__setattr__(self, "ranges", tuple(ranges))
+
+
+@dataclass(frozen=True)
+class RandomRowFilter(Filter):
+    """Include each row with probability ``chance`` (RandomRowFilter.java:38).
+    Deterministic per row key given ``seed`` (so the verdict is row-consistent
+    and reproducible — unlike the reference's Random.nextFloat)."""
+
+    chance: float
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class SkipFilter(Filter):
+    """Drop the whole row if the wrapped filter rejects ANY cell in it
+    (SkipFilter.java:56)."""
+
+    wrapped: Filter
+
+
+@dataclass(frozen=True)
+class WhileMatchFilter(Filter):
+    """Scan terminates at the first row the wrapped filter rejects — the
+    result is the passing prefix in row-key order (WhileMatchFilter.java:43)."""
+
+    wrapped: Filter

@@ -1,0 +1,416 @@
+"""Filter AST -> Spark: boolean Column expressions + DataFrame transforms.
+
+Design (SURVEY.md §2.2, §4): HBase filters are evaluated server-side per cell
+with seek hints; Spark's analog is a *declarative predicate* that Catalyst
+pushes into the parquet scan. Each filter compiles to one of:
+
+- a **cell predicate**: a boolean ``Column`` over the cell schema. Row-level
+  verdicts (SingleColumnValueFilter, SkipFilter, DependentColumnFilter,
+  ColumnPagination...) compile to *single-level window expressions* over
+  ``Window.partitionBy('row')`` — still plain Columns, so they compose under
+  FilterList AND/OR exactly like the reference's filter tree.
+- a **transform** (DataFrame -> DataFrame) for the order-dependent filters
+  whose semantics need an aggregation barrier: PageFilter (global row limit),
+  WhileMatchFilter (passing prefix), FirstKeyValueMatchingQualifiersFilter,
+  and KeyOnlyFilter's cell rewrite (transformCell, Filter.java:136).
+
+FilterList(MUST_PASS_ALL) = AND of predicates + concatenation of transforms;
+FilterList(MUST_PASS_ONE) = OR of predicates (transform-bearing members inside
+an OR are rejected — same class of restriction as the reference's non-lazy
+MUST_PASS_ONE evaluation, FilterList.java:39-52).
+
+Scale: window predicates partition by ``row`` — the same key the cell log is
+range-partitioned on — and all pure predicates stay inside whole-stage
+codegen. PrefixFilter / MultiRowRangeFilter compile to row-range conjunctions
+that Catalyst turns into partition/row-group pruning (the seek-hint analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.filters import ast
+from hbase_1_3_0_spark.functions import codecs
+
+def _w_row() -> Window:
+    return Window.partitionBy("row")
+
+
+def _w_cell_order() -> Window:
+    """Cell order within a row: (family asc, qualifier asc, ts desc, seq desc)
+    — the KVComparator order (KeyValue.java:2110-2123)."""
+    return Window.partitionBy("row").orderBy(
+        F.col("family").asc(),
+        F.col("qualifier").asc(),
+        F.col("ts").desc(),
+        F.col("seq").desc(),
+    )
+
+
+@dataclass
+class Compiled:
+    pred: Column | None = None
+    transforms: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# comparators
+# ---------------------------------------------------------------------------
+
+
+def _ordered(op: str, left: Column, right: Column) -> Column:
+    if op == ast.CompareOp.LESS:
+        return left < right
+    if op == ast.CompareOp.LESS_OR_EQUAL:
+        return left <= right
+    if op == ast.CompareOp.EQUAL:
+        return left == right
+    if op == ast.CompareOp.NOT_EQUAL:
+        return left != right
+    if op == ast.CompareOp.GREATER_OR_EQUAL:
+        return left >= right
+    if op == ast.CompareOp.GREATER:
+        return left > right
+    if op == ast.CompareOp.NO_OP:
+        # CompareFilter NO_OP excludes everything (CompareFilter.java:55-69)
+        return F.lit(False)
+    raise ValueError(f"unknown CompareOp: {op}")
+
+
+def compile_compare(col: Column, op: str, cmp: ast.Comparator) -> Column:
+    """Apply (op, comparator) to a BinaryType column — the CompareFilter core."""
+    if isinstance(cmp, ast.BinaryComparator):
+        return _ordered(op, col, F.lit(cmp.value))
+    if isinstance(cmp, ast.BinaryPrefixComparator):
+        n = len(cmp.value)
+        return _ordered(op, F.substring(col, 1, n), F.lit(cmp.value))
+    if isinstance(cmp, ast.LongComparator):
+        if cmp.codec == "be8":
+            decoded = codecs.decode_long_be(col)
+        else:
+            decoded = codecs.decode_value(col, "bigint")
+        return _ordered(op, decoded, F.lit(cmp.value))
+    if isinstance(cmp, ast.NullComparator):
+        if op == ast.CompareOp.EQUAL:
+            return col.isNull()
+        if op == ast.CompareOp.NOT_EQUAL:
+            return col.isNotNull()
+        return F.lit(False)
+    if isinstance(cmp, ast.RegexStringComparator):
+        m = codecs.decode_string(col).rlike(cmp.pattern)
+        if op == ast.CompareOp.EQUAL:
+            return m
+        if op == ast.CompareOp.NOT_EQUAL:
+            return ~m
+        return F.lit(False)
+    if isinstance(cmp, ast.SubstringComparator):
+        m = F.lower(codecs.decode_string(col)).contains(cmp.substr.lower())
+        if op == ast.CompareOp.EQUAL:
+            return m
+        if op == ast.CompareOp.NOT_EQUAL:
+            return ~m
+        return F.lit(False)
+    if isinstance(cmp, ast.BitComparator):
+        if len(cmp.value) > 8:
+            raise NotImplementedError("BitComparator masks limited to 8 bytes")
+        operand = F.conv(F.hex(col), 16, 10).cast("bigint")
+        mask = int.from_bytes(cmp.value, "big")
+        if cmp.bit_op == "AND":
+            res = operand.bitwiseAND(F.lit(mask))
+        elif cmp.bit_op == "OR":
+            res = operand.bitwiseOR(F.lit(mask))
+        elif cmp.bit_op == "XOR":
+            res = operand.bitwiseXOR(F.lit(mask))
+        else:
+            raise ValueError(f"unknown bit_op: {cmp.bit_op}")
+        nonzero = res != 0
+        return nonzero if op == ast.CompareOp.EQUAL else ~nonzero
+    raise NotImplementedError(f"comparator: {type(cmp).__name__}")
+
+
+def prefix_successor(prefix: bytes) -> bytes | None:
+    """Smallest byte string greater than every string with this prefix
+    (the PrefixFilter -> row-range rewrite; enables partition pruning)."""
+    b = bytearray(prefix)
+    while b and b[-1] == 0xFF:
+        b.pop()
+    if not b:
+        return None
+    b[-1] += 1
+    return bytes(b)
+
+
+def _range_pred(
+    start: bytes | None,
+    start_inc: bool,
+    stop: bytes | None,
+    stop_inc: bool,
+    col: Column | None = None,
+) -> Column:
+    col = F.col("row") if col is None else col
+    conds = []
+    if start is not None and len(start) > 0:
+        conds.append(col >= F.lit(start) if start_inc else col > F.lit(start))
+    if stop is not None and len(stop) > 0:
+        conds.append(col <= F.lit(stop) if stop_inc else col < F.lit(stop))
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-filter compilation
+# ---------------------------------------------------------------------------
+
+
+def _scvf_pred(f: ast.SingleColumnValueFilter) -> Column:
+    colmatch = (F.col("family") == f.family) & (F.col("qualifier") == F.lit(f.qualifier))
+    exists = F.max(F.when(colmatch, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
+    if f.latest_version_only:
+        # newest version's value via struct-max over one window pass:
+        # max(struct(ts, seq, value)) == the (ts,seq)-greatest cell's struct.
+        latest = F.max(
+            F.when(colmatch, F.struct(F.col("ts"), F.col("seq"), F.col("value")))
+        ).over(_w_row())
+        matched = exists & compile_compare(latest["value"], f.op, f.comparator)
+    else:
+        per_cell = colmatch & compile_compare(F.col("value"), f.op, f.comparator)
+        matched = (
+            F.max(F.when(per_cell, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
+        )
+    include_missing = F.lit(not f.filter_if_missing)
+    pred = matched | (~exists & include_missing)
+    if isinstance(f, ast.SingleColumnValueExcludeFilter):
+        pred = pred & ~colmatch
+    return pred
+
+
+def _dependent_pred(f: ast.DependentColumnFilter) -> Column:
+    refmatch = (F.col("family") == f.family) & (F.col("qualifier") == F.lit(f.qualifier))
+    if f.op is not None and f.comparator is not None:
+        refmatch = refmatch & compile_compare(F.col("value"), f.op, f.comparator)
+    ref_ts = F.collect_set(F.when(refmatch, F.col("ts"))).over(_w_row())
+    pred = F.coalesce(F.array_contains(ref_ts, F.col("ts")), F.lit(False))
+    if f.drop_dependent_column:
+        pred = pred & ~refmatch
+    return pred
+
+
+def _page_transform(n: int) -> Callable[[DataFrame], DataFrame]:
+    def t(df: DataFrame) -> DataFrame:
+        # Exact global semantics: first n rows in row-key order. orderBy+limit
+        # plans as TakeOrderedAndProject (no full sort); the semi join
+        # broadcasts the n-row key set.
+        rows = df.select("row").distinct().orderBy("row").limit(n)
+        return df.join(F.broadcast(rows), "row", "left_semi")
+
+    return t
+
+
+def _while_match_transform(wrapped: ast.Filter) -> Callable[[DataFrame], DataFrame]:
+    inner = compile_filter(wrapped)
+    if inner.transforms:
+        raise NotImplementedError(
+            "WhileMatchFilter cannot wrap order-dependent filters"
+        )
+
+    def t(df: DataFrame) -> DataFrame:
+        flagged = df.withColumn("_wm_pass", inner.pred)
+        # a row "matches" while ALL its cells pass (filterRow semantics)
+        first_fail = (
+            flagged.where(~F.col("_wm_pass"))
+            .agg(F.min("row").alias("_first_fail"))
+        )
+        return (
+            flagged.crossJoin(F.broadcast(first_fail))
+            .where(F.col("_first_fail").isNull() | (F.col("row") < F.col("_first_fail")))
+            .drop("_wm_pass", "_first_fail")
+        )
+
+    return t
+
+
+def _fkmq_transform(
+    qualifiers: tuple[bytes, ...]
+) -> Callable[[DataFrame], DataFrame]:
+    def t(df: DataFrame) -> DataFrame:
+        rn = F.row_number().over(_w_cell_order())
+        is_match = F.col("qualifier").isin([F.lit(q) for q in qualifiers])
+        flagged = df.withColumn("_rn", rn).withColumn(
+            "_mrn", F.min(F.when(is_match, F.col("_rn"))).over(_w_row())
+        )
+        return (
+            flagged.where(F.col("_mrn").isNull() | (F.col("_rn") <= F.col("_mrn")))
+            .drop("_rn", "_mrn")
+        )
+
+    return t
+
+
+def _key_only_transform(len_as_val: bool) -> Callable[[DataFrame], DataFrame]:
+    def t(df: DataFrame) -> DataFrame:
+        if len_as_val:
+            newval = codecs.encode_int_be(
+                F.coalesce(F.length(F.col("value")), F.lit(0))
+            )
+        else:
+            newval = F.lit(None).cast("binary")
+        return df.withColumn("value", newval)
+
+    return t
+
+
+def compile_filter(f: ast.Filter) -> Compiled:  # noqa: C901
+    if isinstance(f, ast.FilterList):
+        parts = [compile_filter(x) for x in f.filters]
+        if f.operator == "MUST_PASS_ALL":
+            preds = [p.pred for p in parts if p.pred is not None]
+            pred = None
+            for p in preds:
+                pred = p if pred is None else (pred & p)
+            transforms = [t for p in parts for t in p.transforms]
+            return Compiled(pred, transforms)
+        if f.operator == "MUST_PASS_ONE":
+            if any(p.transforms for p in parts):
+                raise NotImplementedError(
+                    "order-dependent filters (Page/WhileMatch/KeyOnly...) are "
+                    "not composable under MUST_PASS_ONE"
+                )
+            pred = None
+            for p in parts:
+                c = p.pred if p.pred is not None else F.lit(True)
+                pred = c if pred is None else (pred | c)
+            return Compiled(pred, [])
+        raise ValueError(f"unknown FilterList operator: {f.operator}")
+
+    if isinstance(f, ast.RowFilter):
+        return Compiled(compile_compare(F.col("row"), f.op, f.comparator))
+    if isinstance(f, ast.FamilyFilter):
+        return Compiled(
+            compile_compare(F.encode(F.col("family"), "UTF-8"), f.op, f.comparator)
+        )
+    if isinstance(f, ast.QualifierFilter):
+        return Compiled(compile_compare(F.col("qualifier"), f.op, f.comparator))
+    if isinstance(f, ast.ValueFilter):
+        return Compiled(compile_compare(F.col("value"), f.op, f.comparator))
+    # SingleColumnValueExcludeFilter subclasses SingleColumnValueFilter
+    if isinstance(f, ast.SingleColumnValueFilter):
+        return Compiled(_scvf_pred(f))
+    if isinstance(f, ast.DependentColumnFilter):
+        return Compiled(_dependent_pred(f))
+    if isinstance(f, ast.PrefixFilter):
+        succ = prefix_successor(f.prefix)
+        return Compiled(_range_pred(f.prefix, True, succ, False))
+    if isinstance(f, ast.ColumnPrefixFilter):
+        succ = prefix_successor(f.prefix)
+        return Compiled(
+            _range_pred(f.prefix, True, succ, False, col=F.col("qualifier"))
+        )
+    if isinstance(f, ast.MultipleColumnPrefixFilter):
+        pred = F.lit(False)
+        for p in f.prefixes:
+            succ = prefix_successor(p)
+            pred = pred | _range_pred(p, True, succ, False, col=F.col("qualifier"))
+        return Compiled(pred)
+    if isinstance(f, ast.ColumnRangeFilter):
+        return Compiled(
+            _range_pred(
+                f.min_column,
+                f.min_inclusive,
+                f.max_column,
+                f.max_inclusive,
+                col=F.col("qualifier"),
+            )
+        )
+    if isinstance(f, ast.ColumnPaginationFilter):
+        idx = F.dense_rank().over(
+            Window.partitionBy("row").orderBy("family", "qualifier")
+        )
+        return Compiled((idx > f.offset) & (idx <= f.offset + f.limit))
+    if isinstance(f, ast.ColumnCountGetFilter):
+        idx = F.dense_rank().over(
+            Window.partitionBy("row").orderBy("family", "qualifier")
+        )
+        return Compiled(idx <= f.limit)
+    if isinstance(f, ast.PageFilter):
+        return Compiled(None, [_page_transform(f.page_size)])
+    if isinstance(f, ast.InclusiveStopFilter):
+        return Compiled(F.col("row") <= F.lit(f.stop_row))
+    if isinstance(f, ast.TimestampsFilter):
+        return Compiled(F.col("ts").isin(list(f.timestamps)))
+    if isinstance(f, ast.KeyOnlyFilter):
+        return Compiled(None, [_key_only_transform(f.len_as_val)])
+    if isinstance(f, ast.FirstKeyOnlyFilter):
+        return Compiled(F.row_number().over(_w_cell_order()) == 1)
+    if isinstance(f, ast.FirstKeyValueMatchingQualifiersFilter):
+        return Compiled(None, [_fkmq_transform(f.qualifiers)])
+    if isinstance(f, ast.FuzzyRowFilter):
+        pred = F.lit(False)
+        for pattern, mask in f.pairs:
+            if len(pattern) != len(mask):
+                raise ValueError("fuzzy pattern and mask must have equal length")
+            conj = F.length(F.col("row")) >= len(pattern)
+            # contiguous fixed-byte runs -> substring equality (prunable when
+            # the run is a key prefix; the FuzzyRowFilter seek-hint analog)
+            i = 0
+            while i < len(mask):
+                if mask[i] == 0:
+                    j = i
+                    while j < len(mask) and mask[j] == 0:
+                        j += 1
+                    conj = conj & (
+                        F.substring(F.col("row"), i + 1, j - i) == F.lit(pattern[i:j])
+                    )
+                    i = j
+                else:
+                    i += 1
+            pred = pred | conj
+        return Compiled(pred)
+    if isinstance(f, ast.MultiRowRangeFilter):
+        pred = F.lit(False)
+        for r in f.ranges:
+            pred = pred | _range_pred(
+                r.start_row, r.start_inclusive, r.stop_row, r.stop_inclusive
+            )
+        return Compiled(pred)
+    if isinstance(f, ast.RandomRowFilter):
+        u = F.pmod(F.xxhash64(F.col("row"), F.lit(f.seed)), F.lit(1_000_000)) / 1e6
+        return Compiled(u < F.lit(float(f.chance)))
+    if isinstance(f, ast.SkipFilter):
+        inner = compile_filter(f.wrapped)
+        if inner.transforms:
+            raise NotImplementedError("SkipFilter cannot wrap order-dependent filters")
+        all_pass = (
+            F.min(F.when(inner.pred, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
+        )
+        return Compiled(all_pass)
+    if isinstance(f, ast.WhileMatchFilter):
+        return Compiled(None, [_while_match_transform(f.wrapped)])
+    raise NotImplementedError(f"filter: {type(f).__name__}")
+
+
+def apply_filter(df: DataFrame, f: ast.Filter | None) -> DataFrame:
+    """Apply a compiled filter to a cell DataFrame.
+
+    Predicates containing window expressions cannot sit in a WHERE clause, so
+    the predicate is materialized via withColumn first; Catalyst still pushes
+    the window-free conjuncts below the window/exchange.
+    """
+    if f is None:
+        return df
+    c = compile_filter(f)
+    out = df
+    if c.pred is not None:
+        out = (
+            out.withColumn("_keep", c.pred).where(F.col("_keep")).drop("_keep")
+        )
+    for t in c.transforms:
+        out = t(out)
+    return out

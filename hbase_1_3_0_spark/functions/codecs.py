@@ -1,0 +1,133 @@
+"""Byte-encoding helpers — the `Bytes` / `OrderedBytes` analog, as Column exprs.
+
+Reference encodings (SURVEY.md §1.3):
+- ``Bytes`` big-endian fixed-width encodings (Bytes.java:529/:562/:762/:1068).
+  Counters are 8-byte big-endian longs (used by Increment, HRegion.java:7665).
+- ``OrderedBytes`` order-preserving encodings for composite row keys
+  (OrderedBytes.java:271, types/Struct.java).
+
+Everything here is a JVM-side Column expression (no Python UDFs): encoding and
+decoding stay inside whole-stage codegen so KV fixtures can be built from
+100 TB of parquet without leaving the executor JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TWO_POW_64 = 18446744073709551616  # 2**64
+_LONG_MAX = (1 << 63) - 1
+
+# ---------------------------------------------------------------------------
+# Bytes.toBytes(long) analog: 8-byte big-endian two's complement
+# ---------------------------------------------------------------------------
+
+
+def encode_long_be(col: Column) -> Column:
+    """long -> 8-byte big-endian binary (Bytes.toBytes(long), Bytes.java:562).
+
+    ``hex`` of a LongType yields the two's-complement big-endian hex string;
+    left-padding to 16 nibbles and ``unhex`` gives the exact 8-byte encoding.
+    """
+    return F.unhex(F.lpad(F.hex(col.cast(T.LongType())), 16, "0"))
+
+
+def decode_long_be(col: Column) -> Column:
+    """8-byte big-endian binary -> long (Bytes.toLong, Bytes.java:578)."""
+    unsigned = F.conv(F.hex(col), 16, 10).cast(T.DecimalType(22, 0))
+    # literals > Long.MAX_VALUE must travel as strings
+    two_pow_64 = F.lit(str(_TWO_POW_64)).cast(T.DecimalType(22, 0))
+    signed = F.when(
+        unsigned > F.lit(_LONG_MAX).cast(T.DecimalType(22, 0)),
+        unsigned - two_pow_64,
+    ).otherwise(unsigned)
+    return signed.cast(T.LongType())
+
+
+def encode_int_be(col: Column) -> Column:
+    """int -> 4-byte big-endian binary (Bytes.toBytes(int), Bytes.java:762)."""
+    lo32 = col.cast(T.LongType()).bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.unhex(F.lpad(F.hex(lo32), 8, "0"))
+
+
+def decode_int_be(col: Column) -> Column:
+    unsigned = F.conv(F.hex(col), 16, 10).cast(T.LongType())
+    return (
+        F.when(unsigned > F.lit(0x7FFFFFFF), unsigned - F.lit(0x100000000))
+        .otherwise(unsigned)
+        .cast(T.IntegerType())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strings: UTF-8 (Bytes.toBytes(String), Bytes.java:529)
+# ---------------------------------------------------------------------------
+
+
+def encode_string(col: Column) -> Column:
+    return F.encode(col.cast(T.StringType()), "UTF-8")
+
+
+def decode_string(col: Column) -> Column:
+    return F.decode(col, "UTF-8")
+
+
+# ---------------------------------------------------------------------------
+# Order-preserving composite row keys (the OrderedBytes / Struct analog).
+#
+# Non-negative integral segments are encoded as fixed-width zero-padded
+# decimal ASCII; string segments pass through. Segments join with 0x7c ('|'),
+# which sorts below digits' successors consistently for fixed-width segments.
+# Unsigned-lexicographic order over the resulting bytes == field-wise numeric
+# order, mirroring OrderedBytes.encodeNumeric / types/Struct.java:67 composite
+# sort semantics, while staying decodable with builtin split/cast.
+# ---------------------------------------------------------------------------
+
+KEY_SEGMENT_WIDTH = 19  # enough for any non-negative int64
+KEY_SEPARATOR = "|"
+
+
+def key_segment_num(col: Column) -> Column:
+    """Non-negative integer -> fixed-width sortable decimal string segment."""
+    return F.lpad(col.cast(T.StringType()), KEY_SEGMENT_WIDTH, "0")
+
+
+def ordered_key(*segments: Column) -> Column:
+    """Compose segments into a sortable binary row key."""
+    if len(segments) == 1:
+        return F.encode(segments[0], "UTF-8")
+    return F.encode(F.concat_ws(KEY_SEPARATOR, *segments), "UTF-8")
+
+
+def ordered_key_num(*cols: Column) -> Column:
+    """Numeric composite key: each column padded, joined, UTF-8 encoded."""
+    return ordered_key(*[key_segment_num(c) for c in cols])
+
+
+def decode_key_segment(row: Column, index: int) -> Column:
+    """Extract segment ``index`` (0-based) of an ordered key as a string."""
+    return F.split(F.decode(row, "UTF-8"), "\\" + KEY_SEPARATOR).getItem(index)
+
+
+def decode_key_num(row: Column, index: int = 0) -> Column:
+    """Extract a numeric segment back to LongType."""
+    return decode_key_segment(row, index).cast(T.LongType())
+
+
+# ---------------------------------------------------------------------------
+# Canonical value codec for typed fixtures: values round-trip through their
+# canonical string rendering (decodable with a plain cast). Raw-fidelity
+# binary values use the *_be codecs above.
+# ---------------------------------------------------------------------------
+
+
+def encode_value(col: Column) -> Column:
+    """Any atomic column -> canonical UTF-8 binary value."""
+    return F.encode(col.cast(T.StringType()), "UTF-8")
+
+
+def decode_value(col: Column, datatype: T.DataType | str) -> Column:
+    """Canonical binary value -> typed column."""
+    return F.decode(col, "UTF-8").cast(datatype)

@@ -1,0 +1,300 @@
+"""Mutation operators: Put / Delete / Increment / Append / checkAndMutate.
+
+Reference write path (SURVEY.md §3.3): client mutations flow through
+HRegion.batchMutate (HRegion.java:2925) with row locks + MVCC sequence
+numbers; read-modify-write ops (increment HRegion.java:7665, append :7383,
+checkAndMutate :3493) read the current row view under the lock and apply.
+
+Spark model: a mutation batch is a DataFrame of typed mutation records
+(FIXTURES.md §F5); applying a batch = a deterministic transformation
+``cells -> cells'`` (append of new Put/tombstone cells). The MVCC ``seq``
+analog is the batch sequence column; atomicity = the all-or-nothing file
+commit of one write job. RMW semantics are *batch-wise*: Increment folds
+Σdelta per key in one partial-aggregatable groupBy (the classic streaming
+counter pattern); checkAnd* evaluates its predicate against the pre-batch
+read view (F5 invariant).
+
+Scale: every RMW op touches only the mutated keys — the current-value lookup
+is a join of the (small) key set against the read view, which AQE executes
+as a broadcast; the 100 TB cell log is never shuffled to apply a batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hbase_1_3_0_spark.cells import (
+    CELL_COLUMNS,
+    TYPE_DELETE_COLUMN,
+    TYPE_DELETE_FAMILY,
+    TYPE_DELETE_FAMILY_VERSION,
+    TYPE_DELETE_VERSION,
+    TYPE_PUT,
+)
+from hbase_1_3_0_spark.functions import codecs
+from hbase_1_3_0_spark.operators.read_view import read_view
+
+OP_TO_TYPE = {
+    "put": TYPE_PUT,
+    "delete_version": TYPE_DELETE_VERSION,
+    "delete_family_version": TYPE_DELETE_FAMILY_VERSION,
+    "delete_column": TYPE_DELETE_COLUMN,
+    "delete_family": TYPE_DELETE_FAMILY,
+}
+
+
+def _decode(value: Column, codec: str) -> Column:
+    return (
+        codecs.decode_long_be(value)
+        if codec == "be8"
+        else codecs.decode_value(value, T.LongType())
+    )
+
+
+def _encode(num: Column, codec: str) -> Column:
+    return codecs.encode_long_be(num) if codec == "be8" else codecs.encode_value(num)
+
+
+def put_cells(cells: DataFrame, new_cells: DataFrame) -> DataFrame:
+    """Append Put/tombstone cells to the log (Table.put, Table.java:227)."""
+    return cells.unionByName(new_cells.select(*CELL_COLUMNS))
+
+
+def mutations_to_cells(mutations: DataFrame, *, now_ms: int) -> DataFrame:
+    """Typed mutation records (op/row/family/qualifier/ts/value/batch_seq) ->
+    cells. Timestamp defaults to server now (Put.java:52 semantics)."""
+    op_type = F.create_map(
+        *[x for k, v in OP_TO_TYPE.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("op")]
+    return mutations.select(
+        F.col("row"),
+        F.col("family"),
+        F.col("qualifier"),
+        F.coalesce(F.col("ts"), F.lit(now_ms)).cast(T.LongType()).alias("ts"),
+        op_type.cast(T.IntegerType()).alias("type"),
+        F.col("value"),
+        F.coalesce(F.col("batch_seq"), F.lit(0)).cast(T.LongType()).alias("seq"),
+    ).select(*CELL_COLUMNS)
+
+
+def _current_values(cells: DataFrame, keys: DataFrame, **rv_kwargs) -> DataFrame:
+    """Latest visible value for each (row,family,qualifier) in ``keys``.
+
+    The key set is tiny relative to the log: semi-join first so the read view
+    runs over only the touched rows (AQE broadcasts the key side).
+    """
+    touched = cells.join(
+        F.broadcast(keys.select("row").distinct()), "row", "left_semi"
+    )
+    view = read_view(touched, max_versions=1, **rv_kwargs)
+    return view.select(
+        "row", "family", "qualifier", F.col("value").alias("_cur"), F.col("ts")
+    )
+
+
+def increment(
+    cells: DataFrame,
+    increments: DataFrame,
+    *,
+    now_ms: int,
+    codec: str = "be8",
+    batch_seq: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Atomic counter adds (Table.increment, Table.java:369; server
+    HRegion.increment:7665). Counters are 8-byte big-endian longs
+    (``codec='be8'``; Bytes.toBytes(long)).
+
+    ``increments``: row, family, qualifier, delta (long). Multiple deltas to
+    one key fold first (Σdelta — partial aggregation), then a single join
+    reads the pre-batch value; a missing column initializes to the delta
+    (HRegion.java:7859). Returns (new_cells, results) — results mirror
+    setReturnResults (Increment.java:169) with the post-increment value.
+    """
+    folded = increments.groupBy("row", "family", "qualifier").agg(
+        F.sum("delta").alias("_delta")
+    )
+    cur = _current_values(cells, folded)
+    new_vals = (
+        folded.join(cur, ["row", "family", "qualifier"], "left")
+        .select(
+            "row",
+            "family",
+            "qualifier",
+            (
+                F.coalesce(_decode(F.col("_cur"), codec), F.lit(0)) + F.col("_delta")
+            ).alias("new_value"),
+        )
+    )
+    new_cells = new_vals.select(
+        "row",
+        "family",
+        "qualifier",
+        F.lit(now_ms).cast(T.LongType()).alias("ts"),
+        F.lit(TYPE_PUT).alias("type"),
+        _encode(F.col("new_value"), codec).alias("value"),
+        F.lit(batch_seq).cast(T.LongType()).alias("seq"),
+    ).select(*CELL_COLUMNS)
+    return put_cells(cells, new_cells), new_vals
+
+
+def append_value(
+    cells: DataFrame,
+    appends: DataFrame,
+    *,
+    now_ms: int,
+    batch_seq: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Atomic byte-concatenation (Table.append, Table.java:354; server
+    HRegion.append:7383). ``appends``: row, family, qualifier, value,
+    batch_seq — multiple appends to one key concatenate in batch_seq order
+    (within-batch ordering determinism, SURVEY.md §7 watch-list #4)."""
+    folded = appends.groupBy("row", "family", "qualifier").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("batch_seq"), F.col("value")))
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x["value"]),
+        ).alias("_suffix")
+    )
+    cur = _current_values(cells, folded)
+    new_vals = (
+        folded.join(cur, ["row", "family", "qualifier"], "left")
+        .select(
+            "row",
+            "family",
+            "qualifier",
+            F.concat(
+                F.coalesce(F.col("_cur"), F.lit(b"")), F.col("_suffix")
+            ).alias("new_value"),
+        )
+    )
+    new_cells = new_vals.select(
+        "row",
+        "family",
+        "qualifier",
+        F.lit(now_ms).cast(T.LongType()).alias("ts"),
+        F.lit(TYPE_PUT).alias("type"),
+        F.col("new_value").alias("value"),
+        F.lit(batch_seq).cast(T.LongType()).alias("seq"),
+    ).select(*CELL_COLUMNS)
+    return put_cells(cells, new_cells), new_vals
+
+
+def _check_pred(op_col: Column, cur: Column, expected: Column) -> Column:
+    """CompareOp predicate for CAS (Table.checkAndPut, Table.java:257).
+
+    A null expected value means "column must not exist" (the documented
+    null-check semantics of checkAndPut)."""
+    missing_ok = expected.isNull() & cur.isNull()
+    cmp = (
+        F.when(op_col == "LESS", cur < expected)
+        .when(op_col == "LESS_OR_EQUAL", cur <= expected)
+        .when(op_col == "EQUAL", cur == expected)
+        .when(op_col == "NOT_EQUAL", cur != expected)
+        .when(op_col == "GREATER_OR_EQUAL", cur >= expected)
+        .when(op_col == "GREATER", cur > expected)
+        .otherwise(F.lit(False))
+    )
+    return missing_ok | F.coalesce(cmp, F.lit(False))
+
+
+def check_and_mutate(
+    cells: DataFrame,
+    mutations: DataFrame,
+    *,
+    now_ms: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Single-row CAS, batch form (HRegion.checkAndMutate, HRegion.java:3493).
+
+    ``mutations``: op, row, family, qualifier, ts, value, check_family,
+    check_qualifier, check_op, check_value, batch_seq. The predicate is
+    evaluated against the PRE-batch read view (F5 invariant); passing
+    mutations apply as cells. Returns (new_cells, per-mutation verdicts).
+    """
+    keys = mutations.select(
+        "row",
+        F.col("check_family").alias("family"),
+        F.col("check_qualifier").alias("qualifier"),
+    )
+    cur = _current_values(cells, keys).select(
+        "row",
+        F.col("family").alias("check_family"),
+        F.col("qualifier").alias("check_qualifier"),
+        F.col("_cur"),
+    )
+    judged = mutations.join(
+        cur, ["row", "check_family", "check_qualifier"], "left"
+    ).withColumn(
+        "_pass",
+        _check_pred(F.col("check_op"), F.col("_cur"), F.col("check_value")),
+    )
+    passing = judged.where(F.col("_pass"))
+    new_cells = mutations_to_cells(
+        passing.select(
+            "op", "row", "family", "qualifier", "ts", "value", "batch_seq"
+        ),
+        now_ms=now_ms,
+    )
+    verdicts = judged.select(
+        "row", "family", "qualifier", "op", F.col("_pass").alias("applied")
+    )
+    return put_cells(cells, new_cells), verdicts
+
+
+def mutate_row(
+    cells: DataFrame, mutations: DataFrame, *, now_ms: int
+) -> DataFrame:
+    """RowMutations: atomic multi-op on single rows (Table.mutateRow,
+    Table.java:339; HRegion.mutateRow:7066). In the batch model all ops of a
+    batch commit in one write job, so per-row atomicity is inherent; the
+    batch_seq column preserves intra-row op order."""
+    return put_cells(cells, mutations_to_cells(mutations, now_ms=now_ms))
+
+
+def apply_mutation_batch(
+    cells: DataFrame,
+    mutations: DataFrame,
+    *,
+    now_ms: int,
+    codec: str = "be8",
+) -> DataFrame:
+    """Mixed batch (Table.batch, Table.java:119): route by op kind, one pass
+    per kind, single logical commit (AsyncProcess per-server grouping
+    replaced by Spark job scheduling, AsyncProcess.java:101)."""
+    out = cells
+    plain = mutations.where(F.col("op").isin(*OP_TO_TYPE.keys()))
+    if plain.isEmpty() is False:
+        out = put_cells(out, mutations_to_cells(plain, now_ms=now_ms))
+    incs = mutations.where(F.col("op") == "increment")
+    if incs.isEmpty() is False:
+        out, _ = increment(
+            out,
+            incs.select(
+                "row", "family", "qualifier", _decode(F.col("value"), codec).alias("delta")
+            ),
+            now_ms=now_ms,
+            codec=codec,
+        )
+    apps = mutations.where(F.col("op") == "append")
+    if apps.isEmpty() is False:
+        out, _ = append_value(
+            out,
+            apps.select("row", "family", "qualifier", "value", "batch_seq"),
+            now_ms=now_ms,
+        )
+    cas = mutations.where(F.col("op").startswith("check_and_"))
+    if cas.isEmpty() is False:
+        out, _ = check_and_mutate(
+            out,
+            cas.withColumn(
+                "op", F.regexp_replace(F.col("op"), "^check_and_put$", "put")
+            ).withColumn(
+                "op",
+                F.regexp_replace(F.col("op"), "^check_and_delete$", "delete_column"),
+            ),
+            now_ms=now_ms,
+        )
+    return out

@@ -1,0 +1,277 @@
+"""Table — the client API surface (Get / Scan / mutations), Spark-first.
+
+Mirrors hbase-client Table.java + Get.java/Scan.java option surface
+(SURVEY.md §2.1). A Get IS a single-row Scan in the reference
+(HRegion.java:5707-5714 wraps Get in Scan) — here too: ``get`` delegates to
+``scan`` with a one-row range, so there is exactly one read code path.
+
+Execution order of a scan (mirrors the reference read path, SURVEY.md §3.1):
+
+1. row-range predicate on the raw cell log — applied FIRST so Catalyst pushes
+   it into the parquet scan (region pruning + HFile key-range pruning analog);
+   masking is per-row, so pre-filtering by row is semantics-preserving.
+2. read view (versions / tombstones / TTL / timerange) per family group.
+3. family / column projection (Scan.addFamily/addColumn).
+4. filter tree (compiled filter algebra).
+5. per-CF column offset/limit (setRowOffsetPerColumnFamily:502,
+   setMaxResultsPerColumnFamily:493).
+6. row limit, optionally reversed (setReversed:694) — ordered prefix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+from hbase_1_3_0_spark.cells import CELL_COLUMNS
+from hbase_1_3_0_spark.filters import ast as filter_ast
+from hbase_1_3_0_spark.filters.compiler import apply_filter
+from hbase_1_3_0_spark.filters.parser import parse_filter
+from hbase_1_3_0_spark.operators import mutations as mut
+from hbase_1_3_0_spark.operators.read_view import read_view
+from hbase_1_3_0_spark.sources import kv_encoder
+
+
+@dataclass(frozen=True)
+class Scan:
+    """Declarative scan spec (Scan.java:84 option surface)."""
+
+    start_row: bytes | None = None  # setStartRow:367 (inclusive)
+    stop_row: bytes | None = None  # setStopRow:381 (exclusive)
+    stop_inclusive: bool = False  # InclusiveStopFilter analog
+    families: tuple[str, ...] | None = None  # addFamily
+    columns: tuple[tuple[str, bytes], ...] | None = None  # addColumn:306
+    time_range: tuple[int, int] | None = None  # setTimeRange:330
+    max_versions: int | None = None  # setMaxVersions:464 (None => 1)
+    raw: bool = False  # setRaw:859
+    reversed: bool = False  # setReversed:694
+    limit: int | None = None  # row limit (caching/maxResultSize are physical)
+    filter: filter_ast.Filter | str | None = None  # setFilter:539
+    row_offset_per_cf: int = 0  # setRowOffsetPerColumnFamily:502
+    max_results_per_cf: int | None = None  # setMaxResultsPerColumnFamily:493
+
+    def with_(self, **kw) -> "Scan":
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class Get:
+    """Point-read spec (Get.java:68). A Get is a single-row Scan."""
+
+    row: bytes
+    families: tuple[str, ...] | None = None
+    columns: tuple[tuple[str, bytes], ...] | None = None
+    time_range: tuple[int, int] | None = None
+    max_versions: int | None = None
+    filter: filter_ast.Filter | str | None = None
+    check_existence_only: bool = False  # Get.setCheckExistenceOnly:139
+
+    def to_scan(self) -> Scan:
+        return Scan(
+            start_row=self.row,
+            stop_row=self.row,
+            stop_inclusive=True,
+            families=self.families,
+            columns=self.columns,
+            time_range=self.time_range,
+            max_versions=self.max_versions,
+            filter=self.filter,
+        )
+
+
+class Table:
+    """A cell-log-backed table. Immutable-functional: mutations return a new
+    Table over the appended log (the write job is the commit point)."""
+
+    def __init__(self, meta: TableMeta, cells: DataFrame, now_ms: int | None = None):
+        self.meta = meta
+        self.cells = cells
+        self._now_ms = now_ms  # pin for deterministic tests; None = wall clock
+
+    def _with(self, cells: DataFrame) -> "Table":
+        return Table(self.meta, cells, self._now_ms)
+
+    # ------------------------------------------------------------------ read
+    def scan(self, scan: Scan | None = None, **kw) -> DataFrame:
+        """Sorted range scan -> visible cells (Table.getScanner, Table.java:196)."""
+        s = scan or Scan()
+        if kw:
+            s = s.with_(**kw)
+        df = self.cells
+
+        # 1. row range first — pushed into the parquet scan by Catalyst
+        if s.start_row is not None:
+            df = df.where(F.col("row") >= F.lit(s.start_row))
+        if s.stop_row is not None:
+            if s.stop_inclusive:
+                df = df.where(F.col("row") <= F.lit(s.stop_row))
+            else:
+                df = df.where(F.col("row") < F.lit(s.stop_row))
+
+        # 2. read view per family-parameter group
+        df = self._read_view(df, s)
+
+        # 3. projection
+        if s.families is not None:
+            df = df.where(F.col("family").isin(list(s.families)))
+        if s.columns is not None:
+            proj = F.lit(False)
+            for fam, qual in s.columns:
+                proj = proj | (
+                    (F.col("family") == fam) & (F.col("qualifier") == F.lit(qual))
+                )
+            df = df.where(proj)
+
+        # 4. filter algebra
+        filt = s.filter
+        if isinstance(filt, str):
+            filt = parse_filter(filt)
+        df = apply_filter(df, filt)
+
+        # 5. intra-row per-CF paging
+        if s.row_offset_per_cf or s.max_results_per_cf is not None:
+            idx = F.dense_rank().over(
+                Window.partitionBy("row", "family").orderBy("qualifier")
+            )
+            lo = s.row_offset_per_cf
+            hi = lo + s.max_results_per_cf if s.max_results_per_cf else None
+            cond = idx > lo
+            if hi is not None:
+                cond = cond & (idx <= hi)
+            df = df.withColumn("_ci", idx).where(cond).drop("_ci")
+
+        # 6. row limit (ordered prefix; TakeOrderedAndProject, no full sort)
+        if s.limit is not None:
+            order = F.col("row").desc() if s.reversed else F.col("row").asc()
+            rows = df.select("row").distinct().orderBy(order).limit(s.limit)
+            df = df.join(F.broadcast(rows), "row", "left_semi")
+        return df.select(*CELL_COLUMNS)
+
+    def _read_view(self, df: DataFrame, s: Scan) -> DataFrame:
+        fams = self.meta.families
+        if s.families is not None:
+            fams = tuple(f for f in fams if f.name in s.families)
+        groups: dict[tuple, list[FamilyMeta]] = {}
+        for fm in fams:
+            key = (fm.max_versions, fm.min_versions, fm.ttl_seconds, fm.keep_deleted_cells)
+            groups.setdefault(key, []).append(fm)
+        known = [fm.name for fm in fams]
+        outs = []
+        for (maxv, minv, ttl, kdc), members in groups.items():
+            sub = df
+            if len(groups) > 1 or s.families is not None:
+                sub = df.where(F.col("family").isin([m.name for m in members]))
+            eff_versions = min(s.max_versions or 1, maxv)
+            outs.append(
+                read_view(
+                    sub,
+                    max_versions=eff_versions,
+                    min_versions=minv,
+                    ttl_seconds=ttl,
+                    keep_deleted_cells=kdc,
+                    time_range=s.time_range,
+                    now_ms=self._now_ms,
+                    raw=s.raw,
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    def get(self, g: Get | bytes, **kw) -> DataFrame:
+        """Point read (Table.get, Table.java:169) — a single-row scan."""
+        if isinstance(g, (bytes, bytearray)):
+            g = Get(bytes(g), **kw)
+        return self.scan(g.to_scan())
+
+    def multi_get(self, rows: list[bytes] | DataFrame, **kw) -> DataFrame:
+        """Batch point reads (Table.get(List<Get>), Table.java:183): a semi
+        join of the key set against the read view — one job, no per-key RPCs."""
+        spark = self.cells.sparkSession
+        if isinstance(rows, DataFrame):
+            keys = rows.select(F.col(rows.columns[0]).alias("row"))
+        else:
+            keys = spark.createDataFrame(
+                [(bytes(r),) for r in rows],
+                T.StructType([T.StructField("row", T.BinaryType())]),
+            )
+        pruned = self.cells.join(F.broadcast(keys), "row", "left_semi")
+        view = Table(self.meta, pruned, self._now_ms)
+        return view.scan(Scan(**kw))
+
+    def exists(self, rows: list[bytes]) -> DataFrame:
+        """Existence probe (Table.exists / setCheckExistenceOnly, Get.java:139)."""
+        return (
+            self.multi_get(rows)
+            .select("row")
+            .distinct()
+            .withColumn("exists", F.lit(True))
+        )
+
+    def to_wide(self, columns: dict[str, T.DataType | str], family: str = "d") -> DataFrame:
+        """Scan + decode to a typed wide DataFrame (the `scan().to_df()` bonus
+        surface, SURVEY.md §2.7)."""
+        return kv_encoder.cells_to_table(self.scan(), columns, family=family)
+
+    # ----------------------------------------------------------------- write
+    def _now(self) -> int:
+        import time
+
+        return self._now_ms if self._now_ms is not None else int(time.time() * 1000)
+
+    def put(self, new_cells: DataFrame) -> "Table":
+        return self._with(mut.put_cells(self.cells, new_cells))
+
+    def put_wide(
+        self, df: DataFrame, key_cols: list[str], *, family: str = "d", ts=None, seq=0
+    ) -> "Table":
+        cells = kv_encoder.table_to_cells(
+            df, key_cols, family=family, ts=ts if ts is not None else self._now(), seq=seq
+        )
+        return self.put(cells)
+
+    def delete(self, deletes: DataFrame) -> "Table":
+        """Append tombstones. ``deletes``: op/row/family/qualifier/ts[/batch_seq]."""
+        d = deletes
+        if "value" not in d.columns:
+            d = d.withColumn("value", F.lit(None).cast("binary"))
+        if "batch_seq" not in d.columns:
+            d = d.withColumn("batch_seq", F.lit(0))
+        return self._with(
+            mut.put_cells(self.cells, mut.mutations_to_cells(d, now_ms=self._now()))
+        )
+
+    def increment(self, increments: DataFrame, codec: str = "be8"):
+        new_cells, results = mut.increment(
+            self.cells, increments, now_ms=self._now(), codec=codec
+        )
+        return self._with(new_cells), results
+
+    def append(self, appends: DataFrame):
+        new_cells, results = mut.append_value(
+            self.cells, appends, now_ms=self._now()
+        )
+        return self._with(new_cells), results
+
+    def check_and_mutate(self, mutations: DataFrame):
+        new_cells, verdicts = mut.check_and_mutate(
+            self.cells, mutations, now_ms=self._now()
+        )
+        return self._with(new_cells), verdicts
+
+    def mutate_row(self, mutations: DataFrame) -> "Table":
+        return self._with(
+            mut.mutate_row(self.cells, mutations, now_ms=self._now())
+        )
+
+    def batch(self, mutations: DataFrame, codec: str = "be8") -> "Table":
+        return self._with(
+            mut.apply_mutation_batch(
+                self.cells, mutations, now_ms=self._now(), codec=codec
+            )
+        )
