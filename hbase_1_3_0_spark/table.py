@@ -139,10 +139,11 @@ class Table:
             )
             lo = s.row_offset_per_cf
             hi = lo + s.max_results_per_cf if s.max_results_per_cf else None
-            cond = idx > lo
+            df = df.withColumn("_ci", idx)
+            cond = F.col("_ci") > lo
             if hi is not None:
-                cond = cond & (idx <= hi)
-            df = df.withColumn("_ci", idx).where(cond).drop("_ci")
+                cond = cond & (F.col("_ci") <= hi)
+            df = df.where(cond).drop("_ci")
 
         # 6. row limit (ordered prefix; TakeOrderedAndProject, no full sort)
         if s.limit is not None:

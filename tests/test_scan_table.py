@@ -1,0 +1,108 @@
+"""Table API: scan / get / multi_get / projection / limits over KV fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+from hbase_1_3_0_spark.functions import codecs
+from hbase_1_3_0_spark.sources import kv_encoder
+from hbase_1_3_0_spark.table import Get, Scan, Table
+from tests.conftest import load
+
+
+def key(n: int) -> bytes:
+    return str(n).zfill(codecs.KEY_SEGMENT_WIDTH).encode()
+
+
+@pytest.fixture(scope="module")
+def customer_table(spark, sf_dir):
+    df = load(spark, sf_dir, "customer")
+    cells = kv_encoder.table_to_cells(df, ["c_custkey"])
+    meta = TableMeta(name="customer_kv", families=(FamilyMeta(name="d"),))
+    return Table(meta, cells, now_ms=2_000_000), df
+
+
+def test_scan_range_matches_source(customer_table):
+    table, df = customer_table
+    out = table.scan(Scan(start_row=key(10), stop_row=key(20)))
+    wide = kv_encoder.cells_to_table(
+        out, {"c_custkey": "bigint", "c_name": "string"}
+    )
+    got = sorted((r.c_custkey, r.c_name) for r in wide.collect())
+    exp = sorted(
+        (r.c_custkey, r.c_name)
+        for r in df.where("c_custkey >= 10 and c_custkey < 20").collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_get_single_row(customer_table):
+    table, df = customer_table
+    out = table.get(key(42))
+    vals = {bytes(r.qualifier).decode(): r.value for r in out.collect()}
+    src = df.where("c_custkey = 42").first()
+    assert bytes(vals["c_name"]).decode() == src.c_name
+    assert len(vals) == len(df.columns)
+
+
+def test_multi_get_semi_join(customer_table):
+    table, df = customer_table
+    keys = [key(k) for k in (5, 17, 99)]
+    out = table.multi_get(keys)
+    rows = {bytes(r.row) for r in out.select("row").distinct().collect()}
+    assert rows == set(keys)
+
+
+def test_exists(customer_table):
+    table, _ = customer_table
+    got = table.exists([key(5), key(10**9)])
+    assert [bytes(r.row) for r in got.collect()] == [key(5)]
+
+
+def test_column_projection(customer_table):
+    table, _ = customer_table
+    out = table.scan(Scan(columns=(("d", b"c_name"), ("d", b"c_acctbal"))))
+    quals = {bytes(r.qualifier) for r in out.select("qualifier").distinct().collect()}
+    assert quals == {b"c_name", b"c_acctbal"}
+
+
+def test_row_limit_and_reverse(customer_table):
+    table, df = customer_table
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    out = table.scan(Scan(limit=5))
+    rows = sorted({bytes(r.row) for r in out.select("row").collect()})
+    assert len(rows) == 5 and rows[0] == key(lo)
+    out_rev = table.scan(Scan(limit=3, reversed=True))
+    rows_rev = sorted({bytes(r.row) for r in out_rev.select("row").collect()})
+    assert len(rows_rev) == 3 and rows_rev[-1] == key(hi)
+
+
+def test_stop_inclusive(customer_table):
+    table, _ = customer_table
+    out = table.scan(Scan(start_row=key(10), stop_row=key(12), stop_inclusive=True))
+    rows = sorted({bytes(r.row) for r in out.select("row").distinct().collect()})
+    assert rows == [key(10), key(11), key(12)]
+
+
+def test_intra_row_column_pagination(customer_table):
+    table, _ = customer_table
+    out = table.scan(Scan(limit=1, row_offset_per_cf=1, max_results_per_cf=2))
+    quals = sorted(bytes(r.qualifier) for r in out.collect())
+    # customer columns sorted: c_acctbal, c_custkey, c_mktsegment, c_name, c_nationkey
+    assert quals == [b"c_custkey", b"c_mktsegment"]
+
+
+def test_wide_roundtrip_full_table(customer_table, spark):
+    table, df = customer_table
+    cols = {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    }
+    wide = table.to_wide(cols).drop("row")
+    assert wide.exceptAll(df.select(*cols)).count() == 0
+    assert df.select(*cols).exceptAll(wide).count() == 0
