@@ -1,0 +1,131 @@
+"""The aggregation coprocessor surface (AggregationClient analog).
+
+Reference: per-region partial aggregation endpoints
+(AggregateImplementation.java: max:74, min:129, sum:182, rowCount:234,
+avg:293, std:353, median:418) merged client-side
+(AggregationClient.java:119-785), typed via ColumnInterpreter with Long /
+Double / BigDecimal interpreters (SURVEY.md §2.3).
+
+Spark: partial-per-region + client merge IS Catalyst's built-in partial
+aggregation — ``df.agg(...)`` compiles to map-side partial + final merge, the
+exact same decomposition (SURVEY.md §2.1 coprocessorService row). The only
+non-built-in is the weighted median, which the reference resolves with a
+2-phase cumulative-weight walk (AggregationClient.java:739-785); here it is
+a cumulative-sum window crossing Σw/2.
+
+``interpreter`` mirrors ColumnInterpreter: decodes the binary cell value to
+a numeric column ('long'/'double'/'decimal' for the canonical UTF-8 codec,
+'long_be8' for Bytes.toBytes(long) counters), or pass any custom decode
+``Column`` function.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.functions import codecs
+
+Interpreter = Callable[[Column], Column]
+
+_INTERPRETERS: dict[str, Interpreter] = {
+    "long": lambda c: codecs.decode_value(c, "bigint"),
+    "double": lambda c: codecs.decode_value(c, "double"),
+    "decimal": lambda c: codecs.decode_value(c, "decimal(28,6)"),
+    "long_be8": codecs.decode_long_be,
+}
+
+
+def _decode(interpreter: str | Interpreter) -> Interpreter:
+    if callable(interpreter):
+        return interpreter
+    return _INTERPRETERS[interpreter]
+
+
+def _values(
+    cells: DataFrame, family: str, qualifier: bytes, interpreter: str | Interpreter
+) -> DataFrame:
+    dec = _decode(interpreter)
+    return cells.where(
+        (F.col("family") == family) & (F.col("qualifier") == F.lit(qualifier))
+    ).select("row", dec(F.col("value")).alias("v"))
+
+
+def aggregate(
+    cells: DataFrame,
+    family: str,
+    qualifier: bytes,
+    *,
+    interpreter: str | Interpreter = "long",
+    stats: tuple[str, ...] = ("min", "max", "sum", "avg", "std", "count"),
+) -> DataFrame:
+    """One-pass min/max/sum/avg/std/rowcount over a scanned column — the
+    whole AggregationClient surface in a single partial-aggregatable job
+    (the reference needs one coprocessor RPC fan-out per statistic)."""
+    vals = _values(cells, family, qualifier, interpreter)
+    agg_map = {
+        "min": F.min("v").alias("min"),
+        "max": F.max("v").alias("max"),
+        "sum": F.sum("v").alias("sum"),
+        "avg": F.avg("v").alias("avg"),
+        # HBase std is population std (AggregationClient.java:622)
+        "std": F.stddev_pop("v").alias("std"),
+        "count": F.count("v").alias("count"),
+    }
+    return vals.agg(*[agg_map[s] for s in stats])
+
+
+def row_count(cells: DataFrame) -> DataFrame:
+    """rowCount (AggregateImplementation.java:234): FirstKeyOnlyFilter-style
+    distinct-row count — partial per partition, merged."""
+    return cells.select(F.countDistinct("row").alias("rowcount"))
+
+
+def median(
+    cells: DataFrame,
+    family: str,
+    qualifier: bytes,
+    *,
+    interpreter: str | Interpreter = "long",
+    weight_qualifier: bytes | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Exact (or approximate) median; optionally weighted
+    (AggregateImplementation.java:418, AggregationClient.java:728-785).
+
+    Weighted: the value at which cumulative weight crosses half the total —
+    computed with a cumulative-sum window ordered by value, mirroring the
+    reference's cumulative-weight region walk. Unweighted exact uses
+    ``percentile`` (Catalyst's exact percentile agg); ``approximate=True``
+    uses ``percentile_approx`` (the 100 TB-scale path: one pass, mergeable
+    sketches, no sort)."""
+    if weight_qualifier is None:
+        vals = _values(cells, family, qualifier, interpreter)
+        fn = F.percentile_approx if approximate else F.percentile
+        return vals.agg(fn("v", 0.5).alias("median"))
+
+    dec = _decode(interpreter)
+    fam = cells.where(F.col("family") == family)
+    q = F.col("qualifier")
+    pairs = (
+        fam.where(q.isin(F.lit(qualifier), F.lit(weight_qualifier)))
+        .groupBy("row")
+        .agg(
+            F.max(F.when(q == F.lit(qualifier), dec(F.col("value")))).alias("v"),
+            F.max(
+                F.when(q == F.lit(weight_qualifier), dec(F.col("value")))
+            ).alias("w"),
+        )
+        .where(F.col("v").isNotNull() & F.col("w").isNotNull())
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    total = pairs.agg(F.sum("w").alias("_total"))
+    ranked = pairs.withColumn("_cw", F.sum("w").over(w_cum)).crossJoin(
+        F.broadcast(total)
+    )
+    return (
+        ranked.where(F.col("_cw") >= F.col("_total") / 2)
+        .agg(F.min("v").alias("median"))
+    )

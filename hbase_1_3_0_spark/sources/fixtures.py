@@ -1,0 +1,48 @@
+"""KV-encodings of the driver's TPC-H-ish tables (FIXTURES.md §F2).
+
+One function: ``kv_cells(spark, sf_dir, name)`` -> the deterministic cell log
+for ``<name>_kv``. Keys are order-preserving composites of the primary key;
+``lineitem`` in the synthetic data has duplicate (l_orderkey, l_linenumber)
+pairs, so its key gets a deterministic per-group ordinal third segment
+(row_number over the duplicate group ordered by the remaining columns —
+small partitions, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+TABLE_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber", "_uniq"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def kv_cells(
+    spark: SparkSession, sf_dir: str, name: str, *, family: str = "d"
+) -> DataFrame:
+    df = load_table(spark, sf_dir, name)
+    key_cols = TABLE_KEYS[name]
+    value_cols = list(df.columns)
+    if name == "lineitem":
+        others = [c for c in df.columns if c not in ("l_orderkey", "l_linenumber")]
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            *[F.col(c) for c in others]
+        )
+        df = df.withColumn("_uniq", F.row_number().over(w).cast("long"))
+    return table_to_cells(df, key_cols, value_cols, family=family)

@@ -1,0 +1,128 @@
+"""Batch jobs: RowCounter, CellCounter, Export/Import, ImportTsv, CopyTable,
+HashTable/SyncTable, bulk-load writer layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
+from hbase_1_3_0_spark.functions import codecs
+from hbase_1_3_0_spark.operators import jobs
+from hbase_1_3_0_spark.sources import fixtures, writer
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def orders_cells(spark, sf_dir):
+    return fixtures.kv_cells(spark, sf_dir, "orders"), load(spark, sf_dir, "orders")
+
+
+def test_row_counter(orders_cells):
+    cells, df = orders_cells
+    assert jobs.row_counter(cells).first().rows == df.count()
+    # range-restricted
+    lo = str(10).zfill(codecs.KEY_SEGMENT_WIDTH).encode()
+    hi = str(20).zfill(codecs.KEY_SEGMENT_WIDTH).encode()
+    got = jobs.row_counter(cells, start_row=lo, stop_row=hi).first().rows
+    assert got == df.where("o_orderkey >= 10 and o_orderkey < 20").count()
+
+
+def test_cell_counter(orders_cells):
+    cells, df = orders_cells
+    out = {r.qualifier: (r.cells, r.rows) for r in jobs.cell_counter(cells).collect()}
+    n = df.count()
+    assert set(out) == set(df.columns)
+    assert all(v == (n, n) for v in out.values())
+
+
+def test_export_import_roundtrip(orders_cells, tmp_path, spark):
+    cells, _ = orders_cells
+    jobs.export_table(cells, tmp_path / "exp")
+    back = jobs.import_table(spark, tmp_path / "exp")
+    assert back.exceptAll(cells).count() == 0 and cells.exceptAll(back).count() == 0
+
+
+def test_import_tsv(tmp_path, spark):
+    p = tmp_path / "in.tsv"
+    p.write_text("1\talice\t10\n2\tbob\t20\n")
+    cells = jobs.import_tsv(
+        spark, p, ["HBASE_ROW_KEY", "name", "score"], family="d"
+    )
+    got = {
+        (bytes(r.row), bytes(r.qualifier)): bytes(r.value)
+        for r in cells.collect()
+    }
+    assert got[(b"1", b"name")] == b"alice"
+    assert got[(b"2", b"score")] == b"20"
+
+
+def test_copy_table_with_family_rename(orders_cells, spark):
+    cells, df = orders_cells
+    lo = str(100).zfill(codecs.KEY_SEGMENT_WIDTH).encode()
+    out = jobs.copy_table(cells, start_row=lo, rename_family={"d": "x"})
+    fams = {r.family for r in out.select("family").distinct().collect()}
+    assert fams == {"x"}
+    assert out.select("row").distinct().count() == df.where("o_orderkey >= 100").count()
+
+
+def test_hash_table_and_sync_table(spark, orders_cells):
+    cells, _ = orders_cells
+    # mutate a copy: change one value, delete one column, add one cell
+    victim = str(5).zfill(codecs.KEY_SEGMENT_WIDTH).encode()
+    changed = cells.withColumn(
+        "value",
+        F.when(
+            (F.col("row") == F.lit(victim)) & (F.col("qualifier") == F.lit(b"o_orderstatus")),
+            F.lit(b"XX"),
+        ).otherwise(F.col("value")),
+    ).where(
+        ~((F.col("row") == F.lit(victim)) & (F.col("qualifier") == F.lit(b"o_orderpriority")))
+    )
+    extra = spark.createDataFrame(
+        [(b"zzz-extra", "d", b"q", 1_000_000, TYPE_PUT, b"v", 0)], CELL_SCHEMA
+    )
+    target = changed.unionByName(extra)
+
+    # HashTable digests differ in some buckets
+    h_src = jobs.hash_table(cells, num_buckets=64)
+    h_tgt = jobs.hash_table(target, num_buckets=64)
+    diff = (
+        h_src.alias("a")
+        .join(h_tgt.alias("b"), "bucket", "full_outer")
+        .where(
+            F.col("a.digest").isNull()
+            | F.col("b.digest").isNull()
+            | (F.col("a.digest") != F.col("b.digest"))
+        )
+    )
+    assert diff.count() > 0
+
+    # SyncTable emits exactly the fixing mutations
+    muts = jobs.sync_table(cells, target)
+    got = {(bytes(r.row), bytes(r.qualifier), r.op) for r in muts.collect()}
+    assert (victim, b"o_orderstatus", "put") in got
+    assert (victim, b"o_orderpriority", "put") in got
+    assert (b"zzz-extra", b"q", "delete_column") in got
+    assert len(got) == 3
+
+
+def test_grouping_table_map(orders_cells):
+    cells, df = orders_cells
+    out = jobs.grouping_table_map(cells, [b"o_orderstatus", b"o_orderpriority"])
+    n = out.select("group_key").distinct().count()
+    exp = df.select("o_orderstatus", "o_orderpriority").distinct().count()
+    assert n == exp
+
+
+def test_bulk_load_layout_prunes(tmp_path, spark, orders_cells):
+    cells, df = orders_cells
+    writer.write_cells(cells, tmp_path / "tbl", num_partitions=8)
+    back = writer.read_cells(spark, tmp_path / "tbl")
+    assert back.count() == cells.count()
+    lo = str(42).zfill(codecs.KEY_SEGMENT_WIDTH).encode()
+    hi = str(43).zfill(codecs.KEY_SEGMENT_WIDTH).encode()
+    plan = back.where(
+        (F.col("row") >= F.lit(lo)) & (F.col("row") < F.lit(hi))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(row), GreaterThanOrEqual(row" in plan

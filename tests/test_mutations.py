@@ -1,0 +1,207 @@
+"""Mutations: put/delete kinds, increment, append, checkAndMutate, batches.
+
+Scenario sources: TestIncrementsFromClientSide, TestCheckAndMutate,
+TestFromClientSide delete-shadowing cases (SURVEY.md §5) + the F5 invariants
+(final counter = Σ deltas; append = ordered concat; CAS applies iff the
+predicate held against the pre-batch view).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
+from hbase_1_3_0_spark.functions import codecs
+from hbase_1_3_0_spark.table import Scan, Table
+
+MUT_SCHEMA = (
+    "op string, row binary, family string, qualifier binary, ts long, "
+    "value binary, batch_seq long"
+)
+
+
+def fresh_table(spark, rows, max_versions=5):
+    cells = spark.createDataFrame(rows, CELL_SCHEMA)
+    meta = TableMeta(
+        name="t", families=(FamilyMeta(name="d", max_versions=max_versions),)
+    )
+    return Table(meta, cells, now_ms=10_000)
+
+
+def cellmap(df):
+    return {
+        (bytes(r.row), r.family, bytes(r.qualifier)): (
+            bytes(r.value) if r.value is not None else None,
+            r.ts,
+        )
+        for r in df.collect()
+    }
+
+
+def test_put_then_scan_sees_new_cell(spark):
+    t = fresh_table(spark, [(b"r1", "d", b"q", 100, TYPE_PUT, b"v1", 0)])
+    puts = spark.createDataFrame(
+        [("put", b"r2", "d", b"q", None, b"v2", 1)], MUT_SCHEMA
+    )
+    t2 = t.mutate_row(puts)
+    got = cellmap(t2.scan())
+    assert got[(b"r2", "d", b"q")] == (b"v2", 10_000)
+    assert got[(b"r1", "d", b"q")] == (b"v1", 100)
+
+
+def test_delete_kinds_via_table_api(spark):
+    t = fresh_table(spark, [
+        (b"r1", "d", b"q1", 100, TYPE_PUT, b"a", 0),
+        (b"r1", "d", b"q1", 200, TYPE_PUT, b"b", 0),
+        (b"r1", "d", b"q2", 100, TYPE_PUT, b"c", 0),
+        (b"r2", "d", b"q1", 100, TYPE_PUT, b"d", 0),
+    ])
+    # delete_column masks q1 versions <= 300 on r1 only
+    dels = spark.createDataFrame(
+        [("delete_column", b"r1", "d", b"q1", 300, None, 0)], MUT_SCHEMA
+    )
+    got = cellmap(t.delete(dels).scan(Scan(max_versions=5)))
+    assert set(got) == {(b"r1", "d", b"q2"), (b"r2", "d", b"q1")}
+    # delete_family masks everything on r1
+    dels2 = spark.createDataFrame(
+        [("delete_family", b"r1", "d", None, 300, None, 0)], MUT_SCHEMA
+    )
+    got2 = cellmap(t.delete(dels2).scan(Scan(max_versions=5)))
+    assert set(got2) == {(b"r2", "d", b"q1")}
+
+
+def test_increment_be8_counter_semantics(spark):
+    # existing counter starts at 7 (8-byte BE), new counter initializes to delta
+    start = (7).to_bytes(8, "big")
+    t = fresh_table(spark, [(b"r1", "d", b"cnt", 100, TYPE_PUT, start, 0)])
+    incs = spark.createDataFrame(
+        [
+            (b"r1", "d", b"cnt", 5),
+            (b"r1", "d", b"cnt", 3),
+            (b"r2", "d", b"cnt", 11),
+        ],
+        "row binary, family string, qualifier binary, delta long",
+    )
+    t2, results = t.increment(incs)
+    res = {bytes(r.row): r.new_value for r in results.collect()}
+    assert res == {b"r1": 15, b"r2": 11}  # 7+5+3 ; init-to-delta
+    got = cellmap(t2.scan())
+    assert got[(b"r1", "d", b"cnt")][0] == (15).to_bytes(8, "big")
+    assert got[(b"r2", "d", b"cnt")][0] == (11).to_bytes(8, "big")
+
+
+def test_increment_total_equals_sum_of_deltas(spark):
+    # F5 invariant under repeated batches
+    t = fresh_table(spark, [(b"r0", "d", b"x", 1, TYPE_PUT, b"seed", 0)])
+    deltas = [[1, 2], [3, 4], [5, -6]]
+    total = 0
+    for batch in deltas:
+        incs = spark.createDataFrame(
+            [(b"k", "d", b"c", d) for d in batch],
+            "row binary, family string, qualifier binary, delta long",
+        )
+        t, _ = t.increment(incs)
+        total += sum(batch)
+    got = cellmap(t.get(b"k"))
+    assert int.from_bytes(got[(b"k", "d", b"c")][0], "big", signed=True) == total
+
+
+def test_append_ordered_concat(spark):
+    t = fresh_table(spark, [(b"r1", "d", b"log", 100, TYPE_PUT, b"A", 0)])
+    apps = spark.createDataFrame(
+        [
+            (b"r1", "d", b"log", b"-C", 2),
+            (b"r1", "d", b"log", b"-B", 1),
+            (b"r9", "d", b"log", b"new", 1),
+        ],
+        "row binary, family string, qualifier binary, value binary, batch_seq long",
+    )
+    t2, _ = t.append(apps)
+    got = cellmap(t2.scan())
+    assert got[(b"r1", "d", b"log")][0] == b"A-B-C"  # batch_seq order
+    assert got[(b"r9", "d", b"log")][0] == b"new"
+
+
+def test_check_and_put_pass_and_fail(spark):
+    t = fresh_table(spark, [
+        (b"r1", "d", b"guard", 100, TYPE_PUT, b"yes", 0),
+        (b"r2", "d", b"guard", 100, TYPE_PUT, b"no", 0),
+    ])
+    muts = spark.createDataFrame(
+        [
+            ("put", b"r1", "d", b"out", None, b"applied-r1", "d", b"guard", "EQUAL", b"yes", 1),
+            ("put", b"r2", "d", b"out", None, b"applied-r2", "d", b"guard", "EQUAL", b"yes", 2),
+            # not-exists check: column absent on r3... but r3 has no cells at all
+            ("put", b"r3", "d", b"out", None, b"applied-r3", "d", b"guard", "EQUAL", None, 3),
+        ],
+        "op string, row binary, family string, qualifier binary, ts long, value binary, "
+        "check_family string, check_qualifier binary, check_op string, check_value binary, "
+        "batch_seq long",
+    )
+    t2, verdicts = t.check_and_mutate(muts)
+    v = {bytes(r.row): r.applied for r in verdicts.collect()}
+    assert v == {b"r1": True, b"r2": False, b"r3": True}
+    got = cellmap(t2.scan())
+    assert (b"r1", "d", b"out") in got and (b"r3", "d", b"out") in got
+    assert (b"r2", "d", b"out") not in got
+
+
+def test_check_and_delete_numeric_compare(spark):
+    # LESS check on binary values: unsigned lexicographic like Bytes.compareTo
+    t = fresh_table(spark, [
+        (b"r1", "d", b"v", 100, TYPE_PUT, b"apple", 0),
+        (b"r1", "d", b"doomed", 100, TYPE_PUT, b"x", 0),
+    ])
+    muts = spark.createDataFrame(
+        [("delete_column", b"r1", "d", b"doomed", 500, None, "d", b"v", "LESS",
+          b"banana", 1)],
+        "op string, row binary, family string, qualifier binary, ts long, value binary, "
+        "check_family string, check_qualifier binary, check_op string, check_value binary, "
+        "batch_seq long",
+    )
+    t2, verdicts = t.check_and_mutate(muts)
+    assert verdicts.first().applied is True
+    got = cellmap(t2.scan(Scan(max_versions=5)))
+    assert (b"r1", "d", b"doomed") not in got
+
+
+def test_mixed_batch(spark):
+    t = fresh_table(spark, [(b"r1", "d", b"q", 100, TYPE_PUT, b"old", 0)])
+    muts = spark.createDataFrame(
+        [
+            ("put", b"r1", "d", b"q", None, b"new", 1),
+            ("put", b"r2", "d", b"q", None, b"v2", 2),
+            ("delete_column", b"r1", "d", b"gone", 9_999, None, 3),
+            ("increment", b"r3", "d", b"cnt", None, (5).to_bytes(8, "big"), 4),
+            ("append", b"r4", "d", b"log", None, b"x", 5),
+        ],
+        MUT_SCHEMA,
+    )
+    t2 = t.batch(muts)
+    got = cellmap(t2.scan())
+    assert got[(b"r1", "d", b"q")][0] == b"new"
+    assert got[(b"r2", "d", b"q")][0] == b"v2"
+    assert int.from_bytes(got[(b"r3", "d", b"cnt")][0], "big") == 5
+    assert got[(b"r4", "d", b"log")][0] == b"x"
+
+
+def test_compaction_preserves_read_view(spark):
+    from hbase_1_3_0_spark.operators import jobs
+
+    t = fresh_table(spark, [
+        (b"r1", "d", b"q", 100, TYPE_PUT, b"a", 0),
+        (b"r1", "d", b"q", 200, TYPE_PUT, b"b", 0),
+        (b"r2", "d", b"q", 100, TYPE_PUT, b"c", 0),
+    ])
+    dels = spark.createDataFrame(
+        [("delete_column", b"r2", "d", b"q", 300, None, 0)], MUT_SCHEMA
+    )
+    t2 = t.delete(dels)
+    before = cellmap(t2.scan())
+    compacted = jobs.compact(t2.cells, max_versions=1)
+    t3 = Table(t2.meta, compacted, now_ms=10_000)
+    assert cellmap(t3.scan()) == before
+    # compaction physically dropped markers and shadowed versions
+    assert compacted.count() == 1
