@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each scale-shaped differently:
+
+- **exact**: hash-groupBy on content (or md5 fingerprint) — one shuffle,
+  map-side combined. The 100 TB default.
+- **n-gram Jaccard**: exact set-similarity via shingle inverted index +
+  pair counting. Quadratic in bucket size — gated by a document-frequency
+  cap on shingles (stop-shingle removal), the standard trick to keep the
+  inverted index join near-linear.
+- **MinHash + LSH**: shingle -> 64 permuted min-hashes -> banded buckets ->
+  candidate pairs -> exact-Jaccard verification of candidates only. The
+  near-dup path that survives 100 TB: cost ~ O(docs x K) + O(candidates).
+- **SimHash**: 64-bit signature via per-bit weighted majority over shingle
+  hashes; near-dups = signatures within Hamming distance k, found by
+  4x16-bit band exact-match (any pair within distance 3 shares a band).
+- **embedding cosine**: see pipeline/similarity.py (near-dup = cosine above
+  a threshold).
+
+All shingling/hashing is JVM-side (higher-order array exprs, xxhash64);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.pipeline.text import fingerprint
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per exact content group (hash-groupBy)."""
+    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col)
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the normalized md5 fingerprint (whitespace/punct
+    -insensitive)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams as an array — pure JVM higher-order expr."""
+    # transform(sequence(1, len-n+1), i -> substring(text, i, n))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - n + 1, F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+
+    Inverted-index self-join: |A∩B| by counting shared shingles, then
+    jaccard = inter / (|A| + |B| - inter). ``max_shingle_df`` drops shingles
+    appearing in more than that many docs (stop-shingles) — REQUIRED at scale
+    to bound the quadratic bucket join; None means exact (small inputs only).
+    """
+    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    index = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        index = sh.join(rare, "sh", "left_semi")
+    pairs = (
+        index.alias("a")
+        .join(index.alias("b"), "sh")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _MERSENNE_P) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MERSENNE_P) for _ in range(num_hashes)]
+    return a, b
+
+
+def minhash_signature(
+    text: Column, *, n: int = 5, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """K permuted min-hashes over the shingle set, as an array<long>.
+
+    h_i(s) = (a_i * x(s) + b_i) mod p with x(s) = xxhash64(shingle) folded to
+    [0, 2^31); products stay within long range. One JVM expression — no UDF.
+    """
+    a, b = _hash_params(num_hashes, seed)
+    shingle_codes = F.transform(
+        char_shingles(text, n), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+    )
+    a_arr = F.array(*[F.lit(x % (1 << 31)) for x in a])
+    b_arr = F.array(*[F.lit(x % (1 << 31)) for x in b])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_codes,
+                lambda c: F.pmod(
+                    a_arr[i] * c + b_arr[i], F.lit(_MERSENNE_P)
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: split the K-signature into ``bands`` bands of
+    K/bands rows; docs sharing any band bucket are candidates. Banding is an
+    explode + groupBy on (band, band-hash) — the shuffle key is the bucket,
+    so skew is bounded by bucket size, not corpus size."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes, seed=seed).alias(
+            "_sig"
+        ),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("_sig"), bidx * rows + 1, rows)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard — the scale path:
+    exact verification runs only on the candidate set."""
+    cand = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    )
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    # count shared shingles among candidates only: join the candidate pairs to
+    # the shingle index on (id, shingle) — cost scales with candidates
+    a_sh = sh.withColumnRenamed("_id", "id_a")
+    b_sh = sh.withColumnRenamed("_id", "id_b")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash64(text: Column, *, n: int = 5) -> Column:
+    """64-bit SimHash: per-bit weighted majority over shingle xxhash64s.
+
+    bit_k(sig) = 1 iff Σ_shingles (±1 by bit k of hash) > 0. Computed as one
+    JVM expression: for each bit, aggregate over the shingle-hash array.
+    """
+    hashes = F.transform(char_shingles(text, n), lambda s: F.xxhash64(s))
+    def bit_sum(k: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+    sig = F.lit(0).cast("long")
+    for k in range(64):
+        sig = sig + F.when(bit_sum(k) > 0, F.lit(1).cast("long") * (2**k if k < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_bands(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """SimHash signatures + 4x16-bit bands (any pair with Hamming distance
+    <= 3 collides on at least one band — pigeonhole)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col), n=n).alias("sig")
+    )
+    out = sig
+    for i in range(4):
+        out = out.withColumn(
+            f"band{i}",
+            F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-collision candidates filtered by exact
+    Hamming distance (bit_count of xor)."""
+    sig = simhash_bands(df, text_col=text_col, id_col=id_col, n=n)
+    cands = None
+    for i in range(4):
+        a = sig.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), F.col(f"band{i}").alias("b"))
+        b = sig.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), F.col(f"band{i}").alias("b"))
+        p = a.join(b, "b").where(F.col("id_a") < F.col("id_b")).drop("b")
+        cands = p if cands is None else cands.unionByName(p)
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.distinct()
+        .withColumn("hamming", dist)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the query set,
+  one pass over the corpus, per-query top-k via window. Cost O(Q x N x d),
+  JVM-side (higher-order exprs compile into codegen; no Python).
+- **Random-hyperplane LSH top-k** — the scale path: b sign-bits of seeded
+  random projections bucket the corpus; only same-bucket (or near-bucket)
+  candidates are scored. Recall tunable via number of tables.
+- **IVF-style partitioned search** — coarse quantization by seeded random
+  centroids (argmin L2), probe the nprobe nearest lists. Centroid set is a
+  broadcast literal; corpus assignment is one pass.
+
+All math in float64 with sequential array aggregation — deterministic and
+engine-portable (DuckDB's list_dot_product matches to 6 decimals).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self-matches by id).
+
+    Broadcast-joins the query set against the corpus — no shuffle of the
+    corpus; the window sort runs per query partition.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = c.join(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def _random_unit_vectors(num: int, dim: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    vecs = []
+    for _ in range(num):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        vecs.append([x / n for x in v])
+    return vecs
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature of the vector against fixed hyperplanes -> long."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(_dot(vec, plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 12,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose hyperplane bucket
+    is within Hamming distance 1 of the query's bucket (multi-probe LSH).
+
+    At 100 TB the corpus is bucketed once (a write-side signature column +
+    bucket partitioning); each query touches ~ (1 + num_planes) / 2^num_planes
+    of the data instead of all of it.
+    """
+    planes = _random_unit_vectors(num_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("_cb"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("_qb"),
+    )
+    cand = c.join(F.broadcast(q)).where(
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.bit_count(F.col("_cb").bitwiseXOR(F.col("_qb"))) <= probe_hamming)
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    *,
+    num_lists: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Assign each vector to its nearest random centroid (IVF coarse
+    quantizer). Centroids are seeded literals — deterministic, no training
+    dependency; swap in k-means centroids when available."""
+    cents = _random_unit_vectors(num_lists, dim, seed)
+    # argmax as array_max over struct(sim, idx) — linear-size expression tree.
+    # (A chained when(d > best_d, ...).otherwise(best_d) rebuild doubles the
+    # tree per centroid: O(2^num_lists) nodes, unplannable past ~12 lists.)
+    sims = F.array(
+        *[
+            F.struct(
+                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])).alias(
+                    "s"
+                ),
+                F.lit(i).alias("l"),
+            )
+            for i, cvec in enumerate(cents)
+        ]
+    )
+    return df.withColumn("ivf_list", F.array_max(sims)["l"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF search: score only the nprobe nearest inverted lists per query."""
+    cents = _random_unit_vectors(num_lists, dim, seed)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
+        num_lists=num_lists, dim=dim, vec_col="_cv", seed=seed,
+    )
+    # per-query list affinities -> explode the nprobe closest lists
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    sims = F.array(
+        *[
+            F.struct(
+                _dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                F.lit(i).alias("l"),
+            )
+            for i, cvec in enumerate(cents)
+        ]
+    )
+    q_lists = q.withColumn(
+        "ivf_list",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(sims)), 1, nprobe), lambda x: x["l"]
+            )
+        ),
+    )
+    cand = c.join(F.broadcast(q_lists), "ivf_list").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

@@ -1,0 +1,97 @@
+"""Text analysis for training-data pipelines — all JVM-side Column exprs.
+
+Language-ID (stopword-marker heuristic), quality scoring (length / punct /
+stopword ratios), token counting (word regex), and document fingerprinting
+(md5 over alnum-normalized text — portable across engines, so dedup decisions
+are oracle-checkable). No Python UDFs anywhere: at 100 TB these run inside
+whole-stage codegen straight over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9]+"
+
+# tiny high-frequency marker sets per language (public stopword lists)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que"],
+    "es": ["el", "los", "las", "es", "una", "que", "por"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "in", "it", "for", "on", "as", "are"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punctuation-agnostic word-token count (BPE-ish regex)."""
+    return F.size(F.regexp_extract_all(text, F.lit(WORD_RE), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are not alphanumeric."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    return F.when(nonspace > 0, (nonspace - alnum) / nonspace).otherwise(F.lit(0.0))
+
+
+def _marker_hits(text_lower: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text_lower, F.lit(pat), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = token_count(text)
+    hits = _marker_hits(F.lower(text), STOPWORDS_EN)
+    return F.when(toks > 0, hits / toks).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: length in a sane band, low punctuation noise,
+    reasonable stopword density (the classic Gopher-style cheap filters)."""
+    toks = token_count(text)
+    len_ok = F.when((toks >= 10) & (toks <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) > 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok) / 3.0
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker argmax across the marker sets; 'und' (undetermined)
+    when nothing matches."""
+    lowered = F.lower(text)
+    scores = [(lang, _marker_hits(lowered, ws)) for lang, ws in LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reverse order => earlier languages win ties (deterministic)
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the lowercased alnum-only text. Stable
+    across engines (DuckDB md5 produces identical digests), so fingerprint
+    dedup is oracle-checkable."""
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_chars_computed": char_count(t),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t), 6),
+            "quality": F.round(quality_score(t), 6),
+            "lang_guess": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

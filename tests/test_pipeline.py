@@ -1,0 +1,167 @@
+"""LLM-data-pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.pipeline import dedup, multimodal, similarity, text
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "other")], "doc_id: long, text: string"
+    )
+    got = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert got == [1, 3]
+
+
+def test_fingerprint_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (9, "hello   world"), (3, "different")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.dup_count for r in dedup.fingerprint_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "!"),  # near-identical
+            (3, "completely unrelated content with other words entirely"),
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].jaccard > 0.8
+
+
+def test_minhash_lsh_finds_near_dups(docs, spark):
+    # duplicate a few docs with tiny perturbations; LSH must surface them
+    victims = docs.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(victims)
+    pairs = dedup.minhash_dedup_pairs(corpus, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(i, i + 1_000_000) for i in [r.doc_id for r in docs.limit(5).collect()]}
+    assert expected <= got
+
+
+def test_simhash_near_pairs(spark, docs):
+    victims = docs.limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    corpus = docs.select("doc_id", "text").unionByName(victims)
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(i, i + 1_000_000) for i in [r.doc_id for r in docs.limit(3).collect()]}
+    assert expected <= got
+
+
+def test_cosine_topk_self_neighbors(emb, spark):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk(emb, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.query_id for r in queries.collect()}
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)
+
+
+def test_lsh_topk_recall_against_exact(emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    approx = similarity.lsh_topk(emb, queries, k=3, num_planes=6, probe_hamming=2)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # synthetic embeddings are near-isotropic (worst case for LSH); with 6
+    # planes probing hamming<=2 (~34% of buckets) expect partial recall
+    assert len(e & a) >= len(e) * 0.2
+
+
+def test_ivf_topk_runs_and_ranks(emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(emb, queries, k=3, num_lists=8, nprobe=3)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_text_stats_fields(docs):
+    out = text.text_stats(docs.limit(20)).collect()
+    for r in out:
+        assert r.n_tokens > 0
+        assert r.n_chars_computed == r.n_chars  # driver's n_chars column
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.quality <= 1.0
+        assert len(r.fingerprint) == 32
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house of friends"),
+            (2, "der Hund und die Katze sind nicht in das Haus"),
+            (3, "le chat est dans la maison et les jardins"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_multimodal_fake_feature_extraction(spark):
+    rows = [(1, b"\x01\x02\x03" * 100), (2, b"\xff" * 10), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    df = multimodal.attach_media(df, "payload", media_type="image", fmt="png")
+    out = multimodal.extract_features(df, fake=True).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_bytes == 300 and by_id[2].n_bytes == 10
+    assert by_id[3].n_bytes == 0
+    assert len(by_id[1].feature) == 8
+    assert by_id[1].media_type == "image"
+    # determinism
+    out2 = multimodal.extract_features(df, fake=True).collect()
+    assert {r.doc_id: r.feature for r in out2} == {r.doc_id: r.feature for r in out}
+
+
+def test_multimodal_without_decoder_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id: long, payload: binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(df)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"v")], "doc_id: long, payload: binary")
+    df = multimodal.attach_media(df, "payload", media_type="video", fmt="mp4")
+    df = df.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(3500).cast("long")),
+    )
+    out = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
