@@ -1,38 +1,677 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship scan on sf0.001.
+``queries()`` exposes one callable per implemented operator surface from
+SURVEY.md §2 (KV engine: scan/get/filters/versions/tombstones/aggregations/
+mutations/batch jobs) plus the training-data pipeline operators (dedup,
+similarity, text analysis). ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query; seeded-hash operators (minhash/simhash/LSH/
+IVF) are rows-only checks by design.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name before hashing values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hbase_1_3_0_spark.catalog import TableMeta
+from hbase_1_3_0_spark.cells import CELL_SCHEMA
+from hbase_1_3_0_spark.functions import codecs
+from hbase_1_3_0_spark.operators import aggregations as agg
+from hbase_1_3_0_spark.operators import jobs
+from hbase_1_3_0_spark.pipeline import dedup, similarity, text
+from hbase_1_3_0_spark.sources import fixtures
+from hbase_1_3_0_spark.sources.kv_encoder import cells_to_table, table_to_cells
+from hbase_1_3_0_spark.table import Scan, Table
+
+# Fixed timestamps so every run is deterministic (fixture puts are at
+# kv_encoder.DEFAULT_TS = 1_000_000).
+V2_TS = 2_000_000
+DEL_TS = 3_000_000
+NOW_MS = 9_000_000
+
+CUSTOMER_COLS = {
+    "c_custkey": "bigint",
+    "c_name": "string",
+    "c_nationkey": "bigint",
+    "c_acctbal": "double",
+    "c_mktsegment": "string",
+}
+ORDERS_COLS = {
+    "o_orderkey": "bigint",
+    "o_custkey": "bigint",
+    "o_orderstatus": "string",
+    "o_totalprice": "double",
+    "o_orderdate": "timestamp",
+    "o_orderpriority": "string",
+}
+
+
+def _k(n: int) -> bytes:
+    """Single-segment numeric row key (fixed-width sortable decimal)."""
+    return f"{n:019d}".encode()
+
+
+def _key_col(c: Column) -> Column:
+    return codecs.ordered_key(codecs.key_segment_num(c))
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> Table:
+    cells = fixtures.kv_cells(spark, sf_dir, name)
+    return Table(TableMeta(name=name), cells, now_ms=NOW_MS)
+
+
+def _wide(cells: DataFrame, columns: dict[str, str]) -> DataFrame:
+    return cells_to_table(cells, columns).select(*columns.keys())
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return fixtures.load_table(spark, sf_dir, name)
+
+
+def _empty_cells(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], CELL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# KV engine queries (SURVEY.md §2.1 / §2.2)
+# --------------------------------------------------------------------------
+
+
+def q_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted range scan [start, stop) + wide decode (Table.getScanner)."""
+    t = _table(spark, sf_dir, "customer")
+    return _wide(t.scan(start_row=_k(100), stop_row=_k(600)), CUSTOMER_COLS)
+
+
+def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch point reads: semi join of the key set (Table.get(List<Get>))."""
+    t = _table(spark, sf_dir, "customer")
+    keys = [_k(7), _k(42), _k(999), _k(123456789)]
+    return _wide(t.multi_get(keys), CUSTOMER_COLS)
+
+
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence probe (Table.exists / Get.setCheckExistenceOnly)."""
+    t = _table(spark, sf_dir, "customer")
+    probe = t.exists([_k(7), _k(42), _k(99999999)])
+    return probe.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.col("exists").alias("present"),
+    )
+
+
+def q_filter_scvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingleColumnValueFilter via the ParseFilter DSL (row-level semi-join)."""
+    t = _table(spark, sf_dir, "orders")
+    cells = t.scan(
+        filter="SingleColumnValueFilter ('d', 'o_orderstatus', =, 'binary:F')"
+    )
+    return _wide(cells, ORDERS_COLS)
+
+
+def q_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterList AND of RowFilter + SCVF via the DSL."""
+    t = _table(spark, sf_dir, "customer")
+    dsl = (
+        f"(RowFilter (>=, 'binary:{500:019d}') AND "
+        "SingleColumnValueFilter ('d', 'c_mktsegment', =, 'binary:BUILDING'))"
+    )
+    return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
+
+
+def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageFilter: first n rows in row-key order (exact-global semantics)."""
+    t = _table(spark, sf_dir, "customer")
+    return _wide(t.scan(filter="PageFilter (50)"), CUSTOMER_COLS)
+
+
+def q_column_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnPaginationFilter: per-row column LIMIT/OFFSET window."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(filter="ColumnPaginationFilter (2, 1)")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_versions_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two versions per cell; default read view returns the newest."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    upd = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("c_name")
+    )
+    t2 = t.put(table_to_cells(upd, ["c_custkey"], ["c_name"], ts=V2_TS, seq=1))
+    return _wide(t2.scan(), {"c_custkey": "bigint", "c_name": "string"})
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setTimeRange: read as-of before the second version was written."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    upd = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("c_name")
+    )
+    t2 = t.put(table_to_cells(upd, ["c_custkey"], ["c_name"], ts=V2_TS, seq=1))
+    view = t2.scan(time_range=(0, 1_500_000))
+    return _wide(view, {"c_custkey": "bigint", "c_name": "string"})
+
+
+def q_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeleteFamily + DeleteColumn masking resolved at read time."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    fam_del = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.lit("delete_family").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.lit(None).cast("binary").alias("qualifier"),
+        F.lit(DEL_TS).cast("long").alias("ts"),
+    )
+    col_del = cust.where(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 10 != 0)
+    ).select(
+        F.lit("delete_column").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").alias("qualifier"),
+        F.lit(DEL_TS).cast("long").alias("ts"),
+    )
+    t2 = t.delete(fam_del.unionByName(col_del))
+    return _wide(
+        t2.scan(),
+        {"c_custkey": "bigint", "c_name": "string", "c_acctbal": "double"},
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregationClient surface: min/max/sum/avg/std/count in one pass."""
+    t = _table(spark, sf_dir, "lineitem")
+    out = agg.aggregate(t.scan(), "d", b"l_quantity", interpreter="double")
+    return out.select(
+        F.round("min", 6).alias("min_q"),
+        F.round("max", 6).alias("max_q"),
+        F.round("sum", 6).alias("sum_q"),
+        F.round("avg", 6).alias("avg_q"),
+        F.round("std", 6).alias("std_q"),
+        F.col("count").alias("cnt"),
+    )
+
+
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (AggregateImplementation.getMedian analog)."""
+    t = _table(spark, sf_dir, "lineitem")
+    out = agg.median(t.scan(), "d", b"l_extendedprice", interpreter="double")
+    return out.select(F.round("median", 6).alias("median_price"))
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median via cumulative-weight window (AggregationClient:739)."""
+    t = _table(spark, sf_dir, "lineitem")
+    out = agg.median(
+        t.scan(),
+        "d",
+        b"l_extendedprice",
+        interpreter="double",
+        weight_qualifier=b"l_quantity",
+    )
+    return out.select(F.round("median", 6).alias("median_price"))
+
+
+def q_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowCounter job (distinct visible rows)."""
+    t = _table(spark, sf_dir, "orders")
+    return jobs.row_counter(t.cells).withColumnRenamed("rows", "n_rows")
+
+
+def q_cell_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellCounter job: per (family, qualifier) cell/row/version counts."""
+    t = _table(spark, sf_dir, "nation")
+    return jobs.cell_counter(t.cells).withColumnRenamed("rows", "n_rows")
+
+
+def q_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic counters: one increment per event, folded per key (be8 longs)."""
+    ev = _load(spark, sf_dir, "events")
+    incs = ev.select(
+        _key_col(F.col("user_id")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.col("event_type"), "UTF-8").alias("qualifier"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    t = Table(TableMeta(name="counters"), _empty_cells(spark), now_ms=NOW_MS)
+    _, results = t.increment(incs)
+    return results.select(
+        codecs.decode_key_num(F.col("row")).alias("user_id"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("event_type"),
+        F.col("new_value").alias("counter"),
+    )
+
+
+def q_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic byte-append with within-batch (batch_seq) ordering."""
+    ev = _load(spark, sf_dir, "events")
+    apps = ev.select(
+        _key_col(F.col("user_id")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("log"), "UTF-8").alias("qualifier"),
+        F.encode(F.concat(F.col("event_type"), F.lit(",")), "UTF-8").alias("value"),
+        F.col("event_id").alias("batch_seq"),
+    )
+    t = Table(TableMeta(name="logs"), _empty_cells(spark), now_ms=NOW_MS)
+    _, results = t.append(apps)
+    return results.select(
+        codecs.decode_key_num(F.col("row")).alias("user_id"),
+        F.decode(F.col("new_value"), "UTF-8").alias("log"),
+    )
+
+
+def q_check_and_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checkAndPut CAS verdicts against the pre-batch read view."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    muts = cust.select(
+        F.lit("put").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("flag"), "UTF-8").alias("qualifier"),
+        F.lit(None).cast("long").alias("ts"),
+        F.encode(F.lit("Y"), "UTF-8").alias("value"),
+        F.lit("d").alias("check_family"),
+        F.encode(F.lit("c_mktsegment"), "UTF-8").alias("check_qualifier"),
+        F.lit("EQUAL").alias("check_op"),
+        F.encode(F.lit("BUILDING"), "UTF-8").alias("check_value"),
+        F.lit(0).cast("long").alias("batch_seq"),
+    )
+    _, verdicts = t.check_and_mutate(muts)
+    return verdicts.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.col("applied"),
+    )
+
+
+def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashTable/SyncTable analog: mutation stream making target == source."""
+    src = fixtures.kv_cells(spark, sf_dir, "orders")
+    orders = _load(spark, sf_dir, "orders")
+    tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    tgt = table_to_cells(tgt_rows, ["o_orderkey"])
+    diff = jobs.sync_table(src, tgt)
+    return diff.select(
+        codecs.decode_key_num(F.col("row")).alias("o_orderkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.col("op"),
+    )
+
+
+def q_copy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CopyTable: range slice + CF rename, decoded back."""
+    src = fixtures.kv_cells(spark, sf_dir, "orders")
+    out = jobs.copy_table(
+        src, start_row=_k(100), stop_row=_k(300), rename_family={"d": "e"}
+    )
+    return cells_to_table(out, ORDERS_COLS, family="e").select(*ORDERS_COLS)
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline queries
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    out = text.text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_guess",
+        "fingerprint",
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (seeded hashes -> rows-only oracle)."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (seeded hashes -> rows-only oracle)."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(embs, queries, k=10)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (seeded planes -> rows-only oracle)."""
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(embs, queries, k=10, dim=64)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (seeded centroids -> rows-only oracle)."""
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(embs, queries, k=10, dim=64)
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream (batch mode; the
+    same plan runs under readStream with a watermark — SURVEY.md §2.5)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("ws"),
+            "event_type",
+            "cnt",
+            "sum_v",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_scan_range(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_range": q_scan_range,
+        "multi_get": q_multi_get,
+        "exists": q_exists,
+        "filter_scvf": q_filter_scvf,
+        "filter_composite": q_filter_composite,
+        "page_filter": q_page_filter,
+        "column_pagination": q_column_pagination,
+        "versions_latest": q_versions_latest,
+        "time_travel": q_time_travel,
+        "tombstones": q_tombstones,
+        "agg_stats": q_agg_stats,
+        "median": q_median,
+        "weighted_median": q_weighted_median,
+        "row_count": q_row_count,
+        "cell_counter": q_cell_counter,
+        "increment": q_increment,
+        "append": q_append,
+        "check_and_put": q_check_and_put,
+        "sync_diff": q_sync_diff,
+        "copy_table": q_copy_table,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "events_window": q_events_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TEXT_RAW = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+       len(regexp_replace(text, '\\s', '', 'g')) AS _nonspace,
+       len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS _alnum,
+       len(regexp_extract_all(lower(text),
+           '\\b(the|and|of|to|is|that|with|a|in|it|for|on|as|are)\\b'))
+           AS _stophits,
+       len(regexp_extract_all(lower(text),
+           '\\b(the|and|of|to|is|that|with)\\b')) AS _en,
+       len(regexp_extract_all(lower(text),
+           '\\b(der|die|und|das|nicht|ist|ein)\\b')) AS _de,
+       len(regexp_extract_all(lower(text),
+           '\\b(le|la|les|et|est|une|que)\\b')) AS _fr,
+       len(regexp_extract_all(lower(text),
+           '\\b(el|los|las|es|una|que|por)\\b')) AS _es,
+       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+_TEXT_DERIVED = f"""
+WITH raw AS ({_TEXT_RAW}),
+d AS (
+  SELECT *,
+    CASE WHEN _nonspace > 0
+         THEN (_nonspace - _alnum)::DOUBLE / _nonspace ELSE 0.0 END AS _pr,
+    CASE WHEN n_tokens > 0
+         THEN _stophits::DOUBLE / n_tokens ELSE 0.0 END AS _sr,
+    greatest(_en, _de, _fr, _es) AS _best
+  FROM raw
+)
+SELECT doc_id, n_tokens,
+       round(_pr, 6) AS punct_ratio,
+       round(_sr, 6) AS stopword_ratio,
+       round(((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN _pr < 0.3 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN _sr > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+       CASE WHEN _best = 0 THEN 'und'
+            WHEN _en = _best THEN 'en'
+            WHEN _de = _best THEN 'de'
+            WHEN _fr = _best THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       fingerprint
+FROM d
+"""
+
+_JACCARD_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+    FROM d
+  )
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM p
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.3
+"""
+
+_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.qe, c.ce)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.ce, c.ce))), 6) AS sim
+  FROM q, c
+  WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cust_cols = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+    ord_cols = (
+        "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+        "o_orderpriority"
+    )
+    return {
+        "scan_range": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey >= 100 AND c_custkey < 600"
+        ),
+        "multi_get": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey IN (7, 42, 999, 123456789)"
+        ),
+        "exists": (
+            "SELECT c_custkey, TRUE AS present FROM customer "
+            "WHERE c_custkey IN (7, 42, 99999999)"
+        ),
+        "filter_scvf": (
+            f"SELECT {ord_cols} FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "filter_composite": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey >= 500 AND c_mktsegment = 'BUILDING'"
+        ),
+        "page_filter": (
+            f"SELECT {cust_cols} FROM customer ORDER BY c_custkey LIMIT 50"
+        ),
+        "column_pagination": (
+            "SELECT c_custkey, q.q AS qualifier FROM customer "
+            "CROSS JOIN (VALUES ('c_custkey'), ('c_mktsegment')) q(q)"
+        ),
+        "versions_latest": (
+            "SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 "
+            "THEN upper(c_name) ELSE c_name END AS c_name FROM customer"
+        ),
+        "time_travel": "SELECT c_custkey, c_name FROM customer",
+        "tombstones": (
+            "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 "
+            "THEN NULL ELSE c_acctbal END AS c_acctbal "
+            "FROM customer WHERE c_custkey % 10 <> 0"
+        ),
+        "agg_stats": (
+            "SELECT round(min(l_quantity), 6) AS min_q, "
+            "round(max(l_quantity), 6) AS max_q, "
+            "round(sum(l_quantity), 6) AS sum_q, "
+            "round(avg(l_quantity), 6) AS avg_q, "
+            "round(stddev_pop(l_quantity), 6) AS std_q, "
+            "count(l_quantity) AS cnt FROM lineitem"
+        ),
+        "median": (
+            "SELECT round(median(l_extendedprice), 6) AS median_price "
+            "FROM lineitem"
+        ),
+        "weighted_median": (
+            "WITH p AS (SELECT l_extendedprice AS v, l_quantity AS w "
+            "FROM lineitem), "
+            "t AS (SELECT sum(w) AS total FROM p), "
+            "c AS (SELECT v, sum(w) OVER (ORDER BY v "
+            "ROWS UNBOUNDED PRECEDING) AS cw FROM p) "
+            "SELECT round(min(v), 6) AS median_price FROM c, t "
+            "WHERE cw >= total / 2"
+        ),
+        "row_count": (
+            "SELECT count(DISTINCT o_orderkey) AS n_rows FROM orders"
+        ),
+        "cell_counter": (
+            "SELECT 'd' AS family, v.q AS qualifier, "
+            "(SELECT count(*) FROM nation) AS cells, "
+            "(SELECT count(*) FROM nation) AS n_rows, "
+            "(SELECT count(*) FROM nation) AS versions "
+            "FROM (VALUES ('n_nationkey'), ('n_name'), ('n_regionkey')) v(q)"
+        ),
+        "increment": (
+            "SELECT user_id, event_type, count(*)::BIGINT AS counter "
+            "FROM events GROUP BY user_id, event_type"
+        ),
+        "append": (
+            "SELECT user_id, string_agg(event_type || ',', '' "
+            "ORDER BY event_id) AS log FROM events GROUP BY user_id"
+        ),
+        "check_and_put": (
+            "SELECT c_custkey, (c_mktsegment = 'BUILDING') AS applied "
+            "FROM customer"
+        ),
+        "sync_diff": (
+            "SELECT o_orderkey, q.q AS qualifier, 'put' AS op FROM orders "
+            "CROSS JOIN (VALUES ('o_orderkey'), ('o_custkey'), "
+            "('o_orderstatus'), ('o_totalprice'), ('o_orderdate'), "
+            "('o_orderpriority')) q(q) WHERE o_orderkey % 13 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'o_totalprice' AS qualifier, 'put' AS op "
+            "FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0"
+        ),
+        "copy_table": (
+            f"SELECT {ord_cols} FROM orders "
+            "WHERE o_orderkey >= 100 AND o_orderkey < 300"
+        ),
+        "text_stats": _TEXT_DERIVED,
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "fingerprint_dedup": (
+            "SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) "
+            "AS fp, min(doc_id) AS doc_id, count(*) AS dup_count "
+            "FROM documents GROUP BY 1"
+        ),
+        "ngram_jaccard": _JACCARD_SQL,
+        "cosine_topk": _COSINE_SQL,
+        "events_window": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, "
+            "event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
+        # operators, not SQL-expressible -> rows-only checks.
+    }

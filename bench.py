@@ -1,0 +1,154 @@
+"""Benchmark harness (BASELINE.md matrix: PerformanceEvaluation analogs).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each workload forces full computation through the noop sink (no driver
+collect bottleneck, no output I/O) except b-write, which measures the real
+range-partitioned parquet writer (the bulk-load path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbase_1_3_0_spark.catalog import TableMeta  # noqa: E402
+from hbase_1_3_0_spark.cells import CELL_SCHEMA  # noqa: E402
+from hbase_1_3_0_spark.engine import build_session  # noqa: E402
+from hbase_1_3_0_spark.operators import aggregations as agg  # noqa: E402
+from hbase_1_3_0_spark.operators import jobs  # noqa: E402
+from hbase_1_3_0_spark.sources import fixtures, writer  # noqa: E402
+from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells  # noqa: E402
+from hbase_1_3_0_spark.table import Table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NOW_MS = 9_000_000
+
+
+def _k(n: int) -> bytes:
+    return f"{n:019d}".encode()
+
+
+def _sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem_cells = fixtures.kv_cells(spark, SF_DIR, "lineitem").cache()
+    orders_cells = fixtures.kv_cells(spark, SF_DIR, "orders").cache()
+    lineitem_cells.count()
+    orders_cells.count()
+    li = Table(TableMeta(name="lineitem"), lineitem_cells, now_ms=NOW_MS)
+    od = Table(TableMeta(name="orders"), orders_cells, now_ms=NOW_MS)
+    orders = fixtures.load_table(spark, SF_DIR, "orders")
+    events = fixtures.load_table(spark, SF_DIR, "events")
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]}s", file=sys.stderr)
+
+    # b-scan-full: full scan + read view over lineitem-kv (PE scan)
+    run("b-scan-full", lambda: _sink(li.scan()))
+
+    # b-scan-range: row-key range covering ~1000 orders (PE scanRange1000)
+    run(
+        "b-scan-range",
+        lambda: _sink(od.scan(start_row=_k(10000), stop_row=_k(11000))),
+    )
+
+    # b-get-point: 1000 point gets as one semi-join batch (PE randomRead)
+    keys = [_k(17 * i % 150_000) for i in range(1000)]
+    run("b-get-point", lambda: _sink(od.multi_get(keys)))
+
+    # b-filter-scan: SCVF + FilterList via the DSL (PE filterScan)
+    dsl = (
+        "(SingleColumnValueFilter ('d', 'l_returnflag', =, 'binary:R') AND "
+        "SingleColumnValueFilter ('d', 'l_linestatus', =, 'binary:F'))"
+    )
+    run("b-filter-scan", lambda: _sink(li.scan(filter=dsl)))
+
+    # b-agg: the whole AggregationClient surface + exact median
+    def bench_agg():
+        _sink(agg.aggregate(li.scan(), "d", b"l_quantity", interpreter="double"))
+        _sink(agg.median(li.scan(), "d", b"l_extendedprice", interpreter="double"))
+
+    run("b-agg", bench_agg)
+
+    # b-write: bulk-load path — range-partition + sort + parquet
+    def bench_write():
+        out = tempfile.mkdtemp(prefix="bench_write_")
+        try:
+            writer.write_cells(table_to_cells(orders, ["o_orderkey"]), out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    run("b-write", bench_write)
+
+    # b-rmw: batched increments on events counters (PE increment)
+    def bench_rmw():
+        incs = events.select(
+            F.encode(
+                F.lpad(F.col("user_id").cast("string"), 19, "0"), "UTF-8"
+            ).alias("row"),
+            F.lit("d").alias("family"),
+            F.encode(F.col("event_type"), "UTF-8").alias("qualifier"),
+            F.lit(1).cast("long").alias("delta"),
+        )
+        counters = Table(
+            TableMeta(name="counters"),
+            spark.createDataFrame([], CELL_SCHEMA),
+            now_ms=NOW_MS,
+        )
+        new_table, _ = counters.increment(incs)
+        _sink(new_table.cells)
+
+    run("b-rmw", bench_rmw)
+
+    # b-sync: HashTable/SyncTable diff of two table versions
+    def bench_sync():
+        tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        tgt = table_to_cells(tgt_rows, ["o_orderkey"])
+        _sink(jobs.sync_table(orders_cells, tgt))
+
+    run("b-sync", bench_sync)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "pe_workload_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

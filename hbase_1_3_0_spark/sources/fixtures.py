@@ -30,6 +30,16 @@ TABLE_KEYS: dict[str, list[str]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read as long nanos and truncate to micros. Integer
+        # division, NOT /1000.0: epoch nanos (~1.7e18) exceed double's 2^53
+        # integer precision, so float division rounds the microsecond.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

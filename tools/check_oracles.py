@@ -1,0 +1,116 @@
+"""Local approximation of the driver's correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` side-by-side at a given SF and
+compare row count, column names, and (order-insensitive) values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hbase_1_3_0_spark.engine import build_session  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def row_key(row, cols):
+    return tuple(normalize(row[c]) for c in cols)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = build_session("check-oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        elapsed = time.time() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {elapsed:.1f}s)")
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ocols = sorted(ocols_raw)
+        problems = []
+        if scols != ocols:
+            problems.append(f"columns {scols} != {ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if not problems:
+            smap = {}
+            for r in srows:
+                k = row_key(r.asDict(), scols)
+                smap[k] = smap.get(k, 0) + 1
+            omap = {}
+            for r in orows:
+                d = dict(zip(ocols_raw, r))
+                k = row_key(d, ocols)
+                omap[k] = omap.get(k, 0) + 1
+            if smap != omap:
+                sonly = [k for k in smap if smap[k] != omap.get(k, 0)][:3]
+                oonly = [k for k in omap if omap[k] != smap.get(k, 0)][:3]
+                problems.append(
+                    f"values differ; spark-side sample {sonly}; "
+                    f"oracle-side sample {oonly}"
+                )
+        if problems:
+            print(f"FAIL {name} ({elapsed:.1f}s): " + " | ".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name}: {len(srows)} rows ({elapsed:.1f}s)")
+    spark.stop()
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
