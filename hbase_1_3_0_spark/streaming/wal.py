@@ -1,0 +1,168 @@
+"""Streaming over the mutation log — the WAL/replication analog.
+
+Reference (SURVEY.md §2.5): HBase's streaming-shaped features are WAL
+shipping to replication peers (ReplicationSource.java:88 — an ordered,
+at-least-once mutation stream), Increment counters under concurrent writers,
+and background TTL/version GC. Spark-first mappings:
+
+- **WAL source**: the cell log IS the changelog; a parquet directory of
+  mutation batches becomes a Structured Streaming source with
+  ``readStream.schema(CELL_SCHEMA).parquet(dir)`` — each committed batch
+  file is one WAL segment (WALInputFormat.java analog).
+- **Replication sink**: ``foreachBatch`` applying each micro-batch to the
+  peer; at-least-once delivery + idempotent upsert by the cell identity
+  ``(row, family, qualifier, ts, seq)`` = ``dropDuplicates`` within the
+  batch, and MERGE-style dedup against the peer (peers keyed by cell
+  identity absorb replays).
+- **Streaming counters**: Increment under concurrent writers
+  (HRegion.increment:7665) = stateful ``groupBy(key).agg(sum(delta))`` in
+  update mode; late client timestamps are bounded by ``withWatermark``.
+- **TTL expiry / version GC**: the compaction job (operators/jobs.compact)
+  run per trigger — semantics shared with the batch read view exactly as
+  the reference shares ScanQueryMatcher (StoreScanner.java:268-271).
+
+Scale: counter state is partitioned by the grouping key (state store per
+key range, the regionserver analog); watermarking bounds state size. The
+replication sink never shuffles the peer table — each micro-batch is a
+bounded append + the periodic compaction rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.cells import CELL_SCHEMA
+from hbase_1_3_0_spark.functions import codecs
+
+#: Cell identity for idempotent replication (at-least-once -> exactly-once).
+CELL_IDENTITY = ["row", "family", "qualifier", "ts", "seq"]
+
+
+def mutation_stream(spark: SparkSession, wal_dir: str | Path) -> DataFrame:
+    """WAL-as-a-source: stream committed mutation-batch files
+    (WALInputFormat / HLogInputFormat analog, SURVEY.md §2.4)."""
+    return (
+        spark.readStream.schema(CELL_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(str(wal_dir))
+    )
+
+
+def write_wal_batch(cells: DataFrame, wal_dir: str | Path) -> None:
+    """Append one mutation batch as a WAL segment (atomic file commit =
+    the durability point, HRegion.doMiniBatchMutation WAL-append analog)."""
+    cells.write.mode("append").parquet(str(wal_dir))
+
+
+def replicate(
+    stream: DataFrame,
+    apply_batch: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: str | Path,
+    dedup_within_batch: bool = True,
+):
+    """Replication sink (ReplicationSource analog): ship the mutation stream
+    to a peer via foreachBatch.
+
+    ``apply_batch(batch_df, batch_id)`` receives each micro-batch already
+    deduplicated on the cell identity; checkpointing makes delivery
+    effectively-once across restarts (the replication queue zk-state
+    analog)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if dedup_within_batch:
+            batch = batch.dropDuplicates(CELL_IDENTITY)
+        apply_batch(batch, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+    )
+
+
+def streaming_counters(
+    increments: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Stateful counter aggregation (Increment under concurrent writers).
+
+    ``increments``: streaming DataFrame with ``row/family/qualifier``,
+    ``delta`` (long) and an event-time column. Output-mode ``update``
+    emits the running counter per key; the watermark declares allowed
+    lateness for client timestamps (HBase accepts any ts — in streaming we
+    bound state with the watermark and document the divergence)."""
+    return (
+        increments.withWatermark(ts_col, watermark)
+        .groupBy("row", "family", "qualifier")
+        .agg(F.sum("delta").alias("counter"))
+    )
+
+
+def windowed_counters(
+    increments: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Windowed variant: per-key counters per tumbling window — append-mode
+    streaming (closed windows emit once the watermark passes)."""
+    return (
+        increments.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "row", "family", "qualifier")
+        .agg(F.sum("delta").alias("counter"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "row",
+            "family",
+            "qualifier",
+            "counter",
+        )
+    )
+
+
+def counters_as_cells(counters: DataFrame, *, ts_ms: int, seq: int = 0) -> DataFrame:
+    """Render counter rows back to Put cells (8-byte BE long values — the
+    Increment wire format) so a counter stream can feed the cell log."""
+    from hbase_1_3_0_spark.cells import TYPE_PUT
+
+    return counters.select(
+        "row",
+        "family",
+        "qualifier",
+        F.lit(ts_ms).cast("long").alias("ts"),
+        F.lit(TYPE_PUT).alias("type"),
+        codecs.encode_long_be(F.col("counter")).alias("value"),
+        F.lit(seq).cast("long").alias("seq"),
+    )
+
+
+def ttl_maintenance(
+    spark: SparkSession,
+    table_path: str | Path,
+    *,
+    ttl_seconds: int,
+    now_ms: int,
+    max_versions: int = 1,
+) -> None:
+    """Periodic TTL-expiry / version-GC job: rewrite the persisted cell log
+    keeping only live cells (the background-compaction analog; shares the
+    read-view implementation)."""
+    from hbase_1_3_0_spark.operators.jobs import compact
+    from hbase_1_3_0_spark.sources import writer
+
+    cells = writer.read_cells(spark, table_path)
+    compacted = compact(
+        cells,
+        max_versions=max_versions,
+        ttl_seconds=ttl_seconds,
+        now_ms=now_ms,
+    ).localCheckpoint()  # materialize before overwriting the source dir
+    writer.write_cells(compacted, table_path)

@@ -1,0 +1,190 @@
+"""Streaming (WAL/replication analog) tests — SURVEY.md §2.5.
+
+Uses file-source micro-batches with availableNow triggers so every test is
+deterministic and bounded.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
+from hbase_1_3_0_spark.functions import codecs
+from hbase_1_3_0_spark.operators.read_view import read_view
+from hbase_1_3_0_spark.sources import writer
+from hbase_1_3_0_spark.streaming import wal
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(rows, CELL_SCHEMA)
+
+
+def _put(row, qual, ts, value, seq=0):
+    return (row, "d", qual, ts, TYPE_PUT, value, seq)
+
+
+def test_replication_sink_dedups_and_applies(spark, tmp_path):
+    wal_dir = tmp_path / "wal"
+    ckpt = tmp_path / "ckpt"
+    batch1 = _cells(
+        spark,
+        [
+            _put(b"r1", b"c", 100, b"v1"),
+            _put(b"r1", b"c", 100, b"v1"),  # duplicate delivery (same identity)
+            _put(b"r2", b"c", 100, b"v2"),
+        ],
+    )
+    wal.write_wal_batch(batch1, wal_dir)
+
+    peer: dict[tuple, bytes] = {}
+    applied_batches: list[int] = []
+
+    def apply_batch(df, batch_id):
+        applied_batches.append(batch_id)
+        for r in df.collect():
+            peer[(r["row"], r["family"], r["qualifier"], r["ts"], r["seq"])] = (
+                r["value"]
+            )
+
+    q = wal.replicate(
+        wal.mutation_stream(spark, wal_dir), apply_batch, checkpoint_dir=ckpt
+    ).start()
+    q.awaitTermination(120)
+    assert peer == {
+        (b"r1", "d", b"c", 100, 0): b"v1",
+        (b"r2", "d", b"c", 100, 0): b"v2",
+    }
+
+    # second WAL segment; restart from checkpoint -> only the new batch ships
+    batch2 = _cells(spark, [_put(b"r3", b"c", 200, b"v3")])
+    wal.write_wal_batch(batch2, wal_dir)
+    q2 = wal.replicate(
+        wal.mutation_stream(spark, wal_dir), apply_batch, checkpoint_dir=ckpt
+    ).start()
+    q2.awaitTermination(120)
+    assert peer[(b"r3", "d", b"c", 200, 0)] == b"v3"
+    assert len(peer) == 3  # replayed identities absorbed idempotently
+
+
+INC_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.BinaryType()),
+        T.StructField("family", T.StringType()),
+        T.StructField("qualifier", T.BinaryType()),
+        T.StructField("delta", T.LongType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+
+def _inc_rows(spark, rows, path):
+    import datetime
+
+    data = [
+        (r, "d", q, d, datetime.datetime(2024, 1, 1, hour, minute))
+        for r, q, d, hour, minute in rows
+    ]
+    spark.createDataFrame(data, INC_SCHEMA).write.mode("append").parquet(str(path))
+
+
+def test_streaming_counters_update_mode(spark, tmp_path):
+    src = tmp_path / "incs"
+    _inc_rows(
+        spark,
+        [
+            (b"u1", b"clicks", 1, 0, 0),
+            (b"u1", b"clicks", 1, 0, 5),
+            (b"u2", b"clicks", 3, 0, 10),
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(INC_SCHEMA).parquet(str(src))
+    )
+    counters = wal.streaming_counters(stream)
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("counters_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["qualifier"]): r["counter"]
+        for r in spark.sql("select * from counters_t").collect()
+    }
+    assert got == {(b"u1", b"clicks"): 2, (b"u2", b"clicks"): 3}
+
+
+def test_windowed_counters_append_mode_closes_old_windows(spark, tmp_path):
+    src = tmp_path / "incs_w"
+    # events at hours 0 and 1; an hour-3 event advances the watermark past
+    # both earlier windows so append mode emits them.
+    _inc_rows(
+        spark,
+        [
+            (b"u1", b"c", 1, 0, 10),
+            (b"u1", b"c", 2, 0, 50),
+            (b"u1", b"c", 5, 1, 10),
+            (b"u1", b"c", 7, 3, 0),
+        ],
+        src,
+    )
+    stream = spark.readStream.schema(INC_SCHEMA).parquet(str(src))
+    counters = wal.windowed_counters(stream, watermark="10 minutes")
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("wcounters_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wcounters_t").collect()
+    got = {(r["window_start"].hour, r["row"]): r["counter"] for r in rows}
+    assert got[(0, b"u1")] == 3
+    assert got[(1, b"u1")] == 5
+    assert (3, b"u1") not in got  # open window not emitted in append mode
+
+
+def test_counters_as_cells_roundtrip(spark):
+    counters = spark.createDataFrame(
+        [(b"u1", "d", b"clicks", 42)],
+        "row binary, family string, qualifier binary, counter long",
+    )
+    cells = wal.counters_as_cells(counters, ts_ms=1000)
+    r = cells.collect()[0]
+    assert r["value"] == (42).to_bytes(8, "big")
+    decoded = cells.select(codecs.decode_long_be(F.col("value")).alias("v"))
+    assert decoded.collect()[0]["v"] == 42
+
+
+def test_ttl_maintenance_rewrites_log(spark, tmp_path):
+    path = tmp_path / "table"
+    now_ms = 10_000_000
+    live_ts = now_ms - 1_000  # 1s old
+    dead_ts = now_ms - 7_200_000  # 2h old
+    cells = _cells(
+        spark,
+        [
+            _put(b"r1", b"a", live_ts, b"new"),
+            _put(b"r1", b"b", dead_ts, b"old"),
+            _put(b"r2", b"a", dead_ts, b"old2"),
+        ],
+    )
+    writer.write_cells(cells, path)
+    wal.ttl_maintenance(
+        spark, path, ttl_seconds=3600, now_ms=now_ms, max_versions=1
+    )
+    remaining = writer.read_cells(spark, path).collect()
+    assert [(r["row"], r["qualifier"]) for r in remaining] == [(b"r1", b"a")]
+    # visible view of the compacted log matches read_view of the original
+    view = read_view(cells, max_versions=1, ttl_seconds=3600, now_ms=now_ms)
+    assert {(r["row"], r["qualifier"]) for r in view.collect()} == {
+        (b"r1", b"a")
+    }
