@@ -64,7 +64,10 @@ def _key_col(c: Column) -> Column:
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> Table:
     cells = fixtures.kv_cells(spark, sf_dir, name)
-    return Table(TableMeta(name=name), cells, now_ms=NOW_MS)
+    # freshly encoded fixture logs are single-version and tombstone-free,
+    # so scans take the no-shuffle clean-log fast path; any mutation
+    # (versions_latest / tombstones / ...) clears the flag automatically
+    return Table(TableMeta(name=name, clean_log=True), cells, now_ms=NOW_MS)
 
 
 def _wide(cells: DataFrame, columns: dict[str, str]) -> DataFrame:

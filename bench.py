@@ -51,8 +51,8 @@ def main() -> None:
     orders_cells = fixtures.kv_cells(spark, SF_DIR, "orders").cache()
     lineitem_cells.count()
     orders_cells.count()
-    li = Table(TableMeta(name="lineitem"), lineitem_cells, now_ms=NOW_MS)
-    od = Table(TableMeta(name="orders"), orders_cells, now_ms=NOW_MS)
+    li = Table(TableMeta(name="lineitem", clean_log=True), lineitem_cells, now_ms=NOW_MS)
+    od = Table(TableMeta(name="orders", clean_log=True), orders_cells, now_ms=NOW_MS)
     orders = fixtures.load_table(spark, SF_DIR, "orders")
     events = fixtures.load_table(spark, SF_DIR, "events")
 

@@ -41,6 +41,11 @@ class TableMeta:
     families: tuple[FamilyMeta, ...] = (FamilyMeta(),)
     # physical hints (writer-side; SURVEY.md §4 "disciplined physical layout")
     range_partitions: int | None = None
+    #: The log is known single-version and tombstone-free (fresh bulk load /
+    #: post-compaction). Scans then skip the version-limit aggregation and
+    #: tombstone joins — the analog of HBase skipping ScanQueryMatcher delete
+    #: tracking when a store has no delete markers. Any mutation clears it.
+    clean_log: bool = False
 
     def family(self, name: str) -> FamilyMeta:
         for f in self.families:

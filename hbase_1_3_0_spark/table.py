@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
-from hbase_1_3_0_spark.cells import CELL_COLUMNS
+from hbase_1_3_0_spark.cells import CELL_COLUMNS, TTL_FOREVER, TYPE_PUT
 from hbase_1_3_0_spark.filters import ast as filter_ast
 from hbase_1_3_0_spark.filters.compiler import apply_filter
 from hbase_1_3_0_spark.filters.parser import parse_filter
@@ -93,7 +93,9 @@ class Table:
         self._now_ms = now_ms  # pin for deterministic tests; None = wall clock
 
     def _with(self, cells: DataFrame) -> "Table":
-        return Table(self.meta, cells, self._now_ms)
+        # any mutation may introduce extra versions or tombstones
+        meta = replace(self.meta, clean_log=False) if self.meta.clean_log else self.meta
+        return Table(meta, cells, self._now_ms)
 
     # ------------------------------------------------------------------ read
     def scan(self, scan: Scan | None = None, **kw) -> DataFrame:
@@ -153,6 +155,8 @@ class Table:
         return df.select(*CELL_COLUMNS)
 
     def _read_view(self, df: DataFrame, s: Scan) -> DataFrame:
+        if self.meta.clean_log and not s.raw:
+            return self._read_view_clean(df, s)
         fams = self.meta.families
         if s.families is not None:
             fams = tuple(f for f in fams if f.name in s.families)
@@ -183,6 +187,39 @@ class Table:
         for o in outs[1:]:
             out = out.unionByName(o)
         return out
+
+    def _read_view_clean(self, df: DataFrame, s: Scan) -> DataFrame:
+        """Fast path for a clean log (single-version, tombstone-free —
+        TableMeta.clean_log): no version-limit aggregation, no tombstone
+        joins, no shuffle. A full scan stays one codegen'd stage over the
+        parquet files. The HBase analog: ScanQueryMatcher skips delete
+        tracking when no store has delete markers."""
+        out = df.where(F.col("type") == TYPE_PUT)
+        fams = self.meta.families
+        if s.families is not None:
+            fams = tuple(f for f in fams if f.name in s.families)
+        # TTL with min_versions==0 is a plain ts filter; with min_versions>0
+        # the single existing version is the newest and always survives.
+        ttl_fams = [
+            f for f in fams if f.ttl_seconds != TTL_FOREVER and f.min_versions == 0
+        ]
+        if ttl_fams:
+            import time as _time
+
+            now = self._now_ms if self._now_ms is not None else int(
+                _time.time() * 1000
+            )
+            cond = F.lit(True)
+            for fm in ttl_fams:
+                floor = now - fm.ttl_seconds * 1000
+                cond = cond & (
+                    (F.col("family") != fm.name) | (F.col("ts") >= floor)
+                )
+            out = out.where(cond)
+        if s.time_range is not None:
+            lo, hi = s.time_range
+            out = out.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        return out.select(*CELL_COLUMNS)
 
     def get(self, g: Get | bytes, **kw) -> DataFrame:
         """Point read (Table.get, Table.java:169) — a single-row scan."""

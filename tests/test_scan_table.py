@@ -106,3 +106,29 @@ def test_wide_roundtrip_full_table(customer_table, spark):
     wide = table.to_wide(cols).drop("row")
     assert wide.exceptAll(df.select(*cols)).count() == 0
     assert df.select(*cols).exceptAll(wide).count() == 0
+
+
+def test_clean_log_fast_path_matches_full_read_view(spark, sf_dir):
+    """clean_log scans must equal the full read-view pipeline on a fresh
+    fixture log, with a shuffle-free single-stage plan; mutations clear
+    the flag."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.sources import fixtures
+    from hbase_1_3_0_spark.table import Table
+
+    cells = fixtures.kv_cells(spark, sf_dir, "nation")
+    full = Table(TableMeta(name="n1"), cells, now_ms=1)
+    fast = Table(TableMeta(name="n2", clean_log=True), cells, now_ms=1)
+    a = {tuple(r) for r in full.scan().collect()}
+    b = {tuple(r) for r in fast.scan().collect()}
+    assert a == b and len(a) > 0
+
+    plan = fast.scan()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # a put clears the flag -> mutated table goes through the full view
+    put = cells.limit(1).withColumn("ts", F.col("ts") + 1)
+    mutated = fast.put(put)
+    assert mutated.meta.clean_log is False
