@@ -44,7 +44,10 @@ def _sink(df) -> None:
 
 
 def main() -> None:
-    spark = build_session("bench")
+    spark = build_session(
+        "bench",
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     lineitem_cells = fixtures.kv_cells(spark, SF_DIR, "lineitem").cache()
@@ -77,10 +80,12 @@ def main() -> None:
     keys = [_k(17 * i % 150_000) for i in range(1000)]
     run("b-get-point", lambda: _sink(od.multi_get(keys)))
 
-    # b-filter-scan: SCVF + FilterList via the DSL (PE filterScan)
+    # b-filter-scan: SCVF + FilterList via the DSL (PE filterScan — a
+    # selective server-side filter; ~1% of rows match, the fused SCVF
+    # aggregation+join broadcasts the matching row set)
     dsl = (
-        "(SingleColumnValueFilter ('d', 'l_returnflag', =, 'binary:R') AND "
-        "SingleColumnValueFilter ('d', 'l_linestatus', =, 'binary:F'))"
+        "(SingleColumnValueFilter ('d', 'l_returnflag', =, 'binary:R', true, true) AND "
+        "SingleColumnValueFilter ('d', 'l_shipdate', =, 'substring:1996-06', true, true))"
     )
     run("b-filter-scan", lambda: _sink(li.scan(filter=dsl)))
 

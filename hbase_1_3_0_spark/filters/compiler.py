@@ -170,6 +170,102 @@ def _range_pred(
 # ---------------------------------------------------------------------------
 
 
+def _scvf_multi_transform(
+    fs: list[ast.SingleColumnValueFilter],
+) -> Callable[[DataFrame], DataFrame]:
+    """AND-composed SCVFs as ONE aggregation + ONE semi/anti-join.
+
+    The window form shuffles the ENTIRE scan by row; a per-filter join pays
+    one shuffle of the big side per filter. Here all tested columns reduce
+    in a single groupBy over only their cells (pushdown-friendly
+    family/qualifier predicate), the per-row verdict is the AND of each
+    filter's verdict, and one join applies it — AQE broadcasts the row set
+    when it is selective, so the big side is often never shuffled.
+
+    Verdict per filter (SingleColumnValueFilter.java:73 semantics):
+    column present -> compare (latest version only, or any version);
+    column absent -> include iff ``filter_if_missing`` is False.
+    """
+    matches = [
+        (F.col("family") == f.family) & (F.col("qualifier") == F.lit(f.qualifier))
+        for f in fs
+    ]
+
+    def t(df: DataFrame) -> DataFrame:
+        any_match = matches[0]
+        for m in matches[1:]:
+            any_match = any_match | m
+        aggs = []
+        for i, (f, cm) in enumerate(zip(fs, matches)):
+            if f.latest_version_only:
+                # max over struct(ts, seq, value): nulls (non-matching cells)
+                # are ignored, field-wise compare picks the newest version
+                aggs.append(
+                    F.max(
+                        F.when(
+                            cm, F.struct(F.col("ts"), F.col("seq"), F.col("value"))
+                        )
+                    ).alias(f"_l{i}")
+                )
+            else:
+                per_cell = cm & F.coalesce(
+                    compile_compare(F.col("value"), f.op, f.comparator), F.lit(False)
+                )
+                aggs.append(
+                    F.struct(
+                        F.max(F.when(cm, F.lit(1))).alias("exists"),
+                        F.max(F.when(per_cell, F.lit(1))).alias("passed"),
+                    ).alias(f"_l{i}")
+                )
+        flags = df.where(any_match).groupBy("row").agg(*aggs)
+        verdict = F.lit(True)
+        for i, f in enumerate(fs):
+            li = F.col(f"_l{i}")
+            if f.latest_version_only:
+                v = F.when(
+                    li.isNotNull(),
+                    F.coalesce(
+                        compile_compare(li["value"], f.op, f.comparator),
+                        F.lit(False),
+                    ),
+                ).otherwise(F.lit(not f.filter_if_missing))
+            else:
+                v = F.when(
+                    li["exists"] == 1, F.coalesce(li["passed"] == 1, F.lit(False))
+                ).otherwise(F.lit(not f.filter_if_missing))
+            verdict = verdict & v
+        if any(f.filter_if_missing for f in fs):
+            # rows with none of the tested columns are excluded -> semi join
+            out = df.join(flags.where(verdict).select("row"), "row", "left_semi")
+        else:
+            # absent rows pass -> anti join against the failing row set
+            out = df.join(flags.where(~verdict).select("row"), "row", "left_anti")
+        for f, cm in zip(fs, matches):
+            if isinstance(f, ast.SingleColumnValueExcludeFilter):
+                out = out.where(~cm)
+        return out
+
+    return t
+
+
+def _skip_transform(pred: Column) -> Callable[[DataFrame], DataFrame]:
+    """SkipFilter as an anti-join: drop every row owning a failing cell."""
+
+    def t(df: DataFrame) -> DataFrame:
+        # withColumn materialization: pred may itself hold window exprs
+        # (e.g. SKIP over an OR of row-level filters), which can't sit in
+        # a WHERE clause directly.
+        failing = (
+            df.withColumn("_sk", pred)
+            .where(~F.col("_sk"))
+            .select("row")
+            .distinct()
+        )
+        return df.join(failing, "row", "left_anti")
+
+    return t
+
+
 def _scvf_pred(f: ast.SingleColumnValueFilter) -> Column:
     colmatch = (F.col("family") == f.family) & (F.col("qualifier") == F.lit(f.qualifier))
     exists = F.max(F.when(colmatch, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
@@ -215,7 +311,7 @@ def _page_transform(n: int) -> Callable[[DataFrame], DataFrame]:
 
 
 def _while_match_transform(wrapped: ast.Filter) -> Callable[[DataFrame], DataFrame]:
-    inner = compile_filter(wrapped)
+    inner = compile_filter(wrapped, allow_transform=False)
     if inner.transforms:
         raise NotImplementedError(
             "WhileMatchFilter cannot wrap order-dependent filters"
@@ -267,17 +363,34 @@ def _key_only_transform(len_as_val: bool) -> Callable[[DataFrame], DataFrame]:
     return t
 
 
-def compile_filter(f: ast.Filter) -> Compiled:  # noqa: C901
+def compile_filter(f: ast.Filter, allow_transform: bool = True) -> Compiled:  # noqa: C901
+    """Compile a filter AST.
+
+    ``allow_transform=False`` forces row-level filters (SCVF, SkipFilter)
+    into their window-predicate form so they compose under OR / SKIP /
+    WHILE; the default lets AND-composed row-level filters plan as
+    semi/anti-joins (no full-width shuffle)."""
     if isinstance(f, ast.FilterList):
-        parts = [compile_filter(x) for x in f.filters]
         if f.operator == "MUST_PASS_ALL":
+            children = list(f.filters)
+            transforms: list[Callable[[DataFrame], DataFrame]] = []
+            if allow_transform:
+                # fuse sibling SCVFs into one aggregation+join
+                scvfs = [
+                    c for c in children if isinstance(c, ast.SingleColumnValueFilter)
+                ]
+                if scvfs:
+                    children = [c for c in children if c not in scvfs]
+                    transforms.append(_scvf_multi_transform(scvfs))
+            parts = [compile_filter(x, allow_transform) for x in children]
             preds = [p.pred for p in parts if p.pred is not None]
             pred = None
             for p in preds:
                 pred = p if pred is None else (pred & p)
-            transforms = [t for p in parts for t in p.transforms]
+            transforms += [t for p in parts for t in p.transforms]
             return Compiled(pred, transforms)
         if f.operator == "MUST_PASS_ONE":
+            parts = [compile_filter(x, allow_transform=False) for x in f.filters]
             if any(p.transforms for p in parts):
                 raise NotImplementedError(
                     "order-dependent filters (Page/WhileMatch/KeyOnly...) are "
@@ -302,6 +415,8 @@ def compile_filter(f: ast.Filter) -> Compiled:  # noqa: C901
         return Compiled(compile_compare(F.col("value"), f.op, f.comparator))
     # SingleColumnValueExcludeFilter subclasses SingleColumnValueFilter
     if isinstance(f, ast.SingleColumnValueFilter):
+        if allow_transform:
+            return Compiled(None, [_scvf_multi_transform([f])])
         return Compiled(_scvf_pred(f))
     if isinstance(f, ast.DependentColumnFilter):
         return Compiled(_dependent_pred(f))
@@ -384,9 +499,11 @@ def compile_filter(f: ast.Filter) -> Compiled:  # noqa: C901
         u = F.pmod(F.xxhash64(F.col("row"), F.lit(f.seed)), F.lit(1_000_000)) / 1e6
         return Compiled(u < F.lit(float(f.chance)))
     if isinstance(f, ast.SkipFilter):
-        inner = compile_filter(f.wrapped)
+        inner = compile_filter(f.wrapped, allow_transform=False)
         if inner.transforms:
             raise NotImplementedError("SkipFilter cannot wrap order-dependent filters")
+        if allow_transform:
+            return Compiled(None, [_skip_transform(inner.pred)])
         all_pass = (
             F.min(F.when(inner.pred, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
         )
