@@ -32,6 +32,7 @@ from hbase_1_3_0_spark.filters import ast as filter_ast
 from hbase_1_3_0_spark.filters.compiler import apply_filter
 from hbase_1_3_0_spark.filters.parser import parse_filter
 from hbase_1_3_0_spark.operators import mutations as mut
+from hbase_1_3_0_spark.operators.coprocessor import Observers
 from hbase_1_3_0_spark.operators.read_view import read_view
 from hbase_1_3_0_spark.sources import kv_encoder
 
@@ -87,15 +88,29 @@ class Table:
     """A cell-log-backed table. Immutable-functional: mutations return a new
     Table over the appended log (the write job is the commit point)."""
 
-    def __init__(self, meta: TableMeta, cells: DataFrame, now_ms: int | None = None):
+    def __init__(
+        self,
+        meta: TableMeta,
+        cells: DataFrame,
+        now_ms: int | None = None,
+        observers: "Observers | None" = None,
+    ):
         self.meta = meta
         self.cells = cells
         self._now_ms = now_ms  # pin for deterministic tests; None = wall clock
+        self.observers = observers if observers is not None else Observers()
 
     def _with(self, cells: DataFrame) -> "Table":
         # any mutation may introduce extra versions or tombstones
         meta = replace(self.meta, clean_log=False) if self.meta.clean_log else self.meta
-        return Table(meta, cells, self._now_ms)
+        return Table(meta, cells, self._now_ms, self.observers)
+
+    def with_observers(self, **hooks) -> "Table":
+        """Register RegionObserver-style hooks (coprocessor.Observers):
+        ``pre_scan`` / ``post_scan`` / ``pre_mutate`` / ``pre_compact``."""
+        return Table(
+            self.meta, self.cells, self._now_ms, self.observers.with_(**hooks)
+        )
 
     # ------------------------------------------------------------------ read
     def scan(self, scan: Scan | None = None, **kw) -> DataFrame:
@@ -103,7 +118,9 @@ class Table:
         s = scan or Scan()
         if kw:
             s = s.with_(**kw)
-        df = self.cells
+        # preScannerOpen/preGetOp hooks rewrite the raw cell stream; filters
+        # they add still push down through Catalyst
+        df = Observers.apply(self.observers.pre_scan, self.cells)
 
         # 1. row range first — pushed into the parquet scan by Catalyst
         if s.start_row is not None:
@@ -152,6 +169,8 @@ class Table:
             order = F.col("row").desc() if s.reversed else F.col("row").asc()
             rows = df.select("row").distinct().orderBy(order).limit(s.limit)
             df = df.join(F.broadcast(rows), "row", "left_semi")
+        # postScannerNext hooks rewrite the visible cells (e.g. redaction)
+        df = Observers.apply(self.observers.post_scan, df)
         return df.select(*CELL_COLUMNS)
 
     def _read_view(self, df: DataFrame, s: Scan) -> DataFrame:
@@ -263,6 +282,7 @@ class Table:
         return self._now_ms if self._now_ms is not None else int(time.time() * 1000)
 
     def put(self, new_cells: DataFrame) -> "Table":
+        new_cells = Observers.apply(self.observers.pre_mutate, new_cells)
         return self._with(mut.put_cells(self.cells, new_cells))
 
     def put_wide(
@@ -280,9 +300,10 @@ class Table:
             d = d.withColumn("value", F.lit(None).cast("binary"))
         if "batch_seq" not in d.columns:
             d = d.withColumn("batch_seq", F.lit(0))
-        return self._with(
-            mut.put_cells(self.cells, mut.mutations_to_cells(d, now_ms=self._now()))
+        tombstones = Observers.apply(
+            self.observers.pre_mutate, mut.mutations_to_cells(d, now_ms=self._now())
         )
+        return self._with(mut.put_cells(self.cells, tombstones))
 
     def increment(self, increments: DataFrame, codec: str = "be8"):
         new_cells, results = mut.increment(
@@ -313,3 +334,36 @@ class Table:
                 self.cells, mutations, now_ms=self._now(), codec=codec
             )
         )
+
+    def buffered_mutator(self, flush_batches: int = 16) -> "BufferedMutator":
+        return BufferedMutator(self, flush_batches=flush_batches)
+
+
+class BufferedMutator:
+    """Client-side write buffering (BufferedMutator.java:65: mutate:86,
+    flush:112): accumulate mutation-cell DataFrames and commit them as ONE
+    append — the micro-batch pattern. One union+write job per flush instead
+    of one per mutate call."""
+
+    def __init__(self, table: Table, *, flush_batches: int = 16):
+        self._table = table
+        self._buffer: list[DataFrame] = []
+        self._flush_batches = flush_batches
+
+    def mutate(self, cells: DataFrame) -> None:
+        self._buffer.append(cells)
+        if len(self._buffer) >= self._flush_batches:
+            self.flush()
+
+    def flush(self) -> Table:
+        if self._buffer:
+            batch = self._buffer[0]
+            for df in self._buffer[1:]:
+                batch = batch.unionByName(df)
+            self._table = self._table.put(batch)
+            self._buffer = []
+        return self._table
+
+    @property
+    def table(self) -> Table:
+        return self._table
