@@ -329,6 +329,174 @@ def q_copy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells_to_table(out, ORDERS_COLS, family="e").select(*ORDERS_COLS)
 
 
+def q_reversed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversed scan with row limit (Scan.setReversed:694)."""
+    t = _table(spark, sf_dir, "customer")
+    return _wide(t.scan(reversed=True, limit=50), CUSTOMER_COLS)
+
+
+def q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiRowRangeFilter: union of row ranges in one pass."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    filt = fast.MultiRowRangeFilter(
+        ranges=(
+            fast.RowRange(_k(100), True, _k(150), False),
+            fast.RowRange(_k(300), True, _k(350), False),
+        )
+    )
+    return _wide(t.scan(filter=filt), CUSTOMER_COLS)
+
+
+def q_fuzzy_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyRowFilter: fixed-byte mask on the row key (custkey % 100 == 0)."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    pattern = b"0" * 19
+    mask = bytes([1] * 17 + [0, 0])  # last two digits fixed to '00'
+    filt = fast.FuzzyRowFilter(pairs=[(pattern, mask)])
+    return _wide(t.scan(filter=filt), CUSTOMER_COLS)
+
+
+def q_column_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnRangeFilter: qualifier in [c_acctbal, c_mktsegment]."""
+    t = _table(spark, sf_dir, "customer")
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    filt = fast.ColumnRangeFilter(b"c_acctbal", True, b"c_mktsegment", True)
+    return t.scan(filter=filt).select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_column_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnPrefixFilter via the DSL: qualifiers starting with c_n."""
+    t = _table(spark, sf_dir, "customer")
+    return t.scan(filter="ColumnPrefixFilter ('c_n')").select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_timestamps_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimestampsFilter over a two-version table: read view first (newest),
+    then ts-set membership — rows whose newest c_name is still v1."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    upd = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("c_name")
+    )
+    t2 = t.put(table_to_cells(upd, ["c_custkey"], ["c_name"], ts=V2_TS, seq=1))
+    cells = t2.scan(
+        columns=(("d", b"c_name"),), filter="TimestampsFilter (1000000)"
+    )
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("value"), "UTF-8").alias("c_name"),
+    )
+
+
+def q_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyOnlyFilter: keys survive, values are stripped."""
+    t = _table(spark, sf_dir, "nation")
+    cells = t.scan(filter="KeyOnlyFilter ()")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("n_nationkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.col("value").isNull().alias("value_stripped"),
+    )
+
+
+def q_first_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FirstKeyOnlyFilter: one (first) cell per row."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(filter="FirstKeyOnlyFilter ()")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_while_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WhileMatchFilter: ordered prefix of the scan."""
+    t = _table(spark, sf_dir, "customer")
+    dsl = f"WHILE RowFilter (<, 'binary:{100:019d}')"
+    return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
+
+
+def q_skip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipFilter: drop whole rows owning any failing cell."""
+    t = _table(spark, sf_dir, "customer")
+    dsl = "SKIP ValueFilter (!=, 'binary:BUILDING')"
+    return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
+
+
+def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexStringComparator through SCVF."""
+    t = _table(spark, sf_dir, "customer")
+    dsl = (
+        "SingleColumnValueFilter ('d', 'c_name', =, "
+        "'regexstring:1(2|4)0$', true, true)"
+    )
+    return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
+
+
+def q_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubstringComparator through SCVF (case-insensitive contains)."""
+    t = _table(spark, sf_dir, "customer")
+    dsl = (
+        "SingleColumnValueFilter ('d', 'c_mktsegment', =, "
+        "'substring:uild', true, true)"
+    )
+    return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
+
+
+def q_dependent_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DependentColumnFilter: intra-row timestamp join against c_name."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    upd = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("c_name")
+    )
+    t2 = t.put(table_to_cells(upd, ["c_custkey"], ["c_name"], ts=V2_TS, seq=1))
+    filt = fast.DependentColumnFilter("d", b"c_name")
+    return t2.scan(filter=filt).select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_grouping_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupingTableMapper: group-key extraction from selected columns."""
+    t = _table(spark, sf_dir, "nation")
+    out = jobs.grouping_table_map(t.cells, [b"n_regionkey"])
+    return out.select(
+        codecs.decode_key_num(F.col("row")).alias("n_nationkey"),
+        F.col("group_key"),
+    )
+
+
+def q_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashTable bucket digests (xxhash64 — rows-only oracle)."""
+    t = _table(spark, sf_dir, "nation")
+    return jobs.hash_table(t.cells, num_buckets=8)
+
+
+def q_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median via mergeable sketches (the 100 TB path —
+    rows-only oracle; the sketch is engine-specific)."""
+    t = _table(spark, sf_dir, "lineitem")
+    out = agg.median(
+        t.scan(), "d", b"l_extendedprice", interpreter="double", approximate=True
+    )
+    return out.select(F.round("median", 6).alias("median_price"))
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline queries
 # --------------------------------------------------------------------------
@@ -452,6 +620,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_and_put": q_check_and_put,
         "sync_diff": q_sync_diff,
         "copy_table": q_copy_table,
+        "reversed_scan": q_reversed_scan,
+        "multi_range": q_multi_range,
+        "fuzzy_row": q_fuzzy_row,
+        "column_range": q_column_range,
+        "column_prefix": q_column_prefix,
+        "timestamps_filter": q_timestamps_filter,
+        "key_only": q_key_only,
+        "first_key_only": q_first_key_only,
+        "while_match": q_while_match,
+        "skip_filter": q_skip_filter,
+        "regex_filter": q_regex_filter,
+        "substring_filter": q_substring_filter,
+        "dependent_column": q_dependent_column,
+        "grouping_map": q_grouping_map,
+        "hash_table": q_hash_table,
+        "median_approx": q_median_approx,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -658,6 +842,63 @@ def oracle_sql() -> dict[str, str]:
         "copy_table": (
             f"SELECT {ord_cols} FROM orders "
             "WHERE o_orderkey >= 100 AND o_orderkey < 300"
+        ),
+        "reversed_scan": (
+            f"SELECT {cust_cols} FROM customer ORDER BY c_custkey DESC LIMIT 50"
+        ),
+        "multi_range": (
+            f"SELECT {cust_cols} FROM customer WHERE "
+            "(c_custkey >= 100 AND c_custkey < 150) OR "
+            "(c_custkey >= 300 AND c_custkey < 350)"
+        ),
+        "fuzzy_row": (
+            f"SELECT {cust_cols} FROM customer WHERE c_custkey % 100 = 0"
+        ),
+        "column_range": (
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_acctbal'), ('c_custkey'), ('c_mktsegment')) v(q)"
+        ),
+        "column_prefix": (
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_name'), ('c_nationkey')) v(q)"
+        ),
+        "timestamps_filter": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0"
+        ),
+        "key_only": (
+            "SELECT n_nationkey, v.q AS qualifier, TRUE AS value_stripped "
+            "FROM nation CROSS JOIN (VALUES ('n_nationkey'), ('n_name'), "
+            "('n_regionkey')) v(q)"
+        ),
+        "first_key_only": (
+            "SELECT c_custkey, 'c_acctbal' AS qualifier FROM customer"
+        ),
+        "while_match": (
+            f"SELECT {cust_cols} FROM customer WHERE c_custkey < 100"
+        ),
+        "skip_filter": (
+            f"SELECT {cust_cols} FROM customer WHERE c_mktsegment <> 'BUILDING'"
+        ),
+        "regex_filter": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE regexp_matches(c_name, '1(2|4)0$')"
+        ),
+        "substring_filter": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE contains(lower(c_mktsegment), 'uild')"
+        ),
+        "dependent_column": (
+            # %3==0 rows: only the freshly-written c_name shares the ref ts;
+            # other rows: every cell shares the original ts
+            "SELECT c_custkey, 'c_name' AS qualifier FROM customer "
+            "WHERE c_custkey % 3 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_custkey'), ('c_name'), ('c_nationkey'), "
+            "('c_acctbal'), ('c_mktsegment')) v(q) WHERE c_custkey % 3 <> 0"
+        ),
+        "grouping_map": (
+            "SELECT n_nationkey, n_regionkey::VARCHAR AS group_key FROM nation"
         ),
         "text_stats": _TEXT_DERIVED,
         "exact_dedup": (
