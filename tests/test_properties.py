@@ -1,0 +1,174 @@
+"""Property-based invariant tests (SURVEY.md §5 layer 3 — the
+TestAcidGuarantees / IntegrationTestBigLinkedList analog): random mutation
+batches against a model implementation of the read view.
+
+The model is an independent, dictionary-based reimplementation of the
+ScanQueryMatcher semantics (versions + 4 tombstone kinds); hypothesis
+generates mutation batches and the Spark read view must agree cell-for-cell.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hbase_1_3_0_spark.cells import (
+    CELL_SCHEMA,
+    TYPE_DELETE_COLUMN,
+    TYPE_DELETE_FAMILY,
+    TYPE_DELETE_FAMILY_VERSION,
+    TYPE_DELETE_VERSION,
+    TYPE_PUT,
+)
+from hbase_1_3_0_spark.operators.read_view import read_view
+
+ROWS = [b"r1", b"r2", b"\x00", b"\xff\x01"]  # incl. negative-byte keys
+QUALS = [b"a", b"b"]
+TYPES = [
+    TYPE_PUT,
+    TYPE_PUT,
+    TYPE_PUT,  # bias toward puts
+    TYPE_DELETE_VERSION,
+    TYPE_DELETE_COLUMN,
+    TYPE_DELETE_FAMILY,
+    TYPE_DELETE_FAMILY_VERSION,
+]
+
+cell_st = st.tuples(
+    st.sampled_from(ROWS),
+    st.sampled_from(QUALS),
+    st.integers(min_value=1, max_value=6),  # ts
+    st.sampled_from(TYPES),
+    st.integers(min_value=0, max_value=3),  # seq
+)
+
+batch_st = st.lists(cell_st, min_size=1, max_size=25)
+
+
+def model_read_view(cells: list[tuple], max_versions: int) -> set[tuple]:
+    """Reference model of ScanQueryMatcher masking + version limiting."""
+    fam_del: dict[bytes, int] = {}
+    famver_del: dict[bytes, set[int]] = {}
+    col_del: dict[tuple, int] = {}
+    ver_del: dict[tuple, set[int]] = {}
+    for row, qual, ts, typ, seq in cells:
+        if typ == TYPE_DELETE_FAMILY:
+            fam_del[row] = max(fam_del.get(row, -1), ts)
+        elif typ == TYPE_DELETE_FAMILY_VERSION:
+            famver_del.setdefault(row, set()).add(ts)
+        elif typ == TYPE_DELETE_COLUMN:
+            col_del[(row, qual)] = max(col_del.get((row, qual), -1), ts)
+        elif typ == TYPE_DELETE_VERSION:
+            ver_del.setdefault((row, qual), set()).add(ts)
+
+    surviving: dict[tuple, list[tuple]] = {}
+    for row, qual, ts, typ, seq in cells:
+        if typ != TYPE_PUT:
+            continue
+        if ts <= fam_del.get(row, -1):
+            continue
+        if ts in famver_del.get(row, set()):
+            continue
+        if ts <= col_del.get((row, qual), -1):
+            continue
+        if ts in ver_del.get((row, qual), set()):
+            continue
+        surviving.setdefault((row, qual), []).append((ts, seq))
+
+    out: set[tuple] = set()
+    for (row, qual), versions in surviving.items():
+        newest = sorted(set(versions), reverse=True)[:max_versions]
+        for ts, seq in newest:
+            out.add((row, qual, ts, seq))
+    return out
+
+
+def _to_df(spark, cells):
+    rows = [
+        (row, "d", qual, ts, typ, f"{ts}:{seq}".encode(), seq)
+        for row, qual, ts, typ, seq in cells
+    ]
+    return spark.createDataFrame(rows, CELL_SCHEMA)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(batch=batch_st, max_versions=st.integers(min_value=1, max_value=3))
+def test_read_view_matches_model(spark, batch, max_versions):
+    # distinct cell identities: the log is a set of cells (a put replayed at
+    # the same identity is idempotent); drop duplicate (row,qual,ts,type,seq)
+    seen = {}
+    for c in batch:
+        seen[(c[0], c[1], c[2], c[3], c[4])] = c
+    batch = list(seen.values())
+
+    expected = model_read_view(batch, max_versions)
+    got = {
+        (bytes(r["row"]), bytes(r["qualifier"]), r["ts"], r["seq"])
+        for r in read_view(_to_df(spark, batch), max_versions=max_versions).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    deltas=st.lists(
+        st.tuples(st.sampled_from(ROWS), st.integers(-100, 100)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_increment_total_equals_sum_of_deltas(spark, deltas):
+    """Σ per-key counter results == Σ deltas (the streaming-counter law)."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.operators.mutations import increment
+
+    empty = spark.createDataFrame([], CELL_SCHEMA)
+    incs = spark.createDataFrame(
+        [(r, "d", b"c", d) for r, d in deltas],
+        "row binary, family string, qualifier binary, delta long",
+    )
+    _, results = increment(empty, incs, now_ms=1000)
+    total = results.agg(F.sum("new_value").alias("t")).collect()[0]["t"]
+    assert total == sum(d for _, d in deltas)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(batch=batch_st)
+def test_compaction_preserves_visible_view(spark, batch):
+    """compact(log) then read_view == read_view(log): GC must never change
+    what a scan sees (the major-compaction correctness law)."""
+    from hbase_1_3_0_spark.operators.jobs import compact
+
+    seen = {}
+    for c in batch:
+        seen[(c[0], c[1], c[2], c[3], c[4])] = c
+    df = _to_df(spark, list(seen.values()))
+
+    before = {
+        (bytes(r["row"]), bytes(r["qualifier"]), r["ts"], r["seq"])
+        for r in read_view(df, max_versions=1).collect()
+    }
+    compacted = compact(df, max_versions=1, now_ms=1000)
+    after = {
+        (bytes(r["row"]), bytes(r["qualifier"]), r["ts"], r["seq"])
+        for r in read_view(compacted, max_versions=1).collect()
+    }
+    assert before == after
+
+
+def test_binary_row_order_is_unsigned_lexicographic(spark):
+    """SURVEY §7 watch-list #6: BinaryType comparison must be unsigned —
+    0xff sorts after 0x01, matching Bytes.compareTo."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(b"\x01",), (b"\xff",), (b"\x7f",), (b"\x80",)], "row binary"
+    )
+    got = [bytes(r["row"]) for r in df.orderBy("row").collect()]
+    assert got == [b"\x01", b"\x7f", b"\x80", b"\xff"]
+    assert df.where(F.col("row") > b"\x7f").count() == 2
