@@ -115,6 +115,7 @@ class Catalog:
     def _persist(self) -> None:
         if not self._path:
             return
+        self._path.parent.mkdir(parents=True, exist_ok=True)
         payload = {
             "namespaces": sorted(self._namespaces),
             "tables": [asdict(t) for t in self._tables.values()],

@@ -107,6 +107,49 @@ class Engine:
         self._cells.pop(table.meta.qualified_name, None)
         return Table(table.meta, fresh, self._now_ms)
 
+    def compact_table(self, table: Table) -> Table:
+        """Major compaction honoring each family's semantic parameters
+        (max_versions/min_versions/TTL/keepDeletedCells), then re-register.
+
+        After compaction the log holds only visible cells; when every family
+        keeps a single version the table earns ``clean_log`` — subsequent
+        scans take the shuffle-free fast path (the post-major-compaction
+        no-delete-markers state of an HBase store)."""
+        from dataclasses import replace as _replace
+
+        from hbase_1_3_0_spark.operators import jobs
+        from pyspark.sql import functions as F
+
+        fams = table.meta.families
+        groups: dict[tuple, list] = {}
+        for fm in fams:
+            key = (fm.max_versions, fm.min_versions, fm.ttl_seconds, fm.keep_deleted_cells)
+            groups.setdefault(key, []).append(fm)
+        outs = []
+        for (maxv, minv, ttl, kdc), members in groups.items():
+            sub = table.cells
+            if len(groups) > 1:
+                sub = sub.where(F.col("family").isin([m.name for m in members]))
+            outs.append(
+                jobs.compact(
+                    sub,
+                    max_versions=maxv,
+                    min_versions=minv,
+                    ttl_seconds=ttl,
+                    keep_deleted_cells=kdc,
+                    now_ms=self._now_ms,
+                )
+            )
+        compacted = outs[0]
+        for o in outs[1:]:
+            compacted = compacted.unionByName(o)
+        meta = _replace(
+            table.meta, clean_log=all(f.max_versions == 1 for f in fams)
+        )
+        self.catalog.alter_table(meta)
+        out = Table(meta, compacted, self._now_ms)
+        return self.save(out)
+
     def snapshot(self, table: Table, snapshot_name: str) -> Path:
         """Snapshot = immutable directory copy of the parquet cell log
         (TableSnapshotInputFormat analog, TableSnapshotInputFormat.java:86)."""

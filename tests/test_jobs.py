@@ -126,3 +126,46 @@ def test_bulk_load_layout_prunes(tmp_path, spark, orders_cells):
         (F.col("row") >= F.lit(lo)) & (F.col("row") < F.lit(hi))
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(row), GreaterThanOrEqual(row" in plan
+
+
+def test_engine_compact_table_roundtrip(spark, tmp_path):
+    """Compaction drops masked/over-version cells, persists, and earns the
+    clean-log fast path; the visible view is unchanged."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.cells import (
+        CELL_SCHEMA,
+        TYPE_DELETE_COLUMN,
+        TYPE_PUT,
+    )
+    from hbase_1_3_0_spark.engine import Engine
+
+    rows = [
+        (b"r1", "d", b"a", 100, TYPE_PUT, b"old", 0),
+        (b"r1", "d", b"a", 200, TYPE_PUT, b"new", 0),
+        (b"r2", "d", b"a", 100, TYPE_PUT, b"dead", 0),
+        (b"r2", "d", b"a", 150, TYPE_DELETE_COLUMN, None, 0),
+        (b"r3", "d", b"b", 100, TYPE_PUT, b"live", 0),
+    ]
+    eng = Engine(spark, root=tmp_path, now_ms=1000)
+    t = eng.create_table(
+        TableMeta(name="ct"), spark.createDataFrame(rows, CELL_SCHEMA)
+    )
+    before = {(bytes(r["row"]), r["value"]) for r in t.scan().collect()}
+
+    compacted = eng.compact_table(t)
+    assert compacted.meta.clean_log is True
+    # raw log now holds ONLY the visible cells (tombstone + masked dropped)
+    raw = compacted.scan(raw=True).collect()
+    assert len(raw) == 2
+    after = {(bytes(r["row"]), r["value"]) for r in compacted.scan().collect()}
+    assert after == before == {(b"r1", b"new"), (b"r3", b"live")}
+    # reload from disk through the catalog: flag and data survive
+    reloaded = eng.table("ct")
+    assert reloaded.meta.clean_log is True
+    assert {(bytes(r["row"]), r["value"]) for r in reloaded.scan().collect()} == before
+    # scan plan on the reloaded table is shuffle-free
+    from hbase_1_3_0_spark.plans import inspect
+
+    assert inspect.shuffle_exchange_count(reloaded.scan()) == 0
