@@ -543,6 +543,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, max_hamming=3)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact baseline (5th dedup mode)."""
+    embs = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(embs, threshold=0.3)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _load(spark, sf_dir, "embeddings")
     queries = embs.where(F.col("vec_id") < 5).select(
@@ -640,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
@@ -910,6 +917,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "ngram_jaccard": _JACCARD_SQL,
+        "embedding_near_dup": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e))), 6) AS sim "
+            "FROM c a JOIN c b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e))) >= 0.3"
+        ),
         "cosine_topk": _COSINE_SQL,
         "events_window": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, "

@@ -120,12 +120,43 @@ def median(
         )
         .where(F.col("v").isNotNull() & F.col("w").isNotNull())
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    total = pairs.agg(F.sum("w").alias("_total"))
-    ranked = pairs.withColumn("_cw", F.sum("w").over(w_cum)).crossJoin(
-        F.broadcast(total)
+    # Two-phase walk, exactly AggregationClient.getMedianArgs:647 +
+    # :739-785 with "partition" standing in for "region": range-partition
+    # by value, reduce each partition to (Σw) — a tiny per-partition
+    # table — locate the partition whose cumulative weight crosses Σw/2,
+    # then order only WITHIN that one partition. No global-sort window
+    # (a single-partition Window.orderBy dies at scale).
+    num_parts = max(pairs.sparkSession.sparkContext.defaultParallelism, 2)
+    parted = pairs.repartitionByRange(num_parts, "v").withColumn(
+        "_pid", F.spark_partition_id()
     )
+    per_part = (
+        parted.groupBy("_pid")
+        .agg(F.sum("w").alias("_pw"), F.min("v").alias("_pmin"))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("_pw").over(
+                    Window.orderBy("_pmin", "_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )  # per-partition rows: ≤ num_parts of them — the region-partials table
+    total = pairs.agg((F.sum("w") / 2).alias("_half"))
+    target = (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_cum_before") + F.col("_pw") >= F.col("_half"))
+        .orderBy("_pmin", "_pid")
+        .limit(1)
+        .select("_pid", "_cum_before", "_half")
+    )
+    in_part = parted.join(F.broadcast(target), "_pid")
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        ranked.where(F.col("_cw") >= F.col("_total") / 2)
+        in_part.withColumn("_cw", F.col("_cum_before") + F.sum("w").over(w_cum))
+        .where(F.col("_cw") >= F.col("_half"))
         .agg(F.min("v").alias("median"))
     )

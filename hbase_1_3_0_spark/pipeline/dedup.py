@@ -240,6 +240,49 @@ def minhash_dedup_pairs(
     return out
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucket_planes: int = 0,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    ``bucket_planes=0``: exact O(n²) self-join — the oracle-checkable
+    baseline. ``bucket_planes>0``: candidates restricted to pairs sharing a
+    random-hyperplane sign bucket first (the 100 TB path — the join key is
+    the bucket, so cost ~ Σ bucket² instead of n²; recall depends on the
+    threshold vs plane count)."""
+    from hbase_1_3_0_spark.pipeline.similarity import (
+        _random_unit_vectors,
+        cosine,
+        hyperplane_signature,
+    )
+
+    c = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if bucket_planes > 0:
+        planes = _random_unit_vectors(bucket_planes, dim, seed)
+        c = c.withColumn("_b", hyperplane_signature(F.col("_v"), planes))
+        joined = c.alias("a").join(c.alias("b"), "_b")
+    else:
+        joined = c.alias("a").crossJoin(c.alias("b"))
+    sim = cosine(F.col("a._v"), F.col("b._v"))
+    return (
+        joined.where(F.col("a._id") < F.col("b._id"))
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round("_sim", 6).alias("sim"),
+        )
+    )
+
+
 def simhash64(text: Column, *, n: int = 5) -> Column:
     """64-bit SimHash: per-bit weighted majority over shingle xxhash64s.
 

@@ -165,3 +165,23 @@ def test_frame_sample_plan(spark):
     )
     out = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_embedding_near_dup_bucketed_subset_of_exact(spark, sf_dir):
+    """LSH-bucketed near-dup pairs must be a subset of the exact pairs
+    (bucketing only prunes candidates, never adds false positives)."""
+    from hbase_1_3_0_spark.pipeline import dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(embs, threshold=0.25).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            embs, threshold=0.25, bucket_planes=4
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert exact  # data yields at least one pair at this threshold
