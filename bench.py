@@ -7,6 +7,10 @@ Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
 Each workload forces full computation through the noop sink (no driver
 collect bottleneck, no output I/O) except b-write, which measures the real
 range-partitioned parquet writer (the bulk-load path).
+
+Per BASELINE.md each workload is timed as the median of 3 runs (set
+$SPARK_GRAFT_BENCH_RUNS to change) — single-JVM local mode has multi-second
+JIT/GC variance that a single sample conflates with plan cost.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -60,12 +65,20 @@ def main() -> None:
     events = fixtures.load_table(spark, SF_DIR, "events")
 
     timings: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(
+            f"{name}: {timings[name]}s "
+            f"(samples: {[round(s, 2) for s in samples]})",
+            file=sys.stderr,
+        )
 
     # b-scan-full: full scan + read view over lineitem-kv (PE scan)
     run("b-scan-full", lambda: _sink(li.scan()))

@@ -172,6 +172,7 @@ def _range_pred(
 
 def _scvf_multi_transform(
     fs: list[ast.SingleColumnValueFilter],
+    single_version: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """AND-composed SCVFs as ONE aggregation + ONE semi/anti-join.
 
@@ -182,6 +183,14 @@ def _scvf_multi_transform(
     filter's verdict, and one join applies it — AQE broadcasts the row set
     when it is selective, so the big side is often never shuffled.
 
+    All aggregates are plain int max() so the groupBy plans as a
+    HashAggregate (a max-over-struct buffer would force a SortAggregate,
+    whose generated sort-based code also JIT-compiles an order of magnitude
+    slower). ``latest_version_only`` needs a per-column version rank, added
+    as a row_number window over only the tested cells — and skipped
+    entirely when ``single_version`` says the scan's read view already
+    reduced every column to one version (the default scan).
+
     Verdict per filter (SingleColumnValueFilter.java:73 semantics):
     column present -> compare (latest version only, or any version);
     column absent -> include iff ``filter_if_missing`` is False.
@@ -190,49 +199,39 @@ def _scvf_multi_transform(
         (F.col("family") == f.family) & (F.col("qualifier") == F.lit(f.qualifier))
         for f in fs
     ]
+    need_version_rank = (not single_version) and any(
+        f.latest_version_only for f in fs
+    )
 
     def t(df: DataFrame) -> DataFrame:
         any_match = matches[0]
         for m in matches[1:]:
             any_match = any_match | m
+        tested = df.where(any_match)
+        newest = F.lit(True)
+        if need_version_rank:
+            rn = F.row_number().over(
+                Window.partitionBy("row", "family", "qualifier").orderBy(
+                    F.col("ts").desc(), F.col("seq").desc()
+                )
+            )
+            tested = tested.withColumn("_rn", rn)
+            newest = F.col("_rn") == 1
         aggs = []
         for i, (f, cm) in enumerate(zip(fs, matches)):
-            if f.latest_version_only:
-                # max over struct(ts, seq, value): nulls (non-matching cells)
-                # are ignored, field-wise compare picks the newest version
-                aggs.append(
-                    F.max(
-                        F.when(
-                            cm, F.struct(F.col("ts"), F.col("seq"), F.col("value"))
-                        )
-                    ).alias(f"_l{i}")
-                )
-            else:
-                per_cell = cm & F.coalesce(
-                    compile_compare(F.col("value"), f.op, f.comparator), F.lit(False)
-                )
-                aggs.append(
-                    F.struct(
-                        F.max(F.when(cm, F.lit(1))).alias("exists"),
-                        F.max(F.when(per_cell, F.lit(1))).alias("passed"),
-                    ).alias(f"_l{i}")
-                )
-        flags = df.where(any_match).groupBy("row").agg(*aggs)
+            scope = (cm & newest) if f.latest_version_only else cm
+            per_cell = scope & F.coalesce(
+                compile_compare(F.col("value"), f.op, f.comparator), F.lit(False)
+            )
+            aggs.append(F.max(F.when(cm, F.lit(1))).alias(f"_e{i}"))
+            aggs.append(F.max(F.when(per_cell, F.lit(1))).alias(f"_p{i}"))
+        flags = tested.groupBy("row").agg(*aggs)
         verdict = F.lit(True)
         for i, f in enumerate(fs):
-            li = F.col(f"_l{i}")
-            if f.latest_version_only:
-                v = F.when(
-                    li.isNotNull(),
-                    F.coalesce(
-                        compile_compare(li["value"], f.op, f.comparator),
-                        F.lit(False),
-                    ),
-                ).otherwise(F.lit(not f.filter_if_missing))
-            else:
-                v = F.when(
-                    li["exists"] == 1, F.coalesce(li["passed"] == 1, F.lit(False))
-                ).otherwise(F.lit(not f.filter_if_missing))
+            v = F.when(
+                F.col(f"_e{i}") == 1,
+                F.coalesce(F.col(f"_p{i}") == 1, F.lit(False)),
+            ).otherwise(F.lit(not f.filter_if_missing))
             verdict = verdict & v
         if any(f.filter_if_missing for f in fs):
             # rows with none of the tested columns are excluded -> semi join
@@ -363,13 +362,18 @@ def _key_only_transform(len_as_val: bool) -> Callable[[DataFrame], DataFrame]:
     return t
 
 
-def compile_filter(f: ast.Filter, allow_transform: bool = True) -> Compiled:  # noqa: C901
+def compile_filter(
+    f: ast.Filter, allow_transform: bool = True, single_version: bool = False
+) -> Compiled:  # noqa: C901
     """Compile a filter AST.
 
     ``allow_transform=False`` forces row-level filters (SCVF, SkipFilter)
     into their window-predicate form so they compose under OR / SKIP /
     WHILE; the default lets AND-composed row-level filters plan as
-    semi/anti-joins (no full-width shuffle)."""
+    semi/anti-joins (no full-width shuffle). ``single_version=True``
+    declares that the input stream carries at most one version per column
+    (a default scan's read view), letting version-sensitive filters skip
+    their version-rank window."""
     if isinstance(f, ast.FilterList):
         if f.operator == "MUST_PASS_ALL":
             children = list(f.filters)
@@ -381,8 +385,13 @@ def compile_filter(f: ast.Filter, allow_transform: bool = True) -> Compiled:  # 
                 ]
                 if scvfs:
                     children = [c for c in children if c not in scvfs]
-                    transforms.append(_scvf_multi_transform(scvfs))
-            parts = [compile_filter(x, allow_transform) for x in children]
+                    transforms.append(
+                        _scvf_multi_transform(scvfs, single_version)
+                    )
+            parts = [
+                compile_filter(x, allow_transform, single_version)
+                for x in children
+            ]
             preds = [p.pred for p in parts if p.pred is not None]
             pred = None
             for p in preds:
@@ -416,7 +425,7 @@ def compile_filter(f: ast.Filter, allow_transform: bool = True) -> Compiled:  # 
     # SingleColumnValueExcludeFilter subclasses SingleColumnValueFilter
     if isinstance(f, ast.SingleColumnValueFilter):
         if allow_transform:
-            return Compiled(None, [_scvf_multi_transform([f])])
+            return Compiled(None, [_scvf_multi_transform([f], single_version)])
         return Compiled(_scvf_pred(f))
     if isinstance(f, ast.DependentColumnFilter):
         return Compiled(_dependent_pred(f))
@@ -513,7 +522,9 @@ def compile_filter(f: ast.Filter, allow_transform: bool = True) -> Compiled:  # 
     raise NotImplementedError(f"filter: {type(f).__name__}")
 
 
-def apply_filter(df: DataFrame, f: ast.Filter | None) -> DataFrame:
+def apply_filter(
+    df: DataFrame, f: ast.Filter | None, single_version: bool = False
+) -> DataFrame:
     """Apply a compiled filter to a cell DataFrame.
 
     Predicates containing window expressions cannot sit in a WHERE clause, so
@@ -522,7 +533,7 @@ def apply_filter(df: DataFrame, f: ast.Filter | None) -> DataFrame:
     """
     if f is None:
         return df
-    c = compile_filter(f)
+    c = compile_filter(f, single_version=single_version)
     out = df
     if c.pred is not None:
         out = (

@@ -145,11 +145,19 @@ class Table:
                 )
             df = df.where(proj)
 
-        # 4. filter algebra
+        # 4. filter algebra — the read view above already reduced each
+        # column to one version unless the scan asked for more (or raw),
+        # so version-sensitive filters can skip their version-rank window
         filt = s.filter
         if isinstance(filt, str):
             filt = parse_filter(filt)
-        df = apply_filter(df, filt)
+        fams = self.meta.families
+        if s.families is not None:
+            fams = tuple(f for f in fams if f.name in s.families)
+        single_version = not s.raw and all(
+            min(s.max_versions or 1, fm.max_versions) == 1 for fm in fams
+        )
+        df = apply_filter(df, filt, single_version=single_version)
 
         # 5. intra-row per-CF paging
         if s.row_offset_per_cf or s.max_results_per_cf is not None:
