@@ -497,6 +497,236 @@ def q_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("median", 6).alias("median_price"))
 
 
+def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixFilter via the DSL — rewritten to a prunable row range."""
+    t = _table(spark, sf_dir, "customer")
+    return _wide(t.scan(filter=f"PrefixFilter ('{1:017d}')"), CUSTOMER_COLS)
+
+
+def q_inclusive_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InclusiveStopFilter: stop row becomes inclusive."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(
+        start_row=_k(100), filter=f"InclusiveStopFilter ('{300:019d}')"
+    )
+    return _wide(cells, CUSTOMER_COLS)
+
+
+def q_scvf_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingleColumnValueExcludeFilter: row kept, tested column stripped."""
+    t = _table(spark, sf_dir, "orders")
+    cells = t.scan(
+        filter="SingleColumnValueExcludeFilter "
+        "('d', 'o_orderstatus', =, 'binary:F', true, true)"
+    )
+    cols = {k: v for k, v in ORDERS_COLS.items() if k != "o_orderstatus"}
+    return _wide(cells, cols)
+
+
+def q_multiple_column_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleColumnPrefixFilter: qualifiers matching any prefix."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(filter="MultipleColumnPrefixFilter ('c_a', 'c_m')")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_qualifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QualifierFilter: unsigned-lexicographic compare on the qualifier."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(filter="QualifierFilter (>=, 'binary:c_m')")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueFilter: per-cell value compare (cell-level, not row-level)."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(filter="ValueFilter (=, 'binary:BUILDING')")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_family_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FamilyFilter over a two-family table (CFs are separate stores)."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta
+
+    cust = _load(spark, sf_dir, "customer")
+    cells_d = table_to_cells(
+        cust, ["c_custkey"], ["c_name", "c_mktsegment"], family="d"
+    )
+    cells_x = table_to_cells(cust, ["c_custkey"], ["c_acctbal"], family="x")
+    meta = TableMeta(
+        name="customer_2cf",
+        families=(FamilyMeta(name="d"), FamilyMeta(name="x")),
+        clean_log=True,
+    )
+    t = Table(meta, cells_d.unionByName(cells_x), now_ms=NOW_MS)
+    cells = t.scan(filter="FamilyFilter (=, 'binary:x')")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.col("family"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setRaw(true): tombstones and shadowed versions stay visible."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    upd = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("c_name")
+    )
+    t2 = t.put(table_to_cells(upd, ["c_custkey"], ["c_name"], ts=V2_TS, seq=1))
+    col_del = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.lit("delete_column").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").alias("qualifier"),
+        F.lit(DEL_TS).cast("long").alias("ts"),
+    )
+    t3 = t2.delete(col_del)
+    cells = t3.scan(raw=True)
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.col("ts"),
+        F.col("type").alias("cell_type"),
+    )
+
+
+def q_mutate_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowMutations: atomic put+delete on the same row (one commit)."""
+    t = _table(spark, sf_dir, "customer")
+    base = _load(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    puts = base.select(
+        F.lit("put").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("vip"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.encode(F.lit("Y"), "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("batch_seq"),
+    )
+    dels = base.select(
+        F.lit("delete_column").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(1).cast("long").alias("batch_seq"),
+    )
+    t2 = t.mutate_row(puts.unionByName(dels))
+    return _wide(
+        t2.scan(),
+        {"c_custkey": "bigint", "c_acctbal": "double", "vip": "string"},
+    )
+
+
+def q_counter_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-built counters scanned with a LongComparator SCVF over the
+    8-byte big-endian counter encoding (Bytes.toBytes(long))."""
+    ev = _load(spark, sf_dir, "events")
+    incs = ev.select(
+        _key_col(F.col("user_id")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.col("event_type"), "UTF-8").alias("qualifier"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    t = Table(TableMeta(name="counters"), _empty_cells(spark), now_ms=NOW_MS)
+    t2, _ = t.increment(incs)
+    cells = t2.scan(
+        filter="SingleColumnValueFilter ('d', 'click', >=, 'long:15', true, true)"
+    )
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("user_id"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("event_type"),
+        codecs.decode_long_be(F.col("value")).alias("cnt"),
+    )
+
+
+def q_import_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImportTsv: TSV -> Put cells (HBASE_ROW_KEY column spec)."""
+    import hashlib
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        "event_type",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_importtsv_{tag}"
+    ev.coalesce(1).write.mode("overwrite").csv(path, sep="\t")
+    cells = jobs.import_tsv(
+        spark, path, ["HBASE_ROW_KEY", "user_id", "event_type"]
+    )
+    wide = cells_to_table(
+        cells, {"user_id": "bigint", "event_type": "string"}
+    )
+    return wide.select(
+        # ImportTsv writes the raw key column (not the ordered composite),
+        # so the row IS the decimal event_id string
+        F.decode(F.col("row"), "UTF-8").cast("bigint").alias("event_id"),
+        "user_id",
+        "event_type",
+    )
+
+
+def q_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export -> Import roundtrip through range-partitioned parquet."""
+    import hashlib
+
+    t = _table(spark, sf_dir, "nation")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_export_{tag}"
+    jobs.export_table(t.cells, path)
+    cells = jobs.import_table(spark, path)
+    wide = cells_to_table(
+        cells,
+        {"n_nationkey": "bigint", "n_name": "string", "n_regionkey": "bigint"},
+    )
+    return wide.select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_first_key_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FirstKeyValueMatchingQualifiersFilter: cells up to the first
+    qualifier-set hit, then next row."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    filt = fast.FirstKeyValueMatchingQualifiersFilter(
+        (b"c_mktsegment", b"c_name")
+    )
+    return t.scan(filter=filt).select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_random_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomRowFilter: seeded per-row hash sample (rows-only oracle —
+    the sample function is engine-specific)."""
+    t = _table(spark, sf_dir, "customer")
+    return _wide(t.scan(filter="RandomRowFilter (0.25)"), CUSTOMER_COLS)
+
+
+def q_get_column_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Get + ColumnCountGetFilter: first n columns of one row."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.get(_k(42), filter="ColumnCountGetFilter (3)")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline queries
 # --------------------------------------------------------------------------
@@ -642,6 +872,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_map": q_grouping_map,
         "hash_table": q_hash_table,
         "median_approx": q_median_approx,
+        "prefix_filter": q_prefix_filter,
+        "inclusive_stop": q_inclusive_stop,
+        "scvf_exclude": q_scvf_exclude,
+        "multiple_column_prefix": q_multiple_column_prefix,
+        "qualifier_filter": q_qualifier_filter,
+        "value_filter": q_value_filter,
+        "family_filter": q_family_filter,
+        "raw_scan": q_raw_scan,
+        "mutate_row": q_mutate_row,
+        "counter_filter": q_counter_filter,
+        "import_tsv": q_import_tsv,
+        "export_import": q_export_import,
+        "first_key_matching": q_first_key_matching,
+        "random_row": q_random_row,
+        "get_column_count": q_get_column_count,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -907,6 +1152,74 @@ def oracle_sql() -> dict[str, str]:
         "grouping_map": (
             "SELECT n_nationkey, n_regionkey::VARCHAR AS group_key FROM nation"
         ),
+        "prefix_filter": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey >= 100 AND c_custkey <= 199"
+        ),
+        "inclusive_stop": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey >= 100 AND c_custkey <= 300"
+        ),
+        "scvf_exclude": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, "
+            "o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "multiple_column_prefix": (
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_acctbal'), ('c_mktsegment')) v(q)"
+        ),
+        "qualifier_filter": (
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_mktsegment'), ('c_name'), ('c_nationkey')) v(q)"
+        ),
+        "value_filter": (
+            "SELECT c_custkey, 'c_mktsegment' AS qualifier FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "family_filter": (
+            "SELECT c_custkey, 'x' AS family, 'c_acctbal' AS qualifier "
+            "FROM customer"
+        ),
+        "raw_scan": (
+            "SELECT c_custkey, v.q AS qualifier, 1000000 AS ts, "
+            "4 AS cell_type FROM customer CROSS JOIN "
+            "(VALUES ('c_custkey'), ('c_name'), ('c_nationkey'), "
+            "('c_acctbal'), ('c_mktsegment')) v(q) "
+            "UNION ALL "
+            "SELECT c_custkey, 'c_name', 2000000, 4 FROM customer "
+            "WHERE c_custkey % 3 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey, 'c_acctbal', 3000000, 12 FROM customer "
+            "WHERE c_custkey % 7 = 0"
+        ),
+        "mutate_row": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END "
+            "AS c_acctbal, "
+            "CASE WHEN c_custkey % 5 = 0 THEN 'Y' END AS vip FROM customer"
+        ),
+        "counter_filter": (
+            "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT user_id, event_type, cnt FROM c WHERE user_id IN "
+            "(SELECT user_id FROM c WHERE event_type = 'click' AND cnt >= 15)"
+        ),
+        "import_tsv": (
+            "SELECT event_id, user_id, event_type FROM events"
+        ),
+        "export_import": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+        ),
+        "first_key_matching": (
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_acctbal'), ('c_custkey'), ('c_mktsegment')) v(q)"
+        ),
+        "get_column_count": (
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_acctbal'), ('c_custkey'), ('c_mktsegment')) v(q) "
+            "WHERE c_custkey = 42"
+        ),
+        # random_row: seeded engine-specific sample -> rows-only check.
         "text_stats": _TEXT_DERIVED,
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
