@@ -382,8 +382,10 @@ def q_column_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_timestamps_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TimestampsFilter over a two-version table: read view first (newest),
-    then ts-set membership — rows whose newest c_name is still v1."""
+    """TimestampsFilter over a two-version table. The filter verdict
+    precedes version counting (ScanQueryMatcher order), so every row
+    returns its ts=1000000 (v1) cell — the newer v2 cell is SKIPped by
+    the filter and does not consume the single version slot."""
     t = _table(spark, sf_dir, "customer")
     cust = _load(spark, sf_dir, "customer")
     upd = cust.where(F.col("c_custkey") % 3 == 0).select(
@@ -1114,9 +1116,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
             "(VALUES ('c_name'), ('c_nationkey')) v(q)"
         ),
-        "timestamps_filter": (
-            "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0"
-        ),
+        "timestamps_filter": "SELECT c_custkey, c_name FROM customer",
         "key_only": (
             "SELECT n_nationkey, v.q AS qualifier, TRUE AS value_stripped "
             "FROM nation CROSS JOIN (VALUES ('n_nationkey'), ('n_name'), "

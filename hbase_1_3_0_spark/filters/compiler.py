@@ -362,6 +362,38 @@ def _key_only_transform(len_as_val: bool) -> Callable[[DataFrame], DataFrame]:
     return t
 
 
+#: Filters whose compiled form is a plain per-cell predicate (no window
+#: expressions, no row-level transforms). These can run BEFORE version
+#: counting inside the read view, reproducing ScanQueryMatcher's order
+#: (filter verdict precedes ColumnTracker version counting, so a failing
+#: newer version is SKIPped rather than consuming a version slot).
+_CELL_PRED_TYPES = (
+    ast.RowFilter,
+    ast.FamilyFilter,
+    ast.QualifierFilter,
+    ast.ValueFilter,
+    ast.PrefixFilter,
+    ast.ColumnPrefixFilter,
+    ast.MultipleColumnPrefixFilter,
+    ast.ColumnRangeFilter,
+    ast.TimestampsFilter,
+    ast.FuzzyRowFilter,
+    ast.MultiRowRangeFilter,
+    ast.InclusiveStopFilter,
+    ast.RandomRowFilter,
+)
+
+
+def is_cell_predicate(f: ast.Filter | None) -> bool:
+    """True when the whole filter tree compiles to a window-free per-cell
+    predicate, eligible for pre-version-count evaluation in the read view."""
+    if f is None:
+        return False
+    if isinstance(f, ast.FilterList):
+        return all(is_cell_predicate(x) for x in f.filters)
+    return type(f) in _CELL_PRED_TYPES
+
+
 def compile_filter(
     f: ast.Filter, allow_transform: bool = True, single_version: bool = False
 ) -> Compiled:  # noqa: C901

@@ -155,8 +155,17 @@ def read_view(
     time_range: tuple[int, int] | None = None,
     now_ms: int | None = None,
     raw: bool = False,
+    cell_filter: Column | None = None,
 ) -> DataFrame:
-    """The user-visible cell stream for a Get/Scan over a cell log."""
+    """The user-visible cell stream for a Get/Scan over a cell log.
+
+    ``cell_filter`` is a per-cell predicate applied BETWEEN tombstone/TTL/
+    timerange masking and version counting — the ScanQueryMatcher order
+    (deletes -> TTL -> timerange -> filter -> ColumnTracker versions,
+    ScanQueryMatcher.java:283-410). With multi-version columns this makes
+    ``VERSIONS=1`` + a value filter return the newest *passing* version
+    (a failing newer version is SKIPped, not counted), matching HBase.
+    """
     if raw:
         out = cells
         if time_range is not None:
@@ -188,5 +197,8 @@ def read_view(
     if time_range is not None:
         lo, hi = time_range
         visible = visible.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+
+    if cell_filter is not None:
+        visible = visible.where(cell_filter)
 
     return limit_versions(visible, max_versions)

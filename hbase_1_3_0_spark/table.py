@@ -22,14 +22,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
 from hbase_1_3_0_spark.cells import CELL_COLUMNS, TTL_FOREVER, TYPE_PUT
 from hbase_1_3_0_spark.filters import ast as filter_ast
-from hbase_1_3_0_spark.filters.compiler import apply_filter
+from hbase_1_3_0_spark.filters.compiler import (
+    apply_filter,
+    compile_filter,
+    is_cell_predicate,
+)
 from hbase_1_3_0_spark.filters.parser import parse_filter
 from hbase_1_3_0_spark.operators import mutations as mut
 from hbase_1_3_0_spark.operators.coprocessor import Observers
@@ -131,8 +135,19 @@ class Table:
             else:
                 df = df.where(F.col("row") < F.lit(s.stop_row))
 
-        # 2. read view per family-parameter group
-        df = self._read_view(df, s)
+        # 2. read view per family-parameter group. Window-free cell
+        # predicates evaluate INSIDE the read view, before version counting
+        # (ScanQueryMatcher order: a newer version failing the filter is
+        # SKIPped, not counted against VERSIONS) — and they also reach the
+        # parquet scan via pushdown since they sit below the version window.
+        filt = s.filter
+        if isinstance(filt, str):
+            filt = parse_filter(filt)
+        cell_pred = None
+        if is_cell_predicate(filt):
+            cell_pred = compile_filter(filt).pred
+            filt = None
+        df = self._read_view(df, s, cell_pred)
 
         # 3. projection
         if s.families is not None:
@@ -145,12 +160,10 @@ class Table:
                 )
             df = df.where(proj)
 
-        # 4. filter algebra — the read view above already reduced each
-        # column to one version unless the scan asked for more (or raw),
-        # so version-sensitive filters can skip their version-rank window
-        filt = s.filter
-        if isinstance(filt, str):
-            filt = parse_filter(filt)
+        # 4. filter algebra (whatever did not fold into the read view) —
+        # the read view already reduced each column to one version unless
+        # the scan asked for more (or raw), so version-sensitive filters
+        # can skip their version-rank window
         fams = self.meta.families
         if s.families is not None:
             fams = tuple(f for f in fams if f.name in s.families)
@@ -181,9 +194,17 @@ class Table:
         df = Observers.apply(self.observers.post_scan, df)
         return df.select(*CELL_COLUMNS)
 
-    def _read_view(self, df: DataFrame, s: Scan) -> DataFrame:
+    def _read_view(
+        self, df: DataFrame, s: Scan, cell_pred: Column | None = None
+    ) -> DataFrame:
         if self.meta.clean_log and not s.raw:
-            return self._read_view_clean(df, s)
+            out = self._read_view_clean(df, s)
+            # single-version log: filter-before-versions == filter-after
+            return out.where(cell_pred) if cell_pred is not None else out
+        if s.raw and cell_pred is not None:
+            # raw scans skip the matcher; the filter still applies per cell
+            df = df.where(cell_pred)
+            cell_pred = None
         fams = self.meta.families
         if s.families is not None:
             fams = tuple(f for f in fams if f.name in s.families)
@@ -208,6 +229,7 @@ class Table:
                     time_range=s.time_range,
                     now_ms=self._now_ms,
                     raw=s.raw,
+                    cell_filter=cell_pred,
                 )
             )
         out = outs[0]

@@ -196,3 +196,37 @@ def test_masking_is_per_row_and_family(spark):
         ("r1", "d", None, 500, TYPE_DELETE_FAMILY, None),
     ])
     assert visible(cells, max_versions=5) == [("r2", "d", "q", 100, "r2v")]
+
+
+def test_cell_filter_runs_before_version_count(spark):
+    """ScanQueryMatcher order: the filter verdict precedes ColumnTracker
+    version counting (ScanQueryMatcher.java:283-410) — with VERSIONS=1 a
+    newer version failing a ValueFilter is SKIPped (not counted), so the
+    newest PASSING version is returned."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+    from hbase_1_3_0_spark.table import Table
+
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "keep"),
+        ("r1", "d", "q", 200, TYPE_PUT, "drop"),
+        ("r2", "d", "q", 100, TYPE_PUT, "drop"),
+    ])
+    t = Table(
+        TableMeta(name="t", families=(FamilyMeta(max_versions=3),)),
+        cells,
+        now_ms=1_000_000,
+    )
+    got = [
+        (bytes(r.row).decode(), r.ts, bytes(r.value).decode())
+        for r in t.scan(filter="ValueFilter (=, 'binary:keep')").collect()
+    ]
+    assert got == [("r1", 100, "keep")]
+
+    # tombstones still mask before the filter sees the cell
+    cells2 = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "keep"),
+        ("r1", "d", "q", 150, TYPE_DELETE_COLUMN, None),
+        ("r1", "d", "q", 200, TYPE_PUT, "drop"),
+    ])
+    t2 = Table(TableMeta(name="t2"), cells2, now_ms=1_000_000)
+    assert t2.scan(filter="ValueFilter (=, 'binary:keep')").count() == 0
