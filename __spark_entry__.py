@@ -729,6 +729,167 @@ def q_get_column_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family TTL: cells older than now - ttl expire at read time.
+    Only the freshly re-put c_name cells (%4 rows) survive."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta
+
+    meta = TableMeta(
+        name="customer_ttl", families=(FamilyMeta(ttl_seconds=1000),)
+    )
+    t = Table(meta, fixtures.kv_cells(spark, sf_dir, "customer"), now_ms=NOW_MS)
+    cust = _load(spark, sf_dir, "customer")
+    upd = cust.where(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("c_name")
+    )
+    t2 = t.put(
+        table_to_cells(upd, ["c_custkey"], ["c_name"], ts=8_500_000, seq=1)
+    )
+    return t2.scan().select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("value"), "UTF-8").alias("c_name"),
+    )
+
+
+def q_min_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minVersions floor: TTL-expired columns keep their newest version
+    (ScanQueryMatcher.java:347-395) — nothing disappears, %4 rows updated."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta
+
+    meta = TableMeta(
+        name="customer_minv",
+        families=(FamilyMeta(ttl_seconds=1000, min_versions=1),),
+    )
+    t = Table(meta, fixtures.kv_cells(spark, sf_dir, "customer"), now_ms=NOW_MS)
+    cust = _load(spark, sf_dir, "customer")
+    upd = cust.where(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("c_name")
+    )
+    t2 = t.put(
+        table_to_cells(upd, ["c_custkey"], ["c_name"], ts=8_500_000, seq=1)
+    )
+    return _wide(t2.scan(), {"c_custkey": "bigint", "c_name": "string"})
+
+
+def q_keep_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP_DELETED_CELLS=TRUE: a time-travel read sees through delete
+    markers newer than its time-range upper bound (HColumnDescriptor:171)."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta
+
+    meta = TableMeta(
+        name="customer_kdc",
+        families=(FamilyMeta(keep_deleted_cells="TRUE"),),
+    )
+    t = Table(meta, fixtures.kv_cells(spark, sf_dir, "customer"), now_ms=NOW_MS)
+    cust = _load(spark, sf_dir, "customer")
+    fam_del = cust.where(F.col("c_custkey") % 6 == 0).select(
+        F.lit("delete_family").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.lit(None).cast("binary").alias("qualifier"),
+        F.lit(DEL_TS).cast("long").alias("ts"),
+    )
+    t2 = t.delete(fam_del)
+    view = t2.scan(time_range=(0, 1_500_000))
+    return _wide(view, {"c_custkey": "bigint", "c_name": "string"})
+
+
+def q_check_and_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checkAndDelete CAS: delete c_acctbal where c_mktsegment=MACHINERY."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    muts = cust.select(
+        F.lit("delete_column").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").alias("qualifier"),
+        F.lit(None).cast("long").alias("ts"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit("d").alias("check_family"),
+        F.encode(F.lit("c_mktsegment"), "UTF-8").alias("check_qualifier"),
+        F.lit("EQUAL").alias("check_op"),
+        F.encode(F.lit("MACHINERY"), "UTF-8").alias("check_value"),
+        F.lit(0).cast("long").alias("batch_seq"),
+    )
+    t2, _ = t.check_and_mutate(muts)
+    return _wide(
+        t2.scan(),
+        {"c_custkey": "bigint", "c_acctbal": "double", "c_mktsegment": "string"},
+    )
+
+
+def q_batch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.batch: one commit mixing puts, deletes, and increments."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    base = cust.select(
+        _key_col(F.col("c_custkey")).alias("row"), F.col("c_custkey")
+    )
+    puts = base.where(F.col("c_custkey") % 2 == 0).select(
+        F.lit("put").alias("op"),
+        "row",
+        F.lit("d").alias("family"),
+        F.encode(F.lit("note"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.encode(F.lit("even"), "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("batch_seq"),
+    )
+    dels = base.where(F.col("c_custkey") % 9 == 0).select(
+        F.lit("delete_column").alias("op"),
+        "row",
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(1).cast("long").alias("batch_seq"),
+    )
+    incs = base.where(F.col("c_custkey") % 2 == 1).select(
+        F.lit("increment").alias("op"),
+        "row",
+        F.lit("d").alias("family"),
+        F.encode(F.lit("visits"), "UTF-8").alias("qualifier"),
+        F.lit(None).cast("long").alias("ts"),
+        codecs.encode_long_be(F.lit(5).cast("long")).alias("value"),
+        F.lit(2).cast("long").alias("batch_seq"),
+    )
+    t2 = t.batch(puts.unionByName(dels).unionByName(incs))
+    view = t2.scan()
+    wide = cells_to_table(
+        view,
+        {"c_custkey": "bigint", "c_acctbal": "double", "note": "string"},
+    )
+    visits = view.where(
+        F.col("qualifier") == F.encode(F.lit("visits"), "UTF-8")
+    ).select("row", codecs.decode_long_be(F.col("value")).alias("visits"))
+    return (
+        wide.join(visits, "row", "left")
+        .select("c_custkey", "c_acctbal", "note", "visits")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata -> Arrow-batched
+    mapInPandas feature extraction (deterministic fake decoder; the real
+    PIL/librosa decode is stubbed — rows-only oracle)."""
+    from hbase_1_3_0_spark.pipeline import multimodal
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+    )
+    media = multimodal.attach_media(
+        docs, "blob", media_type="image", fmt="png"
+    )
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline queries
 # --------------------------------------------------------------------------
@@ -889,6 +1050,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_key_matching": q_first_key_matching,
         "random_row": q_random_row,
         "get_column_count": q_get_column_count,
+        "ttl_expiry": q_ttl_expiry,
+        "min_versions": q_min_versions,
+        "keep_deleted": q_keep_deleted,
+        "check_and_delete": q_check_and_delete,
+        "batch_mixed": q_batch_mixed,
+        "multimodal_features": q_multimodal_features,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -1219,7 +1386,30 @@ def oracle_sql() -> dict[str, str]:
             "(VALUES ('c_acctbal'), ('c_custkey'), ('c_mktsegment')) v(q) "
             "WHERE c_custkey = 42"
         ),
-        # random_row: seeded engine-specific sample -> rows-only check.
+        "ttl_expiry": (
+            "SELECT c_custkey, upper(c_name) AS c_name FROM customer "
+            "WHERE c_custkey % 4 = 0"
+        ),
+        "min_versions": (
+            "SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 "
+            "THEN upper(c_name) ELSE c_name END AS c_name FROM customer"
+        ),
+        "keep_deleted": "SELECT c_custkey, c_name FROM customer",
+        "check_and_delete": (
+            "SELECT c_custkey, CASE WHEN c_mktsegment = 'MACHINERY' "
+            "THEN NULL ELSE c_acctbal END AS c_acctbal, c_mktsegment "
+            "FROM customer"
+        ),
+        "batch_mixed": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_acctbal END "
+            "AS c_acctbal, "
+            "CASE WHEN c_custkey % 2 = 0 THEN 'even' END AS note, "
+            "CASE WHEN c_custkey % 2 = 1 THEN 5 END::BIGINT AS visits "
+            "FROM customer"
+        ),
+        # random_row / multimodal_features: engine-specific (seeded sample /
+        # fake decoder) -> rows-only checks.
         "text_stats": _TEXT_DERIVED,
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
