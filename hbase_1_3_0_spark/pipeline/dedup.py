@@ -249,11 +249,19 @@ def embedding_near_dup_pairs(
     bucket_planes: int = 0,
     dim: int = 64,
     seed: int = 42,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
-    ``bucket_planes=0``: exact O(n²) self-join — the oracle-checkable
-    baseline. ``bucket_planes>0``: candidates restricted to pairs sharing a
+    ``bucket_planes=0``: exact all-pairs — the oracle-checkable baseline,
+    executed as a BLOCKED matrix product: vectors hash into ``num_blocks``
+    blocks, every block *pair* scores as one numpy matmul inside
+    ``applyInPandas`` (each row replicates to its ~num_blocks block-pairs,
+    so cost is O(n²/P) per task with BLAS constants — ~1000x the per-pair
+    JVM lambda — and parallelism = num_blocks(num_blocks+1)/2 tasks).
+    Still inherently quadratic: at 100 TB use the bucketed/LSH/IVF paths.
+
+    ``bucket_planes>0``: candidates restricted to pairs sharing a
     random-hyperplane sign bucket first (the 100 TB path — the join key is
     the bucket, so cost ~ Σ bucket² instead of n²; recall depends on the
     threshold vs plane count)."""
@@ -268,18 +276,99 @@ def embedding_near_dup_pairs(
         planes = _random_unit_vectors(bucket_planes, dim, seed)
         c = c.withColumn("_b", hyperplane_signature(F.col("_v"), planes))
         joined = c.alias("a").join(c.alias("b"), "_b")
-    else:
-        joined = c.alias("a").crossJoin(c.alias("b"))
-    sim = cosine(F.col("a._v"), F.col("b._v"))
-    return (
-        joined.where(F.col("a._id") < F.col("b._id"))
-        .withColumn("_sim", sim)
-        .where(F.col("_sim") >= threshold)
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round("_sim", 6).alias("sim"),
+        sim = cosine(F.col("a._v"), F.col("b._v"))
+        return (
+            joined.where(F.col("a._id") < F.col("b._id"))
+            .withColumn("_sim", sim)
+            .where(F.col("_sim") >= threshold)
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.round("_sim", 6).alias("sim"),
+            )
         )
+    return _blocked_exact_pairs(c, threshold, num_blocks)
+
+
+def _blocked_exact_pairs(
+    c: DataFrame, threshold: float, num_blocks: int
+) -> DataFrame:
+    """Exact all-pairs cosine as a block-partitioned matrix product.
+
+    Row in block b joins block-pair group (i, j) as side 'a' for every
+    j >= b and side 'b' for every i <= b (the diagonal group (b, b) gets
+    the row on both sides; the id_a < id_b guard dedups it). One group =
+    one Arrow batch = one numpy matmul.
+    """
+    import pandas as pd  # noqa: F401  (arrow path)
+
+    nb = num_blocks
+    blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(nb))
+    entries = F.concat(
+        F.transform(
+            F.sequence(blk, F.lit(nb - 1)),
+            lambda j: F.struct(
+                (blk * nb + j).alias("grp"), F.lit("a").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), blk),
+            lambda i: F.struct(
+                (i * nb + blk).alias("grp"), F.lit("b").alias("side")
+            ),
+        ),
+    )
+    tagged = (
+        c.select(
+            "_id",
+            F.col("_v").cast("array<double>").alias("_v"),
+            F.explode(entries).alias("_e"),
+        )
+        .select("_id", "_v", F.col("_e.grp").alias("grp"), F.col("_e.side").alias("side"))
+    )
+
+    thr = float(threshold)
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ma = np.stack(a["_v"].to_numpy())
+        mb = np.stack(b["_v"].to_numpy())
+        # same formula as the per-pair form: dot / (|a| * |b|)
+        sims = (ma @ mb.T) / np.outer(
+            np.sqrt((ma * ma).sum(axis=1)), np.sqrt((mb * mb).sum(axis=1))
+        )
+        ia, ib = np.nonzero(sims >= thr)
+        ids_a = a["_id"].to_numpy()[ia]
+        ids_b = b["_id"].to_numpy()[ib]
+        i_blk, j_blk = divmod(int(pdf["grp"].iloc[0]), nb)
+        if i_blk == j_blk:
+            # diagonal group: every unordered pair appears in both
+            # orientations — the id guard keeps exactly one
+            keep = ids_a < ids_b
+        else:
+            # off-diagonal: each pair appears once, in block orientation;
+            # normalize to id order below
+            keep = ids_a != ids_b
+        lo = np.minimum(ids_a[keep], ids_b[keep])
+        hi = np.maximum(ids_a[keep], ids_b[keep])
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "sim": np.round(sims[ia[keep], ib[keep]], 6),
+            }
+        )
+
+    return tagged.groupBy("grp").applyInPandas(
+        score, "id_a long, id_b long, sim double"
     )
 
 
