@@ -126,30 +126,54 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_signature(
-    text: Column, *, n: int = 5, num_hashes: int = 64, seed: int = 42
-) -> Column:
-    """K permuted min-hashes over the shingle set, as an array<long>.
+def _shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """One row per (doc, distinct shingle) with its xxhash64 — the layout
+    every signature aggregates over with codegen'd grouped aggs (the
+    higher-order array-lambda form is interpreted per element and would
+    re-evaluate the shingle array once per hash function)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("_sh"),
+    ).select("_id", F.xxhash64("_sh").alias("_h"))
 
-    h_i(s) = (a_i * x(s) + b_i) mod p with x(s) = xxhash64(shingle) folded to
-    [0, 2^31); products stay within long range. One JVM expression — no UDF.
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """K permuted min-hashes per doc -> (_id, _sig array<long>).
+
+    h_i(s) = (a_i * x(s) + b_i) mod p with x(s) = xxhash64(shingle) folded
+    to [0, 2^31); products stay within long range. Executed as K min()
+    aggregates in ONE hash aggregation over the exploded shingle rows —
+    all whole-stage-codegen, one shuffle, map-side combined.
     """
     a, b = _hash_params(num_hashes, seed)
-    shingle_codes = F.transform(
-        char_shingles(text, n), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+    rows = _shingle_hash_rows(df, text_col, id_col, n).withColumn(
+        "_c", F.pmod(F.col("_h"), F.lit(1 << 31))
     )
-    a_arr = F.array(*[F.lit(x % (1 << 31)) for x in a])
-    b_arr = F.array(*[F.lit(x % (1 << 31)) for x in b])
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingle_codes,
-                lambda c: F.pmod(
-                    a_arr[i] * c + b_arr[i], F.lit(_MERSENNE_P)
-                ),
+    aggs = [
+        F.min(
+            F.pmod(
+                F.lit(a[i] % (1 << 31)) * F.col("_c") + F.lit(b[i] % (1 << 31)),
+                F.lit(_MERSENNE_P),
             )
-        ),
+        ).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        rows.groupBy("_id")
+        .agg(*aggs)
+        .select(
+            "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
+        )
     )
 
 
@@ -168,11 +192,9 @@ def minhash_lsh_candidates(
     explode + groupBy on (band, band-hash) — the shuffle key is the bucket,
     so skew is bounded by bucket size, not corpus size."""
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes, seed=seed).alias(
-            "_sig"
-        ),
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, seed=seed,
     )
     banded = sig.select(
         "_id",
@@ -372,35 +394,43 @@ def _blocked_exact_pairs(
     )
 
 
-def simhash64(text: Column, *, n: int = 5) -> Column:
-    """64-bit SimHash: per-bit weighted majority over shingle xxhash64s.
+def simhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """64-bit SimHash per doc -> (_id, sig long).
 
-    bit_k(sig) = 1 iff Σ_shingles (±1 by bit k of hash) > 0. Computed as one
-    JVM expression: for each bit, aggregate over the shingle-hash array.
-    """
-    hashes = F.transform(char_shingles(text, n), lambda s: F.xxhash64(s))
-    def bit_sum(k: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
+    bit_k(sig) = 1 iff Σ_shingles (±1 by bit k of hash) > 0. Executed as 64
+    sum() aggregates in ONE hash aggregation over the exploded shingle rows
+    (whole-stage codegen; the array-lambda form would interpret 64 x
+    #shingles steps per doc and re-shingle the text per bit)."""
+    rows = _shingle_hash_rows(df, text_col, id_col, n)
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_b{k}")
+        for k in range(64)
+    ]
+    g = rows.groupBy("_id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for k in range(64):
-        sig = sig + F.when(bit_sum(k) > 0, F.lit(1).cast("long") * (2**k if k < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
-    return sig
+        sig = sig + F.when(
+            F.col(f"_b{k}") > 0,
+            F.lit(1).cast("long") * (2**k if k < 63 else -(2**63)),
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("_id", sig.alias("sig"))
 
 
 def simhash_bands(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """SimHash signatures + 4x16-bit bands (any pair with Hamming distance
     <= 3 collides on at least one band — pigeonhole)."""
-    sig = df.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col), n=n).alias("sig")
-    )
-    out = sig
+    out = simhash_signatures(df, text_col=text_col, id_col=id_col, n=n)
     for i in range(4):
         out = out.withColumn(
             f"band{i}",
