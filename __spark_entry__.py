@@ -890,6 +890,97 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryPrefixComparator through RowFilter."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(filter=f"RowFilter (=, 'binaryprefix:{'0' * 16}')")
+    return _wide(cells, CUSTOMER_COLS)
+
+
+def q_null_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NullComparator through SCVF: rows where the column does NOT exist."""
+    t = _table(spark, sf_dir, "customer")
+    base = _load(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    vip = base.select(
+        F.lit("put").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("vip"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.encode(F.lit("Y"), "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("batch_seq"),
+    )
+    t2 = t.mutate_row(vip)
+    dsl = "SingleColumnValueFilter ('d', 'vip', =, 'null:', false, true)"
+    return _wide(t2.scan(filter=dsl), CUSTOMER_COLS)
+
+
+def q_bit_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BitComparator (AND mask) through ValueFilter over be8 counters:
+    keeps cells whose count has the low bit set (odd)."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    ev = _load(spark, sf_dir, "events")
+    incs = ev.select(
+        _key_col(F.col("user_id")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.col("event_type"), "UTF-8").alias("qualifier"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    t = Table(TableMeta(name="counters"), _empty_cells(spark), now_ms=NOW_MS)
+    t2, _ = t.increment(incs)
+    filt = fast.ValueFilter(
+        op="EQUAL",
+        comparator=fast.BitComparator(value=b"\x00" * 7 + b"\x01", bit_op="AND"),
+    )
+    cells = t2.scan(filter=filt)
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("user_id"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("event_type"),
+        codecs.decode_long_be(F.col("value")).alias("cnt"),
+    )
+
+
+def q_endpoint_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom coprocessor endpoint: per-partition (sum, count) partials via
+    mapInPandas (AggregateImplementation analog), client-side merge
+    (AggregationClient analog) as a final tiny aggregation."""
+    import pandas as pd
+
+    from hbase_1_3_0_spark.operators import coprocessor
+
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(columns=(("d", b"c_acctbal"),))
+    vals = cells.select(
+        codecs.decode_value(F.col("value"), "double").alias("v")
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"s": [pdf["v"].sum()], "c": [len(pdf)]})
+
+    parts = coprocessor.partition_endpoint(vals, partials, "s double, c long")
+    return parts.agg(
+        F.round(F.sum("s") / F.sum("c"), 6).alias("avg_acctbal")
+    )
+
+
+def q_observer_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegionObserver analog: a postScannerNext hook redacts c_acctbal
+    values from every scan result."""
+    def redact(df: DataFrame) -> DataFrame:
+        is_bal = F.col("qualifier") == F.encode(F.lit("c_acctbal"), "UTF-8")
+        return df.withColumn(
+            "value", F.when(is_bal, F.lit(None).cast("binary")).otherwise(F.col("value"))
+        )
+
+    t = _table(spark, sf_dir, "customer").with_observers(post_scan=redact)
+    return _wide(
+        t.scan(),
+        {"c_custkey": "bigint", "c_name": "string", "c_acctbal": "double"},
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline queries
 # --------------------------------------------------------------------------
@@ -1056,6 +1147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_and_delete": q_check_and_delete,
         "batch_mixed": q_batch_mixed,
         "multimodal_features": q_multimodal_features,
+        "binary_prefix": q_binary_prefix,
+        "null_comparator": q_null_comparator,
+        "bit_comparator": q_bit_comparator,
+        "endpoint_agg": q_endpoint_agg,
+        "observer_redact": q_observer_redact,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -1406,6 +1502,23 @@ def oracle_sql() -> dict[str, str]:
             "AS c_acctbal, "
             "CASE WHEN c_custkey % 2 = 0 THEN 'even' END AS note, "
             "CASE WHEN c_custkey % 2 = 1 THEN 5 END::BIGINT AS visits "
+            "FROM customer"
+        ),
+        "binary_prefix": (
+            f"SELECT {cust_cols} FROM customer WHERE c_custkey <= 999"
+        ),
+        "null_comparator": (
+            f"SELECT {cust_cols} FROM customer WHERE c_custkey % 5 <> 0"
+        ),
+        "bit_comparator": (
+            "SELECT user_id, event_type, count(*)::BIGINT AS cnt FROM events "
+            "GROUP BY 1, 2 HAVING count(*) % 2 = 1"
+        ),
+        "endpoint_agg": (
+            "SELECT round(avg(c_acctbal), 6) AS avg_acctbal FROM customer"
+        ),
+        "observer_redact": (
+            "SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal "
             "FROM customer"
         ),
         # random_row / multimodal_features: engine-specific (seeded sample /
