@@ -1059,6 +1059,52 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(embs, queries, k=10, dim=64)
 
 
+def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming counters: events written as WAL
+    segments, replayed with readStream (availableNow), folded by the
+    stateful counter aggregation, landed in a memory sink (SURVEY.md §2.5;
+    same totals as the batch increment path)."""
+    import hashlib
+    import shutil
+
+    from hbase_1_3_0_spark.streaming import wal
+
+    ev = _load(spark, sf_dir, "events")
+    incs = ev.select(
+        _key_col(F.col("user_id")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.col("event_type"), "UTF-8").alias("qualifier"),
+        F.lit(1).cast("long").alias("delta"),
+        F.col("ts").alias("event_ts"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/spark_graft_wal_{tag}"
+    ckpt = f"/tmp/spark_graft_wal_ckpt_{tag}"
+    sink = f"stream_counters_{tag}"
+    incs.write.mode("overwrite").parquet(src)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(incs.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    counters = wal.streaming_counters(stream, ts_col="event_ts")
+    q = (
+        counters.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        codecs.decode_key_num(F.col("row")).alias("user_id"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("event_type"),
+        F.col("counter"),
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the event stream (batch mode; the
     same plan runs under readStream with a watermark — SURVEY.md §2.5)."""
@@ -1162,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "streaming_counters": q_streaming_counters,
         "events_window": q_events_window,
     }
 
@@ -1546,6 +1593,10 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(b.e, b.e))) >= 0.3"
         ),
         "cosine_topk": _COSINE_SQL,
+        "streaming_counters": (
+            "SELECT user_id, event_type, count(*)::BIGINT AS counter "
+            "FROM events GROUP BY 1, 2"
+        ),
         "events_window": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, "
             "event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v "
