@@ -144,14 +144,57 @@ def hash_table(cells: DataFrame, *, num_buckets: int = 1024) -> DataFrame:
 
 
 def sync_table(
-    source: DataFrame, target: DataFrame
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    hash_prefilter: bool = False,
+    num_buckets: int = 1024,
 ) -> DataFrame:
     """SyncTable (SyncTable.java:56): compute the mutation stream that makes
     ``target`` identical to ``source`` — a distributed diff/merge.
 
     Full-outer join of the two read views on (row,family,qualifier):
     source-only or value/ts-mismatched -> put; target-only -> delete_column.
-    """
+
+    ``hash_prefilter=True`` is the reference's actual two-phase algorithm
+    (HashTable then sync only differing ranges, SyncTable.java:56): compare
+    per-bucket digests first and full-outer-join ONLY rows of differing
+    buckets. Worth it when diffs are sparse/localized (the steady-state
+    replication-repair case at 100 TB: most buckets match, the big join
+    shrinks to the diff neighborhoods); for dense diffs the direct join
+    does strictly less work, hence the default."""
+    if hash_prefilter:
+        hs = hash_table(source, num_buckets=num_buckets)
+        ht = hash_table(target, num_buckets=num_buckets)
+        changed = (
+            hs.withColumnRenamed("digest", "s_d")
+            .withColumnRenamed("cells", "s_c")
+            .join(
+                ht.withColumnRenamed("digest", "t_d").withColumnRenamed(
+                    "cells", "t_c"
+                ),
+                "bucket",
+                "full_outer",
+            )
+            .where(
+                F.col("s_d").isNull()
+                | F.col("t_d").isNull()
+                | (F.col("s_d") != F.col("t_d"))
+                | (F.col("s_c") != F.col("t_c"))
+            )
+            .select("bucket")
+        )
+        bucket = F.pmod(F.xxhash64("row"), F.lit(num_buckets))
+        source = source.withColumn("_bk", bucket).join(
+            F.broadcast(changed.withColumnRenamed("bucket", "_bk")),
+            "_bk",
+            "left_semi",
+        ).drop("_bk")
+        target = target.withColumn("_bk", bucket).join(
+            F.broadcast(changed.withColumnRenamed("bucket", "_bk")),
+            "_bk",
+            "left_semi",
+        ).drop("_bk")
     s = read_view(source, max_versions=1).select(
         "row", "family", "qualifier",
         F.col("ts").alias("s_ts"), F.col("value").alias("s_value"),
