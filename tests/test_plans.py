@@ -78,3 +78,19 @@ def test_multimodal_is_arrow_batched_python(spark, sf_dir):
     assert inspect.has_python_eval(feats)
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_fused_scvf_plans_as_hash_agg(disk_table):
+    # AND-composed SCVFs: one hash aggregation (never a SortAggregate —
+    # struct-max buffers would force sort-based aggregation whose generated
+    # code also JIT-compiles an order of magnitude slower) + one join of
+    # the big side, no window over the full scan
+    dsl = (
+        "(SingleColumnValueFilter ('d', 'o_orderstatus', =, 'binary:F', true, true) AND "
+        "SingleColumnValueFilter ('d', 'o_orderpriority', =, 'substring:urgent', true, true))"
+    )
+    df = disk_table.scan(filter=dsl)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
