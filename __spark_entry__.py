@@ -209,6 +209,17 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigDecimalColumnInterpreter analog: exact decimal sum/avg."""
+    t = _table(spark, sf_dir, "lineitem")
+    out = agg.aggregate(t.scan(), "d", b"l_extendedprice", interpreter="decimal")
+    return out.select(
+        F.col("sum").cast("decimal(28,6)").alias("sum_price"),
+        F.col("avg").cast("decimal(28,6)").alias("avg_price"),
+        F.col("count").alias("cnt"),
+    )
+
+
 def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (AggregateImplementation.getMedian analog)."""
     t = _table(spark, sf_dir, "lineitem")
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "tombstones": q_tombstones,
         "agg_stats": q_agg_stats,
+        "agg_decimal": q_agg_decimal,
         "median": q_median,
         "weighted_median": q_weighted_median,
         "row_count": q_row_count,
@@ -1358,6 +1370,12 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_quantity), 6) AS avg_q, "
             "round(stddev_pop(l_quantity), 6) AS std_q, "
             "count(l_quantity) AS cnt FROM lineitem"
+        ),
+        "agg_decimal": (
+            "SELECT sum(l_extendedprice::DECIMAL(28,6))::DECIMAL(28,6) "
+            "AS sum_price, "
+            "avg(l_extendedprice::DECIMAL(28,6))::DECIMAL(28,6) AS avg_price, "
+            "count(l_extendedprice)::BIGINT AS cnt FROM lineitem"
         ),
         "median": (
             "SELECT round(median(l_extendedprice), 6) AS median_price "
