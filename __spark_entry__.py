@@ -341,9 +341,14 @@ def q_copy_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_reversed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reversed scan with row limit (Scan.setReversed:694)."""
+    """Reversed scan with flipped range roles + row limit
+    (Scan.setReversed:694: startRow is the largest key, inclusive;
+    stopRow the smallest, exclusive)."""
     t = _table(spark, sf_dir, "customer")
-    return _wide(t.scan(reversed=True, limit=50), CUSTOMER_COLS)
+    cells = t.scan(
+        reversed=True, start_row=_k(500), stop_row=_k(400), limit=50
+    )
+    return _wide(cells, CUSTOMER_COLS)
 
 
 def q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,7 +1431,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderkey >= 100 AND o_orderkey < 300"
         ),
         "reversed_scan": (
-            f"SELECT {cust_cols} FROM customer ORDER BY c_custkey DESC LIMIT 50"
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey <= 500 AND c_custkey > 400 "
+            "ORDER BY c_custkey DESC LIMIT 50"
         ),
         "multi_range": (
             f"SELECT {cust_cols} FROM customer WHERE "

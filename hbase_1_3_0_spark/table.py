@@ -126,14 +126,26 @@ class Table:
         # they add still push down through Catalyst
         df = Observers.apply(self.observers.pre_scan, self.cells)
 
-        # 1. row range first — pushed into the parquet scan by Catalyst
-        if s.start_row is not None:
-            df = df.where(F.col("row") >= F.lit(s.start_row))
-        if s.stop_row is not None:
-            if s.stop_inclusive:
-                df = df.where(F.col("row") <= F.lit(s.stop_row))
-            else:
-                df = df.where(F.col("row") < F.lit(s.stop_row))
+        # 1. row range first — pushed into the parquet scan by Catalyst.
+        # Reversed scans flip the range roles (Scan.setReversed:694 +
+        # ReversedClientScanner: startRow is the LARGEST key, inclusive;
+        # stopRow the smallest, exclusive).
+        if s.reversed:
+            if s.start_row is not None:
+                df = df.where(F.col("row") <= F.lit(s.start_row))
+            if s.stop_row is not None:
+                if s.stop_inclusive:
+                    df = df.where(F.col("row") >= F.lit(s.stop_row))
+                else:
+                    df = df.where(F.col("row") > F.lit(s.stop_row))
+        else:
+            if s.start_row is not None:
+                df = df.where(F.col("row") >= F.lit(s.start_row))
+            if s.stop_row is not None:
+                if s.stop_inclusive:
+                    df = df.where(F.col("row") <= F.lit(s.stop_row))
+                else:
+                    df = df.where(F.col("row") < F.lit(s.stop_row))
 
         # 2. read view per family-parameter group. Window-free cell
         # predicates evaluate INSIDE the read view, before version counting

@@ -79,6 +79,15 @@ def test_row_limit_and_reverse(customer_table):
     assert len(rows_rev) == 3 and rows_rev[-1] == key(hi)
 
 
+def test_reversed_scan_range_roles_flip(customer_table):
+    """Scan.setReversed(:694): startRow is the LARGEST key (inclusive),
+    stopRow the smallest (exclusive) — ReversedClientScanner semantics."""
+    table, _ = customer_table
+    out = table.scan(Scan(start_row=key(15), stop_row=key(11), reversed=True))
+    rows = sorted({bytes(r.row) for r in out.select("row").distinct().collect()})
+    assert rows == [key(12), key(13), key(14), key(15)]
+
+
 def test_stop_inclusive(customer_table):
     table, _ = customer_table
     out = table.scan(Scan(start_row=key(10), stop_row=key(12), stop_inclusive=True))
