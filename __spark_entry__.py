@@ -906,6 +906,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intra_row_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-level per-CF column paging (setRowOffsetPerColumnFamily:502 +
+    setMaxResultsPerColumnFamily:493): skip 1 column, take 2."""
+    t = _table(spark, sf_dir, "customer")
+    cells = t.scan(row_offset_per_cf=1, max_results_per_cf=2)
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+    )
+
+
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major compaction (jobs.compact): after tombstone writes, the
+    rewritten log holds exactly the visible cells — GC'd markers and masked
+    puts are gone, and a scan over the compacted log equals the pre-compaction
+    read view (shared ScanQueryMatcher code path, StoreScanner.java:268-271)."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    fam_del = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.lit("delete_family").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.lit(None).cast("binary").alias("qualifier"),
+        F.lit(DEL_TS).cast("long").alias("ts"),
+    )
+    t2 = t.delete(fam_del)
+    compacted = jobs.compact(t2.cells, now_ms=NOW_MS)
+    t3 = Table(TableMeta(name="customer_compacted", clean_log=True), compacted, now_ms=NOW_MS)
+    return _wide(t3.scan(), CUSTOMER_COLS)
+
+
 def q_binary_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BinaryPrefixComparator through RowFilter."""
     t = _table(spark, sf_dir, "customer")
@@ -1210,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_and_delete": q_check_and_delete,
         "batch_mixed": q_batch_mixed,
         "multimodal_features": q_multimodal_features,
+        "intra_row_paging": q_intra_row_paging,
+        "compaction": q_compaction,
         "binary_prefix": q_binary_prefix,
         "null_comparator": q_null_comparator,
         "bit_comparator": q_bit_comparator,
@@ -1575,6 +1608,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 2 = 0 THEN 'even' END AS note, "
             "CASE WHEN c_custkey % 2 = 1 THEN 5 END::BIGINT AS visits "
             "FROM customer"
+        ),
+        "intra_row_paging": (
+            "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
+            "(VALUES ('c_custkey'), ('c_mktsegment')) v(q)"
+        ),
+        "compaction": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer WHERE c_custkey % 10 <> 0"
         ),
         "binary_prefix": (
             f"SELECT {cust_cols} FROM customer WHERE c_custkey <= 999"
