@@ -129,6 +129,17 @@ def q_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
 
 
+def q_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterList MUST_PASS_ONE: OR of a row-key filter and a row-level
+    SCVF (the SCVF composes in its window-predicate form under OR)."""
+    t = _table(spark, sf_dir, "customer")
+    dsl = (
+        f"(RowFilter (<, 'binary:{100:019d}') OR "
+        "SingleColumnValueFilter ('d', 'c_mktsegment', =, 'binary:AUTOMOBILE'))"
+    )
+    return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
+
+
 def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageFilter: first n rows in row-key order (exact-global semantics)."""
     t = _table(spark, sf_dir, "customer")
@@ -1188,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists": q_exists,
         "filter_scvf": q_filter_scvf,
         "filter_composite": q_filter_composite,
+        "filter_or": q_filter_or,
         "page_filter": q_page_filter,
         "column_pagination": q_column_pagination,
         "versions_latest": q_versions_latest,
@@ -1383,6 +1395,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_composite": (
             f"SELECT {cust_cols} FROM customer "
             "WHERE c_custkey >= 500 AND c_mktsegment = 'BUILDING'"
+        ),
+        "filter_or": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey < 100 OR c_mktsegment = 'AUTOMOBILE'"
         ),
         "page_filter": (
             f"SELECT {cust_cols} FROM customer ORDER BY c_custkey LIMIT 50"
