@@ -221,12 +221,19 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BigDecimalColumnInterpreter analog: exact decimal sum/avg."""
+    """BigDecimalColumnInterpreter analog: exact decimal sum/avg.
+
+    Computed in exact DecimalType arithmetic; emitted as canonical
+    fixed-scale strings because decimal *representation* differs across
+    client layers (DuckDB's pandas client materializes DECIMAL as
+    float64, Spark yields Decimal objects) — the string form makes the
+    value comparison representation-proof while keeping the arithmetic
+    exact (BigDecimalColumnInterpreter semantics)."""
     t = _table(spark, sf_dir, "lineitem")
     out = agg.aggregate(t.scan(), "d", b"l_extendedprice", interpreter="decimal")
     return out.select(
-        F.col("sum").cast("decimal(28,6)").alias("sum_price"),
-        F.col("avg").cast("decimal(28,6)").alias("avg_price"),
+        F.col("sum").cast("decimal(28,6)").cast("string").alias("sum_price"),
+        F.col("avg").cast("decimal(28,6)").cast("string").alias("avg_price"),
         F.col("count").alias("cnt"),
     )
 
@@ -511,7 +518,9 @@ def q_grouping_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HashTable bucket digests (xxhash64 — rows-only oracle)."""
+    """HashTable bucket digests (HashTable.java:64): md5-derived 60-bit cell
+    hashes xor-folded per bucket — commutative and exactly reproducible by
+    the SQL oracle (value-checked, not rows-only)."""
     t = _table(spark, sf_dir, "nation")
     return jobs.hash_table(t.cells, num_buckets=8)
 
@@ -1182,6 +1191,199 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sync_ts_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SyncTable timestamp-aware repair (SyncTable.syncRowCells): a target
+    cell NEWER than the source cell gets a delete_version at the target ts
+    alongside the put — otherwise the newer target version would keep
+    masking the repair put. Also diffs on ts, not just value."""
+    src = fixtures.kv_cells(spark, sf_dir, "orders")
+    orders = _load(spark, sf_dir, "orders")
+    tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    tgt_base = table_to_cells(tgt_rows, ["o_orderkey"])
+    # target got a NEWER divergent o_orderstatus on %9 rows (ts = V2_TS)
+    newer = orders.where(
+        (F.col("o_orderkey") % 9 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).select(
+        _key_col(F.col("o_orderkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("o_orderstatus"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.lit(4).alias("type"),
+        F.encode(F.lit("X"), "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    diff = jobs.sync_table(src, tgt_base.unionByName(newer))
+    return diff.select(
+        codecs.decode_key_num(F.col("row")).alias("o_orderkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.col("op"),
+    )
+
+
+def q_cell_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell TTL tags (TagType.java:33, TTL_TAG_TYPE=8): an optional
+    ttl_ms cell column honored by the read view — expired tagged cells
+    vanish, live tagged cells survive, untagged cells are unaffected
+    (effective TTL = min(cell TTL, family TTL))."""
+    cells = fixtures.kv_cells(spark, sf_dir, "customer")
+    q = F.decode(F.col("qualifier"), "UTF-8")
+    ck = codecs.decode_key_num(F.col("row"))
+    cells = cells.withColumn(
+        "ttl_ms",
+        F.when((q == "c_acctbal") & (ck % 3 == 0), F.lit(500_000).cast("long"))
+        .when((q == "c_name") & (ck % 5 == 0), F.lit(100_000_000).cast("long")),
+    )
+    # now - ts = NOW_MS - DEFAULT_TS = 8_000_000: the 500k TTL is expired,
+    # the 100M TTL is live
+    t = Table(TableMeta(name="customer", clean_log=True), cells, now_ms=NOW_MS)
+    return _wide(
+        t.scan(),
+        {"c_custkey": "bigint", "c_name": "string", "c_acctbal": "double"},
+    )
+
+
+def q_increment_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment with a TimeRange on the current-value read-back
+    (Increment.setTimeRange, Increment.java:158): the newer version sits
+    outside the range, so the counter builds on the OLD value."""
+    cust = _load(spark, sf_dir, "customer")
+    key = _key_col(F.col("c_custkey"))
+    qual = F.encode(F.lit("hits"), "UTF-8")
+    v1 = cust.select(
+        key.alias("row"),
+        F.lit("d").alias("family"),
+        qual.alias("qualifier"),
+        F.lit(1_000_000).cast("long").alias("ts"),
+        F.lit(4).alias("type"),
+        codecs.encode_long_be(F.col("c_custkey")).alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    v2 = cust.select(
+        key.alias("row"),
+        F.lit("d").alias("family"),
+        qual.alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.lit(4).alias("type"),
+        codecs.encode_long_be(F.col("c_custkey") * 10).alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    t = Table(
+        TableMeta(name="ctrs"), v1.unionByName(v2), now_ms=NOW_MS
+    )
+    incs = cust.select(
+        key.alias("row"),
+        F.lit("d").alias("family"),
+        qual.alias("qualifier"),
+        F.lit(5).cast("long").alias("delta"),
+    )
+    _, results = t.increment(incs, time_range=(0, 1_500_000))
+    return results.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.col("new_value").alias("counter"),
+    )
+
+
+def q_wal_player(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALPlayer analog: replay WAL segments into an existing table — twice,
+    to prove idempotence on the cell identity (at-least-once WAL shipping)."""
+    import hashlib
+    import shutil
+
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    edits = cust.where(F.col("c_custkey") % 4 == 0).select(
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.lit(4).alias("type"),
+        F.encode((F.col("c_acctbal") + 100.0).cast("string"), "UTF-8").alias(
+            "value"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    wal_dir = f"/tmp/spark_graft_walseg_{tag}"
+    shutil.rmtree(wal_dir, ignore_errors=True)
+    edits.write.mode("overwrite").parquet(wal_dir)
+    replayed = jobs.wal_player(spark, wal_dir, t.cells)
+    replayed = jobs.wal_player(spark, wal_dir, replayed)  # no-op replay
+    t2 = Table(TableMeta(name="customer"), replayed, now_ms=NOW_MS)
+    return _wide(t2.scan(), {"c_custkey": "bigint", "c_acctbal": "double"})
+
+
+def q_ordered_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving SIGNED composite row keys (OrderedBytes.java:768 /
+    types/Struct.java:67 analog): key = (acctbal fixed-point signed segment,
+    custkey); a binary range scan over a NEGATIVE-to-positive value range
+    returns exactly the numeric interval."""
+    cust = _load(spark, sf_dir, "customer")
+    row = codecs.ordered_key(
+        codecs.key_segment_signed(F.col("c_acctbal"), scale=2),
+        codecs.key_segment_num(F.col("c_custkey")),
+    )
+    cells = cust.select(
+        row.alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_custkey"), "UTF-8").alias("qualifier"),
+        F.lit(1_000_000).cast("long").alias("ts"),
+        F.lit(4).alias("type"),
+        codecs.encode_value(F.col("c_custkey")).alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    t = Table(TableMeta(name="by_bal", clean_log=True), cells, now_ms=NOW_MS)
+    out = t.scan(
+        start_row=codecs.encode_signed_segment(-500.0, scale=2),
+        stop_row=codecs.encode_signed_segment(100.0, scale=2),
+    )
+    return out.select(
+        codecs.decode_key_num(F.col("row"), 1).alias("c_custkey"),
+        F.round(codecs.decode_key_signed(F.col("row"), 0, scale=2), 2).alias(
+            "acctbal"
+        ),
+    )
+
+
+def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BitComparator with a mask LONGER than 8 bytes + the length-equality
+    rule (BitComparator.java:112-118): only values exactly as long as the
+    10-byte mask can match, so the AND mask keeps just the 10-byte
+    c_mktsegment value."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    filt = fast.ValueFilter(
+        op="EQUAL",
+        comparator=fast.BitComparator(value=b"AUTOMOBILE", bit_op="AND"),
+    )
+    cells = t.scan(filter=filt)
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("value"), "UTF-8").alias("seg"),
+    )
+
+
+def q_column_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnPaginationFilter byte[] columnOffset variant
+    (ColumnPaginationFilter.java:77): pagination starts at the first column
+    >= the bookmark qualifier; limit columns from there."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    filt = fast.ColumnPaginationFilter(limit=2, column_offset=b"c_mktsegment")
+    cells = t.scan(filter=filt)
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.decode(F.col("value"), "UTF-8").alias("val"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1272,6 +1474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "streaming_counters": q_streaming_counters,
         "events_window": q_events_window,
+        "sync_ts_repair": q_sync_ts_repair,
+        "cell_ttl": q_cell_ttl,
+        "increment_timerange": q_increment_timerange,
+        "wal_player": q_wal_player,
+        "ordered_signed": q_ordered_signed,
+        "bit_comparator_wide": q_bit_comparator_wide,
+        "column_offset_paging": q_column_offset_paging,
     }
 
 
@@ -1426,9 +1635,10 @@ def oracle_sql() -> dict[str, str]:
             "count(l_quantity) AS cnt FROM lineitem"
         ),
         "agg_decimal": (
-            "SELECT sum(l_extendedprice::DECIMAL(28,6))::DECIMAL(28,6) "
-            "AS sum_price, "
-            "avg(l_extendedprice::DECIMAL(28,6))::DECIMAL(28,6) AS avg_price, "
+            "SELECT (sum(l_extendedprice::DECIMAL(28,6))::DECIMAL(28,6))"
+            "::VARCHAR AS sum_price, "
+            "(avg(l_extendedprice::DECIMAL(28,6))::DECIMAL(28,6))::VARCHAR "
+            "AS avg_price, "
             "count(l_extendedprice)::BIGINT AS cnt FROM lineitem"
         ),
         "median": (
@@ -1683,6 +1893,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, "
             "event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v "
             "FROM events GROUP BY 1, 2"
+        ),
+        "hash_table": (
+            "WITH cells AS ("
+            "SELECT lpad(n_nationkey::VARCHAR, 19, '0') AS rk, q.q AS qual, "
+            "CASE q.q WHEN 'n_nationkey' THEN n_nationkey::VARCHAR "
+            "WHEN 'n_name' THEN n_name "
+            "ELSE n_regionkey::VARCHAR END AS val "
+            "FROM nation CROSS JOIN (VALUES ('n_nationkey'), ('n_name'), "
+            "('n_regionkey')) q(q)), "
+            "h AS (SELECT "
+            "('0x' || substr(md5(hex(rk::BLOB)), 1, 8))::BIGINT % 8 "
+            "AS bucket, "
+            "('0x' || substr(md5(hex(rk::BLOB) || '|d|' || hex(qual::BLOB) "
+            "|| '|1000000|' || hex(val::BLOB)), 1, 15))::BIGINT AS h "
+            "FROM cells) "
+            "SELECT bucket, bit_xor(h) AS digest, count(*)::BIGINT AS cells "
+            "FROM h GROUP BY bucket"
+        ),
+        "sync_ts_repair": (
+            "SELECT o_orderkey, q.q AS qualifier, 'put' AS op FROM orders "
+            "CROSS JOIN (VALUES ('o_orderkey'), ('o_custkey'), "
+            "('o_orderstatus'), ('o_totalprice'), ('o_orderdate'), "
+            "('o_orderpriority')) q(q) WHERE o_orderkey % 13 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'o_totalprice' AS qualifier, 'put' AS op "
+            "FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'o_orderstatus' AS qualifier, 'put' AS op "
+            "FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 13 <> 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'o_orderstatus' AS qualifier, "
+            "'delete_version' AS op "
+            "FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 13 <> 0"
+        ),
+        "cell_ttl": (
+            "SELECT c_custkey, c_name, "
+            "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END "
+            "AS c_acctbal FROM customer"
+        ),
+        "increment_timerange": (
+            "SELECT c_custkey, c_custkey + 5 AS counter FROM customer"
+        ),
+        "wal_player": (
+            "SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 "
+            "THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal "
+            "FROM customer"
+        ),
+        "ordered_signed": (
+            "SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer "
+            "WHERE c_acctbal >= -500 AND c_acctbal < 100"
+        ),
+        "bit_comparator_wide": (
+            "SELECT c_custkey, c_mktsegment AS seg FROM customer "
+            "WHERE length(c_mktsegment) = 10 AND c_mktsegment = 'AUTOMOBILE'"
+        ),
+        "column_offset_paging": (
+            "SELECT c_custkey, 'c_mktsegment' AS qualifier, "
+            "c_mktsegment AS val FROM customer "
+            "UNION ALL "
+            "SELECT c_custkey, 'c_name' AS qualifier, c_name AS val "
+            "FROM customer"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

@@ -143,8 +143,15 @@ class Engine:
         compacted = outs[0]
         for o in outs[1:]:
             compacted = compacted.unionByName(o)
+        # KEEP_DELETED_CELLS retains markers through compaction
+        # (COMPACT_RETAIN_DELETES), so only KDC=FALSE single-version
+        # families leave a clean (tombstone-free, single-version) log
         meta = _replace(
-            table.meta, clean_log=all(f.max_versions == 1 for f in fams)
+            table.meta,
+            clean_log=all(
+                f.max_versions == 1 and f.keep_deleted_cells == "FALSE"
+                for f in fams
+            ),
         )
         self.catalog.alter_table(meta)
         out = Table(meta, compacted, self._now_ms)

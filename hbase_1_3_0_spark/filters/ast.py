@@ -97,8 +97,9 @@ class BinaryPrefixComparator(Comparator):
 
 @dataclass(frozen=True)
 class BitComparator(Comparator):
-    """Bitwise op against a mask; EQUAL <=> (operand bitop mask) != 0
-    (BitComparator.java:34). Operands up to 8 bytes (compared via long)."""
+    """Bitwise op against a mask; EQUAL <=> value length == mask length AND
+    (operand bitop mask) has a non-zero byte (BitComparator.java:112-118).
+    Arbitrary mask lengths; compiled to per-byte JVM expressions."""
 
     value: bytes
     bit_op: str = "AND"  # AND | OR | XOR
@@ -249,10 +250,17 @@ class ColumnRangeFilter(Filter):
 
 @dataclass(frozen=True)
 class ColumnPaginationFilter(Filter):
-    """Per-row LIMIT/OFFSET over columns (ColumnPaginationFilter.java:43)."""
+    """Per-row LIMIT/OFFSET over columns (ColumnPaginationFilter.java:43).
+
+    ``column_offset`` is the byte[] bookmark variant
+    (ColumnPaginationFilter.java:77): pagination starts at the first column
+    (in (family, qualifier) order) whose qualifier >= ``column_offset`` and
+    returns ``limit`` columns from there, possibly spanning families.
+    Mutually exclusive with ``offset``."""
 
     limit: int
     offset: int = 0
+    column_offset: bytes | None = None
 
 
 @dataclass(frozen=True)

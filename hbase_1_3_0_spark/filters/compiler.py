@@ -115,20 +115,29 @@ def compile_compare(col: Column, op: str, cmp: ast.Comparator) -> Column:
             return ~m
         return F.lit(False)
     if isinstance(cmp, ast.BitComparator):
-        if len(cmp.value) > 8:
-            raise NotImplementedError("BitComparator masks limited to 8 bytes")
-        operand = F.conv(F.hex(col), 16, 10).cast("bigint")
-        mask = int.from_bytes(cmp.value, "big")
-        if cmp.bit_op == "AND":
-            res = operand.bitwiseAND(F.lit(mask))
-        elif cmp.bit_op == "OR":
-            res = operand.bitwiseOR(F.lit(mask))
-        elif cmp.bit_op == "XOR":
-            res = operand.bitwiseXOR(F.lit(mask))
-        else:
+        # BitComparator.java:112-118: compareTo is 1 (no match) when the
+        # value length differs from the mask length; otherwise 0 (match) iff
+        # some byte of (value <bitop> mask) is non-zero. EQUAL includes on
+        # match; NOT_EQUAL includes on no-match (including length mismatch).
+        # Arbitrary mask length: one codegen'd byte expression per mask byte.
+        if cmp.bit_op not in ("AND", "OR", "XOR"):
             raise ValueError(f"unknown bit_op: {cmp.bit_op}")
-        nonzero = res != 0
-        return nonzero if op == ast.CompareOp.EQUAL else ~nonzero
+        nonzero = F.lit(False)
+        for i, mask_byte in enumerate(cmp.value):
+            b = F.conv(F.hex(F.substring(col, i + 1, 1)), 16, 10).cast("int")
+            if cmp.bit_op == "AND":
+                res = b.bitwiseAND(F.lit(mask_byte))
+            elif cmp.bit_op == "OR":
+                res = b.bitwiseOR(F.lit(mask_byte))
+            else:
+                res = b.bitwiseXOR(F.lit(mask_byte))
+            nonzero = nonzero | (res != 0)
+        match = (F.length(col) == len(cmp.value)) & nonzero
+        if op == ast.CompareOp.EQUAL:
+            return match
+        if op == ast.CompareOp.NOT_EQUAL:
+            return ~match
+        return F.lit(False)
     raise NotImplementedError(f"comparator: {type(cmp).__name__}")
 
 
@@ -298,18 +307,22 @@ def _dependent_pred(f: ast.DependentColumnFilter) -> Column:
     return pred
 
 
-def _page_transform(n: int) -> Callable[[DataFrame], DataFrame]:
+def _page_transform(n: int, reversed_scan: bool = False) -> Callable[[DataFrame], DataFrame]:
     def t(df: DataFrame) -> DataFrame:
-        # Exact global semantics: first n rows in row-key order. orderBy+limit
-        # plans as TakeOrderedAndProject (no full sort); the semi join
-        # broadcasts the n-row key set.
-        rows = df.select("row").distinct().orderBy("row").limit(n)
+        # Exact global semantics: first n rows in scan order (row-key order,
+        # descending for a reversed scan). orderBy+limit plans as
+        # TakeOrderedAndProject (no full sort); the semi join broadcasts the
+        # n-row key set.
+        order = F.col("row").desc() if reversed_scan else F.col("row").asc()
+        rows = df.select("row").distinct().orderBy(order).limit(n)
         return df.join(F.broadcast(rows), "row", "left_semi")
 
     return t
 
 
-def _while_match_transform(wrapped: ast.Filter) -> Callable[[DataFrame], DataFrame]:
+def _while_match_transform(
+    wrapped: ast.Filter, reversed_scan: bool = False
+) -> Callable[[DataFrame], DataFrame]:
     inner = compile_filter(wrapped, allow_transform=False)
     if inner.transforms:
         raise NotImplementedError(
@@ -318,15 +331,60 @@ def _while_match_transform(wrapped: ast.Filter) -> Callable[[DataFrame], DataFra
 
     def t(df: DataFrame) -> DataFrame:
         flagged = df.withColumn("_wm_pass", inner.pred)
-        # a row "matches" while ALL its cells pass (filterRow semantics)
+        # a row "matches" while ALL its cells pass (filterRow semantics);
+        # the passing prefix is taken in scan order, so a reversed scan
+        # truncates at the LARGEST failing row and keeps rows above it.
+        fail_edge = F.max("row") if reversed_scan else F.min("row")
         first_fail = (
             flagged.where(~F.col("_wm_pass"))
-            .agg(F.min("row").alias("_first_fail"))
+            .agg(fail_edge.alias("_first_fail"))
+        )
+        keep = (
+            (F.col("row") > F.col("_first_fail"))
+            if reversed_scan
+            else (F.col("row") < F.col("_first_fail"))
         )
         return (
             flagged.crossJoin(F.broadcast(first_fail))
-            .where(F.col("_first_fail").isNull() | (F.col("row") < F.col("_first_fail")))
+            .where(F.col("_first_fail").isNull() | keep)
             .drop("_wm_pass", "_first_fail")
+        )
+
+    return t
+
+
+def _column_offset_transform(
+    limit: int, column_offset: bytes
+) -> Callable[[DataFrame], DataFrame]:
+    """ColumnPaginationFilter byte[] bookmark variant
+    (ColumnPaginationFilter.java:77 + getNextCellHint): per row, pagination
+    starts at the first column (in (family, qualifier) order) whose qualifier
+    >= columnOffset; ``limit`` columns are returned from there, possibly
+    spanning families. INCLUDE_AND_NEXT_COL => only the newest version of
+    each included column."""
+
+    def t(df: DataFrame) -> DataFrame:
+        idx = F.dense_rank().over(
+            Window.partitionBy("row").orderBy("family", "qualifier")
+        )
+        vr = F.row_number().over(
+            Window.partitionBy("row", "family", "qualifier").orderBy(
+                F.col("ts").desc(), F.col("seq").desc()
+            )
+        )
+        d = df.withColumn("_ci", idx).withColumn("_vr", vr)
+        start = F.min(
+            F.when(F.col("qualifier") >= F.lit(column_offset), F.col("_ci"))
+        ).over(_w_row())
+        d = d.withColumn("_si", start)
+        return (
+            d.where(
+                F.col("_si").isNotNull()
+                & (F.col("_ci") >= F.col("_si"))
+                & (F.col("_ci") < F.col("_si") + limit)
+                & (F.col("_vr") == 1)
+            )
+            .drop("_ci", "_vr", "_si")
         )
 
     return t
@@ -395,7 +453,10 @@ def is_cell_predicate(f: ast.Filter | None) -> bool:
 
 
 def compile_filter(
-    f: ast.Filter, allow_transform: bool = True, single_version: bool = False
+    f: ast.Filter,
+    allow_transform: bool = True,
+    single_version: bool = False,
+    reversed_scan: bool = False,
 ) -> Compiled:  # noqa: C901
     """Compile a filter AST.
 
@@ -405,7 +466,10 @@ def compile_filter(
     semi/anti-joins (no full-width shuffle). ``single_version=True``
     declares that the input stream carries at most one version per column
     (a default scan's read view), letting version-sensitive filters skip
-    their version-rank window."""
+    their version-rank window. ``reversed_scan`` flips the scan order for
+    the order-dependent filters (PageFilter takes the first rows in
+    descending order; WhileMatchFilter truncates from the top of the range —
+    Scan.setReversed:694 semantics)."""
     if isinstance(f, ast.FilterList):
         if f.operator == "MUST_PASS_ALL":
             children = list(f.filters)
@@ -421,7 +485,7 @@ def compile_filter(
                         _scvf_multi_transform(scvfs, single_version)
                     )
             parts = [
-                compile_filter(x, allow_transform, single_version)
+                compile_filter(x, allow_transform, single_version, reversed_scan)
                 for x in children
             ]
             preds = [p.pred for p in parts if p.pred is not None]
@@ -486,6 +550,10 @@ def compile_filter(
             )
         )
     if isinstance(f, ast.ColumnPaginationFilter):
+        if f.column_offset is not None:
+            return Compiled(
+                None, [_column_offset_transform(f.limit, f.column_offset)]
+            )
         idx = F.dense_rank().over(
             Window.partitionBy("row").orderBy("family", "qualifier")
         )
@@ -496,7 +564,7 @@ def compile_filter(
         )
         return Compiled(idx <= f.limit)
     if isinstance(f, ast.PageFilter):
-        return Compiled(None, [_page_transform(f.page_size)])
+        return Compiled(None, [_page_transform(f.page_size, reversed_scan)])
     if isinstance(f, ast.InclusiveStopFilter):
         return Compiled(F.col("row") <= F.lit(f.stop_row))
     if isinstance(f, ast.TimestampsFilter):
@@ -550,12 +618,15 @@ def compile_filter(
         )
         return Compiled(all_pass)
     if isinstance(f, ast.WhileMatchFilter):
-        return Compiled(None, [_while_match_transform(f.wrapped)])
+        return Compiled(None, [_while_match_transform(f.wrapped, reversed_scan)])
     raise NotImplementedError(f"filter: {type(f).__name__}")
 
 
 def apply_filter(
-    df: DataFrame, f: ast.Filter | None, single_version: bool = False
+    df: DataFrame,
+    f: ast.Filter | None,
+    single_version: bool = False,
+    reversed_scan: bool = False,
 ) -> DataFrame:
     """Apply a compiled filter to a cell DataFrame.
 
@@ -565,7 +636,7 @@ def apply_filter(
     """
     if f is None:
         return df
-    c = compile_filter(f, single_version=single_version)
+    c = compile_filter(f, single_version=single_version, reversed_scan=reversed_scan)
     out = df
     if c.pred is not None:
         out = (

@@ -117,6 +117,64 @@ def decode_key_num(row: Column, index: int = 0) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Signed / fractional order-preserving segments — the OrderedBytes numeric
+# scheme (OrderedBytes.java:768 encodes sign + complement so negatives sort
+# before positives and composite Struct keys order field-wise,
+# types/Struct.java:67). Here the same total order comes from a fixed-point
+# bias: scale to an integer, add 10^19 (covers the whole int64 range), and
+# render fixed-width — unsigned-lexicographic order over the digits equals
+# numeric order, and the segment decodes with builtin arithmetic.
+# ---------------------------------------------------------------------------
+
+ORDERED_SIGNED_WIDTH = 20
+_SIGNED_BIAS = 10**19
+
+
+def key_segment_signed(col: Column, *, scale: int = 0) -> Column:
+    """Signed numeric -> fixed-width order-preserving decimal segment.
+
+    ``scale`` is the number of fractional digits preserved (fixed-point):
+    ``scale=2`` encodes -123.45 as the biased integer -12345 + 10^19.
+    Valid for the entire signed-64-bit scaled range."""
+    c = col.cast(T.DoubleType()) * F.lit(10**scale) if scale else col
+    scaled = F.round(c).cast(T.DecimalType(38, 0))
+    biased = scaled + F.lit(str(_SIGNED_BIAS)).cast(T.DecimalType(38, 0))
+    return F.lpad(biased.cast(T.StringType()), ORDERED_SIGNED_WIDTH, "0")
+
+
+def encode_signed_segment(value: float | int, *, scale: int = 0) -> bytes:
+    """Driver-side literal form of :func:`key_segment_signed` — for building
+    scan range boundaries over signed composite keys."""
+    scaled = round(value * 10**scale)
+    return f"{scaled + _SIGNED_BIAS:0{ORDERED_SIGNED_WIDTH}d}".encode()
+
+
+def decode_key_signed(row: Column, index: int = 0, *, scale: int = 0) -> Column:
+    """Extract a signed fixed-point segment back to a numeric column
+    (LongType for scale=0, DoubleType otherwise)."""
+    seg = decode_key_segment(row, index).cast(T.DecimalType(38, 0))
+    unbiased = seg - F.lit(str(_SIGNED_BIAS)).cast(T.DecimalType(38, 0))
+    if scale == 0:
+        return unbiased.cast(T.LongType())
+    return (unbiased.cast(T.DoubleType()) / F.lit(10**scale)).cast(T.DoubleType())
+
+
+def encode_ordered_long(col: Column) -> Column:
+    """Signed long -> 8 bytes whose unsigned-lexicographic order equals
+    numeric order — the OrderedBytes int64 sign-bit-flip scheme
+    (OrderedBytes.java:768): XOR the sign bit, emit big-endian."""
+    flipped = col.cast(T.LongType()).bitwiseXOR(F.lit(-(1 << 63)))
+    return F.unhex(F.lpad(F.hex(flipped), 16, "0"))
+
+
+def decode_ordered_long(col: Column) -> Column:
+    """Inverse of :func:`encode_ordered_long`."""
+    unsigned = F.conv(F.hex(col), 16, 10).cast(T.DecimalType(22, 0))
+    half = F.lit(str(1 << 63)).cast(T.DecimalType(22, 0))
+    return (unsigned - half).cast(T.LongType())
+
+
+# ---------------------------------------------------------------------------
 # Canonical value codec for typed fixtures: values round-trip through their
 # canonical string rendering (decodable with a plain cast). Raw-fidelity
 # binary values use the *_be codecs above.

@@ -64,9 +64,22 @@ def export_table(
     writer.write_cells(out, path)
 
 
-def import_table(spark: SparkSession, path: str | Path) -> DataFrame:
-    """Import (Import.java:85): read an export back as a cell log."""
-    return writer.read_cells(spark, path)
+def import_table(
+    spark: SparkSession, path: str | Path, *, filter=None
+) -> DataFrame:
+    """Import (Import.java:85): read an export back as a cell log.
+
+    ``filter`` mirrors Import's -Dimport.filter.class arg: a filter AST node
+    or ParseFilter DSL string applied to the imported cells."""
+    cells = writer.read_cells(spark, path)
+    if filter is not None:
+        from hbase_1_3_0_spark.filters.compiler import apply_filter
+        from hbase_1_3_0_spark.filters.parser import parse_filter
+
+        if isinstance(filter, str):
+            filter = parse_filter(filter)
+        cells = apply_filter(cells, filter)
+    return cells
 
 
 def import_tsv(
@@ -124,20 +137,44 @@ def copy_table(
     return df.select(*CELL_COLUMNS)
 
 
+def _md5_long(col) -> "F.Column":
+    """First 60 bits of md5 as a positive BIGINT — portable across engines
+    (any SQL engine with md5 + hex parsing reproduces it exactly)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash_bucket(num_buckets: int) -> "F.Column":
+    """Row -> bucket id, md5-derived (shared by hash_table and the SyncTable
+    prefilter so bucket assignments always agree)."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.hex(F.col("row")), "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(num_buckets))
+
+
 def hash_table(cells: DataFrame, *, num_buckets: int = 1024) -> DataFrame:
     """HashTable (HashTable.java:64): partition-wise content hashes.
 
     Buckets rows by key hash and xors cell hashes within the bucket — an
-    order-independent bucket digest (xxhash64 per cell; commutative combine),
-    so two tables can be diffed by comparing ~num_buckets rows instead of
-    the full data."""
+    order-independent bucket digest, so two tables can be diffed by comparing
+    ~num_buckets rows instead of the full data. The per-cell hash is a
+    60-bit md5 of a canonical hex serialization (HashTable.java uses MD5
+    batch hashes too); md5 + bit_xor is commutative, exact, and reproducible
+    by any SQL engine, which keeps the digests oracle-checkable."""
     visible = read_view(cells, max_versions=1)
-    cell_hash = F.xxhash64("row", "family", "qualifier", "ts", "value")
-    bucket = F.pmod(F.xxhash64("row"), F.lit(num_buckets))
-    # xor-fold via sum of (hash mod large prime) is not collision-safe enough;
-    # use bit_xor aggregate (order-independent, exact)
+    cell_str = F.concat_ws(
+        "|",
+        F.hex(F.col("row")),
+        F.col("family"),
+        F.hex(F.col("qualifier")),
+        F.col("ts").cast("string"),
+        F.coalesce(F.hex(F.col("value")), F.lit("")),
+    )
     return (
-        visible.select(bucket.alias("bucket"), cell_hash.alias("h"))
+        visible.select(
+            _hash_bucket(num_buckets).alias("bucket"),
+            _md5_long(F.encode(cell_str, "UTF-8")).alias("h"),
+        )
         .groupBy("bucket")
         .agg(F.bit_xor("h").alias("digest"), F.count(F.lit(1)).alias("cells"))
     )
@@ -153,8 +190,13 @@ def sync_table(
     """SyncTable (SyncTable.java:56): compute the mutation stream that makes
     ``target`` identical to ``source`` — a distributed diff/merge.
 
-    Full-outer join of the two read views on (row,family,qualifier):
-    source-only or value/ts-mismatched -> put; target-only -> delete_column.
+    Full-outer join of the two read views on (row,family,qualifier), diffing
+    on BOTH value and timestamp (the reference's range hash covers
+    timestamps): source-only or value/ts-mismatched -> put at the source ts;
+    target-only -> delete_column; and when a mismatched target cell is NEWER
+    than the source cell (t_ts > s_ts) a delete_version at t_ts accompanies
+    the put, otherwise the target's newer version would keep masking it
+    (SyncTable.syncRowCells emits the same delete+put pair).
 
     ``hash_prefilter=True`` is the reference's actual two-phase algorithm
     (HashTable then sync only differing ranges, SyncTable.java:56): compare
@@ -184,7 +226,7 @@ def sync_table(
             )
             .select("bucket")
         )
-        bucket = F.pmod(F.xxhash64("row"), F.lit(num_buckets))
+        bucket = _hash_bucket(num_buckets)
         source = source.withColumn("_bk", bucket).join(
             F.broadcast(changed.withColumnRenamed("bucket", "_bk")),
             "_bk",
@@ -204,23 +246,70 @@ def sync_table(
         F.col("ts").alias("t_ts"), F.col("value").alias("t_value"),
     )
     joined = s.join(t, ["row", "family", "qualifier"], "full_outer")
-    return (
-        joined.where(
-            F.col("s_value").isNull()
-            | F.col("t_value").isNull()
-            | (F.col("s_value") != F.col("t_value"))
-        )
-        .select(
-            "row",
-            "family",
-            "qualifier",
-            F.when(F.col("s_value").isNull(), F.lit("delete_column"))
-            .otherwise(F.lit("put"))
-            .alias("op"),
-            F.col("s_value").alias("value"),
-            F.coalesce(F.col("s_ts"), F.col("t_ts")).alias("ts"),
-        )
+    diff = joined.where(
+        F.col("s_ts").isNull()
+        | F.col("t_ts").isNull()
+        | (F.col("s_value") != F.col("t_value"))
+        | (F.col("s_ts") != F.col("t_ts"))
     )
+    puts = diff.where(F.col("s_ts").isNotNull()).select(
+        "row",
+        "family",
+        "qualifier",
+        F.lit("put").alias("op"),
+        F.col("s_value").alias("value"),
+        F.col("s_ts").alias("ts"),
+    )
+    del_cols = diff.where(F.col("s_ts").isNull()).select(
+        "row",
+        "family",
+        "qualifier",
+        F.lit("delete_column").alias("op"),
+        F.lit(None).cast("binary").alias("value"),
+        F.col("t_ts").alias("ts"),
+    )
+    del_vers = diff.where(
+        F.col("s_ts").isNotNull()
+        & F.col("t_ts").isNotNull()
+        & (F.col("t_ts") > F.col("s_ts"))
+    ).select(
+        "row",
+        "family",
+        "qualifier",
+        F.lit("delete_version").alias("op"),
+        F.lit(None).cast("binary").alias("value"),
+        F.col("t_ts").alias("ts"),
+    )
+    return puts.unionByName(del_cols).unionByName(del_vers)
+
+
+def wal_player(
+    spark: SparkSession, wal_dir: str | Path, cells: DataFrame
+) -> DataFrame:
+    """WALPlayer (hbase-server/.../mapreduce/WALPlayer.java): replay WAL
+    segment files into an existing table's cell log.
+
+    Edits are mutation-typed cells (puts AND tombstones — WALPlayer replays
+    deletes too); replay is idempotent on the cell identity
+    ``(row, family, qualifier, ts, type, seq)``: edits already present in
+    the log are skipped, so replaying a segment twice (at-least-once WAL
+    shipping) is a no-op. The anti-join's small side is the WAL batch, so
+    the table log is never shuffled."""
+    edits = spark.read.schema(CELL_SCHEMA).parquet(str(wal_dir))
+    identity = ["row", "family", "qualifier", "ts", "type", "seq"]
+    dedup = edits.dropDuplicates(identity)
+    # prune the log to the touched rows first (broadcast semi-join; row
+    # predicate reaches the parquet scan) so the identity anti-join's right
+    # side is tiny — the table log itself is never shuffled
+    touched = cells.join(
+        F.broadcast(dedup.select("row").distinct()), "row", "left_semi"
+    ).select(*identity)
+    cond = None
+    for c in identity:
+        eq = dedup[c].eqNullSafe(touched[c])
+        cond = eq if cond is None else (cond & eq)
+    fresh = dedup.join(touched, cond, "left_anti")
+    return cells.unionByName(fresh.select(*CELL_COLUMNS))
 
 
 def grouping_table_map(cells: DataFrame, qualifiers: list[bytes]) -> DataFrame:
@@ -251,17 +340,58 @@ def compact(
     keep_deleted_cells: str = "FALSE",
     now_ms: int | None = None,
 ) -> DataFrame:
-    """Major compaction: rewrite the log keeping only visible cells — drops
-    tombstones, masked/over-version/expired cells. Shares the read-view code
-    exactly as the reference shares ScanQueryMatcher in non-user-scan mode
-    (StoreScanner.java:268-271; SURVEY.md §2.5)."""
-    from hbase_1_3_0_spark.cells import TTL_FOREVER
+    """Major compaction: rewrite the log applying the family's retention
+    semantics. Shares the read-view code exactly as the reference shares
+    ScanQueryMatcher in non-user-scan mode (StoreScanner.java:268-271;
+    SURVEY.md §2.5).
+
+    ``keep_deleted_cells=FALSE`` (the default): tombstones and the cells
+    they mask, over-version and expired cells are all dropped — the clean
+    visible view remains.
+
+    ``keep_deleted_cells=TRUE/TTL``: the reference RETAINS delete markers
+    and the deleted cells during compaction (COMPACT_RETAIN_DELETES,
+    ScanQueryMatcher.java:349-381) so time-range reads can still see through
+    them; only TTL (for KDC=TTL) and version trimming apply. Dropping the
+    markers here would silently destroy data time-travel reads can see."""
+    import time as _time
+
+    from hbase_1_3_0_spark.cells import TTL_FOREVER, TYPE_PUT
+    from hbase_1_3_0_spark.operators.read_view import limit_versions
+
+    ttl = ttl_seconds if ttl_seconds is not None else TTL_FOREVER
+
+    if keep_deleted_cells in ("TRUE", "TTL"):
+        markers = cells.where(F.col("type") != TYPE_PUT)
+        puts = cells.where(F.col("type") == TYPE_PUT)
+        if ttl != TTL_FOREVER:
+            now = now_ms if now_ms is not None else int(_time.time() * 1000)
+            floor = now - ttl * 1000
+            alive = F.col("ts") >= floor
+            if min_versions > 0:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("row", "family", "qualifier").orderBy(
+                    F.col("ts").desc(), F.col("seq").desc()
+                )
+                puts = (
+                    puts.withColumn("_trank", F.row_number().over(w))
+                    .where(alive | (F.col("_trank") <= min_versions))
+                    .drop("_trank")
+                )
+            else:
+                puts = puts.where(alive)
+            if keep_deleted_cells == "TTL":
+                # markers older than the TTL floor only mask already-expired
+                # cells — droppable (KEEP_DELETED_CELLS=TTL semantics)
+                markers = markers.where(F.col("ts") >= floor)
+        return limit_versions(puts, max_versions).unionByName(markers)
 
     return read_view(
         cells,
         max_versions=max_versions,
         min_versions=min_versions,
-        ttl_seconds=ttl_seconds if ttl_seconds is not None else TTL_FOREVER,
+        ttl_seconds=ttl,
         keep_deleted_cells=keep_deleted_cells,
         now_ms=now_ms,
     )

@@ -101,6 +101,7 @@ def increment(
     now_ms: int,
     codec: str = "be8",
     batch_seq: int = 0,
+    time_range: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Atomic counter adds (Table.increment, Table.java:369; server
     HRegion.increment:7665). Counters are 8-byte big-endian longs
@@ -109,13 +110,16 @@ def increment(
     ``increments``: row, family, qualifier, delta (long). Multiple deltas to
     one key fold first (Σdelta — partial aggregation), then a single join
     reads the pre-batch value; a missing column initializes to the delta
-    (HRegion.java:7859). Returns (new_cells, results) — results mirror
+    (HRegion.java:7859). ``time_range`` restricts the read-back of the
+    current value (Increment.setTimeRange, Increment.java:158): a current
+    version outside the range reads as absent, so the counter re-initializes
+    to the delta. Returns (new_cells, results) — results mirror
     setReturnResults (Increment.java:169) with the post-increment value.
     """
     folded = increments.groupBy("row", "family", "qualifier").agg(
         F.sum("delta").alias("_delta")
     )
-    cur = _current_values(cells, folded)
+    cur = _current_values(cells, folded, time_range=time_range)
     new_vals = (
         folded.join(cur, ["row", "family", "qualifier"], "left")
         .select(
@@ -145,11 +149,14 @@ def append_value(
     *,
     now_ms: int,
     batch_seq: int = 0,
+    time_range: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Atomic byte-concatenation (Table.append, Table.java:354; server
     HRegion.append:7383). ``appends``: row, family, qualifier, value,
     batch_seq — multiple appends to one key concatenate in batch_seq order
-    (within-batch ordering determinism, SURVEY.md §7 watch-list #4)."""
+    (within-batch ordering determinism, SURVEY.md §7 watch-list #4).
+    ``time_range`` bounds the current-value read-back (Append inherits
+    Mutation's time range, as Increment.java:158 does for Increment)."""
     folded = appends.groupBy("row", "family", "qualifier").agg(
         F.aggregate(
             F.array_sort(
@@ -159,7 +166,7 @@ def append_value(
             lambda acc, x: F.concat(acc, x["value"]),
         ).alias("_suffix")
     )
-    cur = _current_values(cells, folded)
+    cur = _current_values(cells, folded, time_range=time_range)
     new_vals = (
         folded.join(cur, ["row", "family", "qualifier"], "left")
         .select(
@@ -186,9 +193,10 @@ def append_value(
 def _check_pred(op_col: Column, cur: Column, expected: Column) -> Column:
     """CompareOp predicate for CAS (Table.checkAndPut, Table.java:257).
 
-    A null expected value means "column must not exist" (the documented
-    null-check semantics of checkAndPut)."""
-    missing_ok = expected.isNull() & cur.isNull()
+    A null expected value means "column must not exist"; an existing
+    ZERO-LENGTH value also matches a null expected value (HRegion.checkAndMutate
+    treats getValueLength()==0 as absent)."""
+    missing_ok = expected.isNull() & (cur.isNull() | (F.length(cur) == 0))
     cmp = (
         F.when(op_col == "LESS", cur < expected)
         .when(op_col == "LESS_OR_EQUAL", cur <= expected)
@@ -263,13 +271,20 @@ def apply_mutation_batch(
 ) -> DataFrame:
     """Mixed batch (Table.batch, Table.java:119): route by op kind, one pass
     per kind, single logical commit (AsyncProcess per-server grouping
-    replaced by Spark job scheduling, AsyncProcess.java:101)."""
+    replaced by Spark job scheduling, AsyncProcess.java:101).
+
+    Routing is decided from ONE tiny aggregation over the op column (not one
+    ``isEmpty()`` action per kind): a single driver pass before the commit
+    job regardless of how many op kinds the batch mixes."""
+    present = {
+        r[0] for r in mutations.select("op").distinct().collect()
+    }
     out = cells
-    plain = mutations.where(F.col("op").isin(*OP_TO_TYPE.keys()))
-    if plain.isEmpty() is False:
+    if present & set(OP_TO_TYPE.keys()):
+        plain = mutations.where(F.col("op").isin(*OP_TO_TYPE.keys()))
         out = put_cells(out, mutations_to_cells(plain, now_ms=now_ms))
-    incs = mutations.where(F.col("op") == "increment")
-    if incs.isEmpty() is False:
+    if "increment" in present:
+        incs = mutations.where(F.col("op") == "increment")
         out, _ = increment(
             out,
             incs.select(
@@ -278,15 +293,15 @@ def apply_mutation_batch(
             now_ms=now_ms,
             codec=codec,
         )
-    apps = mutations.where(F.col("op") == "append")
-    if apps.isEmpty() is False:
+    if "append" in present:
+        apps = mutations.where(F.col("op") == "append")
         out, _ = append_value(
             out,
             apps.select("row", "family", "qualifier", "value", "batch_seq"),
             now_ms=now_ms,
         )
-    cas = mutations.where(F.col("op").startswith("check_and_"))
-    if cas.isEmpty() is False:
+    if any(op.startswith("check_and_") for op in present):
+        cas = mutations.where(F.col("op").startswith("check_and_"))
         out, _ = check_and_mutate(
             out,
             cas.withColumn(

@@ -110,7 +110,8 @@ def mask_deletes(
             & (F.col("_col_del_ts").isNull() | (F.col("ts") > F.col("_col_del_ts")))
             & _not_in_ts_set(F.col("_ver_del_ts"), F.col("ts"))
         )
-        .select(*CELL_COLUMNS)
+        # preserve extra cell-metadata columns (e.g. per-cell ttl_ms tags)
+        .select(*cells.columns)
     )
     return survived
 
@@ -121,7 +122,7 @@ def limit_versions(cells: DataFrame, max_versions: int) -> DataFrame:
         # Fast path: partial-aggregatable, no window sort. At scale this is a
         # map-side-combined hash aggregation instead of a full sort — the
         # analog of HBase only ever materializing the newest version.
-        others = [c for c in CELL_COLUMNS if c not in ("row", "family", "qualifier")]
+        others = [c for c in cells.columns if c not in ("row", "family", "qualifier")]
         picked = (
             cells.groupBy("row", "family", "qualifier")
             .agg(
@@ -134,14 +135,14 @@ def limit_versions(cells: DataFrame, max_versions: int) -> DataFrame:
                 "row", "family", "qualifier", *[F.col(f"_newest.{c}") for c in others]
             )
         )
-        return picked.select(*CELL_COLUMNS)
+        return picked.select(*cells.columns)
     w = Window.partitionBy("row", "family", "qualifier").orderBy(
         F.col("ts").desc(), F.col("seq").desc()
     )
     return (
         cells.withColumn("_vrank", F.row_number().over(w))
         .where(F.col("_vrank") <= max_versions)
-        .select(*CELL_COLUMNS)
+        .select(*cells.columns)
     )
 
 
@@ -171,7 +172,7 @@ def read_view(
         if time_range is not None:
             lo, hi = time_range
             out = out.where((F.col("ts") >= lo) & (F.col("ts") < hi))
-        return out.select(*CELL_COLUMNS)
+        return out.select(*cells.columns)
 
     marker_ts_below = None
     if keep_deleted_cells in ("TRUE", "TTL") and time_range is not None:
@@ -179,20 +180,30 @@ def read_view(
 
     visible = mask_deletes(cells, marker_ts_below=marker_ts_below)
 
-    if ttl_seconds != TTL_FOREVER:
+    # Per-cell TTL tags (TagType.java:33, TTL_TAG_TYPE=8): an optional
+    # ``ttl_ms`` cell column; effective TTL = min(cell TTL, family TTL)
+    # (ScanQueryMatcher TTL check :329-331 consults the cell tag first).
+    has_cell_ttl = "ttl_ms" in cells.columns
+    if ttl_seconds != TTL_FOREVER or has_cell_ttl:
         now = now_ms if now_ms is not None else int(time.time() * 1000)
-        floor = now - ttl_seconds * 1000
+        alive = F.lit(True)
+        if ttl_seconds != TTL_FOREVER:
+            alive = alive & (F.col("ts") >= now - ttl_seconds * 1000)
+        if has_cell_ttl:
+            alive = alive & (
+                F.col("ttl_ms").isNull() | (F.lit(now) - F.col("ts") < F.col("ttl_ms"))
+            )
         if min_versions > 0:
             w = Window.partitionBy("row", "family", "qualifier").orderBy(
                 F.col("ts").desc(), F.col("seq").desc()
             )
             visible = (
                 visible.withColumn("_trank", F.row_number().over(w))
-                .where((F.col("ts") >= floor) | (F.col("_trank") <= min_versions))
-                .select(*CELL_COLUMNS)
+                .where(alive | (F.col("_trank") <= min_versions))
+                .drop("_trank")
             )
         else:
-            visible = visible.where(F.col("ts") >= floor)
+            visible = visible.where(alive)
 
     if time_range is not None:
         lo, hi = time_range

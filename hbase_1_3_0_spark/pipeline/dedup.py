@@ -87,8 +87,12 @@ def ngram_jaccard_pairs(
     jaccard = inter / (|A| + |B| - inter). ``max_shingle_df`` drops shingles
     appearing in more than that many docs (stop-shingles) — REQUIRED at scale
     to bound the quadratic bucket join; None means exact (small inputs only).
+
+    The shingle table is referenced several times in the plan; the CALLER
+    owns any persist() around this call (no internal cache — a cached-but-
+    never-unpersisted frame leaks executor storage in long-lived sessions).
     """
-    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sh = _shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     index = sh
     if max_shingle_df is not None:

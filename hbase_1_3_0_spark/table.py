@@ -182,15 +182,24 @@ class Table:
         single_version = not s.raw and all(
             min(s.max_versions or 1, fm.max_versions) == 1 for fm in fams
         )
-        df = apply_filter(df, filt, single_version=single_version)
+        df = apply_filter(
+            df, filt, single_version=single_version, reversed_scan=s.reversed
+        )
 
-        # 5. intra-row per-CF paging
+        # 5. intra-row per-CF paging. storeOffset/storeLimit count CELLS
+        # (individual versions), not columns (HRegion per-store offset/limit;
+        # multi-version scans page through versions too), so the index is a
+        # row_number over the intra-row cell order (qualifier asc, ts desc,
+        # seq desc — the KVComparator order). max_results_per_cf == 0 means
+        # zero results, not "no limit".
         if s.row_offset_per_cf or s.max_results_per_cf is not None:
-            idx = F.dense_rank().over(
-                Window.partitionBy("row", "family").orderBy("qualifier")
+            idx = F.row_number().over(
+                Window.partitionBy("row", "family").orderBy(
+                    F.col("qualifier").asc(), F.col("ts").desc(), F.col("seq").desc()
+                )
             )
             lo = s.row_offset_per_cf
-            hi = lo + s.max_results_per_cf if s.max_results_per_cf else None
+            hi = lo + s.max_results_per_cf if s.max_results_per_cf is not None else None
             df = df.withColumn("_ci", idx)
             cond = F.col("_ci") > lo
             if hi is not None:
@@ -264,7 +273,8 @@ class Table:
         ttl_fams = [
             f for f in fams if f.ttl_seconds != TTL_FOREVER and f.min_versions == 0
         ]
-        if ttl_fams:
+        has_cell_ttl = "ttl_ms" in df.columns
+        if ttl_fams or has_cell_ttl:
             import time as _time
 
             now = self._now_ms if self._now_ms is not None else int(
@@ -275,6 +285,12 @@ class Table:
                 floor = now - fm.ttl_seconds * 1000
                 cond = cond & (
                     (F.col("family") != fm.name) | (F.col("ts") >= floor)
+                )
+            if has_cell_ttl:
+                # per-cell TTL tags apply on the fast path too
+                cond = cond & (
+                    F.col("ttl_ms").isNull()
+                    | (F.lit(now) - F.col("ts") < F.col("ttl_ms"))
                 )
             out = out.where(cond)
         if s.time_range is not None:
@@ -347,15 +363,26 @@ class Table:
         )
         return self._with(mut.put_cells(self.cells, tombstones))
 
-    def increment(self, increments: DataFrame, codec: str = "be8"):
+    def increment(
+        self,
+        increments: DataFrame,
+        codec: str = "be8",
+        time_range: tuple[int, int] | None = None,
+    ):
         new_cells, results = mut.increment(
-            self.cells, increments, now_ms=self._now(), codec=codec
+            self.cells,
+            increments,
+            now_ms=self._now(),
+            codec=codec,
+            time_range=time_range,
         )
         return self._with(new_cells), results
 
-    def append(self, appends: DataFrame):
+    def append(
+        self, appends: DataFrame, time_range: tuple[int, int] | None = None
+    ):
         new_cells, results = mut.append_value(
-            self.cells, appends, now_ms=self._now()
+            self.cells, appends, now_ms=self._now(), time_range=time_range
         )
         return self._with(new_cells), results
 
