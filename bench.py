@@ -119,6 +119,43 @@ def main() -> None:
 
     run("b-write", bench_write)
 
+    # b-write-rand: randomWrite analog (PerformanceEvaluation.java:1366) —
+    # input arrives in arbitrary (hash) order, so the range partitioner does
+    # real work; b-write above is the sequentialWrite analog (:1563, input
+    # already in key order)
+    def bench_write_rand():
+        out = tempfile.mkdtemp(prefix="bench_write_rand_")
+        try:
+            shuffled = orders.repartition(64, F.col("o_custkey"))
+            writer.write_cells(table_to_cells(shuffled, ["o_orderkey"]), out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    run("b-write-rand", bench_write_rand)
+
+    # b-cas: checkAndMutate analog (PerformanceEvaluation.java:1492) — CAS
+    # predicate against the pre-batch read view, passing puts applied
+    def bench_cas():
+        muts = orders.select(
+            F.encode(
+                F.lpad(F.col("o_orderkey").cast("string"), 19, "0"), "UTF-8"
+            ).alias("row"),
+            F.lit("put").alias("op"),
+            F.lit("d").alias("family"),
+            F.encode(F.lit("o_flag"), "UTF-8").alias("qualifier"),
+            F.lit(None).cast("long").alias("ts"),
+            F.encode(F.lit("seen"), "UTF-8").alias("value"),
+            F.lit("d").alias("check_family"),
+            F.encode(F.lit("o_orderstatus"), "UTF-8").alias("check_qualifier"),
+            F.lit("EQUAL").alias("check_op"),
+            F.encode(F.lit("F"), "UTF-8").alias("check_value"),
+            F.lit(0).cast("long").alias("batch_seq"),
+        )
+        new_table, _ = od.check_and_mutate(muts)
+        _sink(new_table.cells)
+
+    run("b-cas", bench_cas)
+
     # b-rmw: batched increments on events counters (PE increment)
     def bench_rmw():
         incs = events.select(
