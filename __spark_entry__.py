@@ -1384,6 +1384,66 @@ def q_column_offset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_verify_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VerifyReplication job counters: GOODROWS + the BADROWS breakdown
+    (ONLY_IN_SOURCE / ONLY_IN_TARGET / CONTENT_DIFFERENT)."""
+    src = fixtures.kv_cells(spark, sf_dir, "orders")
+    orders = _load(spark, sf_dir, "orders")
+    tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    tgt = table_to_cells(tgt_rows, ["o_orderkey"])
+    return jobs.verify_replication(src, tgt)
+
+
+def q_visibility_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell visibility labels (VisibilityController / TagType VISIBILITY=2):
+    scan authorizations = {finance, public}; 'pii'-labeled names and
+    'pii&finance' balances are hidden, 'public|finance' segments visible."""
+    cells = fixtures.kv_cells(spark, sf_dir, "customer")
+    q = F.decode(F.col("qualifier"), "UTF-8")
+    ck = codecs.decode_key_num(F.col("row"))
+    cells = cells.withColumn(
+        "vis",
+        F.when((q == "c_name") & (ck % 2 == 0), F.lit("pii"))
+        .when((q == "c_acctbal") & (ck % 3 == 0), F.lit("pii&finance"))
+        .when((q == "c_mktsegment") & (ck % 5 == 0), F.lit("public|finance")),
+    )
+    t = Table(TableMeta(name="customer", clean_log=True), cells, now_ms=NOW_MS)
+    out = t.scan(authorizations=("finance", "public"))
+    return _wide(
+        out,
+        {
+            "c_custkey": "bigint",
+            "c_name": "string",
+            "c_acctbal": "double",
+            "c_mktsegment": "string",
+        },
+    )
+
+
+def q_cell_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell ACL tags (TagType ACL=1 / AccessController): balance cells
+    of even customers are readable only by 'alice'; the scan runs as 'bob'."""
+    cells = fixtures.kv_cells(spark, sf_dir, "customer")
+    q = F.decode(F.col("qualifier"), "UTF-8")
+    ck = codecs.decode_key_num(F.col("row"))
+    cells = cells.withColumn(
+        "acl",
+        F.when(
+            (q == "c_acctbal") & (ck % 2 == 0), F.array(F.lit("alice"))
+        ),
+    )
+    t = Table(TableMeta(name="customer", clean_log=True), cells, now_ms=NOW_MS)
+    out = t.scan(user="bob")
+    return _wide(
+        out, {"c_custkey": "bigint", "c_name": "string", "c_acctbal": "double"}
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1481,6 +1541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_signed": q_ordered_signed,
         "bit_comparator_wide": q_bit_comparator_wide,
         "column_offset_paging": q_column_offset_paging,
+        "verify_replication": q_verify_replication,
+        "visibility_labels": q_visibility_labels,
+        "cell_acl": q_cell_acl,
     }
 
 
@@ -1954,6 +2017,28 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT c_custkey, 'c_name' AS qualifier, c_name AS val "
             "FROM customer"
+        ),
+        "verify_replication": (
+            "SELECT sum(CASE WHEN o_orderkey % 13 <> 0 AND "
+            "o_orderkey % 11 <> 0 THEN 1 ELSE 0 END)::BIGINT AS goodrows, "
+            "sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS only_in_source, "
+            "0::BIGINT AS only_in_target, "
+            "sum(CASE WHEN o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0 "
+            "THEN 1 ELSE 0 END)::BIGINT AS content_different "
+            "FROM orders"
+        ),
+        "visibility_labels": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END AS c_name, "
+            "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END "
+            "AS c_acctbal, "
+            "c_mktsegment FROM customer"
+        ),
+        "cell_acl": (
+            "SELECT c_custkey, c_name, "
+            "CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_acctbal END "
+            "AS c_acctbal FROM customer"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

@@ -353,6 +353,36 @@ def _while_match_transform(
     return t
 
 
+def _while_match_range_rewrite(
+    wrapped: ast.Filter, reversed_scan: bool
+) -> Column | None:
+    """WhileMatch(RowFilter) with a MONOTONE row predicate == a pure row-range
+    predicate — the passing prefix is exactly the predicate's range, so the
+    whole construct collapses to a prunable WHERE clause (partition/row-group
+    pruning instead of scan + truncate). Forward scans: LESS/LESS_OR_EQUAL
+    (pred true on a prefix of ascending keys); reversed: GREATER/
+    GREATER_OR_EQUAL. Non-monotone predicates (e.g. NOT_EQUAL: the scan only
+    stops if the excluded key actually occurs) keep the generic transform."""
+    if not (
+        isinstance(wrapped, ast.RowFilter)
+        and isinstance(wrapped.comparator, ast.BinaryComparator)
+    ):
+        return None
+    op = wrapped.op
+    x = F.lit(wrapped.comparator.value)
+    if not reversed_scan:
+        if op == ast.CompareOp.LESS:
+            return F.col("row") < x
+        if op == ast.CompareOp.LESS_OR_EQUAL:
+            return F.col("row") <= x
+    else:
+        if op == ast.CompareOp.GREATER:
+            return F.col("row") > x
+        if op == ast.CompareOp.GREATER_OR_EQUAL:
+            return F.col("row") >= x
+    return None
+
+
 def _column_offset_transform(
     limit: int, column_offset: bytes
 ) -> Callable[[DataFrame], DataFrame]:
@@ -618,6 +648,9 @@ def compile_filter(
         )
         return Compiled(all_pass)
     if isinstance(f, ast.WhileMatchFilter):
+        range_pred = _while_match_range_rewrite(f.wrapped, reversed_scan)
+        if range_pred is not None:
+            return Compiled(range_pred)
         return Compiled(None, [_while_match_transform(f.wrapped, reversed_scan)])
     raise NotImplementedError(f"filter: {type(f).__name__}")
 

@@ -312,6 +312,65 @@ def wal_player(
     return cells.unionByName(fresh.select(*CELL_COLUMNS))
 
 
+def verify_replication(source: DataFrame, target: DataFrame) -> DataFrame:
+    """VerifyReplication (hbase-server/.../replication/VerifyReplication.java):
+    compare a table against its replica and report the job counters —
+    GOODROWS plus the BADROWS breakdown (ONLY_IN_SOURCE / ONLY_IN_TARGET /
+    CONTENT_DIFFERENT), one summary row.
+
+    Per-cell full-outer join of the two read views, then one per-row
+    aggregation classifies each row; both shuffles key on ``row`` so the
+    classification aggregation reuses the join's partitioning."""
+    s = read_view(source, max_versions=1).select(
+        "row", "family", "qualifier",
+        F.col("ts").alias("s_ts"), F.col("value").alias("s_value"),
+    )
+    t = read_view(target, max_versions=1).select(
+        "row", "family", "qualifier",
+        F.col("ts").alias("t_ts"), F.col("value").alias("t_value"),
+    )
+    cellwise = s.join(t, ["row", "family", "qualifier"], "full_outer").select(
+        "row",
+        F.col("s_ts").isNotNull().alias("in_s"),
+        F.col("t_ts").isNotNull().alias("in_t"),
+        (
+            F.col("s_ts").isNotNull()
+            & F.col("t_ts").isNotNull()
+            & ((F.col("s_value") != F.col("t_value")) | (F.col("s_ts") != F.col("t_ts")))
+        ).alias("mismatch"),
+    )
+    rows = cellwise.groupBy("row").agg(
+        F.max(F.col("in_s").cast("int")).alias("any_s"),
+        F.min(F.col("in_s").cast("int")).alias("all_s"),
+        F.max(F.col("in_t").cast("int")).alias("any_t"),
+        F.min(F.col("in_t").cast("int")).alias("all_t"),
+        F.max(F.col("mismatch").cast("int")).alias("any_mismatch"),
+    )
+    verdict = (
+        F.when(F.col("any_t") == 0, F.lit("only_in_source"))
+        .when(F.col("any_s") == 0, F.lit("only_in_target"))
+        .when(
+            (F.col("any_mismatch") == 1)
+            | (F.col("all_s") == 0)
+            | (F.col("all_t") == 0),
+            F.lit("content_different"),
+        )
+        .otherwise(F.lit("good"))
+    )
+    return rows.select(verdict.alias("v")).agg(
+        F.sum((F.col("v") == "good").cast("long")).alias("goodrows"),
+        F.sum((F.col("v") == "only_in_source").cast("long")).alias(
+            "only_in_source"
+        ),
+        F.sum((F.col("v") == "only_in_target").cast("long")).alias(
+            "only_in_target"
+        ),
+        F.sum((F.col("v") == "content_different").cast("long")).alias(
+            "content_different"
+        ),
+    )
+
+
 def grouping_table_map(cells: DataFrame, qualifiers: list[bytes]) -> DataFrame:
     """GroupingTableMapper (GroupingTableMapper.java:42): key each row by the
     concatenation of selected column values -> groupBy-ready key column."""

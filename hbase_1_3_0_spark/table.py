@@ -58,6 +58,11 @@ class Scan:
     filter: filter_ast.Filter | str | None = None  # setFilter:539
     row_offset_per_cf: int = 0  # setRowOffsetPerColumnFamily:502
     max_results_per_cf: int | None = None  # setMaxResultsPerColumnFamily:493
+    #: visibility authorizations (Scan.setAuthorizations; labeled cells are
+    #: invisible unless their label expression is satisfied)
+    authorizations: tuple[str, ...] | None = None
+    #: requesting principal for per-cell ACL tags (AccessController analog)
+    user: str | None = None
 
     def with_(self, **kw) -> "Scan":
         return replace(self, **kw)
@@ -159,6 +164,17 @@ class Table:
         if is_cell_predicate(filt):
             cell_pred = compile_filter(filt).pred
             filt = None
+        # cell security tags (visibility labels / per-cell ACLs): enforced
+        # per cell before version counting, like the server-side
+        # VisibilityController/AccessController coprocessors
+        from hbase_1_3_0_spark.operators import security
+
+        if security.VISIBILITY_COLUMN in df.columns:
+            p = security.visibility_pred(s.authorizations or ())
+            cell_pred = p if cell_pred is None else (cell_pred & p)
+        if security.ACL_COLUMN in df.columns and s.user is not None:
+            p = security.acl_pred(s.user)
+            cell_pred = p if cell_pred is None else (cell_pred & p)
         df = self._read_view(df, s, cell_pred)
 
         # 3. projection

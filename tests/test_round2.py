@@ -421,6 +421,124 @@ def test_page_filter_reversed_takes_top(five_rows):
     assert got == [b"r4", b"r5"]
 
 
+def test_while_match_row_filter_rewrites_to_prunable_range(five_rows):
+    """WhileMatch(RowFilter <) collapses to a pure row predicate — the plan
+    must have NO join/aggregate (the generic path needs a broadcast
+    cross-join against the first failing row)."""
+    t = Table(TableMeta(name="t", clean_log=True), five_rows, now_ms=1)
+    f = fast.WhileMatchFilter(
+        wrapped=fast.RowFilter(
+            op="LESS", comparator=fast.BinaryComparator(value=b"r3")
+        )
+    )
+    out = t.scan(filter=f)
+    assert sorted(bytes(r.row) for r in out.collect()) == [b"r1", b"r2"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_while_match_not_equal_keeps_generic_semantics(spark):
+    # NOT_EQUAL is non-monotone: if the excluded key never occurs the scan
+    # never stops -> must NOT be rewritten to a range
+    cells = mk(spark, [
+        (r, "d", "q", 100, TYPE_PUT, "v") for r in ("r1", "r2", "r4", "r5")
+    ])
+    f = fast.WhileMatchFilter(
+        wrapped=fast.RowFilter(
+            op="NOT_EQUAL", comparator=fast.BinaryComparator(value=b"r3")
+        )
+    )
+    t = Table(TableMeta(name="t"), cells, now_ms=1)
+    got = sorted(bytes(r.row) for r in t.scan(filter=f).collect())
+    assert got == [b"r1", b"r2", b"r4", b"r5"]  # r3 absent -> nothing cut
+
+
+# ------------------------------------------------------------- security tags
+
+
+def test_visibility_labels(spark):
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "open"),
+        ("r2", "d", "q", 100, TYPE_PUT, "pii_only"),
+        ("r3", "d", "q", 100, TYPE_PUT, "conj"),
+        ("r4", "d", "q", 100, TYPE_PUT, "alt"),
+    ]).withColumn(
+        "vis",
+        F.when(F.col("row") == F.lit(b"r2"), F.lit("pii"))
+        .when(F.col("row") == F.lit(b"r3"), F.lit("pii&finance"))
+        .when(F.col("row") == F.lit(b"r4"), F.lit("public|pii")),
+    )
+    t = Table(TableMeta(name="t"), cells, now_ms=1)
+    # no authorizations: only unlabeled cells
+    assert [bytes(r.row) for r in t.scan().collect()] == [b"r1"]
+    got = sorted(
+        bytes(r.row)
+        for r in t.scan(Scan(authorizations=("public", "finance"))).collect()
+    )
+    assert got == [b"r1", b"r4"]
+    got2 = sorted(
+        bytes(r.row)
+        for r in t.scan(Scan(authorizations=("pii", "finance"))).collect()
+    )
+    assert got2 == [b"r1", b"r2", b"r3", b"r4"]
+
+
+def test_cell_acl(spark):
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "open"),
+        ("r2", "d", "q", 100, TYPE_PUT, "alice_only"),
+    ]).withColumn(
+        "acl",
+        F.when(F.col("row") == F.lit(b"r2"), F.array(F.lit("alice"))),
+    )
+    t = Table(TableMeta(name="t"), cells, now_ms=1)
+    assert sorted(
+        bytes(r.row) for r in t.scan(Scan(user="alice")).collect()
+    ) == [b"r1", b"r2"]
+    assert [bytes(r.row) for r in t.scan(Scan(user="bob")).collect()] == [b"r1"]
+    # no user context -> table-level access, tags not enforced
+    assert t.scan().count() == 2
+
+
+def test_visibility_masks_before_version_counting(spark):
+    # newest version labeled, older unlabeled: a scan without auths sees the
+    # OLDER version (the labeled one is skipped before version counting)
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "old"),
+        ("r1", "d", "q", 200, TYPE_PUT, "secret"),
+    ]).withColumn(
+        "vis", F.when(F.col("ts") == 200, F.lit("pii"))
+    )
+    t = Table(TableMeta(name="t"), cells, now_ms=1)
+    assert [bytes(r.value) for r in t.scan().collect()] == [b"old"]
+
+
+# --------------------------------------------------------- VerifyReplication
+
+
+def test_verify_replication_counters(spark):
+    src = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "same"),
+        ("r2", "d", "q", 100, TYPE_PUT, "src_only"),
+        ("r3", "d", "q", 100, TYPE_PUT, "diff_src"),
+        ("r5", "d", "a", 100, TYPE_PUT, "x"),
+        ("r5", "d", "b", 100, TYPE_PUT, "y"),
+    ])
+    tgt = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "same"),
+        ("r3", "d", "q", 100, TYPE_PUT, "diff_tgt"),
+        ("r4", "d", "q", 100, TYPE_PUT, "tgt_only"),
+        ("r5", "d", "a", 100, TYPE_PUT, "x"),  # missing column b
+    ])
+    row = jobs.verify_replication(src, tgt).first()
+    assert (
+        row.goodrows,
+        row.only_in_source,
+        row.only_in_target,
+        row.content_different,
+    ) == (1, 1, 1, 2)
+
+
 def test_while_match_reversed_truncates_from_top(five_rows):
     # reversed scan: prefix continues while rows from the TOP pass; first
     # failing row (r3) cuts everything at-or-below it
