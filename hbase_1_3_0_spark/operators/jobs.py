@@ -252,35 +252,53 @@ def sync_table(
         | (F.col("s_value") != F.col("t_value"))
         | (F.col("s_ts") != F.col("t_ts"))
     )
-    puts = diff.where(F.col("s_ts").isNotNull()).select(
-        "row",
-        "family",
-        "qualifier",
-        F.lit("put").alias("op"),
-        F.col("s_value").alias("value"),
-        F.col("s_ts").alias("ts"),
+    # one pass over the diff (a 3-way union of filters would re-execute the
+    # full-outer join once per branch): build the 0-2 mutations per cell as
+    # an array of structs and explode
+    nothing = F.lit(None).cast(
+        "struct<op:string, value:binary, ts:bigint>"
     )
-    del_cols = diff.where(F.col("s_ts").isNull()).select(
-        "row",
-        "family",
-        "qualifier",
-        F.lit("delete_column").alias("op"),
-        F.lit(None).cast("binary").alias("value"),
-        F.col("t_ts").alias("ts"),
-    )
-    del_vers = diff.where(
+    put_m = F.when(
+        F.col("s_ts").isNotNull(),
+        F.struct(
+            F.lit("put").alias("op"),
+            F.col("s_value").alias("value"),
+            F.col("s_ts").alias("ts"),
+        ),
+    ).otherwise(nothing)
+    del_col_m = F.when(
+        F.col("s_ts").isNull(),
+        F.struct(
+            F.lit("delete_column").alias("op"),
+            F.lit(None).cast("binary").alias("value"),
+            F.col("t_ts").alias("ts"),
+        ),
+    ).otherwise(nothing)
+    del_ver_m = F.when(
         F.col("s_ts").isNotNull()
         & F.col("t_ts").isNotNull()
-        & (F.col("t_ts") > F.col("s_ts"))
+        & (F.col("t_ts") > F.col("s_ts")),
+        F.struct(
+            F.lit("delete_version").alias("op"),
+            F.lit(None).cast("binary").alias("value"),
+            F.col("t_ts").alias("ts"),
+        ),
+    ).otherwise(nothing)
+    return diff.select(
+        "row",
+        "family",
+        "qualifier",
+        F.explode(
+            F.array_compact(F.array(put_m, del_col_m, del_ver_m))
+        ).alias("_m"),
     ).select(
         "row",
         "family",
         "qualifier",
-        F.lit("delete_version").alias("op"),
-        F.lit(None).cast("binary").alias("value"),
-        F.col("t_ts").alias("ts"),
+        F.col("_m.op").alias("op"),
+        F.col("_m.value").alias("value"),
+        F.col("_m.ts").alias("ts"),
     )
-    return puts.unionByName(del_cols).unionByName(del_vers)
 
 
 def wal_player(
