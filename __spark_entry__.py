@@ -1082,6 +1082,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: hash-min connected components over a pair graph
+    (the step between pair generation and actual dedup — clusters span
+    multiple pairs, so pairwise removal alone under-deletes). Edges here are
+    deterministic chains (doc d ~ d-1 unless d%5==0), giving closed-form
+    components the oracle can state; the Spark side runs the generic
+    iterative label propagation."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select(
+            (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    labels = dedup.connected_components(pairs)
+    return labels.select(F.col("id").alias("doc_id"), F.col("component"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (seeded hashes -> rows-only oracle)."""
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
@@ -1544,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_replication": q_verify_replication,
         "visibility_labels": q_visibility_labels,
         "cell_acl": q_cell_acl,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2039,6 +2058,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, "
             "CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_acctbal END "
             "AS c_acctbal FROM customer"
+        ),
+        "dedup_clusters": (
+            # chain edges (d-1, d) for d%5!=0 -> components are the runs
+            # [5k, 5k+4]; closed form: component = doc_id - doc_id%5
+            "SELECT doc_id, doc_id - (doc_id % 5) AS component "
+            "FROM documents"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

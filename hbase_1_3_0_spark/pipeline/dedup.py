@@ -468,3 +468,84 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: (id, component) where
+    ``component`` is the smallest id reachable from ``id``.
+
+    Hash-min label propagation — the standard large-graph connected-
+    components pattern: no driver-side graph, each iteration is one
+    edge-list join + groupBy (all shuffles keyed on the vertex id, so AQE
+    reuses the partitioning), converging in O(diameter) iterations. Real
+    dup-graphs (near-clique clusters from pair generators) have tiny
+    diameters, so a handful of iterations suffice at any scale.
+    ``localCheckpoint`` truncates the iterative plan lineage each round.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("component").alias("_nc")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nc").alias("_min_n"))
+            .select(F.col("a").alias("id"), "_min_n")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_min_n", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dup removal: cluster the pair graph, keep the
+    smallest-id document of each cluster (plus every unpaired document).
+    The labels frame is tiny relative to the corpus (only docs appearing in
+    a pair), so the anti-join broadcasts."""
+    labels = connected_components(pairs, src=src, dst=dst)
+    losers = labels.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

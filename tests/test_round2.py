@@ -552,3 +552,35 @@ def test_while_match_reversed_truncates_from_top(five_rows):
         bytes(r.row) for r in t.scan(Scan(reversed=True, filter=f)).collect()
     )
     assert got == [b"r4", b"r5"]
+
+
+# ---------------------------------------------------- near-dup clustering
+
+
+def test_connected_components_chains_and_singleton_pairs(spark):
+    from hbase_1_3_0_spark.pipeline import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.id: r.component for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_dedup_by_components_keeps_canonical(spark):
+    from hbase_1_3_0_spark.pipeline import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dd.dedup_by_components(docs, pairs).collect()
+    )
+    # clusters {0,1,2} -> keep 0; {4,5} -> keep 4; unpaired 3 kept
+    assert kept == [0, 3, 4]
