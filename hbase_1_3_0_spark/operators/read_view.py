@@ -119,9 +119,13 @@ def mask_deletes(
 def limit_versions(cells: DataFrame, max_versions: int) -> DataFrame:
     """Keep the newest ``max_versions`` per column by (ts desc, seq desc)."""
     if max_versions == 1:
-        # Fast path: partial-aggregatable, no window sort. At scale this is a
-        # map-side-combined hash aggregation instead of a full sort — the
-        # analog of HBase only ever materializing the newest version.
+        # Fast path: partial-aggregatable max_by, no window. Plans as a
+        # SortAggregate (struct buffers can't hash-aggregate) but with a
+        # map-side partial: the shuffle carries ONE cell per column, not the
+        # full version history — unlike a Window, which would shuffle and
+        # sort every cell. (The hash-agg alternative — max over a packed
+        # decimal + self-join — would shuffle the whole table for the join;
+        # measured worse.)
         others = [c for c in cells.columns if c not in ("row", "family", "qualifier")]
         picked = (
             cells.groupBy("row", "family", "qualifier")

@@ -80,6 +80,49 @@ def test_multimodal_is_arrow_batched_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_security_tags_stay_jvm_side_and_push_row_range(spark, disk_table):
+    # visibility/ACL predicates are split+exists/forall Column exprs: the
+    # row-range pushdown must survive them and no Python may appear
+    from hbase_1_3_0_spark.table import Scan
+
+    cells = disk_table.cells.withColumn(
+        "vis", F.when(F.col("ts") < 0, F.lit("pii"))
+    ).withColumn("acl", F.when(F.col("ts") < 0, F.array(F.lit("alice"))))
+    t = Table(TableMeta(name="sec", clean_log=True), cells, now_ms=1)
+    df = t.scan(
+        Scan(
+            start_row=_k(10),
+            stop_row=_k(50),
+            authorizations=("finance",),
+            user="bob",
+        )
+    )
+    assert inspect.pushes_down(df, "row")
+    assert not inspect.has_python_eval(df)
+
+
+def test_while_match_monotone_rewrite_pushes_down(disk_table):
+    # WhileMatch(RowFilter <) must collapse to a pushed row predicate —
+    # no join, no aggregation, row bound in PushedFilters
+    df = disk_table.scan(filter=f"WHILE RowFilter (<, 'binary:{50:019d}')")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert any("LessThan(row" in f for f in inspect.pushed_filters(df))
+
+
+def test_hash_table_digest_hash_aggregates_no_python(disk_table):
+    # the bucket-digest aggregation itself must plan as a HashAggregate
+    # (bit_xor over a long buffer); the read view's newest-version pick is
+    # a partial SortAggregate by design (struct buffers can't hash-agg and
+    # the join alternative would shuffle the full table)
+    from hbase_1_3_0_spark.operators import jobs
+
+    df = jobs.hash_table(disk_table.cells, num_buckets=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not inspect.has_python_eval(df)
+    assert "HashAggregate(keys=[bucket" in plan
+
+
 def test_fused_scvf_plans_as_hash_agg(disk_table):
     # AND-composed SCVFs: one hash aggregation (never a SortAggregate —
     # struct-max buffers would force sort-based aggregation whose generated
