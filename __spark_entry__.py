@@ -1462,6 +1462,39 @@ def q_cell_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-line fraction
+    (array exprs, shuffle-free) + most-frequent-word fraction (one hash
+    aggregation keyed on doc_id)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableSnapshotInputFormat analog: snapshot = immutable directory copy
+    of the parquet cell log, read directly (bypasses the live table)."""
+    import hashlib
+    import shutil
+
+    from hbase_1_3_0_spark.engine import Engine
+    from hbase_1_3_0_spark.sources import writer
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/spark_graft_snaproot_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = Engine(spark, root=root, now_ms=NOW_MS)
+    cells = fixtures.kv_cells(spark, sf_dir, "nation")
+    t = eng.create_table(TableMeta(name="nation", clean_log=True), cells)
+    t = eng.save(t)
+    snap_dir = eng.snapshot(t, "snap1")
+    back = writer.read_cells(spark, snap_dir)
+    wide = cells_to_table(
+        back,
+        {"n_nationkey": "bigint", "n_name": "string", "n_regionkey": "bigint"},
+    )
+    return wide.select("n_nationkey", "n_name", "n_regionkey")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1563,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visibility_labels": q_visibility_labels,
         "cell_acl": q_cell_acl,
         "dedup_clusters": q_dedup_clusters,
+        "repetition_stats": q_repetition_stats,
+        "snapshot_read": q_snapshot_read,
     }
 
 
@@ -2064,6 +2099,29 @@ def oracle_sql() -> dict[str, str]:
             # [5k, 5k+4]; closed form: component = doc_id - doc_id%5
             "SELECT doc_id, doc_id - (doc_id % 5) AS component "
             "FROM documents"
+        ),
+        "repetition_stats": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split(text, chr(10)), "
+            "x -> len(trim(x)) > 0) AS lines, "
+            "regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws "
+            "FROM documents), "
+            "lineagg AS (SELECT doc_id, len(lines) AS n_lines, "
+            "CASE WHEN len(lines) > 0 THEN "
+            "round((len(lines) - len(list_distinct(lines)))::DOUBLE "
+            "/ len(lines), 6) ELSE 0.0 END AS dup_line_frac FROM base), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM base, "
+            "unnest(ws) AS t(w) GROUP BY doc_id, w), "
+            "topw AS (SELECT doc_id, "
+            "round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac, "
+            "sum(c)::BIGINT AS n_words FROM wc GROUP BY doc_id) "
+            "SELECT l.doc_id, l.n_lines, l.dup_line_frac, "
+            "coalesce(t.top_word_frac, 0.0) AS top_word_frac, "
+            "coalesce(t.n_words, 0) AS n_words "
+            "FROM lineagg l LEFT JOIN topw t USING (doc_id)"
+        ),
+        "snapshot_read": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

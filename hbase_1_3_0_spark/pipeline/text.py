@@ -82,6 +82,50 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher repetition filters):
+    duplicate-line fraction and most-frequent-word fraction. Boilerplate and
+    spam score high on both; real prose scores low.
+
+    dup_line_frac is pure array exprs per row (no shuffle at all);
+    top_word_frac is one explode + one hash aggregation keyed on the doc id
+    — the same key the corpus is naturally partitioned by, and counts
+    combine map-side. Both stay whole-stage-codegen."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    per_doc = df.select(
+        F.col(id_col), n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+    )
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0)
+        ).alias("_w"),
+    )
+    word_counts = words.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    top = word_counts.groupBy(id_col).agg(
+        F.round(F.max("_c") / F.sum("_c"), 6).alias("top_word_frac"),
+        F.sum("_c").alias("n_words"),
+    )
+    return per_doc.join(top, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

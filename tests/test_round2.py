@@ -584,3 +584,20 @@ def test_dedup_by_components_keeps_canonical(spark):
     )
     # clusters {0,1,2} -> keep 0; {4,5} -> keep 4; unpaired 3 kept
     assert kept == [0, 3, 4]
+
+
+def test_repetition_stats(spark):
+    from hbase_1_3_0_spark.pipeline import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c\na b c\nunique line"),
+            (2, "spam spam spam spam ham"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert got[1].n_lines == 3 and got[1].dup_line_frac == pytest.approx(1 / 3)
+    assert got[2].top_word_frac == pytest.approx(0.8)
+    assert got[3].n_words == 0 and got[3].dup_line_frac == 0.0
