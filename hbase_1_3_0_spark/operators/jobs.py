@@ -441,6 +441,14 @@ def compact(
     if keep_deleted_cells in ("TRUE", "TTL"):
         markers = cells.where(F.col("type") != TYPE_PUT)
         puts = cells.where(F.col("type") == TYPE_PUT)
+        has_cell_ttl = "ttl_ms" in cells.columns
+        if has_cell_ttl:
+            # per-cell TTL tags are GC'd during compaction too
+            now = now_ms if now_ms is not None else int(_time.time() * 1000)
+            puts = puts.where(
+                F.col("ttl_ms").isNull()
+                | (F.lit(now) - F.col("ts") < F.col("ttl_ms"))
+            )
         if ttl != TTL_FOREVER:
             now = now_ms if now_ms is not None else int(_time.time() * 1000)
             floor = now - ttl * 1000

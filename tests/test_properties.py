@@ -172,3 +172,57 @@ def test_binary_row_order_is_unsigned_lexicographic(spark):
     got = [bytes(r["row"]) for r in df.orderBy("row").collect()]
     assert got == [b"\x01", b"\x7f", b"\x80", b"\xff"]
     assert df.where(F.col("row") > b"\x7f").count() == 2
+
+
+# --------------------------------------------------------------- SyncTable
+
+
+put_st = st.tuples(
+    st.sampled_from(ROWS),
+    st.sampled_from(QUALS),
+    st.integers(min_value=1, max_value=6),  # ts
+    st.sampled_from([b"x", b"y", b"z"]),    # value
+)
+
+put_batch_st = st.lists(put_st, min_size=0, max_size=12)
+
+
+@given(src_puts=put_batch_st, tgt_puts=put_batch_st)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sync_stream_always_converges_target(spark, src_puts, tgt_puts):
+    """For ANY pair of put-only cell logs, applying sync_table's mutation
+    stream to the target must make its read view identical to the source's
+    (SyncTable.syncRowCells contract) — including newer-target-version
+    masking, which needs the emitted delete_version."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.operators import jobs
+    from hbase_1_3_0_spark.operators import mutations as mut
+
+    def mk_cells(puts):
+        rows = [
+            (r, "d", q, ts, TYPE_PUT, v, i) for i, (r, q, ts, v) in enumerate(puts)
+        ]
+        return spark.createDataFrame(rows, CELL_SCHEMA)
+
+    src = mk_cells(src_puts)
+    tgt = mk_cells(tgt_puts)
+    stream = jobs.sync_table(src, tgt).withColumn("batch_seq", F.lit(0))
+    repaired = mut.put_cells(
+        tgt, mut.mutations_to_cells(stream, now_ms=999).withColumn(
+            "seq", F.lit(10_000).cast("long")  # repairs apply after history
+        )
+    )
+    want = sorted(
+        (bytes(r.row), bytes(r.qualifier), r.ts, bytes(r.value))
+        for r in read_view(src).collect()
+    )
+    got = sorted(
+        (bytes(r.row), bytes(r.qualifier), r.ts, bytes(r.value))
+        for r in read_view(repaired).collect()
+    )
+    assert got == want
