@@ -105,6 +105,76 @@ def streaming_counters(
     )
 
 
+def stateful_ttl_counters(
+    increments: DataFrame,
+    *,
+    ttl_ms: int = 600_000,
+) -> DataFrame:
+    """Custom stateful counters with idle-state TTL — the
+    ``applyInPandasWithState`` surface (the streaming analog of a custom
+    coprocessor, SURVEY.md §2.5/§2.6) for semantics the built-in aggs can't
+    express: counter state that EXPIRES after ``ttl_ms`` without updates
+    (the family-TTL analog for counters), emitting a final ``expired`` row
+    so downstream can write the tombstone.
+
+    ``increments``: streaming DataFrame with row/family/qualifier + delta.
+    State is one long per key, partitioned by the grouping key (state store
+    per key range — the regionserver analog); timeouts are processing-time.
+    Arrow-batched per group; no row-at-a-time Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "row binary, family string, qualifier binary, "
+        "counter long, expired boolean"
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        row, family, qualifier = key
+        if state.hasTimedOut:
+            (count,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "row": row,
+                        "family": family,
+                        "qualifier": qualifier,
+                        "counter": count,
+                        "expired": True,
+                    }
+                ]
+            )
+            return
+        total = 0
+        for pdf in pdf_iter:
+            total += int(pdf["delta"].sum())
+        count = (state.get[0] if state.exists else 0) + total
+        state.update((count,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "row": row,
+                    "family": family,
+                    "qualifier": qualifier,
+                    "counter": count,
+                    "expired": False,
+                }
+            ]
+        )
+
+    return increments.groupBy("row", "family", "qualifier").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="counter long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_counters(
     increments: DataFrame,
     *,

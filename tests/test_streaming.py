@@ -188,3 +188,41 @@ def test_ttl_maintenance_rewrites_log(spark, tmp_path):
     assert {(r["row"], r["qualifier"]) for r in view.collect()} == {
         (b"r1", b"a")
     }
+
+
+def test_stateful_ttl_counters_accumulate_across_batches(spark, tmp_path):
+    src = tmp_path / "incs"
+    ckpt = tmp_path / "ckpt_ttl"
+    inc1 = spark.createDataFrame(
+        [(b"r1", "d", b"c", 2, None), (b"r1", "d", b"c", 3, None)],
+        INC_SCHEMA,
+    ).drop("event_ts")
+    inc2 = spark.createDataFrame(
+        [(b"r1", "d", b"c", 5, None), (b"r2", "d", b"c", 1, None)],
+        INC_SCHEMA,
+    ).drop("event_ts")
+    inc1.write.parquet(str(src / "b1"))
+    inc2.write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(inc1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = wal.stateful_ttl_counters(stream, ttl_ms=3_600_000)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_ctrs")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("ttl_ctrs").collect()
+    # state accumulated across micro-batches: the LAST update for r1 is 10
+    last = {}
+    for r in rows:
+        last[bytes(r.row)] = r.counter
+    assert last[b"r1"] == 10
+    assert last[b"r2"] == 1
+    assert all(r.expired is False for r in rows)
