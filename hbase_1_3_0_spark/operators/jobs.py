@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hbase_1_3_0_spark.cells import CELL_COLUMNS, CELL_SCHEMA, TYPE_PUT
-from hbase_1_3_0_spark.operators.read_view import read_view
+from hbase_1_3_0_spark.operators.read_view import mask_deletes, read_view
 from hbase_1_3_0_spark.sources import kv_encoder, writer
 
 
@@ -193,10 +193,12 @@ def sync_table(
     Full-outer join of the two read views on (row,family,qualifier), diffing
     on BOTH value and timestamp (the reference's range hash covers
     timestamps): source-only or value/ts-mismatched -> put at the source ts;
-    target-only -> delete_column; and when a mismatched target cell is NEWER
-    than the source cell (t_ts > s_ts) a delete_version at t_ts accompanies
-    the put, otherwise the target's newer version would keep masking it
-    (SyncTable.syncRowCells emits the same delete+put pair).
+    target-only -> delete_column; and when the mismatched target column has
+    versions NEWER than the source cell, a delete_version for EVERY surviving
+    target version with ts > s_ts accompanies the put (SyncTable.syncRowCells
+    emits one exact-version delete per spurious target cell) — deleting only
+    the visible newest would expose the next-newest hidden version and the
+    repair would not converge.
 
     ``hash_prefilter=True`` is the reference's actual two-phase algorithm
     (HashTable then sync only differing ranges, SyncTable.java:56): compare
@@ -241,9 +243,24 @@ def sync_table(
         "row", "family", "qualifier",
         F.col("ts").alias("s_ts"), F.col("value").alias("s_value"),
     )
-    t = read_view(target, max_versions=1).select(
-        "row", "family", "qualifier",
-        F.col("ts").alias("t_ts"), F.col("value").alias("t_value"),
+    # one pass over the surviving target puts: visible newest cell AND the
+    # full surviving-version ts set per column (partial-aggregatable groupBy,
+    # no window sort; version counts per column are small by design)
+    t = (
+        mask_deletes(target)
+        .groupBy("row", "family", "qualifier")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value"), F.struct(F.col("ts"), F.col("seq"))
+            ).alias("_vis"),
+            F.collect_set("ts").alias("_t_all_ts"),
+        )
+        .select(
+            "row", "family", "qualifier",
+            F.col("_vis.ts").alias("t_ts"),
+            F.col("_vis.value").alias("t_value"),
+            "_t_all_ts",
+        )
     )
     joined = s.join(t, ["row", "family", "qualifier"], "full_outer")
     diff = joined.where(
@@ -274,22 +291,32 @@ def sync_table(
             F.col("t_ts").alias("ts"),
         ),
     ).otherwise(nothing)
-    del_ver_m = F.when(
+    # one delete_version per surviving target version newer than the source
+    # cell — not just the visible newest (deleting only t_ts would expose
+    # the next hidden version and never converge)
+    del_ver_arr = F.when(
         F.col("s_ts").isNotNull()
         & F.col("t_ts").isNotNull()
         & (F.col("t_ts") > F.col("s_ts")),
-        F.struct(
-            F.lit("delete_version").alias("op"),
-            F.lit(None).cast("binary").alias("value"),
-            F.col("t_ts").alias("ts"),
+        F.transform(
+            F.filter(F.col("_t_all_ts"), lambda x: x > F.col("s_ts")),
+            lambda ts: F.struct(
+                F.lit("delete_version").alias("op"),
+                F.lit(None).cast("binary").alias("value"),
+                ts.alias("ts"),
+            ),
         ),
-    ).otherwise(nothing)
+    ).otherwise(
+        F.array().cast("array<struct<op:string, value:binary, ts:bigint>>")
+    )
     return diff.select(
         "row",
         "family",
         "qualifier",
         F.explode(
-            F.array_compact(F.array(put_m, del_col_m, del_ver_m))
+            F.array_compact(
+                F.concat(F.array(put_m, del_col_m), del_ver_arr)
+            )
         ).alias("_m"),
     ).select(
         "row",
