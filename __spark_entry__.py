@@ -25,7 +25,7 @@ from hbase_1_3_0_spark.cells import CELL_SCHEMA
 from hbase_1_3_0_spark.functions import codecs
 from hbase_1_3_0_spark.operators import aggregations as agg
 from hbase_1_3_0_spark.operators import jobs
-from hbase_1_3_0_spark.pipeline import dedup, similarity, text
+from hbase_1_3_0_spark.pipeline import decontaminate, dedup, similarity, text
 from hbase_1_3_0_spark.sources import fixtures
 from hbase_1_3_0_spark.sources.kv_encoder import cells_to_table, table_to_cells
 from hbase_1_3_0_spark.table import Scan, Table
@@ -1495,6 +1495,98 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document filter: per-rule verdicts + keep
+    flag (pipeline.text.quality_filter; pure codegen'd Column exprs)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = text.quality_filter(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "rule_len",
+        "rule_word_len",
+        "rule_punct",
+        "rule_stopwords",
+        "rule_bullets",
+        "keep",
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing with per-kind counts. Deterministic synthetic
+    PII is injected first (the fixture corpus has none) — identically on
+    the oracle side."""
+    docs = _load(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" Reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.org,"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-867-5309"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" from host 10.1.2.3"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    out = text.pii_redact(injected)
+    return out.select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: word-5-gram overlap of each probe doc
+    (doc_id%10>=8) against the training split (doc_id%10<8). Raw-string
+    grams here so DuckDB can reproduce the join exactly; the scale default
+    hashes grams to 64-bit (pipeline.decontaminate)."""
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    probes = docs.where(F.col("doc_id") % 10 >= 8)
+    return decontaminate.ngram_contamination(
+        corpus, probes, n=5, hash_grams=False
+    )
+
+
+def q_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiTableInputFormat analog: one job over (customer, orders) scans,
+    records tagged with their source table; string-typed qualifiers only so
+    the value rendering is engine-neutral."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    out = jobs.multi_table_scan(
+        [
+            (
+                c,
+                Scan(
+                    start_row=_k(100),
+                    stop_row=_k(200),
+                    columns=(("d", b"c_name"), ("d", b"c_mktsegment")),
+                ),
+            ),
+            (
+                o,
+                Scan(
+                    start_row=_k(100),
+                    stop_row=_k(200),
+                    columns=(("d", b"o_orderstatus"), ("d", b"o_orderpriority")),
+                ),
+            ),
+        ]
+    )
+    return out.select(
+        F.col("table"),
+        codecs.decode_key_num(F.col("row")).alias("row_id"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.decode(F.col("value"), "UTF-8").alias("value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1598,8 +1690,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "snapshot_read": q_snapshot_read,
+        "quality_filter": q_quality_filter,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "multi_table": q_multi_table,
     }
 
+
+_QUALITY_FILTER_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+    len(regexp_replace(text, '\\s', '', 'g')) AS _nonspace,
+    len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS _alnum,
+    len(regexp_extract_all(lower(text),
+        '\\b(the|and|of|to|is|that|with|a|in|it|for|on|as|are)\\b'))
+        AS _stophits,
+    list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS _lines
+  FROM documents
+), d AS (
+  SELECT *,
+    CASE WHEN n_tokens > 0 THEN _alnum::DOUBLE / n_tokens ELSE 0.0 END AS _mwl,
+    CASE WHEN _nonspace > 0
+         THEN (_nonspace - _alnum)::DOUBLE / _nonspace ELSE 0.0 END AS _pr,
+    CASE WHEN len(_lines) > 0
+         THEN len(list_filter(_lines,
+              x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE / len(_lines)
+         ELSE 0.0 END AS _bf
+  FROM raw
+)
+SELECT doc_id, n_tokens, round(_mwl, 6) AS mean_word_len,
+  (n_tokens BETWEEN 5 AND 100000) AS rule_len,
+  (_mwl >= 2.0 AND _mwl <= 12.0) AS rule_word_len,
+  (_pr < 0.3) AS rule_punct,
+  (_stophits >= 2) AS rule_stopwords,
+  (_bf <= 0.9) AS rule_bullets,
+  ((n_tokens BETWEEN 5 AND 100000) AND (_mwl >= 2.0 AND _mwl <= 12.0)
+   AND (_pr < 0.3) AND (_stophits >= 2) AND (_bf <= 0.9)) AS keep
+FROM d
+"""
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_IP_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+_PII_SQL = f"""
+WITH inj AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 2 = 0
+         THEN ' Reach user' || doc_id::VARCHAR || '@mail.example.org,'
+         ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' from host 10.1.2.3' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{_PII_EMAIL_SQL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(t, '{_PII_PHONE_SQL}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(t, '{_PII_IP_SQL}'))::BIGINT AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+      '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+      '{_PII_IP_SQL}', '<IP>', 'g') AS redacted
+FROM inj
+"""
+
+_DECONTAM_SQL = """
+WITH nt AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ') AS toks
+  FROM documents
+),
+cg AS (
+  SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+  FROM (SELECT toks, unnest(range(1, greatest(len(toks)-4, 0) + 1)) AS i
+        FROM nt WHERE doc_id % 10 < 8)
+),
+pg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-4, 0) + 1)) AS i
+        FROM nt WHERE doc_id % 10 >= 8)
+),
+j AS (
+  SELECT p.doc_id, p.gram, (cg.gram IS NOT NULL) AS hit
+  FROM pg p LEFT JOIN cg ON p.gram = cg.gram
+),
+s AS (
+  SELECT d.doc_id,
+         count(DISTINCT j.gram)::BIGINT AS n_grams,
+         count(DISTINCT CASE WHEN j.hit THEN j.gram END)::BIGINT AS n_hit
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+  LEFT JOIN j USING (doc_id) GROUP BY d.doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+  round(CASE WHEN n_grams > 0 THEN n_hit::DOUBLE / n_grams ELSE 0.0 END, 6)
+      AS contamination,
+  (CASE WHEN n_grams > 0 THEN n_hit::DOUBLE / n_grams ELSE 0.0 END > 0.1)
+      AS contaminated
+FROM s
+"""
 
 _TEXT_RAW = """
 SELECT doc_id,
@@ -2122,6 +2312,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_read": (
             "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+        ),
+        "quality_filter": _QUALITY_FILTER_SQL,
+        "pii_redact": _PII_SQL,
+        "decontaminate": _DECONTAM_SQL,
+        "multi_table": (
+            "SELECT 'customer' AS \"table\", c_custkey AS row_id, "
+            "q.q AS qualifier, "
+            "CASE q.q WHEN 'c_name' THEN c_name ELSE c_mktsegment END AS value "
+            "FROM customer CROSS JOIN (VALUES ('c_name'), ('c_mktsegment')) q(q) "
+            "WHERE c_custkey BETWEEN 100 AND 199 "
+            "UNION ALL "
+            "SELECT 'orders', o_orderkey, q.q, "
+            "CASE q.q WHEN 'o_orderstatus' THEN o_orderstatus "
+            "ELSE o_orderpriority END "
+            "FROM orders CROSS JOIN (VALUES ('o_orderstatus'), "
+            "('o_orderpriority')) q(q) "
+            "WHERE o_orderkey BETWEEN 100 AND 199"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

@@ -507,3 +507,48 @@ def compact(
         keep_deleted_cells=keep_deleted_cells,
         now_ms=now_ms,
     )
+
+
+def multi_table_scan(scans: list[tuple]) -> DataFrame:
+    """MultiTableInputFormat (hbase-server/.../mapreduce/
+    MultiTableInputFormat.java:45, scans conf at
+    MultiTableInputFormatBase.java:76): one job over N (table, scan) pairs,
+    each output record tagged with its source table.
+
+    Spark shape: N independent scan plans (each keeps its own row-range
+    pushdown / partition pruning) combined by a plan-level union — no
+    shuffle; the ``table`` tag is an ordinary column for downstream
+    grouping, mirroring TableSplit.getTableName routing."""
+    from hbase_1_3_0_spark.table import Scan, Table  # local: avoid cycle
+
+    tagged = []
+    for table, scan in scans:
+        assert isinstance(table, Table)
+        df = table.scan(scan) if scan is not None else table.scan()
+        tagged.append(
+            df.select(
+                F.lit(table.meta.name).alias("table"), *CELL_COLUMNS
+            )
+        )
+    out = tagged[0]
+    for df in tagged[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def multi_table_write(
+    mutations: DataFrame, tables: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """MultiTableOutputFormat (hbase-server/.../mapreduce/
+    MultiTableOutputFormat.java:58: the record key IS the target table
+    name): route a mutation-cell stream carrying a ``table`` column into N
+    cell logs; returns the updated log per table.
+
+    The routing filter is a partition-prunable predicate per table — each
+    target's append job reads only its slice; the loop is over the TABLE
+    SET (bounded catalog metadata), never over rows."""
+    out = {}
+    for name, cells in tables.items():
+        batch = mutations.where(F.col("table") == name).drop("table")
+        out[name] = cells.unionByName(batch.select(*cells.columns))
+    return out

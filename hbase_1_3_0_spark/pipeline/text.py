@@ -126,6 +126,100 @@ def repetition_stats(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+    max_bullet_frac: float = 0.9,
+) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021 §A.1.1):
+    per-rule boolean verdicts plus the combined ``keep`` flag, so a pipeline
+    can both drop documents and report WHY each one was dropped.
+
+    Rules: token count in band, mean word length in band, punctuation-noise
+    ratio, minimum stopword evidence, and bullet-line fraction (list-heavy
+    boilerplate). All pure JVM Column exprs over one scan — no shuffle, no
+    Python; at 100 TB this is a single codegen'd projection."""
+    t = F.col(text_col)
+    toks = token_count(t)
+    alnum_chars = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    mean_wl = F.when(toks > 0, alnum_chars / toks).otherwise(F.lit(0.0))
+    stop_hits = _marker_hits(F.lower(t), STOPWORDS_EN)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike("^[-*•]"))
+    )
+    bullet_frac = F.when(
+        F.size(lines) > 0, bullet / F.size(lines)
+    ).otherwise(F.lit(0.0))
+    out = df.withColumns(
+        {
+            "n_tokens": toks.cast("long"),
+            "mean_word_len": F.round(mean_wl, 6),
+            "rule_len": (toks >= min_tokens) & (toks <= max_tokens),
+            "rule_word_len": (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len),
+            "rule_punct": punct_ratio(t) < max_punct_ratio,
+            "rule_stopwords": stop_hits >= min_stopword_hits,
+            "rule_bullets": bullet_frac <= max_bullet_frac,
+        }
+    )
+    return out.withColumn(
+        "keep",
+        F.col("rule_len")
+        & F.col("rule_word_len")
+        & F.col("rule_punct")
+        & F.col("rule_stopwords")
+        & F.col("rule_bullets"),
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): character classes + bounded quantifiers, no
+# backreferences or lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII scrubbing (emails, NANP-style phone numbers, IPv4
+    addresses) with per-kind match counts — the standard pre-training
+    redaction pass. Order matters: IPs are counted before phone masking can
+    alter digit runs; replacement is innermost-first (email, phone, ip) on
+    disjoint pattern families so the passes compose deterministically.
+
+    Pure JVM ``regexp_replace``/``regexp_extract_all`` — codegen'd, no
+    Python, no shuffle."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": n_emails.cast("long"),
+            "n_phones": n_phones.cast("long"),
+            "n_ips": n_ips.cast("long"),
+            "redacted": redacted,
+        }
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

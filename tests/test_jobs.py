@@ -174,3 +174,56 @@ def test_engine_compact_table_roundtrip(spark, tmp_path):
     from hbase_1_3_0_spark.plans import inspect
 
     assert inspect.shuffle_exchange_count(reloaded.scan()) == 0
+
+
+# ----------------------------------------------------------- multi-table IO
+
+
+def test_multi_table_scan_tags_and_ranges(spark, sf_dir):
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.sources import fixtures
+    from hbase_1_3_0_spark.table import Scan, Table
+
+    def k(n):
+        return f"{n:019d}".encode()
+
+    c = Table(
+        TableMeta(name="customer", clean_log=True),
+        fixtures.kv_cells(spark, sf_dir, "customer"),
+        now_ms=1,
+    )
+    n = Table(
+        TableMeta(name="nation", clean_log=True),
+        fixtures.kv_cells(spark, sf_dir, "nation"),
+        now_ms=1,
+    )
+    out = jobs.multi_table_scan(
+        [(c, Scan(start_row=k(1), stop_row=k(3))), (n, None)]
+    )
+    per_table = {
+        r["table"]: r["cnt"]
+        for r in out.groupBy("table").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(per_table) == {"customer", "nation"}
+    assert per_table["nation"] == 25 * 3  # 25 nations x 3 columns
+    assert per_table["customer"] > 0
+
+
+def test_multi_table_write_routes_by_table(spark):
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
+
+    def cell(row, q, v):
+        return (row, "d", q, 100, TYPE_PUT, v, 0)
+
+    t1 = spark.createDataFrame([cell(b"a", b"q", b"1")], CELL_SCHEMA)
+    t2 = spark.createDataFrame([cell(b"b", b"q", b"2")], CELL_SCHEMA)
+    muts = spark.createDataFrame(
+        [("one", b"a2", "d", b"q", 200, TYPE_PUT, b"x", 1),
+         ("two", b"b2", "d", b"q", 200, TYPE_PUT, b"y", 1)],
+        "table string, row binary, family string, qualifier binary, "
+        "ts long, type int, value binary, seq long",
+    )
+    out = jobs.multi_table_write(muts, {"one": t1, "two": t2})
+    assert out["one"].count() == 2 and out["two"].count() == 2
+    rows1 = {bytes(r.row) for r in out["one"].collect()}
+    assert rows1 == {b"a", b"a2"}

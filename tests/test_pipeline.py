@@ -185,3 +185,91 @@ def test_embedding_near_dup_bucketed_subset_of_exact(spark, sf_dir):
     }
     assert bucketed <= exact
     assert exact  # data yields at least one pair at this threshold
+
+
+# ------------------------------------------------------------ quality filter
+
+
+def test_quality_filter_rules(spark):
+    good = (
+        "The quick brown fox jumps over the lazy dog and it is a fine day "
+        "for running in the field with all of the other animals."
+    )
+    too_short = "tiny doc"
+    no_stopwords = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bullets = "- one\n- two\n- three\n- four"
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, no_stopwords), (4, bullets)],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in text.quality_filter(df).collect()}
+    assert got[1].keep
+    assert not got[2].rule_len and not got[2].keep
+    assert not got[3].rule_stopwords and not got[3].keep
+    assert not got[4].rule_bullets and not got[4].keep
+
+
+def test_pii_redact_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith@corp.example.com or call 415-555-0123"),
+            (2, "server at 10.0.0.1 only"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in text.pii_redact(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert "<EMAIL>" in got[1].redacted and "<PHONE>" in got[1].redacted
+    assert "bob.smith" not in got[1].redacted
+    assert got[2].n_ips == 1 and "<IP>" in got[2].redacted
+    assert got[3].n_emails == got[3].n_phones == got[3].n_ips == 0
+    assert got[3].redacted == "clean text with no pii at all"
+
+
+# ---------------------------------------------------------- decontamination
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    from hbase_1_3_0_spark.pipeline import decontaminate
+
+    train_text = (
+        "the model was trained on a large corpus of public web documents "
+        "collected over several years"
+    )
+    corpus = spark.createDataFrame(
+        [(1, train_text), (2, "unrelated training text about other topics")],
+        "doc_id: long, text: string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, train_text),  # verbatim leak -> fully contaminated
+            (11, "completely novel evaluation sentence nothing shared here"),
+            (12, "ab"),  # < n tokens -> zero grams
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r
+        for r in decontaminate.ngram_contamination(
+            corpus, probes, n=5
+        ).collect()
+    }
+    assert got[10].contamination == 1.0 and got[10].contaminated
+    assert got[11].n_hit == 0 and not got[11].contaminated
+    assert got[12].n_grams == 0 and not got[12].contaminated
+
+
+def test_ngram_contamination_hashed_matches_raw(spark, docs):
+    from hbase_1_3_0_spark.pipeline import decontaminate
+
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    probes = docs.where(F.col("doc_id") % 10 >= 8).limit(40)
+    raw = decontaminate.ngram_contamination(
+        corpus, probes, n=5, hash_grams=False
+    )
+    hashed = decontaminate.ngram_contamination(
+        corpus, probes, n=5, hash_grams=True
+    )
+    key = lambda r: (r.doc_id, r.n_grams, r.n_hit, r.contamination)
+    assert sorted(map(key, raw.collect())) == sorted(map(key, hashed.collect()))

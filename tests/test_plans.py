@@ -137,3 +137,24 @@ def test_fused_scvf_plans_as_hash_agg(disk_table):
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_quality_and_pii_stay_jvm_side(spark, sf_dir):
+    from hbase_1_3_0_spark.pipeline import text
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    assert not inspect.has_python_eval(text.quality_filter(docs))
+    assert not inspect.has_python_eval(text.pii_redact(docs))
+
+
+def test_contamination_is_jvm_side_single_index_shuffle(spark, sf_dir):
+    """The corpus side reduces to a distinct-gram index (hashed 8-byte keys)
+    and the probe join carries no Python eval anywhere."""
+    from hbase_1_3_0_spark.pipeline import decontaminate
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    out = decontaminate.ngram_contamination(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+    assert not inspect.has_python_eval(out)
