@@ -170,6 +170,121 @@ class Engine:
         shutil.copytree(src, dst)
         return dst
 
+    def truncate_table(self, table: Table) -> Table:
+        """Admin.truncateTable (Admin.java:560): drop all data, keep the
+        schema. The replacement log is empty; a truncated log is trivially
+        clean, so scans take the no-shuffle fast path."""
+        from dataclasses import replace as _replace
+
+        from hbase_1_3_0_spark.cells import CELL_SCHEMA
+
+        empty = self.spark.createDataFrame([], CELL_SCHEMA)
+        meta = _replace(table.meta, clean_log=True)
+        self.catalog.alter_table(meta)
+        if self.root:
+            import shutil
+
+            shutil.rmtree(self._path(meta), ignore_errors=True)
+        self._cells[meta.qualified_name] = empty
+        return Table(meta, empty, self._now_ms)
+
+    def drop_table(self, table: Table) -> None:
+        """Admin.deleteTable (Admin.java:309): remove data and catalog
+        entry."""
+        self.catalog.drop_table(table.meta.name, table.meta.namespace)
+        self._cells.pop(table.meta.qualified_name, None)
+        if self.root:
+            import shutil
+
+            shutil.rmtree(self._path(table.meta), ignore_errors=True)
+
+    def clone_snapshot(self, snapshot_name: str, meta: TableMeta) -> Table:
+        """Admin.cloneSnapshot (Admin.java:1196): a NEW table whose initial
+        log is the snapshot content. Parquet files are immutable, so the
+        clone is a cheap directory copy (the reference's clone is likewise
+        HFile reference links, not a data rewrite)."""
+        if not self.root:
+            raise ValueError("snapshots need a storage root")
+        import shutil
+
+        src = self.root / "_snapshots" / snapshot_name
+        if not src.exists():
+            raise KeyError(f"no such snapshot: {snapshot_name}")
+        self.catalog.create_table(meta)
+        dst = self._path(meta)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(src, dst)
+        return self.table(meta.name, meta.namespace)
+
+    def restore_snapshot(self, table: Table, snapshot_name: str) -> Table:
+        """Admin.restoreSnapshot (Admin.java:1170): roll the table's data
+        back to the snapshot content (schema kept)."""
+        if not self.root:
+            raise ValueError("snapshots need a storage root")
+        import shutil
+
+        src = self.root / "_snapshots" / snapshot_name
+        if not src.exists():
+            raise KeyError(f"no such snapshot: {snapshot_name}")
+        dst = self._path(table.meta)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        self._cells.pop(table.meta.qualified_name, None)
+        return self.table(table.meta.name, table.meta.namespace)
+
+    def list_snapshots(self) -> list[str]:
+        if not self.root:
+            return []
+        d = self.root / "_snapshots"
+        return sorted(p.name for p in d.iterdir()) if d.exists() else []
+
+    def delete_snapshot(self, snapshot_name: str) -> None:
+        if self.root:
+            import shutil
+
+            shutil.rmtree(
+                self.root / "_snapshots" / snapshot_name, ignore_errors=True
+            )
+
+    def region_boundaries(self, table: Table) -> DataFrame:
+        """RegionLocator.getStartEndKeys analog (hbase-client/.../
+        RegionLocator.java:58): the row-key range each physical partition
+        covers. For a saved table the partitions ARE the range-partitioned
+        parquet files — the same pruning boundaries HBase gets from region
+        start/end keys. One narrow aggregation, no shuffle of cell data."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        per_part = (
+            table.cells.select(F.spark_partition_id().alias("_pid"), "row")
+            .groupBy("_pid")
+            .agg(
+                F.min("row").alias("start_key"),
+                F.max("row").alias("end_key"),
+                F.count(F.lit(1)).alias("cells"),
+            )
+        )
+        # parquet file-listing order is not key order; regions are numbered
+        # by their key range, like the meta table's region ordering
+        w = Window.orderBy("start_key")
+        return per_part.select(
+            (F.row_number().over(w) - 1).alias("region"),
+            "start_key",
+            "end_key",
+            "cells",
+        )
+
+    def split_table(self, table: Table, num_partitions: int) -> Table:
+        """Admin.split analog (Admin.java:1548): re-save the log with a new
+        range-partition count — the bulk region split/merge. The rewrite IS
+        the split: repartitionByRange gives total-order boundaries, exactly
+        HBase's split-point semantics."""
+        from dataclasses import replace as _replace
+
+        meta = _replace(table.meta, range_partitions=num_partitions)
+        self.catalog.alter_table(meta)
+        return self.save(Table(meta, table.cells, self._now_ms))
+
     def _path(self, meta: TableMeta) -> Path:
         assert self.root is not None
         return self.root / meta.namespace / meta.name
