@@ -1,0 +1,159 @@
+"""Deterministic sampling, dataset mixing, and sequence packing.
+
+Training-data pipeline ops a 100 TB corpus build needs beyond dedup/
+quality: (a) reproducible subsampling — per-stratum rates (dataset
+mixing weights), train/eval splits — that give the SAME verdict for the
+same document on every engine and every run, and (b) packing documents
+into fixed-capacity context windows for training.
+
+Scale shape:
+- Sampling is a pure map: one md5 per row, a string compare against a
+  precomputed hex threshold, zero shuffles, fully pushdown-friendly.
+  No ``rand()`` anywhere — randomness from ``rand()`` is neither
+  reproducible across retries (task re-execution resamples!) nor
+  auditable. Salted content/id hashing is the standard trick (e.g.
+  mod-sharding in CCNet/Dolma-style pipelines).
+- The hex-threshold compare works because fixed-width lowercase hex is
+  lexicographically order-isomorphic to the integer it encodes, so
+  ``substr(md5(k),1,8) < '1999999a'`` selects a 10% Bernoulli sample
+  identically in Spark, DuckDB, or any SQL engine — no float rounding,
+  no bigint conversion differences.
+- Packing shuffles once on the stratum key, then runs a single window
+  cumulative sum within each stratum (sorted by id). Bin boundaries are
+  pure arithmetic on the running token count — the "concatenate the
+  corpus and cut every `capacity` tokens" scheme GPT-style training
+  uses. One stratum = one sort partition; a pathologically hot stratum
+  should be pre-salted by the caller (documented below).
+
+Reference parity: the reference has no sampling surface (its
+RandomRowFilter at RandomRowFilter.java:36 uses Random#nextFloat per
+row — not reproducible across scans); this module is the
+pipeline-grade replacement and is cited from SURVEY.md §2's
+training-pipeline section.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rate_to_hex",
+    "hash_bucket",
+    "stratified_sample",
+    "train_eval_split",
+    "pack_sequences",
+]
+
+
+def rate_to_hex(rate: float) -> str:
+    """Map a rate in [0,1] to the 8-hex-digit threshold such that
+    ``hash_bucket(k) < threshold`` keeps ~``rate`` of keys. Exact at
+    1/2^32 granularity; monotone; '00000000' keeps nothing and
+    'ffffffff'+ keeps everything ('g' sorts after every hex digit)."""
+    if rate <= 0.0:
+        return "00000000"
+    if rate >= 1.0:
+        return "g"  # > every 8-digit hex string
+    return format(int(rate * 2**32), "08x")
+
+
+def hash_bucket(key: Column, seed: str = "") -> Column:
+    """First 8 hex digits of md5(seed || key) — a uniform draw in
+    [0, 2^32) encoded as a fixed-width lowercase hex string. Compare
+    against :func:`rate_to_hex` thresholds with plain ``<``."""
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the dataset-mixing
+    primitive (per-source weights -> per-source keep rates).
+
+    Pure narrow map (no shuffle): each row is kept iff the salted md5 of
+    its id falls under its stratum's threshold. Unlike
+    ``DataFrame.sampleBy`` (per-task RNG), membership is a function of
+    (seed, id) only — stable under task retries, incremental re-runs,
+    and engine changes.
+    """
+    bucket = hash_bucket(F.col(id_col), seed)
+    thr: Column = F.lit(rate_to_hex(default_rate))
+    for stratum, rate in rates.items():
+        thr = (
+            F.when(F.col(strata_col) == stratum, F.lit(rate_to_hex(rate)))
+            .otherwise(thr)
+        )
+    return df.where(bucket < thr)
+
+
+def train_eval_split(
+    df: DataFrame,
+    *,
+    eval_frac: float = 0.01,
+    id_col: str = "doc_id",
+    seed: str = "split1",
+) -> DataFrame:
+    """Tag every row with a reproducible ``split`` column ('train' /
+    'eval'). Complementary by construction — each row lands in exactly
+    one split; filtering either side is a pushdown-friendly predicate."""
+    is_eval = hash_bucket(F.col(id_col), seed) < F.lit(rate_to_hex(eval_frac))
+    return df.withColumn(
+        "split", F.when(is_eval, F.lit("eval")).otherwise(F.lit("train"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    capacity: int = 2048,
+    token_col: Column | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each stratum, documents
+    are laid out in id order on a single token tape; the tape is cut
+    every ``capacity`` tokens. Emits per-document placement:
+
+    - ``bin_id``   — index of the context window the document STARTS in
+    - ``bin_off``  — token offset of the document within that window
+    - ``n_tokens`` — the document's token count
+    - ``spill``    — tokens that overflow into the next window(s)
+
+    One shuffle (hash on the stratum), one in-partition sort, one
+    running sum — Spark plans this as a single Window over the stratum
+    partitioning; there is no global sort. At 100 TB the unit of
+    packing is the stratum/shard: callers with one giant stratum should
+    pre-shard it (e.g. ``F.pmod(F.xxhash64(id), n_shards)`` as the
+    stratum) — same placement law, bounded partition size.
+    """
+    from pyspark.sql.window import Window
+
+    toks = token_col if token_col is not None else F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", toks.cast("long"))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return out.select(
+        strata_col,
+        id_col,
+        "n_tokens",
+        (start / capacity).cast("long").alias("bin_id"),
+        (start % capacity).cast("long").alias("bin_off"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            ((start % capacity) + F.col("n_tokens")) - capacity,
+        ).alias("spill"),
+    )

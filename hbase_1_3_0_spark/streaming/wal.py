@@ -97,9 +97,13 @@ def streaming_counters(
     ``delta`` (long) and an event-time column. Output-mode ``update``
     emits the running counter per key; the watermark declares allowed
     lateness for client timestamps (HBase accepts any ts — in streaming we
-    bound state with the watermark and document the divergence)."""
+    bound state with the watermark and document the divergence).
+
+    The event-time column is cast to TIMESTAMP (LTZ): parquet-sourced
+    streams may infer TIMESTAMP_NTZ, which ``withWatermark`` rejects."""
     return (
-        increments.withWatermark(ts_col, watermark)
+        increments.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
         .groupBy("row", "family", "qualifier")
         .agg(F.sum("delta").alias("counter"))
     )

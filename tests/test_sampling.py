@@ -1,0 +1,120 @@
+"""Deterministic sampling / mixing / sequence packing (pipeline.sampling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.pipeline import sampling
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+def test_rate_to_hex_bounds_and_monotone():
+    assert sampling.rate_to_hex(0.0) == "00000000"
+    assert sampling.rate_to_hex(1.0) == "g"  # sorts after all hex
+    assert sampling.rate_to_hex(-1) == "00000000"
+    hexes = [sampling.rate_to_hex(r) for r in (0.1, 0.25, 0.5, 0.8)]
+    assert hexes == sorted(hexes)
+    assert sampling.rate_to_hex(0.5) == "80000000"
+
+
+def test_stratified_sample_deterministic(docs):
+    rates = {"src0": 0.8, "src1": 0.5}
+    a = set(
+        r.doc_id
+        for r in sampling.stratified_sample(docs, rates, default_rate=0.1)
+        .select("doc_id")
+        .collect()
+    )
+    b = set(
+        r.doc_id
+        for r in sampling.stratified_sample(docs, rates, default_rate=0.1)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and a  # same membership on every run, non-empty
+
+
+def test_stratified_sample_rate_ordering(docs):
+    # higher rate keeps a superset-sized sample within each stratum
+    lo = sampling.stratified_sample(docs, {}, default_rate=0.2).count()
+    hi = sampling.stratified_sample(docs, {}, default_rate=0.8).count()
+    total = docs.count()
+    assert lo < hi <= total
+    # nested property: the 0.2 sample is a SUBSET of the 0.8 sample
+    lo_ids = set(
+        r.doc_id
+        for r in sampling.stratified_sample(docs, {}, default_rate=0.2)
+        .select("doc_id")
+        .collect()
+    )
+    hi_ids = set(
+        r.doc_id
+        for r in sampling.stratified_sample(docs, {}, default_rate=0.8)
+        .select("doc_id")
+        .collect()
+    )
+    assert lo_ids <= hi_ids
+
+
+def test_stratified_zero_and_one(docs):
+    assert sampling.stratified_sample(docs, {}, default_rate=0.0).count() == 0
+    assert (
+        sampling.stratified_sample(docs, {}, default_rate=1.0).count()
+        == docs.count()
+    )
+
+
+def test_train_eval_split_partition(docs):
+    out = sampling.train_eval_split(docs, eval_frac=0.1)
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts.get("eval", 0) + counts.get("train", 0) == docs.count()
+    assert counts.get("eval", 0) > 0
+
+
+def test_split_is_narrow_plan(docs):
+    # sampling must be a pure map: no Exchange in the physical plan
+    plan = sampling.stratified_sample(
+        docs, {"src0": 0.5}, default_rate=0.1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_invariants(docs):
+    cap = 256
+    out = sampling.pack_sequences(docs, capacity=cap).collect()
+    assert len(out) == docs.count()
+    by_src: dict[str, list] = {}
+    for r in out:
+        assert 0 <= r.bin_off < cap
+        assert r.spill == max(0, r.bin_off + r.n_tokens - cap)
+        by_src.setdefault(r.source, []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # the tape has no gaps: each doc starts where the previous ended
+        pos = 0
+        for r in rows:
+            assert r.bin_id * cap + r.bin_off == pos
+            pos += r.n_tokens
+
+
+def test_pack_sequences_custom_token_col(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 100), ("s", 2, 200), ("s", 3, 300)],
+        "source: string, doc_id: long, toks: long",
+    )
+    rows = {
+        r.doc_id: r
+        for r in sampling.pack_sequences(
+            df, capacity=256, token_col=F.col("toks")
+        ).collect()
+    }
+    assert (rows[1].bin_id, rows[1].bin_off, rows[1].spill) == (0, 0, 0)
+    assert (rows[2].bin_id, rows[2].bin_off, rows[2].spill) == (0, 100, 44)
+    assert (rows[3].bin_id, rows[3].bin_off, rows[3].spill) == (1, 44, 88)

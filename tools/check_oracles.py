@@ -2,11 +2,18 @@
 ``queries()`` entry and its ``oracle_sql()`` side-by-side at a given SF and
 compare row count, column names, and (order-insensitive) values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` a driver-format report ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) is written for ALL checked
+queries — committed per round as CORRECTNESS_LOCAL_r{N}.json so the full
+95-query inventory has a recorded verdict even though the driver's own
+gate stops at the first 50 ``queries()`` keys.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -40,8 +47,14 @@ def row_key(row, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -66,10 +79,20 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}"[:200],
+            }
             continue
         elapsed = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {elapsed:.1f}s)")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             ores = con.execute(oracles[name])
@@ -78,6 +101,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb: {e}"[:200],
+            }
             continue
         ocols = sorted(ocols_raw)
         problems = []
@@ -107,7 +135,18 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name}: {len(srows)} rows ({elapsed:.1f}s)")
+        report[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": scols == ocols,
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None if not problems else "; ".join(problems)[:200],
+        }
     spark.stop()
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=1) + "\n")
+        print(f"wrote {json_out} ({len(report)} entries)")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
