@@ -1593,6 +1593,47 @@ def q_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cf_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family time range (Scan.setColumnFamilyTimeRange, Scan.java:347):
+    family 'a' reads as-of ts<1.5M (original c_name), while family 'b'
+    without an override reads latest (lowercased c_mktsegment)."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta
+
+    cust = _load(spark, sf_dir, "customer")
+    a1 = table_to_cells(cust, ["c_custkey"], ["c_custkey", "c_name"],
+                        family="a", ts=1_000_000, seq=0)
+    a2 = table_to_cells(
+        cust.select("c_custkey", F.upper(F.col("c_name")).alias("c_name")),
+        ["c_custkey"], ["c_name"], family="a", ts=2_000_000, seq=1,
+    )
+    b1 = table_to_cells(cust, ["c_custkey"], ["c_mktsegment"], family="b",
+                        ts=1_000_000, seq=0)
+    b2 = table_to_cells(
+        cust.select(
+            "c_custkey", F.lower(F.col("c_mktsegment")).alias("c_mktsegment")
+        ),
+        ["c_custkey"], ["c_mktsegment"], family="b", ts=2_000_000, seq=1,
+    )
+    cells = a1.unionByName(a2).unionByName(b1).unionByName(b2)
+    meta = TableMeta(
+        name="cust_cftr", families=(FamilyMeta(name="a"), FamilyMeta(name="b"))
+    )
+    t = Table(meta, cells, now_ms=NOW_MS)
+    out = t.scan(Scan(cf_time_range=(("a", 0, 1_500_000),)))
+    return _wide(
+        out,
+        {"c_custkey": "bigint", "c_name": "string", "c_mktsegment": "string"},
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: document/token/char volume and the
+    exact-duplicate rate from normalized md5 fingerprints — one hash agg
+    (pipeline/text.py corpus_stats)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.corpus_stats(docs)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source Bernoulli sampling (dataset-mixing
     weights): keep 80% of src0, 50% of src1, 25% of src2, 10% of the
@@ -1659,7 +1700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versions_latest": q_versions_latest,
         "tombstones": q_tombstones,
         "agg_decimal": q_agg_decimal,
-        "increment": q_increment,
         "sync_diff": q_sync_diff,
         "hash_table": q_hash_table,
         # -- read-view semantics (first driver check this round) --
@@ -1678,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_replication": q_verify_replication,
         "sync_ts_repair": q_sync_ts_repair,
         "multi_table": q_multi_table,
+        "cf_time_range": q_cf_time_range,
         "ordered_signed": q_ordered_signed,
         # -- comparators / filter variants --
         "binary_prefix": q_binary_prefix,
@@ -1711,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "pack_sequences": q_pack_sequences,
         # ---- end of driver-checked window (50) ----
+        "corpus_stats": q_corpus_stats,
         # no-oracle-by-design (sketch / LSH bucketing DuckDB can't mirror)
         "median_approx": q_median_approx,
         "random_row": q_random_row,
@@ -1720,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         # green in CORRECTNESS_r01+r02; rotated out of the checked window
+        "increment": q_increment,
         "multi_get": q_multi_get,
         "weighted_median": q_weighted_median,
         "while_match": q_while_match,
@@ -2397,6 +2440,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders CROSS JOIN (VALUES ('o_orderstatus'), "
             "('o_orderpriority')) q(q) "
             "WHERE o_orderkey BETWEEN 100 AND 199"
+        ),
+        "corpus_stats": (
+            "WITH f AS (SELECT source, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS toks, "
+            "len(text)::BIGINT AS chars, "
+            "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp "
+            "FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(toks)::BIGINT AS n_tokens, sum(chars)::BIGINT AS n_chars, "
+            "count(DISTINCT fp)::BIGINT AS n_unique, "
+            "round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate "
+            "FROM f GROUP BY source"
+        ),
+        "cf_time_range": (
+            "SELECT c_custkey, c_name, lower(c_mktsegment) AS c_mktsegment "
+            "FROM customer"
         ),
         "stratified_sample": (
             "SELECT doc_id, source FROM documents "

@@ -33,6 +33,12 @@ from hbase_1_3_0_spark.cells import CELL_SCHEMA  # noqa: E402
 from hbase_1_3_0_spark.engine import build_session  # noqa: E402
 from hbase_1_3_0_spark.operators import aggregations as agg  # noqa: E402
 from hbase_1_3_0_spark.operators import jobs  # noqa: E402
+from hbase_1_3_0_spark.pipeline import (  # noqa: E402
+    dedup,
+    sampling,
+    similarity,
+    text,
+)
 from hbase_1_3_0_spark.sources import fixtures, writer  # noqa: E402
 from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells  # noqa: E402
 from hbase_1_3_0_spark.table import Table  # noqa: E402
@@ -195,6 +201,34 @@ def main() -> None:
         _sink(new_table.cells)
 
     run("b-rmw", bench_rmw)
+
+    # ---- training-data pipeline workloads (SURVEY.md §2 pipeline ops) ----
+    docs = fixtures.load_table(spark, SF_DIR, "documents")
+    embs = fixtures.load_table(spark, SF_DIR, "embeddings")
+
+    # b-dedup-minhash: MinHash-LSH near-dup pairs, star-linked buckets +
+    # exact Jaccard verify on candidates only (pipeline/dedup.py)
+    run(
+        "b-dedup-minhash",
+        lambda: _sink(dedup.minhash_dedup_pairs(docs, threshold=0.5)),
+    )
+
+    # b-topk: brute-force cosine top-10 for 100 query vectors (broadcast
+    # queries, corpus never shuffled)
+    topk_queries = embs.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run(
+        "b-topk",
+        lambda: _sink(similarity.cosine_topk(embs, topk_queries, k=10)),
+    )
+
+    # b-text: full text-analysis stats (lang-ID, quality, tokens, PII
+    # counts) — pure JVM column expressions, no Python in the plan
+    run("b-text", lambda: _sink(text.text_stats(docs)))
+
+    # b-pack: concat-and-chunk sequence packing into 2048-token windows
+    run("b-pack", lambda: _sink(sampling.pack_sequences(docs, capacity=2048)))
 
     # b-sync: HashTable/SyncTable diff of two table versions
     def bench_sync():

@@ -190,38 +190,86 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    pair_mode: str = "star",
 ) -> DataFrame:
     """LSH candidate pairs: split the K-signature into ``bands`` bands of
     K/bands rows; docs sharing any band bucket are candidates. Banding is an
     explode + groupBy on (band, band-hash) — the shuffle key is the bucket,
-    so skew is bounded by bucket size, not corpus size."""
+    so skew is bounded by bucket size, not corpus size.
+
+    ``pair_mode`` controls enumeration within a bucket:
+
+    - ``'star'`` (default, the 100 TB path): each doc pairs only with its
+      bucket's MINIMUM id. Linear in bucket size, and because every member
+      links to the same representative, the connected components (what
+      dedup actually consumes) are identical to all-pairs linkage. A
+      template-heavy corpus puts thousands of near-identical docs in one
+      bucket — all-pairs is quadratic there (5k docs produced 4M pairs on
+      the synthetic corpus), star stays at one edge per member. Identical
+      signatures are also collapsed BEFORE banding (one representative per
+      distinct signature), so a million exact clones band once.
+    - ``'all'``: exhaustive within-bucket pairs — the oracle/analysis mode
+      for small corpora where every qualifying PAIR must be reported.
+    """
     rows = num_hashes // bands
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, seed=seed,
     )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("_sig"), bidx * rows + 1, rows)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .where(F.col("x._id") < F.col("y._id"))
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+
+    def band_rows(s: DataFrame) -> DataFrame:
+        return s.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bidx: F.struct(
+                        bidx.alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), bidx * rows + 1, rows)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("_id", "bb.band", "bb.bucket")
+
+    if pair_mode == "all":
+        banded = band_rows(sig)
+        return (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bucket"])
+            .where(F.col("x._id") < F.col("y._id"))
+            .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+            .distinct()
+        )
+    if pair_mode != "star":
+        raise ValueError(f"pair_mode must be 'star' or 'all', got {pair_mode!r}")
+
+    # collapse identical signatures first: one hash agg; exact clones emit
+    # one (rep, member) edge each instead of participating in banding
+    grouped = sig.groupBy("_sig").agg(
+        F.min("_id").alias("_rep"), F.collect_list("_id").alias("_members")
+    )
+    clone_edges = grouped.select(
+        F.col("_rep").alias("id_a"),
+        F.explode("_members").alias("id_b"),
+    ).where(F.col("id_a") < F.col("id_b"))
+    reps = grouped.select(F.col("_rep").alias("_id"), "_sig")
+    banded = band_rows(reps)
+    # star: every member links to the bucket minimum — one window-free
+    # min-per-bucket agg + one semi-join-shaped inner join back
+    bucket_min = banded.groupBy("band", "bucket").agg(
+        F.min("_id").alias("_min_id")
+    )
+    star_edges = (
+        banded.join(bucket_min, ["band", "bucket"])
+        .where(F.col("_id") != F.col("_min_id"))
+        .select(
+            F.col("_min_id").alias("id_a"), F.col("_id").alias("id_b")
+        )
         .distinct()
     )
-    return pairs
+    return clone_edges.unionByName(star_edges).distinct()
 
 
 def minhash_dedup_pairs(
@@ -234,12 +282,14 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    pair_mode: str = "star",
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard — the scale path:
-    exact verification runs only on the candidate set."""
+    exact verification runs only on the candidate set (star-linked by
+    default; see :func:`minhash_lsh_candidates` for ``pair_mode``)."""
     cand = minhash_lsh_candidates(
         df, text_col=text_col, id_col=id_col, n=n,
-        num_hashes=num_hashes, bands=bands, seed=seed,
+        num_hashes=num_hashes, bands=bands, seed=seed, pair_mode=pair_mode,
     )
     sh = _shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
@@ -450,24 +500,72 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     max_hamming: int = 3,
+    pair_mode: str = "star",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-collision candidates filtered by exact
-    Hamming distance (bit_count of xor)."""
+    Hamming distance (bit_count of xor).
+
+    ``pair_mode='star'`` (default, the scale path): identical signatures
+    collapse to one representative before banding (clones emit one
+    hamming-0 edge each), and within a band bucket every signature pairs
+    only with the bucket minimum — linear in bucket size, same connected
+    components as all-pairs (see :func:`minhash_lsh_candidates`).
+    ``'all'`` enumerates every within-bucket pair."""
     sig = simhash_bands(df, text_col=text_col, id_col=id_col, n=n)
-    cands = None
-    for i in range(4):
-        a = sig.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), F.col(f"band{i}").alias("b"))
-        b = sig.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), F.col(f"band{i}").alias("b"))
-        p = a.join(b, "b").where(F.col("id_a") < F.col("id_b")).drop("b")
-        cands = p if cands is None else cands.unionByName(p)
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cands.distinct()
+    if pair_mode == "all":
+        cands = None
+        for i in range(4):
+            a = sig.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), F.col(f"band{i}").alias("b"))
+            b = sig.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), F.col(f"band{i}").alias("b"))
+            p = a.join(b, "b").where(F.col("id_a") < F.col("id_b")).drop("b")
+            cands = p if cands is None else cands.unionByName(p)
+        return (
+            cands.distinct()
+            .withColumn("hamming", dist)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .distinct()
+        )
+    if pair_mode != "star":
+        raise ValueError(f"pair_mode must be 'star' or 'all', got {pair_mode!r}")
+
+    grouped = sig.groupBy("sig").agg(
+        F.min("_id").alias("_rep"), F.collect_list("_id").alias("_members")
+    )
+    clone_edges = grouped.select(
+        F.col("_rep").alias("id_a"),
+        F.explode("_members").alias("id_b"),
+        F.lit(0).alias("hamming"),
+    ).where(F.col("id_a") < F.col("id_b"))
+    reps = grouped.select(F.col("_rep").alias("_id"), "sig")
+    star = None
+    for i in range(4):
+        band = F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        banded = reps.select("_id", "sig", band.alias("b"))
+        bucket_min = banded.groupBy("b").agg(
+            F.min_by(F.struct("_id", "sig"), "_id").alias("m")
+        )
+        p = (
+            banded.join(bucket_min, "b")
+            .where(F.col("_id") != F.col("m._id"))
+            .select(
+                F.col("m._id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.col("m.sig").alias("sig_a"),
+                F.col("sig").alias("sig_b"),
+            )
+        )
+        star = p if star is None else star.unionByName(p)
+    star_edges = (
+        star.distinct()
         .withColumn("hamming", dist)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
+    return clone_edges.unionByName(star_edges).distinct()
 
 
 def connected_components(

@@ -220,6 +220,41 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus health report — the dataset-card numbers every
+    corpus build publishes: document/token/char volume and the exact-dup
+    rate (1 - distinct fingerprints / docs).
+
+    One hash aggregation keyed on the stratum; countDistinct rewrites to
+    a two-level partial agg (distinct on (stratum, fp) first), so no
+    stratum ever materializes its full fingerprint set on one node."""
+    t = F.col(text_col)
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).alias("n_tokens"),
+            F.sum(char_count(t)).alias("n_chars"),
+            F.countDistinct(fingerprint(t)).alias("n_unique"),
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_unique",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

@@ -51,6 +51,9 @@ class Scan:
     families: tuple[str, ...] | None = None  # addFamily
     columns: tuple[tuple[str, bytes], ...] | None = None  # addColumn:306
     time_range: tuple[int, int] | None = None  # setTimeRange:330
+    #: per-family [min, max) overrides of ``time_range``
+    #: (setColumnFamilyTimeRange:347) as ((family, lo, hi), ...)
+    cf_time_range: tuple[tuple[str, int, int], ...] | None = None
     max_versions: int | None = None  # setMaxVersions:464 (None => 1)
     raw: bool = False  # setRaw:859
     reversed: bool = False  # setReversed:694
@@ -245,13 +248,21 @@ class Table:
         fams = self.meta.families
         if s.families is not None:
             fams = tuple(f for f in fams if f.name in s.families)
+        # per-family time ranges (setColumnFamilyTimeRange:347) override the
+        # scan-wide range for that family; families sharing identical
+        # (version/TTL/KDC/time-range) semantics still share one matcher pass
+        cf_tr = {f: (lo, hi) for f, lo, hi in (s.cf_time_range or ())}
         groups: dict[tuple, list[FamilyMeta]] = {}
         for fm in fams:
-            key = (fm.max_versions, fm.min_versions, fm.ttl_seconds, fm.keep_deleted_cells)
+            eff_tr = cf_tr.get(fm.name, s.time_range)
+            key = (
+                fm.max_versions, fm.min_versions, fm.ttl_seconds,
+                fm.keep_deleted_cells, eff_tr,
+            )
             groups.setdefault(key, []).append(fm)
         known = [fm.name for fm in fams]
         outs = []
-        for (maxv, minv, ttl, kdc), members in groups.items():
+        for (maxv, minv, ttl, kdc, eff_tr), members in groups.items():
             sub = df
             if len(groups) > 1 or s.families is not None:
                 sub = df.where(F.col("family").isin([m.name for m in members]))
@@ -263,7 +274,7 @@ class Table:
                     min_versions=minv,
                     ttl_seconds=ttl,
                     keep_deleted_cells=kdc,
-                    time_range=s.time_range,
+                    time_range=eff_tr,
                     now_ms=self._now_ms,
                     raw=s.raw,
                     cell_filter=cell_pred,
@@ -309,9 +320,23 @@ class Table:
                     | (F.lit(now) - F.col("ts") < F.col("ttl_ms"))
                 )
             out = out.where(cond)
-        if s.time_range is not None:
-            lo, hi = s.time_range
-            out = out.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        cf_tr = {f: (lo, hi) for f, lo, hi in (s.cf_time_range or ())}
+        if s.time_range is not None or cf_tr:
+            cond = F.lit(True)
+            if s.time_range is not None:
+                lo, hi = s.time_range
+                in_overridden = (
+                    F.col("family").isin(list(cf_tr)) if cf_tr else F.lit(False)
+                )
+                cond = cond & (
+                    in_overridden | ((F.col("ts") >= lo) & (F.col("ts") < hi))
+                )
+            for fam, (lo, hi) in cf_tr.items():
+                cond = cond & (
+                    (F.col("family") != fam)
+                    | ((F.col("ts") >= lo) & (F.col("ts") < hi))
+                )
+            out = out.where(cond)
         return out.select(*CELL_COLUMNS)
 
     def get(self, g: Get | bytes, **kw) -> DataFrame:

@@ -273,3 +273,53 @@ def test_ngram_contamination_hashed_matches_raw(spark, docs):
     )
     key = lambda r: (r.doc_id, r.n_grams, r.n_hit, r.contamination)
     assert sorted(map(key, raw.collect())) == sorted(map(key, hashed.collect()))
+
+
+def test_minhash_star_mode_matches_all_pairs_components(spark):
+    """Star linkage must produce the same connected components as
+    exhaustive within-bucket pairs (what dedup consumes), with at most
+    one edge per (bucket, member)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + ("!" * (i % 2))) for i in range(1, 7)]  # one clone family
+    rows += [(10, "completely unrelated content with other words entirely")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    all_pairs = dedup.minhash_lsh_candidates(df, pair_mode="all")
+    star_pairs = dedup.minhash_lsh_candidates(df, pair_mode="star")
+
+    def comps(pairs):
+        labels = dedup.connected_components(pairs)
+        return {
+            frozenset(
+                r.id for r in labels.collect() if r.component == c
+            )
+            for c in {r.component for r in labels.collect()}
+        }
+
+    assert comps(all_pairs) == comps(star_pairs)
+    # star edge count is linear: <= members-1 per component per band
+    assert star_pairs.count() <= all_pairs.count()
+
+
+def test_simhash_star_contains_clone_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd eeee"),
+         (3, "totally different words here now")],
+        "doc_id: long, text: string",
+    )
+    pairs = {(r.id_a, r.id_b, r.hamming)
+             for r in dedup.simhash_near_pairs(df).collect()}
+    assert (1, 2, 0) in pairs
+    assert not any({a, b} == {1, 3} for a, b, _ in pairs)
+
+
+def test_corpus_stats_dup_rate(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "same text"), ("a", 2, "same text"), ("a", 3, "other"),
+         ("b", 4, "unique here")],
+        "source: string, doc_id: long, text: string",
+    )
+    rows = {r.source: r for r in text.corpus_stats(df).collect()}
+    assert rows["a"].n_docs == 3 and rows["a"].n_unique == 2
+    assert abs(rows["a"].dup_rate - (1 - 2 / 3)) < 1e-6
+    assert rows["b"].dup_rate == 0.0

@@ -158,3 +158,38 @@ def test_contamination_is_jvm_side_single_index_shuffle(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 1),
     )
     assert not inspect.has_python_eval(out)
+
+
+def test_star_lsh_no_cartesian_and_jvm_side(spark, sf_dir):
+    """Star-linked LSH candidates: no CartesianProduct/BroadcastNestedLoop
+    (bucket joins are equi-joins), no Python eval; same for simhash."""
+    from hbase_1_3_0_spark.pipeline import dedup
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    for df in (
+        dedup.minhash_lsh_candidates(docs),
+        dedup.simhash_near_pairs(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert not inspect.has_python_eval(df)
+
+
+def test_sampling_and_packing_plans(spark, sf_dir):
+    """Sampling is a pure narrow map (no Exchange at all); packing does
+    exactly ONE shuffle (hash on the stratum) and no global sort."""
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    sample_plan = (
+        sampling.stratified_sample(docs, {"src0": 0.5}, default_rate=0.1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in sample_plan
+
+    pack = sampling.pack_sequences(docs, capacity=512)
+    pack_plan = pack._jdf.queryExecution().executedPlan().toString()
+    assert pack_plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in pack_plan
+    assert not inspect.has_python_eval(pack)

@@ -141,3 +141,59 @@ def test_clean_log_fast_path_matches_full_read_view(spark, sf_dir):
     put = cells.limit(1).withColumn("ts", F.col("ts") + 1)
     mutated = fast.put(put)
     assert mutated.meta.clean_log is False
+
+
+def test_cf_time_range_per_family_override(spark):
+    """setColumnFamilyTimeRange (Scan.java:347): the per-family range
+    overrides the scan-wide one for that family only, on both the full
+    matcher path and the clean-log fast path."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+    from hbase_1_3_0_spark.table import Scan, Table
+
+    rows = []
+    for ts, tag in ((100, b"old"), (200, b"new")):
+        for fam in ("a", "b"):
+            rows.append(
+                (b"r1", fam, b"q", ts, 4, tag + fam.encode(), 0)
+            )
+    cells = spark.createDataFrame(
+        rows, "row binary, family string, qualifier binary, ts long, "
+        "type int, value binary, seq long"
+    )
+    meta = TableMeta(
+        name="cftr", families=(FamilyMeta(name="a"), FamilyMeta(name="b"))
+    )
+    t = Table(meta, cells, now_ms=1000)
+
+    # family 'a' pinned to the old version; 'b' follows the global range
+    got = {
+        (r.family, bytes(r.value))
+        for r in t.scan(Scan(cf_time_range=(("a", 0, 150),))).collect()
+    }
+    assert got == {("a", b"olda"), ("b", b"newb")}
+
+    # global range + per-family override compose
+    got2 = {
+        (r.family, bytes(r.value))
+        for r in t.scan(
+            Scan(time_range=(0, 150), cf_time_range=(("b", 150, 300),))
+        ).collect()
+    }
+    assert got2 == {("a", b"olda"), ("b", b"newb")}
+
+    # clean-log fast path (single-version log): same override logic
+    clean_cells = cells.where((F.col("ts") == 100) | (F.col("family") == "b"))
+    tc = Table(
+        TableMeta(
+            name="cftr2",
+            clean_log=True,
+            families=(FamilyMeta(name="a"), FamilyMeta(name="b")),
+        ),
+        clean_cells,
+        now_ms=1000,
+    )
+    got3 = {
+        (r.family, bytes(r.value), r.ts)
+        for r in tc.scan(Scan(cf_time_range=(("b", 150, 300),))).collect()
+    }
+    assert got3 == {("a", b"olda", 100), ("b", b"newb", 200)}
