@@ -21,15 +21,65 @@ from pyspark.sql import functions as F
 from hbase_1_3_0_spark.cells import CELL_SCHEMA
 
 
+def hex_string_split(n: int) -> list[bytes]:
+    """RegionSplitter.HexStringSplit (RegionSplitter.java:117): n-1 split
+    points dividing the 8-hex-digit key space ["00000000", "FFFFFFFF")
+    evenly; boundaries are ASCII hex strings, so they sort correctly
+    against hex-encoded row keys."""
+    if n < 2:
+        return []
+    space = 1 << 32
+    return [
+        format(space * i // n, "08x").encode("ascii") for i in range(1, n)
+    ]
+
+
+def uniform_split(n: int, *, key_len: int = 8) -> list[bytes]:
+    """RegionSplitter.UniformSplit (RegionSplitter.java:662): n-1 raw-byte
+    split points evenly spaced over the ``key_len``-byte unsigned key
+    space — for keys that are themselves uniform bytes (hashes)."""
+    if n < 2:
+        return []
+    space = 1 << (8 * key_len)
+    return [
+        (space * i // n).to_bytes(key_len, "big") for i in range(1, n)
+    ]
+
+
 def write_cells(
     cells: DataFrame,
     path: str | Path,
     *,
     num_partitions: int | None = None,
+    split_points: list[bytes] | None = None,
     mode: str = "overwrite",
 ) -> None:
+    """Bulk-load writer. ``split_points`` pins explicit region boundaries
+    (the pre-split table / RegionSplitter path — LoadIncrementalHFiles
+    splits HFiles at existing region boundaries, :114): cells are bucketed
+    by binary-search over the boundary list (a pure map: one codegen'd
+    fold over a literal array) and range-partitioned on (bucket, row), so
+    output files never straddle a declared boundary. Without
+    ``split_points`` Spark's sampled range partitioner picks boundaries
+    from the data (SimpleTotalOrderPartitioner analog)."""
     df = cells
-    if num_partitions:
+    writer_part_cols: list[str] = []
+    if split_points:
+        # one DIRECTORY per region (region=NNN), the exact analog of the
+        # region layout: a file can never straddle a declared boundary.
+        # The bucket id is a codegen'd fold over the literal boundary
+        # array (binary unsigned compare, same as Bytes.compareTo).
+        bounds = F.array(*[F.lit(b) for b in sorted(split_points)])
+        bucket = F.aggregate(
+            bounds,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("row") >= b, 1).otherwise(0),
+        )
+        df = df.withColumn("region", bucket).repartitionByRange(
+            len(split_points) + 1, "region", "row"
+        )
+        writer_part_cols = ["region"]
+    elif num_partitions:
         df = df.repartitionByRange(num_partitions, "row")
     else:
         df = df.repartitionByRange("row")
@@ -40,13 +90,23 @@ def write_cells(
         F.col("ts").desc(),
         F.col("seq").desc(),
     )
-    (
+    w = (
         df.write.mode(mode)
         .option("parquet.bloom.filter.enabled#row", "true")
         .option("parquet.bloom.filter.expected.ndv#row", "1000000")
-        .parquet(str(path))
     )
+    if writer_part_cols:
+        w = w.partitionBy(*writer_part_cols)
+    w.parquet(str(path))
 
 
 def read_cells(spark: SparkSession, path: str | Path) -> DataFrame:
-    return spark.read.schema(CELL_SCHEMA).parquet(str(path))
+    """Read a cell log; pre-split (region=NNN partitioned) layouts drop
+    the partition-discovery column back out of the cell schema."""
+    df = spark.read.parquet(str(path))
+    cols = [f.name for f in CELL_SCHEMA.fields]
+    if set(df.columns) != set(cols):
+        df = df.select(*cols)
+    else:
+        df = spark.read.schema(CELL_SCHEMA).parquet(str(path))
+    return df

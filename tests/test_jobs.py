@@ -227,3 +227,34 @@ def test_multi_table_write_routes_by_table(spark):
     assert out["one"].count() == 2 and out["two"].count() == 2
     rows1 = {bytes(r.row) for r in out["one"].collect()}
     assert rows1 == {b"a", b"a2"}
+
+
+def test_presplit_boundaries_and_write(spark, sf_dir, tmp_path):
+    """RegionSplitter analogs: HexStringSplit/UniformSplit boundary math
+    and boundary-pinned bulk-load partitioning."""
+    from hbase_1_3_0_spark.sources import fixtures, writer
+
+    hx = writer.hex_string_split(4)
+    assert hx == [b"40000000", b"80000000", b"c0000000"]
+    un = writer.uniform_split(2, key_len=8)
+    assert un == [b"\x80\x00\x00\x00\x00\x00\x00\x00"]
+    assert writer.hex_string_split(1) == []
+
+    cells = fixtures.kv_cells(spark, sf_dir, "nation")
+    # boundaries on the 19-digit zero-padded numeric keys
+    splits = [b"0000000000000000008", b"0000000000000000016"]
+    out = tmp_path / "presplit"
+    writer.write_cells(cells, out, split_points=splits)
+    back = writer.read_cells(spark, out)
+    assert back.count() == cells.count()
+    # no output file straddles a declared boundary
+    import pyspark.sql.functions as F
+
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("row").alias("lo"), F.max("row").alias("hi"))
+        .collect()
+    )
+    for r in per_file:
+        for b in splits:
+            assert not (bytes(r.lo) < b <= bytes(r.hi)), (r.f, b)
