@@ -119,6 +119,21 @@ def main() -> None:
     keys = [_k(17 * i % 150_000) for i in range(1000)]
     run("b-get-point", lambda: _sink(od.multi_get(keys)))
 
+    # b-scan-seek: randomSeekScan analog (PerformanceEvaluation.java:1180)
+    # — 100 seeks each followed by a bounded 10-row scan, expressed as ONE
+    # MultiRowRangeFilter pass (union of ranges -> partition-prunable ORs)
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    seek_ranges = tuple(
+        fast.RowRange(_k(1500 * i % 150_000), True,
+                      _k(1500 * i % 150_000 + 10), False)
+        for i in range(100)
+    )
+    run(
+        "b-scan-seek",
+        lambda: _sink(od.scan(filter=fast.MultiRowRangeFilter(ranges=seek_ranges))),
+    )
+
     # b-filter-scan: SCVF + FilterList via the DSL (PE filterScan — a
     # selective server-side filter; ~1% of rows match, the fused SCVF
     # aggregation+join broadcasts the matching row set)
@@ -201,6 +216,29 @@ def main() -> None:
         _sink(new_table.cells)
 
     run("b-rmw", bench_rmw)
+
+    # b-append: byte-append RMW (PE append, PerformanceEvaluation.java:1478)
+    def bench_append():
+        apps = events.select(
+            F.encode(
+                F.lpad(F.col("user_id").cast("string"), 19, "0"), "UTF-8"
+            ).alias("row"),
+            F.lit("d").alias("family"),
+            F.encode(F.lit("log"), "UTF-8").alias("qualifier"),
+            F.encode(F.concat(F.col("event_type"), F.lit(",")), "UTF-8").alias(
+                "value"
+            ),
+            F.col("event_id").alias("batch_seq"),
+        )
+        logs = Table(
+            TableMeta(name="logs"),
+            spark.createDataFrame([], CELL_SCHEMA),
+            now_ms=NOW_MS,
+        )
+        new_table, _ = logs.append(apps)
+        _sink(new_table.cells)
+
+    run("b-append", bench_append)
 
     # ---- training-data pipeline workloads (SURVEY.md §2 pipeline ops) ----
     docs = fixtures.load_table(spark, SF_DIR, "documents")
