@@ -226,3 +226,60 @@ def test_sync_stream_always_converges_target(spark, src_puts, tgt_puts):
         for r in read_view(repaired).collect()
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60,
+        unique=True,
+    ),
+    rate=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.sampled_from(["s1", "s2", "s3"]),
+)
+def test_sampling_matches_python_model(spark, ids, rate, seed):
+    """The hash-threshold sample must equal an independent Python md5
+    model exactly — the reproducibility contract sampling exists for."""
+    import hashlib
+
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id: long, source: string")
+    got = {
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df, {}, default_rate=rate, seed=seed
+        ).collect()
+    }
+    thr = sampling.rate_to_hex(rate)
+    expect = {
+        i
+        for i in ids
+        if hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:8] < thr
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=999), min_size=1, max_size=50),
+    cap=st.sampled_from([64, 256, 1000]),
+)
+def test_packing_matches_tape_model(spark, toks, cap):
+    """Packing placement must equal the sequential concat-and-chunk tape."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    rows = [("s", i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "source: string, doc_id: long, toks: long")
+    got = {
+        r.doc_id: (r.bin_id, r.bin_off, r.spill)
+        for r in sampling.pack_sequences(
+            df, capacity=cap, token_col=F.col("toks")
+        ).collect()
+    }
+    pos = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (pos // cap, pos % cap, max(0, pos % cap + t - cap))
+        pos += t
