@@ -1,0 +1,116 @@
+"""Plan audit: dump the formatted physical plan of headline queries and
+grep them for scale-killers (cartesian products, unpushed row-range
+filters, Python eval in JVM-only paths, global sorts).
+
+Writes PLANS.md at the repo root. Run per round after correctness is
+green; the committed file is the "is this the plan you'd want at 100 TB"
+evidence trail.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hbase_1_3_0_spark.engine import build_session  # noqa: E402
+
+# headline queries: one per operator area, weighted toward the plans that
+# must stay shuffle-lean at scale
+AUDIT = [
+    "scan_range",       # range scan: pushed row predicates, no shuffle
+    "multi_get",        # broadcast semi join of the key set
+    "filter_scvf",      # fused SCVF: hash agg + broadcastable join
+    "versions_latest",  # read view: max_by fast path, no window sort
+    "increment",        # RMW: fold deltas, join touched keys only
+    "sync_diff",        # full-outer diff
+    "exact_dedup",      # one hash-groupBy shuffle
+    "minhash_pairs",    # star-linked LSH: no cartesian
+    "cosine_topk",      # broadcast queries over corpus
+    "stratified_sample",  # pure narrow map: zero exchanges
+    "pack_sequences",   # exactly one hash exchange + window
+    "corpus_stats",     # single hash agg with two-level distinct
+]
+
+RED_FLAGS = {
+    "CartesianProduct": "cartesian product",
+    "BroadcastNestedLoopJoin": "nested-loop join",
+    "Exchange rangepartitioning": "global sort shuffle",
+}
+
+# intentional plan shapes, reviewed and documented at the operator:
+# pattern -> (query, why it is the plan you'd want)
+WAIVERS = {
+    ("cosine_topk", "nested-loop join"): (
+        "BroadcastNestedLoopJoin broadcasts the ~100 QUERY vectors against "
+        "the corpus stream — brute-force top-k IS corpus x queries; the "
+        "corpus side is never shuffled and the loop side is tiny "
+        "(similarity.py cosine_topk; lsh/ivf_topk are the bucketed scale "
+        "paths)"
+    ),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — physical-plan audit",
+        "",
+        f"Formatted plans of the headline queries at `{sf_dir}` "
+        "(`tools/plan_audit.py`). Flags scanned per plan: "
+        + ", ".join(f"`{k}`" for k in RED_FLAGS),
+        "",
+    ]
+    flagged = []
+    for name in AUDIT:
+        df = qs[name](spark, sf_dir)
+        # collect() finalizes THIS QueryExecution under AQE (a noop write
+        # would execute a separate cloned plan and leave isFinalPlan=false)
+        df.collect()
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # strip the (possibly huge) per-node column lists after the tree
+        tree = plan.split("\n\n")[0]
+        # codegen stage ids come from the pre-AQE executed plan string
+        # ("*(N) Op" markers); the formatted tree hides them
+        exec_str = df._jdf.queryExecution().executedPlan().toString()
+        hits = [label for pat, label in RED_FLAGS.items() if pat in plan]
+        waived = [h for h in hits if (name, h) in WAIVERS]
+        hits = [h for h in hits if (name, h) not in WAIVERS]
+        n_exchanges = len(re.findall(r"Exchange ", tree))
+        codegen_spans = len(set(re.findall(r"\*\((\d+)\)", exec_str)))
+        status = "FLAGS: " + ", ".join(hits) if hits else "clean"
+        if waived:
+            status += " (waived: " + "; ".join(
+                f"{h} — {WAIVERS[(name, h)]}" for h in waived
+            ) + ")"
+        if hits:
+            flagged.append((name, hits))
+        out += [
+            f"## {name} — {status}; {n_exchanges} exchange(s), "
+            f"{codegen_spans} codegen span(s)",
+            "",
+            "```",
+            tree,
+            "```",
+            "",
+        ]
+    Path("PLANS.md").write_text("\n".join(out) + "\n")
+    print(f"wrote PLANS.md; flagged: {flagged or 'none'}")
+    spark.stop()
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
