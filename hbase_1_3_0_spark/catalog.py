@@ -41,6 +41,10 @@ class TableMeta:
     families: tuple[FamilyMeta, ...] = (FamilyMeta(),)
     # physical hints (writer-side; SURVEY.md §4 "disciplined physical layout")
     range_partitions: int | None = None
+    #: pre-split boundaries (Admin.createTable(desc, splitKeys),
+    #: Admin.java:259 / RegionSplitter): the writer pins one directory per
+    #: region at these row-key boundaries instead of sampling the data
+    split_points: tuple[bytes, ...] | None = None
     #: The log is known single-version and tombstone-free (fresh bulk load /
     #: post-compaction). Scans then skip the version-limit aggregation and
     #: tombstone joins — the analog of HBase skipping ScanQueryMatcher delete
@@ -116,9 +120,15 @@ class Catalog:
         if not self._path:
             return
         self._path.parent.mkdir(parents=True, exist_ok=True)
+        def encode(t: TableMeta) -> dict:
+            d = asdict(t)
+            if d.get("split_points"):
+                d["split_points"] = [b.hex() for b in d["split_points"]]
+            return d
+
         payload = {
             "namespaces": sorted(self._namespaces),
-            "tables": [asdict(t) for t in self._tables.values()],
+            "tables": [encode(t) for t in self._tables.values()],
         }
         self._path.write_text(json.dumps(payload, indent=2))
 
@@ -127,6 +137,10 @@ class Catalog:
         self._namespaces = set(payload["namespaces"])
         for t in payload["tables"]:
             fams = tuple(FamilyMeta(**f) for f in t.pop("families"))
+            if t.get("split_points"):
+                t["split_points"] = tuple(
+                    bytes.fromhex(s) for s in t["split_points"]
+                )
             self._tables[f"{t['namespace']}:{t['name']}"] = TableMeta(
                 families=fams, **t
             )

@@ -101,7 +101,14 @@ class Engine:
             return table
         path = self._path(table.meta)
         writer.write_cells(
-            table.cells, path, num_partitions=table.meta.range_partitions
+            table.cells,
+            path,
+            num_partitions=table.meta.range_partitions,
+            split_points=(
+                list(table.meta.split_points)
+                if table.meta.split_points
+                else None
+            ),
         )
         fresh = writer.read_cells(self.spark, path)
         self._cells.pop(table.meta.qualified_name, None)

@@ -66,3 +66,28 @@ def test_region_boundaries_cover_disjoint_sorted_ranges(eng):
     # regions are row-range partitioned: consecutive ranges don't overlap
     for a, b in zip(bounds, bounds[1:]):
         assert bytes(a.end_key) <= bytes(b.start_key)
+
+
+def test_create_table_with_split_keys_roundtrip(spark, sf_dir, tmp_path):
+    """Admin.createTable(desc, splitKeys) analog: split points persist in
+    the catalog and pin the saved layout to one directory per region."""
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.engine import Engine
+    from hbase_1_3_0_spark.sources import fixtures
+
+    eng = Engine(spark, root=tmp_path, now_ms=1)
+    splits = (b"0000000000000000008", b"0000000000000000016")
+    meta = TableMeta(name="nation_presplit", split_points=splits)
+    cells = fixtures.kv_cells(spark, sf_dir, "nation")
+    t = eng.create_table(meta, cells)
+    saved = eng.save(t)
+    assert saved.cells.count() == cells.count()
+    # region directories exist at the declared boundaries
+    region_dirs = sorted(
+        p.name for p in (tmp_path / "default" / "nation_presplit").iterdir()
+        if p.name.startswith("region=")
+    )
+    assert region_dirs == ["region=0", "region=1", "region=2"]
+    # catalog JSON roundtrip preserves the byte boundaries
+    eng2 = Engine(spark, root=tmp_path, now_ms=1)
+    assert eng2.catalog.describe("nation_presplit").split_points == splits
