@@ -1634,6 +1634,14 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_stats(docs)
 
 
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal: strip lines repeated across >= 3
+    documents (nav/cookie/license lines), preserving remaining line order
+    (pipeline/text.py remove_boilerplate)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.remove_boilerplate(docs, min_docs=3)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source Bernoulli sampling (dataset-mixing
     weights): keep 80% of src0, 50% of src1, 25% of src2, 10% of the
@@ -1753,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         # ---- end of driver-checked window (50) ----
         "corpus_stats": q_corpus_stats,
+        "remove_boilerplate": q_remove_boilerplate,
         # no-oracle-by-design (sketch / LSH bucketing DuckDB can't mirror)
         "median_approx": q_median_approx,
         "random_row": q_random_row,
@@ -2440,6 +2449,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders CROSS JOIN (VALUES ('o_orderstatus'), "
             "('o_orderpriority')) q(q) "
             "WHERE o_orderkey BETWEEN 100 AND 199"
+        ),
+        "remove_boilerplate": (
+            "WITH exploded AS (SELECT doc_id, string_split(text, chr(10)) "
+            "AS ls FROM documents), "
+            "lines AS (SELECT doc_id, ls[i] AS line, i AS pos FROM exploded, "
+            "UNNEST(generate_series(1, len(ls))) AS g(i)), "
+            "boiler AS (SELECT line FROM lines WHERE len(trim(line)) > 0 "
+            "GROUP BY line HAVING count(DISTINCT doc_id) >= 3) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text "
+            "FROM lines WHERE line NOT IN (SELECT line FROM boiler) "
+            "GROUP BY doc_id"
         ),
         "corpus_stats": (
             "WITH f AS (SELECT source, "

@@ -147,6 +147,47 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids with Lloyd iterations.
+
+    Each iteration is ONE distributed pass: assign every vector to its
+    nearest centroid (codegen'd argmax over literal centroids, same
+    expression as :func:`ivf_assign`) and fold the per-list elementwise
+    means as ``dim`` avg() columns in a single hash aggregation. Only the
+    k x dim centroid matrix ever reaches the driver — centroids are model
+    state, not data, so the driver round-trip is the correct topology at
+    any corpus size (same shape as MLlib's KMeans). Empty lists keep
+    their previous centroid. Seeded random-unit init keeps the whole
+    trainer deterministic."""
+    cents = _random_unit_vectors(k, dim, seed)
+    for _ in range(iters):
+        assigned = ivf_assign(
+            df, num_lists=k, dim=dim, vec_col=vec_col, centroids=cents
+        )
+        rows = (
+            assigned.groupBy("ivf_list")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in rows:
+            vals = [r[f"c{i}"] for i in range(dim)]
+            if all(v is not None for v in vals):
+                # spherical k-means: assignment is by dot product, so the
+                # mean must be re-projected to the unit sphere or longer
+                # centroids swallow neighboring lists
+                norm = sum(v * v for v in vals) ** 0.5 or 1.0
+                cents[r["ivf_list"]] = [float(v) / norm for v in vals]
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     *,
@@ -154,11 +195,13 @@ def ivf_assign(
     dim: int = 64,
     vec_col: str = "embedding",
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest random centroid (IVF coarse
-    quantizer). Centroids are seeded literals — deterministic, no training
-    dependency; swap in k-means centroids when available."""
-    cents = _random_unit_vectors(num_lists, dim, seed)
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+    ``centroids`` defaults to seeded random unit vectors (deterministic,
+    no training dependency); pass :func:`kmeans_centroids` output for
+    trained lists."""
+    cents = centroids or _random_unit_vectors(num_lists, dim, seed)
     # argmax as array_max over struct(sim, idx) — linear-size expression tree.
     # (A chained when(d > best_d, ...).otherwise(best_d) rebuild doubles the
     # tree per centroid: O(2^num_lists) nodes, unplannable past ~12 lists.)
@@ -188,12 +231,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF search: score only the nprobe nearest inverted lists per query."""
-    cents = _random_unit_vectors(num_lists, dim, seed)
+    """IVF search: score only the nprobe nearest inverted lists per query.
+    ``centroids`` as in :func:`ivf_assign` (seeded random by default,
+    :func:`kmeans_centroids` for trained lists)."""
+    cents = centroids or _random_unit_vectors(num_lists, dim, seed)
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
-        num_lists=num_lists, dim=dim, vec_col="_cv", seed=seed,
+        num_lists=num_lists, dim=dim, vec_col="_cv", centroids=cents,
     )
     # per-query list affinities -> explode the nprobe closest lists
     q = queries.select(

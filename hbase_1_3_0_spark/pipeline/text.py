@@ -220,6 +220,61 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Lines appearing in >= ``min_docs`` distinct documents — the
+    CCNet/Dolma-style boilerplate set (nav bars, cookie banners, license
+    headers). One explode + one hash aggregation keyed on the line; blank
+    lines never count."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.where(F.length(F.trim(F.col("line"))) > 0)
+        .groupBy("line")
+        .agg(F.count_distinct(F.col("_id")).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document, preserving the
+    remaining line order. Returns (id, text) with the cleaned text;
+    documents whose every line was boilerplate drop out.
+
+    Scale shape: the boilerplate set is tiny relative to the corpus
+    (bounded by distinct repeated lines), so the anti-join broadcasts
+    under AQE; reassembly is one groupBy(doc) with an ObjectHashAggregate
+    collect_list — order restored from the captured line position, no
+    global sort."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = boilerplate_lines(
+        df, text_col=text_col, id_col=id_col, min_docs=min_docs
+    )
+    kept = lines.join(boiler.select("line"), "line", "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s.getField("line")), "\n"
+        ).alias(text_col)
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     *,

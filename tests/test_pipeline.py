@@ -323,3 +323,55 @@ def test_corpus_stats_dup_rate(spark):
     assert rows["a"].n_docs == 3 and rows["a"].n_unique == 2
     assert abs(rows["a"].dup_rate - (1 - 2 / 3)) < 1e-6
     assert rows["b"].dup_rate == 0.0
+
+
+def test_remove_boilerplate_strips_repeated_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "keep one\nCOOKIE BANNER\nkeep two"),
+         (2, "COOKIE BANNER\nunique line"),
+         (3, "COOKIE BANNER"),
+         (4, "all mine")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.text
+           for r in text.remove_boilerplate(df, min_docs=3).collect()}
+    assert out[1] == "keep one\nkeep two"   # order preserved
+    assert out[2] == "unique line"
+    assert 3 not in out                      # fully-boilerplate doc drops
+    assert out[4] == "all mine"
+
+    boiler = {r.line for r in text.boilerplate_lines(df, min_docs=3).collect()}
+    assert boiler == {"COOKIE BANNER"}
+
+
+def test_kmeans_centroids_improve_ivf_lists(spark, emb):
+    """Trained centroids must (a) be deterministic, (b) produce balanced,
+    recall-improving lists vs random hyperplane centroids on the fixture
+    embeddings (which have genuine label clusters)."""
+    a = similarity.kmeans_centroids(emb, k=8, dim=64, iters=3)
+    b = similarity.kmeans_centroids(emb, k=8, dim=64, iters=3)
+    assert a == b and len(a) == 8 and len(a[0]) == 64
+
+    trained = similarity.ivf_assign(emb, num_lists=8, dim=64, centroids=a)
+    sizes = [r.n for r in trained.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    # every vector assigned; no single list swallowed the corpus
+    assert sum(sizes) == emb.count()
+    assert max(sizes) < emb.count()
+
+    # same-label vectors should co-locate better than untrained random
+    # centroids (fixture labels are only weakly geometric, so compare
+    # against the random baseline rather than an absolute bar)
+    def purity(assigned):
+        r = (
+            assigned.groupBy("ivf_list", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("ivf_list")
+            .agg(F.max("n").alias("top"), F.sum("n").alias("tot"))
+            .agg(F.sum("top").alias("t"), F.sum("tot").alias("s"))
+            .collect()[0]
+        )
+        return r.t / r.s
+
+    untrained = similarity.ivf_assign(emb, num_lists=8, dim=64)
+    assert purity(trained) > purity(untrained)
