@@ -283,3 +283,73 @@ def test_packing_matches_tape_model(spark, toks, cap):
     for i, t in enumerate(toks):
         assert got[i] == (pos // cap, pos % cap, max(0, pos % cap + t - cap))
         pos += t
+
+
+def model_ttl_view(
+    cells: list[tuple], max_versions: int, min_versions: int,
+    ttl_floor: int,
+) -> set[tuple]:
+    """Model of the TTL x minVersions x tombstone interplay
+    (ScanQueryMatcher.java:333-395): deletes mask first; among surviving
+    versions newest-first, expired cells only survive inside the
+    minVersions floor; maxVersions caps the total."""
+    base = model_read_view(cells, max_versions=10**9)
+    by_col: dict[tuple, list[tuple]] = {}
+    for row, qual, ts, seq in base:
+        by_col.setdefault((row, qual), []).append((ts, seq))
+    out: set[tuple] = set()
+    for (row, qual), versions in by_col.items():
+        kept = 0
+        for ts, seq in sorted(versions, reverse=True):
+            if kept >= max_versions:
+                break
+            if ts >= ttl_floor or kept < min_versions:
+                out.add((row, qual, ts, seq))
+                kept += 1
+            else:
+                break  # expired beyond the floor: everything older is too
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    batch=batch_st,
+    max_versions=st.integers(min_value=1, max_value=3),
+    min_versions=st.integers(min_value=0, max_value=2),
+    ttl_seconds=st.integers(min_value=4, max_value=11),
+)
+def test_read_view_ttl_min_versions_matches_model(
+    spark, batch, max_versions, min_versions, ttl_seconds
+):
+    """Fuzz the hard corner SURVEY.md flags first: TTL expiry interacting
+    with the minVersions keep-floor and all four tombstone kinds. Cell ts
+    are scaled to seconds (1000..6000 ms) so the generated TTLs land the
+    expiry floor BETWEEN versions, not just before/after all of them."""
+    if min_versions >= max_versions:
+        min_versions = max_versions - 1
+    seen = {}
+    for c in batch:
+        seen[(c[0], c[1], c[2], c[3], c[4])] = c
+    batch = [(r, q, ts * 1000, typ, seq) for r, q, ts, typ, seq in seen.values()]
+
+    now_ms = 10_000
+    ttl_ms_floor = now_ms - ttl_seconds * 1000
+
+    expected = model_ttl_view(
+        batch, max_versions, min_versions, ttl_ms_floor
+    )
+    got = {
+        (bytes(r["row"]), bytes(r["qualifier"]), r["ts"], r["seq"])
+        for r in read_view(
+            _to_df(spark, batch),
+            max_versions=max_versions,
+            min_versions=min_versions,
+            ttl_seconds=ttl_seconds,
+            now_ms=now_ms,
+        ).collect()
+    }
+    assert got == expected
