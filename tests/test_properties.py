@@ -353,3 +353,53 @@ def test_read_view_ttl_min_versions_matches_model(
         ).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    batch=batch_st,
+    hi=st.integers(min_value=2, max_value=7),
+    kdc=st.booleans(),
+)
+def test_read_view_kdc_time_travel_matches_model(spark, batch, hi, kdc):
+    """KEEP_DELETED_CELLS x time-travel fuzz: with KDC=TRUE a time-range
+    read ignores delete markers at/above the range's upper bound (sees
+    through later deletes); with KDC=FALSE every marker masks regardless
+    of the range (ScanQueryMatcher.java:347-395, HColumnDescriptor:171)."""
+    seen = {}
+    for c in batch:
+        seen[(c[0], c[1], c[2], c[3], c[4])] = c
+    batch = list(seen.values())
+
+    if kdc:
+        # markers >= hi are invisible to this read
+        masked_batch = [
+            c for c in batch if c[3] == TYPE_PUT or c[2] < hi
+        ]
+    else:
+        masked_batch = batch
+    # version limit counts within the range: take top-1 after the range
+    # filter, mirroring ColumnTracker counting post-timerange
+    base = model_read_view(masked_batch, 10**9)
+    by_col: dict[tuple, list[tuple]] = {}
+    for row, qual, ts, seq in base:
+        if ts < hi:
+            by_col.setdefault((row, qual), []).append((ts, seq))
+    expected = {
+        (row, qual) + max(vs) for (row, qual), vs in by_col.items()
+    }
+
+    got = {
+        (bytes(r["row"]), bytes(r["qualifier"]), r["ts"], r["seq"])
+        for r in read_view(
+            _to_df(spark, batch),
+            max_versions=1,
+            keep_deleted_cells="TRUE" if kdc else "FALSE",
+            time_range=(0, hi),
+        ).collect()
+    }
+    assert got == expected
