@@ -71,7 +71,16 @@ def encode_string(col: Column) -> Column:
 
 
 def decode_string(col: Column) -> Column:
-    return F.decode(col, "UTF-8")
+    """Binary -> string for comparator/regex evaluation.
+
+    A CAST, not decode(): Spark 4's ANSI ``decode`` raises
+    MALFORMED_CHARACTER_CODING on invalid UTF-8, but the reference's
+    string comparators do ``new String(value)`` which never throws
+    (RegexStringComparator.java:296, SubstringComparator.java:46) — a
+    scan with a substring filter must not abort because one cell holds
+    non-text bytes. The cast keeps raw bytes in the UTF8String, so
+    contains/rlike still match byte-wise."""
+    return col.cast("string")
 
 
 # ---------------------------------------------------------------------------

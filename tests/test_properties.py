@@ -403,3 +403,105 @@ def test_read_view_kdc_time_travel_matches_model(spark, batch, hi, kdc):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# filter-algebra fuzz: random FilterList trees vs a Python predicate model
+# ---------------------------------------------------------------------------
+
+from hbase_1_3_0_spark.filters import ast as fast  # noqa: E402
+from hbase_1_3_0_spark.filters.compiler import apply_filter  # noqa: E402
+
+_F_ROWS = [b"a", b"ab", b"b", b"\x00", b"\xff\x01"]
+_F_QUALS = [b"qa", b"qb"]
+_F_VALS = [b"v1", b"v2", b"V1x", b"", b"\x80\x01"]
+_F_OPS = list(fast.CompareOp.ALL)
+
+comparator_st = st.one_of(
+    st.sampled_from(_F_VALS + [b"v"]).map(fast.BinaryComparator),
+    st.sampled_from([b"v", b"V", b"\x80"]).map(fast.BinaryPrefixComparator),
+    st.sampled_from(["v1", "1x", "z"]).map(fast.SubstringComparator),
+)
+
+
+def leaf(draw_cls, cmp, op):
+    return draw_cls(op=op, comparator=cmp)
+
+
+leaf_st = st.builds(
+    leaf,
+    st.sampled_from([fast.RowFilter, fast.QualifierFilter, fast.ValueFilter]),
+    comparator_st,
+    st.sampled_from(_F_OPS),
+)
+
+filter_st = st.recursive(
+    leaf_st,
+    lambda children: st.builds(
+        lambda op, fs: fast.FilterList(op, tuple(fs)),
+        st.sampled_from(["MUST_PASS_ALL", "MUST_PASS_ONE"]),
+        st.lists(children, min_size=1, max_size=3),
+    ),
+    max_leaves=6,
+)
+
+
+def _model_ordered(op, left: bytes, right: bytes) -> bool:
+    return {
+        "LESS": left < right,
+        "LESS_OR_EQUAL": left <= right,
+        "EQUAL": left == right,
+        "NOT_EQUAL": left != right,
+        "GREATER_OR_EQUAL": left >= right,
+        "GREATER": left > right,
+        "NO_OP": False,
+    }[op]
+
+
+def _model_compare(subject: bytes, op: str, cmp) -> bool:
+    if isinstance(cmp, fast.BinaryComparator):
+        return _model_ordered(op, subject, cmp.value)
+    if isinstance(cmp, fast.BinaryPrefixComparator):
+        return _model_ordered(op, subject[: len(cmp.value)], cmp.value)
+    if isinstance(cmp, fast.SubstringComparator):
+        m = cmp.substr.lower() in subject.decode("utf-8", "replace").lower()
+        if op == "EQUAL":
+            return m
+        if op == "NOT_EQUAL":
+            return not m
+        return False
+    raise AssertionError(cmp)
+
+
+def _model_filter(f, cell) -> bool:
+    row, qual, val = cell
+    if isinstance(f, fast.FilterList):
+        sub = [_model_filter(x, cell) for x in f.filters]
+        return all(sub) if f.operator == "MUST_PASS_ALL" else any(sub)
+    if isinstance(f, fast.RowFilter):
+        return _model_compare(row, f.op, f.comparator)
+    if isinstance(f, fast.QualifierFilter):
+        return _model_compare(qual, f.op, f.comparator)
+    if isinstance(f, fast.ValueFilter):
+        return _model_compare(val, f.op, f.comparator)
+    raise AssertionError(f)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(f=filter_st)
+def test_filter_algebra_matches_model(spark, f):
+    """Random nested FilterList trees over Row/Qualifier/Value filters with
+    Binary/BinaryPrefix/Substring comparators and all seven CompareOps must
+    agree cell-for-cell with an independent Python evaluation (binary
+    compares are unsigned-lexicographic on both sides)."""
+    cells = [
+        (r, q, v) for r in _F_ROWS for q in _F_QUALS for v in _F_VALS
+    ]
+    rows = [(r, "d", q, 1, TYPE_PUT, v, 0) for r, q, v in cells]
+    df = spark.createDataFrame(rows, CELL_SCHEMA)
+    got = {
+        (bytes(r["row"]), bytes(r["qualifier"]), bytes(r["value"]))
+        for r in apply_filter(df, f).collect()
+    }
+    expected = {c for c in cells if _model_filter(f, c)}
+    assert got == expected
