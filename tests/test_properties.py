@@ -505,3 +505,60 @@ def test_filter_algebra_matches_model(spark, f):
     }
     expected = {c for c in cells if _model_filter(f, c)}
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    batch_d=batch_st,
+    batch_e=batch_st,
+    maxv_d=st.integers(min_value=1, max_value=3),
+    ttl_e=st.integers(min_value=4, max_value=11),
+)
+def test_multi_family_scan_matches_per_family_models(
+    spark, batch_d, batch_e, maxv_d, ttl_e
+):
+    """One scan over families with DIFFERENT semantics (d: maxVersions,
+    e: TTL with minVersions=1) must equal the per-family models — guards
+    the family-grouping path in Table.scan (incl. the cf_time_range-aware
+    group keys)."""
+    from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+    from hbase_1_3_0_spark.table import Scan, Table
+
+    def dedupe_scaled(batch):
+        seen = {}
+        for c in batch:
+            seen[(c[0], c[1], c[2], c[3], c[4])] = c
+        return [
+            (r, q, ts * 1000, typ, seq) for r, q, ts, typ, seq in seen.values()
+        ]
+
+    batch_d, batch_e = dedupe_scaled(batch_d), dedupe_scaled(batch_e)
+    now_ms = 10_000
+    rows = [
+        (r, "d", q, ts, typ, f"{ts}:{seq}".encode(), seq)
+        for r, q, ts, typ, seq in batch_d
+    ] + [
+        (r, "e", q, ts, typ, f"{ts}:{seq}".encode(), seq)
+        for r, q, ts, typ, seq in batch_e
+    ]
+    df = spark.createDataFrame(rows, CELL_SCHEMA)
+    meta = TableMeta(
+        name="mf",
+        families=(
+            FamilyMeta(name="d", max_versions=maxv_d),
+            FamilyMeta(name="e", ttl_seconds=ttl_e, min_versions=1),
+        ),
+    )
+    t = Table(meta, df, now_ms=now_ms)
+    got = {
+        (r["family"], bytes(r["row"]), bytes(r["qualifier"]), r["ts"], r["seq"])
+        for r in t.scan(Scan(max_versions=3)).collect()
+    }
+    exp_d = {
+        ("d",) + c for c in model_read_view(batch_d, min(3, maxv_d))
+    }
+    exp_e = {
+        ("e",) + c
+        for c in model_ttl_view(batch_e, 1, 1, now_ms - ttl_e * 1000)
+    }
+    assert got == exp_d | exp_e
