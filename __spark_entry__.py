@@ -1634,6 +1634,13 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_stats(docs)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: 100 most frequent word tokens, deterministic
+    tie-breaks (pipeline/text.py vocab_topk)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, k=100)
+
+
 def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal: strip lines repeated across >= 3
     documents (nav/cookie/license lines), preserving remaining line order
@@ -1762,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of driver-checked window (50) ----
         "corpus_stats": q_corpus_stats,
         "remove_boilerplate": q_remove_boilerplate,
+        "vocab_topk": q_vocab_topk,
         # no-oracle-by-design (sketch / LSH bucketing DuckDB can't mirror)
         "median_approx": q_median_approx,
         "random_row": q_random_row,
@@ -2449,6 +2457,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders CROSS JOIN (VALUES ('o_orderstatus'), "
             "('o_orderpriority')) q(q) "
             "WHERE o_orderkey BETWEEN 100 AND 199"
+        ),
+        "vocab_topk": (
+            "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word FROM documents), "
+            "c AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word), "
+            "r AS (SELECT word, cnt, row_number() OVER "
+            "(ORDER BY cnt DESC, word ASC)::INTEGER AS rank FROM c) "
+            "SELECT word, cnt, rank FROM r WHERE rank <= 100"
         ),
         "remove_boilerplate": (
             "WITH exploded AS (SELECT doc_id, string_split(text, chr(10)) "

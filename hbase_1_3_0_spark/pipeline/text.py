@@ -9,7 +9,7 @@ whole-stage codegen straight over the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_RE = "[A-Za-z0-9]+"
@@ -217,6 +217,37 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_ips": n_ips.cast("long"),
             "redacted": redacted,
         }
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent lowercased word tokens with
+    deterministic tie-breaks (count desc, word asc) — the tokenizer-
+    training / corpus-inspection primitive.
+
+    One explode + one hash aggregation; the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps merged at the driver, no
+    global sort of the vocabulary)."""
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+            ),
+        )
     )
 
 

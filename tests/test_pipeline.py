@@ -375,3 +375,14 @@ def test_kmeans_centroids_improve_ivf_lists(spark, emb):
 
     untrained = similarity.ivf_assign(emb, num_lists=8, dim=64)
     assert purity(trained) > purity(untrained)
+
+
+def test_vocab_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id: long, text: string",
+    )
+    rows = text.vocab_topk(df, k=2).collect()
+    assert [(r.word, r.cnt, r.rank) for r in rows] == [
+        ("apple", 2, 1), ("banana", 2, 2),  # tie broken word-asc
+    ]

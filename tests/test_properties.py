@@ -562,3 +562,31 @@ def test_multi_family_scan_matches_per_family_models(
         for c in model_ttl_view(batch_e, 1, 1, now_ms - ttl_e * 1000)
     }
     assert got == exp_d | exp_e
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2, max_size=30, unique=True,
+    )
+)
+def test_ordered_long_encoding_preserves_order(spark, vals):
+    """encode_ordered_long: unsigned-lexicographic byte order == numeric
+    order for arbitrary int64s (incl. extremes), and decode inverts."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    enc = df.select(
+        "v",
+        codecs.encode_ordered_long(F.col("v")).alias("k"),
+    )
+    rows = enc.collect()
+    by_bytes = [r.v for r in sorted(rows, key=lambda r: bytes(r.k))]
+    assert by_bytes == sorted(vals)
+    back = enc.select(
+        "v", codecs.decode_ordered_long(F.col("k")).alias("b")
+    ).collect()
+    assert all(r.v == r.b for r in back)
