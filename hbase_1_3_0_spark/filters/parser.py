@@ -238,3 +238,107 @@ def parse_filter(s: str) -> ast.Filter:
     if p.peek()[0] != "eof":
         raise ValueError(f"ParseFilter: trailing input at token {p.peek()!r}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# serializer: Filter AST -> DSL string, the inverse of parse_filter
+# ---------------------------------------------------------------------------
+
+def _q(s: str) -> str:
+    """Quote a DSL string argument; '' escapes a literal quote."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_OP_STR = {v: k for k, v in _OPS.items()}
+
+
+def _comparator_str(c: ast.Comparator) -> str:
+    if isinstance(c, ast.BinaryComparator):
+        return _q("binary:" + c.value.decode("utf-8", "replace"))
+    if isinstance(c, ast.BinaryPrefixComparator):
+        return _q("binaryprefix:" + c.value.decode("utf-8", "replace"))
+    if isinstance(c, ast.RegexStringComparator):
+        return _q("regexstring:" + c.pattern)
+    if isinstance(c, ast.SubstringComparator):
+        return _q("substring:" + c.substr)
+    if isinstance(c, ast.LongComparator):
+        kind = "long" if c.codec == "be8" else "longutf8"
+        return _q(f"{kind}:{c.value}")
+    if isinstance(c, ast.NullComparator):
+        return _q("null:")
+    raise ValueError(f"to_dsl: unsupported comparator {c!r}")
+
+
+def to_dsl(f: ast.Filter) -> str:  # noqa: C901
+    """Serialize a Filter AST back to the ParseFilter DSL such that
+    ``parse_filter(to_dsl(f)) == f`` for the DSL-expressible surface
+    (string-safe byte args; BitComparator/FuzzyRow/MultiRowRange carry raw
+    bytes the shell DSL cannot spell and raise)."""
+    b = lambda x: x.decode("utf-8", "replace")  # noqa: E731
+    if isinstance(f, ast.FilterList):
+        joiner = " AND " if f.operator == "MUST_PASS_ALL" else " OR "
+        return "(" + joiner.join(to_dsl(x) for x in f.filters) + ")"
+    if isinstance(f, ast.SkipFilter):
+        return "SKIP " + to_dsl(f.wrapped)
+    if isinstance(f, ast.WhileMatchFilter):
+        return "WHILE " + to_dsl(f.wrapped)
+    if isinstance(f, ast.SingleColumnValueExcludeFilter):
+        return (
+            f"SingleColumnValueExcludeFilter ({_q(f.family)}, "
+            f"{_q(b(f.qualifier))}, {_OP_STR[f.op]}, "
+            f"{_comparator_str(f.comparator)}, "
+            f"{str(f.filter_if_missing).lower()}, "
+            f"{str(f.latest_version_only).lower()})"
+        )
+    if isinstance(f, ast.SingleColumnValueFilter):
+        return (
+            f"SingleColumnValueFilter ({_q(f.family)}, {_q(b(f.qualifier))}, "
+            f"{_OP_STR[f.op]}, {_comparator_str(f.comparator)}, "
+            f"{str(f.filter_if_missing).lower()}, "
+            f"{str(f.latest_version_only).lower()})"
+        )
+    if isinstance(f, ast.DependentColumnFilter):
+        base = f"{_q(f.family)}, {_q(b(f.qualifier))}, " \
+               f"{str(f.drop_dependent_column).lower()}"
+        if f.op is not None:
+            base += f", {_OP_STR[f.op]}, {_comparator_str(f.comparator)}"
+        return f"DependentColumnFilter ({base})"
+    for cls, name in (
+        (ast.RowFilter, "RowFilter"),
+        (ast.FamilyFilter, "FamilyFilter"),
+        (ast.QualifierFilter, "QualifierFilter"),
+        (ast.ValueFilter, "ValueFilter"),
+    ):
+        if type(f) is cls:
+            return f"{name} ({_OP_STR[f.op]}, {_comparator_str(f.comparator)})"
+    if isinstance(f, ast.PrefixFilter):
+        return f"PrefixFilter ({_q(b(f.prefix))})"
+    if isinstance(f, ast.ColumnPrefixFilter):
+        return f"ColumnPrefixFilter ({_q(b(f.prefix))})"
+    if isinstance(f, ast.MultipleColumnPrefixFilter):
+        args = ", ".join(_q(b(p)) for p in f.prefixes)
+        return f"MultipleColumnPrefixFilter ({args})"
+    if isinstance(f, ast.ColumnRangeFilter):
+        return (
+            f"ColumnRangeFilter ({_q(b(f.min_column)) if f.min_column else _q('')}, "
+            f"{str(f.min_inclusive).lower()}, "
+            f"{_q(b(f.max_column)) if f.max_column else _q('')}, "
+            f"{str(f.max_inclusive).lower()})"
+        )
+    if isinstance(f, ast.ColumnPaginationFilter):
+        return f"ColumnPaginationFilter ({f.limit}, {f.offset})"
+    if isinstance(f, ast.ColumnCountGetFilter):
+        return f"ColumnCountGetFilter ({f.limit})"
+    if isinstance(f, ast.PageFilter):
+        return f"PageFilter ({f.page_size})"
+    if isinstance(f, ast.InclusiveStopFilter):
+        return f"InclusiveStopFilter ({_q(b(f.stop_row))})"
+    if isinstance(f, ast.TimestampsFilter):
+        return f"TimestampsFilter ({', '.join(str(t) for t in f.timestamps)})"
+    if isinstance(f, ast.KeyOnlyFilter):
+        return f"KeyOnlyFilter ({str(f.len_as_val).lower()})"
+    if isinstance(f, ast.FirstKeyOnlyFilter):
+        return "FirstKeyOnlyFilter ()"
+    if isinstance(f, ast.RandomRowFilter):
+        return f"RandomRowFilter ({f.chance}, {f.seed})"
+    raise ValueError(f"to_dsl: filter not expressible in the DSL: {f!r}")

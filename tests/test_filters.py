@@ -302,3 +302,78 @@ def test_parse_filter_skip_and_while(tbl, spark):
 def test_parse_filter_quote_escaping(spark):
     f = parse_filter("ValueFilter (=, 'binary:it''s')")
     assert f == ast.ValueFilter(ast.CompareOp.EQUAL, ast.BinaryComparator(b"it's"))
+
+
+def test_dsl_roundtrip_fuzz():
+    """parse_filter(to_dsl(f)) == f over random DSL-expressible trees."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_1_3_0_spark.filters import ast as fa
+    from hbase_1_3_0_spark.filters.parser import parse_filter, to_dsl
+
+    comparator_st = st.one_of(
+        st.sampled_from(["abc", "it's", "x,y", "p(q)"]).map(
+            lambda s: fa.BinaryComparator(s.encode())
+        ),
+        st.sampled_from(["ab", "z"]).map(
+            lambda s: fa.BinaryPrefixComparator(s.encode())
+        ),
+        st.sampled_from(["needle", "N'dle"]).map(fa.SubstringComparator),
+        st.integers(min_value=-99, max_value=99).map(fa.LongComparator),
+        st.just(fa.NullComparator()),
+    )
+    ops = [o for o in fa.CompareOp.ALL if o != fa.CompareOp.NO_OP]
+    leaf_st = st.one_of(
+        st.builds(
+            lambda cls, op, c: cls(op=op, comparator=c),
+            st.sampled_from(
+                [fa.RowFilter, fa.FamilyFilter, fa.QualifierFilter, fa.ValueFilter]
+            ),
+            st.sampled_from(ops),
+            comparator_st,
+        ),
+        st.integers(min_value=1, max_value=50).map(fa.PageFilter),
+        st.sampled_from([b"r1", b"qq"]).map(fa.PrefixFilter),
+        st.builds(
+            fa.ColumnPaginationFilter,
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        st.lists(
+            st.integers(min_value=1, max_value=9), min_size=1, max_size=3
+        ).map(fa.TimestampsFilter),
+        st.builds(
+            lambda fam, q, op, c, m, l: fa.SingleColumnValueFilter(
+                fam, q, op, c, filter_if_missing=m, latest_version_only=l
+            ),
+            st.just("d"),
+            st.sampled_from([b"qa", b"qb"]),
+            st.sampled_from(ops),
+            comparator_st,
+            st.booleans(),
+            st.booleans(),
+        ),
+    )
+    tree_st = st.recursive(
+        leaf_st,
+        lambda ch: st.one_of(
+            # min 2 children: a 1-element FilterList is semantically its
+            # child and the DSL (like the HBase shell) cannot spell it
+            st.builds(
+                lambda op, fs: fa.FilterList(op, tuple(fs)),
+                st.sampled_from(["MUST_PASS_ALL", "MUST_PASS_ONE"]),
+                st.lists(ch, min_size=2, max_size=3),
+            ),
+            ch.map(fa.SkipFilter),
+            ch.map(fa.WhileMatchFilter),
+        ),
+        max_leaves=8,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(f=tree_st)
+    def roundtrip(f):
+        assert parse_filter(to_dsl(f)) == f
+
+    roundtrip()
