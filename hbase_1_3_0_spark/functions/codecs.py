@@ -196,5 +196,14 @@ def encode_value(col: Column) -> Column:
 
 
 def decode_value(col: Column, datatype: T.DataType | str) -> Column:
-    """Canonical binary value -> typed column."""
-    return F.decode(col, "UTF-8").cast(datatype)
+    """Canonical binary value -> typed column.
+
+    ``try_cast`` semantics: a cell whose bytes don't parse as the target
+    type decodes to NULL instead of aborting the whole scan (Spark 4's
+    ANSI cast throws on malformed input; a distributed scan must tolerate
+    one stray non-numeric cell in a dynamically-typed family — null then
+    fails whatever comparison consumes it, the reference's
+    per-cell-verdict behavior). The binary->string step is a cast too:
+    ANSI decode() rejects non-UTF8 bytes."""
+    dt = T._parse_datatype_string(datatype) if isinstance(datatype, str) else datatype
+    return col.cast(T.StringType()).try_cast(dt)

@@ -421,6 +421,7 @@ comparator_st = st.one_of(
     st.sampled_from(_F_VALS + [b"v"]).map(fast.BinaryComparator),
     st.sampled_from([b"v", b"V", b"\x80"]).map(fast.BinaryPrefixComparator),
     st.sampled_from(["v1", "1x", "z"]).map(fast.SubstringComparator),
+    st.just(fast.NullComparator()),
 )
 
 
@@ -445,6 +446,14 @@ filter_st = st.recursive(
     max_leaves=6,
 )
 
+long_leaf_st = st.builds(
+    lambda op, v: fast.ValueFilter(
+        op=op, comparator=fast.LongComparator(v, codec="utf8")
+    ),
+    st.sampled_from(_F_OPS),
+    st.integers(min_value=-5, max_value=30),
+)
+
 
 def _model_ordered(op, left: bytes, right: bytes) -> bool:
     return {
@@ -459,6 +468,14 @@ def _model_ordered(op, left: bytes, right: bytes) -> bool:
 
 
 def _model_compare(subject: bytes, op: str, cmp) -> bool:
+    if isinstance(cmp, fast.NullComparator):
+        # fixture cells always carry a value: EQUAL (is null) never
+        # includes, NOT_EQUAL always does, other ops exclude
+        if op == "EQUAL":
+            return False
+        if op == "NOT_EQUAL":
+            return True
+        return False
     if isinstance(cmp, fast.BinaryComparator):
         return _model_ordered(op, subject, cmp.value)
     if isinstance(cmp, fast.BinaryPrefixComparator):
@@ -483,6 +500,20 @@ def _model_filter(f, cell) -> bool:
     if isinstance(f, fast.QualifierFilter):
         return _model_compare(qual, f.op, f.comparator)
     if isinstance(f, fast.ValueFilter):
+        if isinstance(f.comparator, fast.LongComparator):
+            try:
+                decoded = int(val.decode("ascii"))
+            except (UnicodeDecodeError, ValueError):
+                return False  # non-numeric bytes decode to null -> excluded
+            return {
+                "LESS": decoded < f.comparator.value,
+                "LESS_OR_EQUAL": decoded <= f.comparator.value,
+                "EQUAL": decoded == f.comparator.value,
+                "NOT_EQUAL": decoded != f.comparator.value,
+                "GREATER_OR_EQUAL": decoded >= f.comparator.value,
+                "GREATER": decoded > f.comparator.value,
+                "NO_OP": False,
+            }[f.op]
         return _model_compare(val, f.op, f.comparator)
     raise AssertionError(f)
 
@@ -590,3 +621,20 @@ def test_ordered_long_encoding_preserves_order(spark, vals):
         "v", codecs.decode_ordered_long(F.col("k")).alias("b")
     ).collect()
     assert all(r.v == r.b for r in back)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(f=st.one_of(long_leaf_st, st.builds(
+    lambda op, fs: fast.FilterList(op, tuple(fs)),
+    st.sampled_from(["MUST_PASS_ALL", "MUST_PASS_ONE"]),
+    st.lists(long_leaf_st, min_size=2, max_size=3),
+)))
+def test_long_comparator_filters_match_model(spark, f):
+    """LongComparator (canonical decimal codec) across all CompareOps:
+    numeric compare where the value parses, excluded where it doesn't."""
+    vals = [b"0", b"7", b"22", b"-3", b"x9", b""]
+    rows = [(b"r", "d", b"q", 1, TYPE_PUT, v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, CELL_SCHEMA)
+    got = {bytes(r["value"]) for r in apply_filter(df, f).collect()}
+    expected = {v for v in vals if _model_filter(f, (b"r", b"q", v))}
+    assert got == expected
