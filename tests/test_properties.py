@@ -638,3 +638,71 @@ def test_long_comparator_filters_match_model(spark, f):
     got = {bytes(r["value"]) for r in apply_filter(df, f).collect()}
     expected = {v for v in vals if _model_filter(f, (b"r", b"q", v))}
     assert got == expected
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    current=st.lists(
+        st.tuples(
+            st.sampled_from([b"r1", b"r2", b"r3"]),
+            st.sampled_from([b"", b"x", b"y", b"zz"]),
+        ),
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+    checks=st.lists(
+        st.tuples(
+            st.sampled_from([b"r1", b"r2", b"r3", b"r4"]),
+            st.sampled_from(
+                ["LESS", "LESS_OR_EQUAL", "EQUAL", "NOT_EQUAL",
+                 "GREATER_OR_EQUAL", "GREATER"]
+            ),
+            st.sampled_from([None, b"", b"x", b"y"]),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_check_and_mutate_matches_model(spark, current, checks):
+    """CAS verdict fuzz vs the HRegion.checkAndMutate rules: null expected
+    matches absent OR zero-length current; comparisons are unsigned-
+    lexicographic on the current value; absent current fails every
+    comparison."""
+    from hbase_1_3_0_spark.operators.mutations import check_and_mutate
+
+    cells_rows = [
+        (r, "d", b"q", 1, TYPE_PUT, v, 0) for r, v in current
+    ]
+    cells = spark.createDataFrame(cells_rows, CELL_SCHEMA)
+    muts = spark.createDataFrame(
+        [
+            (r, "put", "d", b"new", None, b"nv", "d", b"q", op, exp, 0)
+            for r, op, exp in checks
+        ],
+        "row binary, op string, family string, qualifier binary, ts long, "
+        "value binary, check_family string, check_qualifier binary, "
+        "check_op string, check_value binary, batch_seq long",
+    )
+    _, verdicts = check_and_mutate(cells, muts, now_ms=5)
+    got = {bytes(r.row): r.applied for r in verdicts.collect()}
+
+    cur_map = dict(current)
+    expected = {}
+    for r, op, exp in checks:
+        cur = cur_map.get(r)
+        if exp is None:
+            ok = cur is None or cur == b""
+        elif cur is None:
+            ok = False
+        else:
+            ok = {
+                "LESS": cur < exp,
+                "LESS_OR_EQUAL": cur <= exp,
+                "EQUAL": cur == exp,
+                "NOT_EQUAL": cur != exp,
+                "GREATER_OR_EQUAL": cur >= exp,
+                "GREATER": cur > exp,
+            }[op]
+        expected[r] = ok
+    assert got == expected
