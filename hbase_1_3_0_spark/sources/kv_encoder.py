@@ -82,6 +82,35 @@ def table_to_cells(
     )
 
 
+def cells_to_result_map(cells: DataFrame) -> DataFrame:
+    """The dynamic-schema Result layout (Result.getMap, Result.java:681):
+    one row per row key with
+    ``result: map<family, map<qualifier, array<struct<ts, value>>>>``,
+    version arrays newest-first (the NavigableMap descending ts order).
+
+    For qualifiers unknown ahead of time — the wide pivot
+    (:func:`cells_to_table`) needs a declared column list; this doesn't.
+    Two hash aggregations keyed on prefixes of the natural (row, family,
+    qualifier) clustering; no windows, no Python."""
+    per_col = cells.groupBy("row", "family", "qualifier").agg(
+        F.reverse(
+            F.array_sort(F.collect_list(F.struct("ts", "value")))
+        ).alias("_versions")
+    )
+    # no array_sort at the map levels: structs holding maps/arrays are not
+    # orderable, and map semantics don't depend on entry order
+    per_family = per_col.groupBy("row", "family").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("qualifier", "_versions"))
+        ).alias("_qmap")
+    )
+    return per_family.groupBy("row").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("family", "_qmap"))
+        ).alias("result")
+    )
+
+
 def cells_to_table(
     cells: DataFrame,
     columns: dict[str, T.DataType | str],

@@ -197,3 +197,29 @@ def test_cf_time_range_per_family_override(spark):
         for r in tc.scan(Scan(cf_time_range=(("b", 150, 300),))).collect()
     }
     assert got3 == {("a", b"olda", 100), ("b", b"newb", 200)}
+
+
+def test_cells_to_result_map_nested_layout(spark):
+    """Result.getMap analog: nested family -> qualifier -> versions map
+    with versions newest-first; dynamic qualifiers need no declared schema."""
+    from hbase_1_3_0_spark.sources.kv_encoder import cells_to_result_map
+
+    rows = [
+        (b"r1", "d", b"qa", 100, 4, b"old", 0),
+        (b"r1", "d", b"qa", 200, 4, b"new", 1),
+        (b"r1", "e", b"qb", 150, 4, b"other", 0),
+        (b"r2", "d", b"qa", 50, 4, b"solo", 0),
+    ]
+    cells = spark.createDataFrame(
+        rows, "row binary, family string, qualifier binary, ts long, "
+        "type int, value binary, seq long"
+    )
+    got = {bytes(r.row): r.result for r in cells_to_result_map(cells).collect()}
+    r1 = got[b"r1"]
+    assert set(r1.keys()) == {"d", "e"}
+    versions = r1["d"][b"qa"]
+    assert [(v.ts, bytes(v.value)) for v in versions] == [
+        (200, b"new"), (100, b"old")
+    ]
+    assert [(v.ts, bytes(v.value)) for v in r1["e"][b"qb"]] == [(150, b"other")]
+    assert [(v.ts, bytes(v.value)) for v in got[b"r2"]["d"][b"qa"]] == [(50, b"solo")]
