@@ -217,7 +217,11 @@ def test_stateful_ttl_counters_accumulate_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # a processing-time-timeout stream never quiesces (timeout-check
+    # batches run forever by design); wait long enough for both input
+    # batches to land, then read the accumulated state
+    q.awaitTermination(45)
+    q.stop()
     rows = spark.table("ttl_ctrs").collect()
     # state accumulated across micro-batches: the LAST update for r1 is 10
     last = {}
