@@ -1196,6 +1196,59 @@ def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_ttl_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState with
+    EVENT-TIME timeouts): per-key counters whose state expires when the
+    watermark passes last-event + TTL — the cell-TTL analog in data time
+    (streaming/wal.py stateful_ttl_counters_event_time; SURVEY §2.5/§2.6).
+    One WAL batch + the timeout sweep; a key is expired iff its last
+    event is more than TTL before the stream's final watermark, so the
+    final snapshot is SQL-stateable."""
+    import hashlib
+    import shutil
+
+    from hbase_1_3_0_spark.streaming import wal
+
+    ttl_ms = 40 * 86_400_000  # 40 days of event time
+    ev = _load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    incs = ev.select(
+        _key_col(F.col("user_id")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.col("event_type"), "UTF-8").alias("qualifier"),
+        F.lit(1).cast("long").alias("delta"),
+        F.col("ts").alias("event_ts"),
+    )
+    tag = hashlib.md5(("ttl_et" + sf_dir).encode()).hexdigest()[:8]
+    src = f"/tmp/spark_graft_ttl_et_{tag}"
+    ckpt = f"/tmp/spark_graft_ttl_et_ckpt_{tag}"
+    sink = f"ttl_et_{tag}"
+    # ONE data file -> deterministic two-phase run (all counters, then the
+    # timeout sweep at the final watermark) independent of file ordering
+    incs.coalesce(1).write.mode("overwrite").parquet(src)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = spark.readStream.schema(incs.schema).parquet(src)
+    out = wal.stateful_ttl_counters_event_time(stream, ttl_ms=ttl_ms)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(sink).groupBy("row", "qualifier").agg(
+        F.max("counter").alias("counter"),
+        F.max(F.col("expired").cast("int")).cast("boolean").alias("expired"),
+    )
+    return snap.select(
+        codecs.decode_key_num(F.col("row")).alias("user_id"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("event_type"),
+        "counter",
+        "expired",
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the event stream (batch mode; the
     same plan runs under readStream with a watermark — SURVEY.md §2.5)."""
@@ -1770,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "remove_boilerplate": q_remove_boilerplate,
         "vocab_topk": q_vocab_topk,
+        "stateful_ttl_event": q_stateful_ttl_event,
         # no-oracle-by-design (sketch / LSH bucketing DuckDB can't mirror)
         "median_approx": q_median_approx,
         "random_row": q_random_row,
@@ -2457,6 +2511,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders CROSS JOIN (VALUES ('o_orderstatus'), "
             "('o_orderpriority')) q(q) "
             "WHERE o_orderkey BETWEEN 100 AND 199"
+        ),
+        "stateful_ttl_event": (
+            "WITH g AS (SELECT user_id, event_type, count(*)::BIGINT AS counter, "
+            "max(ts) AS last_ts FROM events WHERE user_id < 30 GROUP BY 1, 2), "
+            "m AS (SELECT max(ts) AS wm FROM events WHERE user_id < 30) "
+            "SELECT user_id, event_type, counter, "
+            "(epoch_ms(last_ts) + 40::BIGINT * 86400000 < epoch_ms(wm)) AS expired "
+            "FROM g, m"
         ),
         "vocab_topk": (
             "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "

@@ -179,6 +179,93 @@ def stateful_ttl_counters(
     )
 
 
+def stateful_ttl_counters_event_time(
+    increments: DataFrame,
+    *,
+    ttl_ms: int = 600_000,
+    watermark: str = "0 seconds",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Event-time variant of :func:`stateful_ttl_counters`: a key expires
+    when the WATERMARK passes its last event time + ``ttl_ms`` (cell-TTL
+    measured in data time, not wall clock).
+
+    Unlike the processing-time variant — whose timeout-check micro-batches
+    keep an always-on stream busy forever, so a bounded run never
+    terminates — event-time timeouts only fire when the watermark
+    advances, which only happens when data arrives. An
+    ``availableNow``/``processAllAvailable`` run over a finite WAL replay
+    therefore TERMINATES deterministically: keys idle for ``ttl_ms`` of
+    event time before the final watermark emit their ``expired``
+    tombstone row, surviving keys emit their running counter. Same state
+    shape and output schema as the processing-time variant."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "row binary, family string, qualifier binary, "
+        "counter long, expired boolean"
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        row, family, qualifier = key
+        if state.hasTimedOut:
+            (count, _last) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "row": row,
+                        "family": family,
+                        "qualifier": qualifier,
+                        "counter": count,
+                        "expired": True,
+                    }
+                ]
+            )
+            return
+        total = 0
+        last_ms = 0
+        for pdf in pdf_iter:
+            total += int(pdf["delta"].sum())
+            if len(pdf):
+                batch_max = int(
+                    pd.to_datetime(pdf[ts_col]).astype("int64").max() // 1_000_000
+                )
+                last_ms = max(last_ms, batch_max)
+        if state.exists:
+            prev_count, prev_last = state.get
+        else:
+            prev_count, prev_last = 0, 0
+        count = prev_count + total
+        last_ms = max(last_ms, int(prev_last))
+        state.update((count, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "row": row,
+                    "family": family,
+                    "qualifier": qualifier,
+                    "counter": count,
+                    "expired": False,
+                }
+            ]
+        )
+
+    withw = increments.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
+    return withw.groupBy("row", "family", "qualifier").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="counter long, last_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def windowed_counters(
     increments: DataFrame,
     *,

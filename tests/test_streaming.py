@@ -230,3 +230,50 @@ def test_stateful_ttl_counters_accumulate_across_batches(spark, tmp_path):
     assert last[b"r1"] == 10
     assert last[b"r2"] == 1
     assert all(r.expired is False for r in rows)
+
+
+def test_event_time_ttl_counters_terminate_and_expire(spark, tmp_path):
+    """Event-time TTL counters: bounded runs TERMINATE (timeouts fire on
+    watermark advance, not wall clock); idle keys expire with their final
+    counter, the freshest key survives."""
+    import datetime as dt
+
+    src = tmp_path / "et_incs"
+    ckpt = tmp_path / "et_ckpt"
+    T0 = dt.datetime(2026, 1, 1)
+    schema = (
+        "row binary, family string, qualifier binary, delta long, "
+        "event_ts timestamp"
+    )
+    b1 = spark.createDataFrame(
+        [(b"r1", "d", b"c", 2, T0), (b"r2", "d", b"c", 1, T0 + dt.timedelta(seconds=1))],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(b"r1", "d", b"c", 5, T0 + dt.timedelta(seconds=5000))], schema
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = wal.stateful_ttl_counters_event_time(stream, ttl_ms=600_000)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("et_ctrs")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240) is True  # bounded: MUST terminate
+    rows = spark.table("et_ctrs").collect()
+    expired = {bytes(r.row): r.counter for r in rows if r.expired}
+    live_max = {}
+    for r in rows:
+        if not r.expired:
+            live_max[bytes(r.row)] = max(live_max.get(bytes(r.row), 0), r.counter)
+    assert expired == {b"r2": 1}      # idle past TTL of event time
+    assert live_max[b"r1"] == 7       # accumulated 2 + 5 across batches
