@@ -1702,6 +1702,14 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.remove_boilerplate(docs, min_docs=3)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup: each distinct paragraph survives
+    only in the smallest-id document containing it
+    (pipeline/dedup.py paragraph_dedup)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(docs)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source Bernoulli sampling (dataset-mixing
     weights): keep 80% of src0, 50% of src1, 25% of src2, 10% of the
@@ -1824,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "vocab_topk": q_vocab_topk,
         "stateful_ttl_event": q_stateful_ttl_event,
+        "paragraph_dedup": q_paragraph_dedup,
         # no-oracle-by-design (sketch / LSH bucketing DuckDB can't mirror)
         "median_approx": q_median_approx,
         "random_row": q_random_row,
@@ -2519,6 +2528,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, counter, "
             "(epoch_ms(last_ts) + 40::BIGINT * 86400000 < epoch_ms(wm)) AS expired "
             "FROM g, m"
+        ),
+        "paragraph_dedup": (
+            "WITH p0 AS (SELECT doc_id, regexp_split_to_array(text, "
+            "'\n\s*\n') AS ps FROM documents), "
+            "p AS (SELECT doc_id, ps[i] AS para, i AS pos FROM p0, "
+            "UNNEST(generate_series(1, len(ps))) AS g(i) "
+            "WHERE len(trim(ps[i])) > 0), "
+            "w AS (SELECT md5(para) AS fp, min(doc_id) AS doc_id "
+            "FROM p GROUP BY 1) "
+            "SELECT p.doc_id, string_agg(p.para, chr(10) || chr(10) "
+            "ORDER BY p.pos) AS text "
+            "FROM p JOIN w ON md5(p.para) = w.fp AND p.doc_id = w.doc_id "
+            "GROUP BY p.doc_id"
         ),
         "vocab_topk": (
             "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "

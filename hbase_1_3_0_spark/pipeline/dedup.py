@@ -52,6 +52,39 @@ def fingerprint_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granular exact dedup (the Dolma/CCNet paragraph filter):
+    across the whole corpus, each distinct non-blank paragraph (blank-line
+    separated) survives only in the document with the smallest id that
+    contains it; later occurrences are stripped. Returns (id, text) with
+    paragraphs rejoined by blank lines; documents losing every paragraph
+    drop out.
+
+    Scale shape: explode paragraphs once, aggregate the winner per md5
+    fingerprint (one hash agg keyed on the 32-hex digest, not the
+    paragraph body), semi-join winners back (AQE-broadcastable: winners
+    carry only (fp, id)), reassemble with one groupBy(doc) collect_list —
+    order restored from captured positions, no global sort."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n\\s*\n")).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    paras = paras.withColumn("_fp", F.md5(F.col("para")))
+    winners = paras.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    kept = paras.join(winners, ["_fp", id_col], "left_semi")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "para")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s.getField("para")), "\n\n"
+        ).alias(text_col)
+    )
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams as an array — pure JVM higher-order expr."""
     # transform(sequence(1, len-n+1), i -> substring(text, i, n))

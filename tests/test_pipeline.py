@@ -386,3 +386,16 @@ def test_vocab_topk_deterministic_ties(spark):
     assert [(r.word, r.cnt, r.rank) for r in rows] == [
         ("apple", 2, 1), ("banana", 2, 2),  # tie broken word-asc
     ]
+
+
+def test_paragraph_dedup_first_doc_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "unique one\n\nSHARED PARA"),
+         (2, "SHARED PARA\n\nmine two"),
+         (3, "SHARED PARA")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.text for r in dedup.paragraph_dedup(df).collect()}
+    assert out[1] == "unique one\n\nSHARED PARA"   # first doc keeps it
+    assert out[2] == "mine two"                    # stripped elsewhere
+    assert 3 not in out                            # nothing left -> drops
