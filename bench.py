@@ -245,10 +245,15 @@ def main() -> None:
     embs = fixtures.load_table(spark, SF_DIR, "embeddings")
 
     # b-dedup-minhash: MinHash-LSH near-dup pairs, star-linked buckets +
-    # exact Jaccard verify on candidates only (pipeline/dedup.py)
+    # exact Jaccard verify on candidates only (pipeline/dedup.py).
+    # pair_mode='star' is passed explicitly: the bench measures the
+    # clustering-consumer scale path (linear in bucket size); the
+    # function's default is 'all' (exact verified-pairs contract).
     run(
         "b-dedup-minhash",
-        lambda: _sink(dedup.minhash_dedup_pairs(docs, threshold=0.5)),
+        lambda: _sink(
+            dedup.minhash_dedup_pairs(docs, threshold=0.5, pair_mode="star")
+        ),
     )
 
     # b-topk: brute-force cosine top-10 for 100 query vectors (broadcast

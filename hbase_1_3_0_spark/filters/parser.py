@@ -252,11 +252,24 @@ def _q(s: str) -> str:
 _OP_STR = {v: k for k, v in _OPS.items()}
 
 
+def _bstr(x: bytes) -> str:
+    """Decode a byte argument for the shell DSL, or raise: the DSL can
+    only spell UTF-8 text, and a lossy 'replace' decode would round-trip
+    to a DIFFERENT filter instead of failing loudly."""
+    try:
+        return x.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"to_dsl: byte argument {x!r} is not valid UTF-8 and cannot be "
+            "expressed in the shell filter DSL"
+        ) from e
+
+
 def _comparator_str(c: ast.Comparator) -> str:
     if isinstance(c, ast.BinaryComparator):
-        return _q("binary:" + c.value.decode("utf-8", "replace"))
+        return _q("binary:" + _bstr(c.value))
     if isinstance(c, ast.BinaryPrefixComparator):
-        return _q("binaryprefix:" + c.value.decode("utf-8", "replace"))
+        return _q("binaryprefix:" + _bstr(c.value))
     if isinstance(c, ast.RegexStringComparator):
         return _q("regexstring:" + c.pattern)
     if isinstance(c, ast.SubstringComparator):
@@ -273,8 +286,9 @@ def to_dsl(f: ast.Filter) -> str:  # noqa: C901
     """Serialize a Filter AST back to the ParseFilter DSL such that
     ``parse_filter(to_dsl(f)) == f`` for the DSL-expressible surface
     (string-safe byte args; BitComparator/FuzzyRow/MultiRowRange carry raw
-    bytes the shell DSL cannot spell and raise)."""
-    b = lambda x: x.decode("utf-8", "replace")  # noqa: E731
+    bytes the shell DSL cannot spell and raise; non-UTF-8 byte args in
+    any filter raise rather than silently decoding lossily)."""
+    b = _bstr
     if isinstance(f, ast.FilterList):
         joiner = " AND " if f.operator == "MUST_PASS_ALL" else " OR "
         return "(" + joiner.join(to_dsl(x) for x in f.filters) + ")"

@@ -36,8 +36,19 @@ _MERSENNE_P = (1 << 61) - 1
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the smallest id per exact content group (hash-groupBy)."""
-    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col)
+    """Keep the smallest id per exact content group.
+
+    Groups on ``md5(text)`` (a 32-hex key), NOT the raw text column: at
+    100 TB a raw-text grouping key ships every document body through the
+    shuffle twice. md5 collisions are negligible at any realistic corpus
+    cardinality (birthday bound ~2^64 docs), and the result — min(id)
+    per distinct content — is identical. The whitespace-insensitive
+    variant is :func:`fingerprint_dedup`."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
 
 
 def fingerprint_dedup(
@@ -234,15 +245,22 @@ def minhash_lsh_candidates(
 
     - ``'star'`` (default, the 100 TB path): each doc pairs only with its
       bucket's MINIMUM id. Linear in bucket size, and because every member
-      links to the same representative, the connected components (what
-      dedup actually consumes) are identical to all-pairs linkage. A
+      links to the same representative, the connected components of the
+      UNFILTERED candidate graph are identical to all-pairs linkage. A
       template-heavy corpus puts thousands of near-identical docs in one
       bucket — all-pairs is quadratic there (5k docs produced 4M pairs on
       the synthetic corpus), star stays at one edge per member. Identical
       signatures are also collapsed BEFORE banding (one representative per
       distinct signature), so a million exact clones band once.
-    - ``'all'``: exhaustive within-bucket pairs — the oracle/analysis mode
-      for small corpora where every qualifying PAIR must be reported.
+
+      CAVEAT: the components-equivalence holds only BEFORE any downstream
+      pairwise verification. If star edges are then filtered by an exact
+      similarity check, a member↔min edge can fail where the never-
+      enumerated member↔member pair would have passed, dropping pairs and
+      splitting components. That is why :func:`minhash_dedup_pairs` (a
+      verified-pairs contract) defaults to ``'all'``.
+    - ``'all'``: exhaustive within-bucket pairs — required when every
+      qualifying PAIR must be reported (verified-pairs functions).
     """
     rows = num_hashes // bands
     sig = minhash_signatures(
@@ -315,11 +333,19 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
-    pair_mode: str = "star",
+    pair_mode: str = "all",
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard — the scale path:
-    exact verification runs only on the candidate set (star-linked by
-    default; see :func:`minhash_lsh_candidates` for ``pair_mode``)."""
+    """MinHash-LSH candidates verified by exact Jaccard. Verification runs
+    only on the candidate set, so cost ~ O(docs x K) + O(candidates).
+
+    Defaults to ``pair_mode='all'`` because this function's contract is
+    "every qualifying pair": with star-linked candidates, a member↔min
+    edge can fail the Jaccard threshold where the never-enumerated
+    member↔member pair would have passed, silently dropping pairs.
+    Pass ``pair_mode='star'`` for the linear-in-bucket-size scale path
+    when the consumer is clustering and accepts that post-verification
+    recall trade (or skip verification and cluster the candidates
+    directly — see :func:`minhash_lsh_candidates`)."""
     cand = minhash_lsh_candidates(
         df, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, bands=bands, seed=seed, pair_mode=pair_mode,
@@ -533,17 +559,21 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     max_hamming: int = 3,
-    pair_mode: str = "star",
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-collision candidates filtered by exact
     Hamming distance (bit_count of xor).
 
-    ``pair_mode='star'`` (default, the scale path): identical signatures
-    collapse to one representative before banding (clones emit one
-    hamming-0 edge each), and within a band bucket every signature pairs
-    only with the bucket minimum — linear in bucket size, same connected
-    components as all-pairs (see :func:`minhash_lsh_candidates`).
-    ``'all'`` enumerates every within-bucket pair."""
+    Defaults to ``pair_mode='all'`` (every within-bucket pair enumerated)
+    because the Hamming<=k filter runs AFTER pair generation: with star
+    linkage a member↔min edge can exceed k where the never-enumerated
+    member↔member pair would not, dropping qualifying pairs — so star's
+    components-equivalence claim only holds for the unfiltered candidate
+    graph. ``pair_mode='star'`` remains the linear-in-bucket-size scale
+    path for clustering consumers that accept the post-verification
+    recall trade: identical signatures collapse to one representative
+    before banding (clones emit one hamming-0 edge each) and each
+    signature pairs only with its bucket minimum."""
     sig = simhash_bands(df, text_col=text_col, id_col=id_col, n=n)
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     if pair_mode == "all":

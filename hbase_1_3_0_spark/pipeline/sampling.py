@@ -145,15 +145,18 @@ def pack_sequences(
     )
     out = df.withColumn("n_tokens", toks.cast("long"))
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).cast("long")
+    # integer `div`, not `/`: long/long division in Spark yields double,
+    # which loses precision past 2^53 cumulative tokens — real territory
+    # for a 100 TB tape — and could misplace documents into bins
+    out = out.withColumn("_start", (cum - F.col("n_tokens")).cast("long"))
     return out.select(
         strata_col,
         id_col,
         "n_tokens",
-        (start / capacity).cast("long").alias("bin_id"),
-        (start % capacity).cast("long").alias("bin_off"),
+        F.expr(f"_start div {int(capacity)}L").alias("bin_id"),
+        (F.col("_start") % capacity).cast("long").alias("bin_off"),
         F.greatest(
             F.lit(0).cast("long"),
-            ((start % capacity) + F.col("n_tokens")) - capacity,
+            ((F.col("_start") % capacity) + F.col("n_tokens")) - capacity,
         ).alias("spill"),
     )

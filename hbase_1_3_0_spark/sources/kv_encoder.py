@@ -92,9 +92,18 @@ def cells_to_result_map(cells: DataFrame) -> DataFrame:
     (:func:`cells_to_table`) needs a declared column list; this doesn't.
     Two hash aggregations keyed on prefixes of the natural (row, family,
     qualifier) clustering; no windows, no Python."""
+    # sort on (ts, seq) so same-ts duplicates tie-break on sequence id —
+    # the mvcc ordering the reference and read_view use — then project the
+    # seq away; sorting struct(ts, value) would tie-break on value bytes
     per_col = cells.groupBy("row", "family", "qualifier").agg(
-        F.reverse(
-            F.array_sort(F.collect_list(F.struct("ts", "value")))
+        F.transform(
+            F.reverse(
+                F.array_sort(F.collect_list(F.struct("ts", "seq", "value")))
+            ),
+            lambda s: F.struct(
+                s.getField("ts").alias("ts"),
+                s.getField("value").alias("value"),
+            ),
         ).alias("_versions")
     )
     # no array_sort at the map levels: structs holding maps/arrays are not

@@ -101,12 +101,13 @@ def write_cells(
 
 
 def read_cells(spark: SparkSession, path: str | Path) -> DataFrame:
-    """Read a cell log; pre-split (region=NNN partitioned) layouts drop
-    the partition-discovery column back out of the cell schema."""
-    df = spark.read.parquet(str(path))
-    cols = [f.name for f in CELL_SCHEMA.fields]
-    if set(df.columns) != set(cols):
-        df = df.select(*cols)
-    else:
-        df = spark.read.schema(CELL_SCHEMA).parquet(str(path))
-    return df
+    """Read a cell log with the declared CELL_SCHEMA enforced.
+
+    One explicit-schema read serves both layouts — no inference pass, so
+    schema drift in rewritten logs can't leak into downstream plans and
+    an empty log directory reads as 0 rows instead of throwing. For the
+    pre-split (region=NNN partitioned) layout Spark appends the
+    partition-discovery column after the declared schema; the select
+    drops it."""
+    df = spark.read.schema(CELL_SCHEMA).parquet(str(path))
+    return df.select(*[f.name for f in CELL_SCHEMA.fields])
