@@ -174,6 +174,111 @@ def _range_pred(
     return out
 
 
+# Above this many merged ranges, MultiRowRangeFilter switches from the
+# R-branch OR (prunable, fine for small R) to the O(log R) binary-search
+# decision tree + coarse prunable envelope.
+_MULTI_RANGE_OR_MAX = 16
+_MULTI_RANGE_ENVELOPES = 16
+
+
+def _sort_and_merge_ranges(
+    ranges,
+) -> list[tuple[bytes, bytes | None]]:
+    """Normalize RowRanges to sorted, disjoint half-open byte intervals
+    [s, e) — e=None means +inf (the reference's sortAndMerge,
+    MultiRowRangeFilter.java:254). Byte-string successor arithmetic
+    absorbs inclusivity: row > s  <=>  row >= s + b'\\x00' and
+    row <= e  <=>  row < e + b'\\x00'."""
+    norm: list[tuple[bytes, bytes | None]] = []
+    for r in ranges:
+        s = r.start_row or b""
+        if s and not r.start_inclusive:
+            s = s + b"\x00"
+        if r.stop_row is None or len(r.stop_row) == 0:
+            e: bytes | None = None
+        else:
+            e = r.stop_row + b"\x00" if r.stop_inclusive else r.stop_row
+        if e is not None and e <= s:
+            continue  # empty range
+        norm.append((s, e))
+    norm.sort(key=lambda se: se[0])
+    merged: list[tuple[bytes, bytes | None]] = []
+    for s, e in norm:
+        if merged and (merged[-1][1] is None or s <= merged[-1][1]):
+            ps, pe = merged[-1]
+            if pe is not None and (e is None or e > pe):
+                merged[-1] = (ps, e)
+        else:
+            merged.append((s, e))
+    return merged
+
+
+def _bisect_right_tree(bounds: list[bytes], col: Column) -> Column:
+    """Count of ``bounds`` (sorted) <= col, as a balanced when/otherwise
+    decision tree: the evaluated path is O(log R) comparisons per row
+    (CaseWhen only evaluates the taken branch), the Spark analog of the
+    reference's Collections.binarySearch seek hint
+    (MultiRowRangeFilter.java:225)."""
+
+    def rec(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(col >= F.lit(bounds[mid]), rec(mid + 1, hi)).otherwise(
+            rec(lo, mid)
+        )
+
+    return rec(0, len(bounds))
+
+
+def _multi_row_range_pred(ranges, col: Column | None = None) -> Column:
+    """Union-of-row-ranges membership.
+
+    Small R (after sortAndMerge): a plain OR of range conjunctions —
+    Catalyst pushes the whole disjunction to the parquet scan for
+    row-group pruning.
+
+    Large R: the OR becomes O(R) comparisons per surviving row (the PE
+    randomSeekScan shape — 10k seeks — pays R per row). Instead: parity
+    binary search. Merged disjoint half-open intervals flatten to a
+    sorted boundary array [s1,e1,s2,e2,...]; a row is inside the union
+    iff the number of boundaries <= row is ODD. The bisect is a balanced
+    decision tree (O(log R) evaluated comparisons), and a coarse
+    <=16-envelope OR is ANDed on so the scan still prunes row groups —
+    the exact tree itself is not pushdown-expressible."""
+    col = F.col("row") if col is None else col
+    merged = _sort_and_merge_ranges(ranges)
+    if not merged:
+        return F.lit(False)
+    if len(merged) <= _MULTI_RANGE_OR_MAX:
+        pred = F.lit(False)
+        for s, e in merged:
+            conj = F.lit(True) if not s else col >= F.lit(s)
+            if e is not None:
+                conj = conj & (col < F.lit(e))
+            pred = pred | conj
+        return pred
+    bounds: list[bytes] = []
+    for s, e in merged:
+        bounds.append(s)
+        if e is not None:
+            bounds.append(e)
+    exact = F.pmod(_bisect_right_tree(bounds, col), F.lit(2)) == F.lit(1)
+    # coarse prunable envelope: chunk the merged ranges into at most
+    # _MULTI_RANGE_ENVELOPES contiguous groups, OR their hulls
+    n = len(merged)
+    step = (n + _MULTI_RANGE_ENVELOPES - 1) // _MULTI_RANGE_ENVELOPES
+    envelope = F.lit(False)
+    for i in range(0, n, step):
+        chunk = merged[i : i + step]
+        s, e = chunk[0][0], chunk[-1][1]
+        conj = F.lit(True) if not s else col >= F.lit(s)
+        if e is not None:
+            conj = conj & (col < F.lit(e))
+        envelope = envelope | conj
+    return envelope & exact
+
+
 # ---------------------------------------------------------------------------
 # per-filter compilation
 # ---------------------------------------------------------------------------
@@ -628,12 +733,7 @@ def compile_filter(
             pred = pred | conj
         return Compiled(pred)
     if isinstance(f, ast.MultiRowRangeFilter):
-        pred = F.lit(False)
-        for r in f.ranges:
-            pred = pred | _range_pred(
-                r.start_row, r.start_inclusive, r.stop_row, r.stop_inclusive
-            )
-        return Compiled(pred)
+        return Compiled(_multi_row_range_pred(f.ranges))
     if isinstance(f, ast.RandomRowFilter):
         u = F.pmod(F.xxhash64(F.col("row"), F.lit(f.seed)), F.lit(1_000_000)) / 1e6
         return Compiled(u < F.lit(float(f.chance)))

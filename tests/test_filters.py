@@ -200,6 +200,34 @@ def test_multi_row_range_filter(tbl, spark):
     assert rows_of(out) == {key(5), key(6), key(7), key(20), key(21), key(22)}
 
 
+def test_multi_row_range_many_ranges_binary_search_path(tbl, spark):
+    """>16 merged disjoint ranges takes the O(log R) parity-bisect tree
+    (compiler._multi_row_range_pred); results must equal the brute-force
+    union, including exclusive starts / inclusive stops and an
+    open-ended tail."""
+    t, df = tbl
+    ranges = [
+        ast.RowRange(key(4 * i), bool(i % 2), key(4 * i + 2), bool(i % 3))
+        for i in range(30)
+    ]
+    ranges.append(ast.RowRange(key(140), True, None, False))
+    out = rows_of(t.scan(Scan(filter=ast.MultiRowRangeFilter(ranges))))
+
+    def member(k: bytes) -> bool:
+        for r in ranges:
+            lo_ok = k >= r.start_row if r.start_inclusive else k > r.start_row
+            hi_ok = (
+                r.stop_row is None
+                or (k <= r.stop_row if r.stop_inclusive else k < r.stop_row)
+            )
+            if lo_ok and hi_ok:
+                return True
+        return False
+
+    want = {k for k in rows_of(t.scan(Scan())) if member(k)}
+    assert out == want and len(out) > 0
+
+
 def test_random_row_filter_deterministic_and_row_consistent(tbl, spark):
     t, df = tbl
     out = t.scan(Scan(filter=ast.RandomRowFilter(0.35, seed=7)))
