@@ -860,6 +860,79 @@ def q_check_and_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_check_and_mutate_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAS-guarded RowMutations (Table.checkAndMutate(..., RowMutations),
+    Table.java:596; TestCheckAndMutate.java:56): per customer, ONE
+    predicate (c_mktsegment = BUILDING) gates an atomic group
+    {put note='gated', deleteColumn c_acctbal}; a second group guarded
+    by an always-false check (c_name = 'nope') carries put
+    note2='never' — failing groups must apply NOTHING."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    base = cust.select(
+        _key_col(F.col("c_custkey")).alias("row"), F.col("c_custkey")
+    )
+    g1 = base.select(
+        F.concat(F.lit("g1-"), F.col("c_custkey")).alias("group_id"),
+        "row",
+        F.lit("d").alias("check_family"),
+        F.encode(F.lit("c_mktsegment"), "UTF-8").alias("check_qualifier"),
+        F.lit("EQUAL").alias("check_op"),
+        F.encode(F.lit("BUILDING"), "UTF-8").alias("check_value"),
+    )
+    g2 = base.select(
+        F.concat(F.lit("g2-"), F.col("c_custkey")).alias("group_id"),
+        "row",
+        F.lit("d").alias("check_family"),
+        F.encode(F.lit("c_name"), "UTF-8").alias("check_qualifier"),
+        F.lit("EQUAL").alias("check_op"),
+        F.encode(F.lit("nope"), "UTF-8").alias("check_value"),
+    )
+    m_put = base.select(
+        F.concat(F.lit("g1-"), F.col("c_custkey")).alias("group_id"),
+        F.lit("put").alias("op"),
+        "row",
+        F.lit("d").alias("family"),
+        F.encode(F.lit("note"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.encode(F.lit("gated"), "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("batch_seq"),
+    )
+    m_del = base.select(
+        F.concat(F.lit("g1-"), F.col("c_custkey")).alias("group_id"),
+        F.lit("delete_column").alias("op"),
+        "row",
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(1).cast("long").alias("batch_seq"),
+    )
+    m_never = base.select(
+        F.concat(F.lit("g2-"), F.col("c_custkey")).alias("group_id"),
+        F.lit("put").alias("op"),
+        "row",
+        F.lit("d").alias("family"),
+        F.encode(F.lit("note2"), "UTF-8").alias("qualifier"),
+        F.lit(V2_TS).cast("long").alias("ts"),
+        F.encode(F.lit("never"), "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("batch_seq"),
+    )
+    t2, _ = t.check_and_mutate_row(
+        g1.unionByName(g2), m_put.unionByName(m_del).unionByName(m_never)
+    )
+    return _wide(
+        t2.scan(),
+        {
+            "c_custkey": "bigint",
+            "c_acctbal": "double",
+            "c_mktsegment": "string",
+            "note": "string",
+            "note2": "string",
+        },
+    )
+
+
 def q_batch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table.batch: one commit mixing puts, deletes, and increments."""
     t = _table(spark, sf_dir, "customer")
@@ -1832,9 +1905,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "train_eval_split": q_train_eval_split,
         "pack_sequences": q_pack_sequences,
-        # no-oracle-by-design; holds window slot 50 until a new query lands
-        "median_approx": q_median_approx,
+        # -- new in r04: CAS-guarded RowMutations --
+        "check_and_mutate_row": q_check_and_mutate_row,
         # ---- end of driver-checked window (50) ----
+        # no-oracle-by-design with an existing rows-only driver row (r04)
+        "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
         "ttl_expiry": q_ttl_expiry,
         "min_versions": q_min_versions,
@@ -2329,6 +2404,14 @@ def oracle_sql() -> dict[str, str]:
         "check_and_delete": (
             "SELECT c_custkey, CASE WHEN c_mktsegment = 'MACHINERY' "
             "THEN NULL ELSE c_acctbal END AS c_acctbal, c_mktsegment "
+            "FROM customer"
+        ),
+        "check_and_mutate_row": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal "
+            "END AS c_acctbal, c_mktsegment, "
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 'gated' END AS note, "
+            "NULL::VARCHAR AS note2 "
             "FROM customer"
         ),
         "batch_mixed": (

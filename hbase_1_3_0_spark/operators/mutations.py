@@ -252,6 +252,66 @@ def check_and_mutate(
     return put_cells(cells, new_cells), verdicts
 
 
+def check_and_mutate_row(
+    cells: DataFrame,
+    groups: DataFrame,
+    mutations: DataFrame,
+    *,
+    now_ms: int,
+) -> tuple[DataFrame, DataFrame]:
+    """CAS-guarded RowMutations: one predicate gates an atomic multi-op
+    group (Table.checkAndMutate(row, family, qualifier, compareOp, value,
+    RowMutations), Table.java:596; server HRegion.checkAndRowMutate;
+    scenario: TestCheckAndMutate.java:56 — an EQUAL check on one column
+    gating {put A, put B, deleteColumn C} on the row).
+
+    ``groups``: one record per mutation group — group_id, row,
+    check_family, check_qualifier, check_op, check_value (null = column
+    must not exist, per the reference javadoc).
+    ``mutations``: op, group_id, row, family, qualifier, ts, value,
+    batch_seq — the RowMutations payload; ops may mix puts and any
+    tombstone kind.
+
+    Each group's predicate is evaluated against the PRE-batch read view
+    (F5 invariant); a passing group applies ALL of its mutations, a
+    failing group applies NONE. All passing groups commit in one write
+    job, so per-group atomicity is inherent in the batch model. The
+    passing group-id set is tiny relative to the log and broadcasts to
+    the mutation semi-join; the cell log is never shuffled.
+
+    Returns (new_cells, verdicts) — verdicts: group_id, row, applied.
+    """
+    keys = groups.select(
+        "row",
+        F.col("check_family").alias("family"),
+        F.col("check_qualifier").alias("qualifier"),
+    )
+    cur = _current_values(cells, keys).select(
+        "row",
+        F.col("family").alias("check_family"),
+        F.col("qualifier").alias("check_qualifier"),
+        F.col("_cur"),
+    )
+    judged = groups.join(
+        cur, ["row", "check_family", "check_qualifier"], "left"
+    ).withColumn(
+        "_pass",
+        _check_pred(F.col("check_op"), F.col("_cur"), F.col("check_value")),
+    )
+    passing_ids = judged.where(F.col("_pass")).select("group_id")
+    applied = mutations.join(F.broadcast(passing_ids), "group_id", "left_semi")
+    new_cells = mutations_to_cells(
+        applied.select(
+            "op", "row", "family", "qualifier", "ts", "value", "batch_seq"
+        ),
+        now_ms=now_ms,
+    )
+    verdicts = judged.select(
+        "group_id", "row", F.col("_pass").alias("applied")
+    )
+    return put_cells(cells, new_cells), verdicts
+
+
 def mutate_row(
     cells: DataFrame, mutations: DataFrame, *, now_ms: int
 ) -> DataFrame:

@@ -433,6 +433,15 @@ class Table:
         )
         return self._with(new_cells), verdicts
 
+    def check_and_mutate_row(self, groups: DataFrame, mutations: DataFrame):
+        """CAS-guarded RowMutations (Table.checkAndMutate(..., RowMutations),
+        Table.java:596): each group's single predicate gates its whole
+        atomic multi-op payload."""
+        new_cells, verdicts = mut.check_and_mutate_row(
+            self.cells, groups, mutations, now_ms=self._now()
+        )
+        return self._with(new_cells), verdicts
+
     def mutate_row(self, mutations: DataFrame) -> "Table":
         return self._with(
             mut.mutate_row(self.cells, mutations, now_ms=self._now())

@@ -205,3 +205,101 @@ def test_compaction_preserves_read_view(spark):
     assert cellmap(t3.scan()) == before
     # compaction physically dropped markers and shadowed versions
     assert compacted.count() == 1
+
+
+GROUP_SCHEMA = (
+    "group_id string, row binary, check_family string, "
+    "check_qualifier binary, check_op string, check_value binary"
+)
+GMUT_SCHEMA = "group_id string, " + MUT_SCHEMA
+
+
+def test_check_and_mutate_row_reference_scenario(spark):
+    """TestCheckAndMutate.java:56: A=a guards {put A, put B, deleteColumn C}
+    atomically — after the CAS, A and B remain and C is gone."""
+    t = fresh_table(spark, [
+        (b"12345", "d", b"A", 100, TYPE_PUT, b"a", 0),
+        (b"12345", "d", b"B", 100, TYPE_PUT, b"b", 0),
+        (b"12345", "d", b"C", 100, TYPE_PUT, b"c", 0),
+    ])
+    groups = spark.createDataFrame(
+        [("g1", b"12345", "d", b"A", "EQUAL", b"a")], GROUP_SCHEMA
+    )
+    muts = spark.createDataFrame(
+        [
+            ("g1", "put", b"12345", "d", b"A", None, b"a", 0),
+            ("g1", "put", b"12345", "d", b"B", None, b"b", 1),
+            ("g1", "delete_column", b"12345", "d", b"C", None, None, 2),
+        ],
+        GMUT_SCHEMA,
+    )
+    t2, verdicts = t.check_and_mutate_row(groups, muts)
+    assert [(r.group_id, r.applied) for r in verdicts.collect()] == [("g1", True)]
+    got = cellmap(t2.scan())
+    assert got[(b"12345", "d", b"A")][0] == b"a"
+    assert got[(b"12345", "d", b"B")][0] == b"b"
+    assert (b"12345", "d", b"C") not in got
+
+
+def test_check_and_mutate_row_failing_group_applies_nothing(spark):
+    """A failing predicate must suppress the WHOLE group, including its
+    deletes — atomicity is per-group, not per-mutation."""
+    t = fresh_table(spark, [
+        (b"r1", "d", b"A", 100, TYPE_PUT, b"a", 0),
+        (b"r1", "d", b"C", 100, TYPE_PUT, b"c", 0),
+        (b"r2", "d", b"A", 100, TYPE_PUT, b"a", 0),
+        (b"r2", "d", b"C", 100, TYPE_PUT, b"c", 0),
+    ])
+    groups = spark.createDataFrame(
+        [
+            ("ok", b"r1", "d", b"A", "EQUAL", b"a"),
+            ("no", b"r2", "d", b"A", "EQUAL", b"WRONG"),
+        ],
+        GROUP_SCHEMA,
+    )
+    muts = spark.createDataFrame(
+        [
+            ("ok", "put", b"r1", "d", b"B", None, b"new", 0),
+            ("ok", "delete_column", b"r1", "d", b"C", None, None, 1),
+            ("no", "put", b"r2", "d", b"B", None, b"new", 0),
+            ("no", "delete_column", b"r2", "d", b"C", None, None, 1),
+        ],
+        GMUT_SCHEMA,
+    )
+    t2, verdicts = t.check_and_mutate_row(groups, muts)
+    v = {r.group_id: r.applied for r in verdicts.collect()}
+    assert v == {"ok": True, "no": False}
+    got = cellmap(t2.scan())
+    assert got[(b"r1", "d", b"B")][0] == b"new"
+    assert (b"r1", "d", b"C") not in got
+    assert (b"r2", "d", b"B") not in got          # failing group: no put
+    assert got[(b"r2", "d", b"C")][0] == b"c"     # failing group: no delete
+
+
+def test_check_and_mutate_row_null_check_means_absent(spark):
+    """Null expected value = 'column must not exist' (Table.java:583
+    javadoc) — gate passes only where the checked column is missing."""
+    t = fresh_table(spark, [
+        (b"r1", "d", b"A", 100, TYPE_PUT, b"a", 0),
+        (b"r2", "d", b"Z", 100, TYPE_PUT, b"z", 0),
+    ])
+    groups = spark.createDataFrame(
+        [
+            ("g1", b"r1", "d", b"A", "EQUAL", None),
+            ("g2", b"r2", "d", b"A", "EQUAL", None),
+        ],
+        GROUP_SCHEMA,
+    )
+    muts = spark.createDataFrame(
+        [
+            ("g1", "put", b"r1", "d", b"N", None, b"x", 0),
+            ("g2", "put", b"r2", "d", b"N", None, b"x", 0),
+        ],
+        GMUT_SCHEMA,
+    )
+    t2, verdicts = t.check_and_mutate_row(groups, muts)
+    v = {r.group_id: r.applied for r in verdicts.collect()}
+    assert v == {"g1": False, "g2": True}
+    got = cellmap(t2.scan())
+    assert (b"r1", "d", b"N") not in got
+    assert got[(b"r2", "d", b"N")][0] == b"x"
