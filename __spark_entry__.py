@@ -1550,9 +1550,17 @@ def q_verify_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_visibility_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell visibility labels (VisibilityController / TagType VISIBILITY=2):
-    scan authorizations = {finance, public}; 'pii'-labeled names and
-    'pii&finance' balances are hidden, 'public|finance' segments visible."""
+    """Cell visibility labels (VisibilityController / TagType VISIBILITY=2;
+    ExpressionParser.java grammar): scan authorizations =
+    {finance, public}. 'pii' names and 'pii&finance' balances hidden;
+    'public|finance' segments visible; nation keys carry the FULL
+    grammar — '(pii&audit)|!public' (declared table policy -> hidden:
+    no pii, and !public fails) where ck%7=0, and the flat
+    mixed-precedence 'finance|audit&pii' where ck%11=0 — the reference
+    parser is left-associative with EQUAL &/| precedence
+    (ExpressionParser.processANDorOROp), so this reads
+    (finance|audit)&pii -> HIDDEN; a conventional OR-over-AND grammar
+    would wrongly show it."""
     cells = fixtures.kv_cells(spark, sf_dir, "customer")
     q = F.decode(F.col("qualifier"), "UTF-8")
     ck = codecs.decode_key_num(F.col("row"))
@@ -1560,15 +1568,32 @@ def q_visibility_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vis",
         F.when((q == "c_name") & (ck % 2 == 0), F.lit("pii"))
         .when((q == "c_acctbal") & (ck % 3 == 0), F.lit("pii&finance"))
-        .when((q == "c_mktsegment") & (ck % 5 == 0), F.lit("public|finance")),
+        .when((q == "c_mktsegment") & (ck % 5 == 0), F.lit("public|finance"))
+        .when(
+            (q == "c_nationkey") & (ck % 7 == 0),
+            F.lit("(pii&audit)|!public"),
+        )
+        .when(
+            (q == "c_nationkey") & (ck % 11 == 0),
+            F.lit("finance|audit&pii"),
+        ),
     )
-    t = Table(TableMeta(name="customer", clean_log=True), cells, now_ms=NOW_MS)
+    t = Table(
+        TableMeta(
+            name="customer",
+            clean_log=True,
+            visibility_policies=("(pii&audit)|!public",),
+        ),
+        cells,
+        now_ms=NOW_MS,
+    )
     out = t.scan(authorizations=("finance", "public"))
     return _wide(
         out,
         {
             "c_custkey": "bigint",
             "c_name": "string",
+            "c_nationkey": "bigint",
             "c_acctbal": "double",
             "c_mktsegment": "string",
         },
@@ -2555,6 +2580,8 @@ def oracle_sql() -> dict[str, str]:
         "visibility_labels": (
             "SELECT c_custkey, "
             "CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END AS c_name, "
+            "CASE WHEN c_custkey % 7 = 0 OR c_custkey % 11 = 0 "
+            "THEN NULL ELSE c_nationkey END AS c_nationkey, "
             "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END "
             "AS c_acctbal, "
             "c_mktsegment FROM customer"

@@ -50,6 +50,13 @@ class TableMeta:
     #: tombstone joins — the analog of HBase skipping ScanQueryMatcher delete
     #: tracking when a store has no delete markers. Any mutation clears it.
     clean_log: bool = False
+    #: Declared visibility-policy vocabulary (the VisibilityController's
+    #: label-expression strings in use on this table). Full-grammar
+    #: expressions (parens / quoted labels, ExpressionParser.java:41) are
+    #: evaluated once per policy on the driver and enforced per cell as a
+    #: broadcast-literal membership test; a parenthesized expression not
+    #: declared here is denied (fail closed).
+    visibility_policies: tuple[str, ...] | None = None
 
     def family(self, name: str) -> FamilyMeta:
         for f in self.families:
@@ -141,6 +148,8 @@ class Catalog:
                 t["split_points"] = tuple(
                     bytes.fromhex(s) for s in t["split_points"]
                 )
+            if t.get("visibility_policies"):
+                t["visibility_policies"] = tuple(t["visibility_policies"])
             self._tables[f"{t['namespace']}:{t['name']}"] = TableMeta(
                 families=fams, **t
             )

@@ -173,7 +173,10 @@ class Table:
         from hbase_1_3_0_spark.operators import security
 
         if security.VISIBILITY_COLUMN in df.columns:
-            p = security.visibility_pred(s.authorizations or ())
+            p = security.visibility_pred(
+                s.authorizations or (),
+                policies=self.meta.visibility_policies,
+            )
             cell_pred = p if cell_pred is None else (cell_pred & p)
         if security.ACL_COLUMN in df.columns and s.user is not None:
             p = security.acl_pred(s.user)

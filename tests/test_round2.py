@@ -601,3 +601,60 @@ def test_repetition_stats(spark):
     assert got[1].n_lines == 3 and got[1].dup_line_frac == pytest.approx(1 / 3)
     assert got[2].top_word_frac == pytest.approx(0.8)
     assert got[3].n_words == 0 and got[3].dup_line_frac == 0.0
+
+
+def test_visibility_full_grammar(spark):
+    """ExpressionParser grammar: parens, NOT, quoted labels, and the
+    reference's EQUAL &/| precedence with LEFT associativity
+    (processANDorOROp folds as operators arrive: a|b&c == (a|b)&c)."""
+    from hbase_1_3_0_spark.operators.security import (
+        VisibilityParseError,
+        evaluate_vis_expression,
+        parse_vis_expression,
+    )
+
+    assert parse_vis_expression("a|b&c") == (
+        "&", ("|", ("label", "a"), ("label", "b")), ("label", "c")
+    )
+    assert evaluate_vis_expression("a|b&c", ["a"]) is False
+    assert evaluate_vis_expression("a|(b&c)", ["a"]) is True
+    assert evaluate_vis_expression("(a&b)|!c", ["x"]) is True
+    assert evaluate_vis_expression("!(a|b)", ["a"]) is False
+    assert evaluate_vis_expression('"has space"&x', ["has space", "x"]) is True
+    for bad in ["a&", "&a", "a||b", "(a", "a)", "", "a!b", "(  )", '"x']:
+        with pytest.raises(VisibilityParseError):
+            parse_vis_expression(bad)
+
+
+def test_visibility_scan_parens_not_and_precedence(spark):
+    """End-to-end scan: declared-policy full grammar + flat NOT + the
+    discriminating mixed-precedence case."""
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "parens_pass"),
+        ("r2", "d", "q", 100, TYPE_PUT, "parens_fail"),
+        ("r3", "d", "q", 100, TYPE_PUT, "not_flat"),
+        ("r4", "d", "q", 100, TYPE_PUT, "mixed_prec"),
+        ("r5", "d", "q", 100, TYPE_PUT, "undeclared_parens"),
+    ]).withColumn(
+        "vis",
+        F.when(F.col("row") == F.lit(b"r1"), F.lit("(a&b)|!c"))
+        .when(F.col("row") == F.lit(b"r2"), F.lit("(a&missing)|c"))
+        .when(F.col("row") == F.lit(b"r3"), F.lit("!c"))
+        .when(F.col("row") == F.lit(b"r4"), F.lit("a|x&missing"))
+        .when(F.col("row") == F.lit(b"r5"), F.lit("(zz)")),
+    )
+    t = Table(
+        TableMeta(
+            name="t",
+            visibility_policies=("(a&b)|!c", "(a&missing)|c"),
+        ),
+        cells,
+        now_ms=1,
+    )
+    got = sorted(
+        bytes(r.row) for r in t.scan(Scan(authorizations=("a", "b"))).collect()
+    )
+    # r1: (a&b)|!c -> T. r2: (a&missing)|c -> F. r3: !c -> T.
+    # r4: (a|x)&missing -> F (OR-over-AND would wrongly say T).
+    # r5: parens but NOT a declared policy -> fail closed.
+    assert got == [b"r1", b"r3"]
