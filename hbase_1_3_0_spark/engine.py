@@ -292,6 +292,37 @@ class Engine:
         self.catalog.alter_table(meta)
         return self.save(Table(meta, table.cells, self._now_ms))
 
+    def merge_table(self, table: Table, factor: int = 2) -> Table:
+        """Admin.mergeRegions analog (Admin.java:778), bulk form: adjacent
+        regions coalesce in groups of ``factor`` — the inverse of
+        :meth:`split_table`. On a pre-split table every boundary that
+        separates two regions of the same merge group is dropped (region
+        directories re-save against the widened boundary list); otherwise
+        the sampled range-partition count shrinks by ``factor``. Either
+        way the rewrite is one range repartition — no data semantics
+        change, scans return identical cells."""
+        from dataclasses import replace as _replace
+
+        if factor < 2:
+            raise ValueError("merge factor must be >= 2")
+        meta = table.meta
+        if meta.split_points:
+            bounds = sorted(meta.split_points)
+            kept = tuple(
+                b for i, b in enumerate(bounds) if (i + 1) % factor == 0
+            )
+            meta = _replace(meta, split_points=kept or None)
+        else:
+            current = (
+                meta.range_partitions
+                or table.cells.rdd.getNumPartitions()
+            )
+            meta = _replace(
+                meta, range_partitions=max(1, current // factor)
+            )
+        self.catalog.alter_table(meta)
+        return self.save(Table(meta, table.cells, self._now_ms))
+
     def _path(self, meta: TableMeta) -> Path:
         assert self.root is not None
         return self.root / meta.namespace / meta.name

@@ -91,3 +91,49 @@ def test_create_table_with_split_keys_roundtrip(spark, sf_dir, tmp_path):
     # catalog JSON roundtrip preserves the byte boundaries
     eng2 = Engine(spark, root=tmp_path, now_ms=1)
     assert eng2.catalog.describe("nation_presplit").split_points == splits
+
+
+def test_merge_table_halves_regions_scan_unchanged(eng):
+    """Admin.mergeRegions analog (Admin.java:778): adjacent regions
+    coalesce pairwise; boundary count halves, cells identical."""
+    t = eng.table("nation")
+    t4 = eng.split_table(t, 4)
+    before = {
+        (bytes(r.row), r.family, bytes(r.qualifier))
+        for r in t4.scan().collect()
+    }
+    t2 = eng.merge_table(t4, factor=2)
+    bounds = eng.region_boundaries(t2).collect()
+    assert len(bounds) == 2
+    after = {
+        (bytes(r.row), r.family, bytes(r.qualifier))
+        for r in t2.scan().collect()
+    }
+    assert after == before
+    for a, b in zip(bounds, bounds[1:]):
+        assert bytes(a.end_key) <= bytes(b.start_key)
+
+
+def test_merge_table_presplit_drops_boundaries(spark, sf_dir, tmp_path):
+    """Pre-split layout: merging in groups of 2 keeps every 2nd boundary,
+    so 3 boundaries (4 regions) -> 1 boundary (2 regions)."""
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.engine import Engine
+    from hbase_1_3_0_spark.sources import fixtures
+
+    eng2 = Engine(spark, root=tmp_path, now_ms=1)
+    splits = (
+        b"0000000000000000006",
+        b"0000000000000000012",
+        b"0000000000000000018",
+    )
+    meta = TableMeta(name="nation_merge", split_points=splits)
+    cells = fixtures.kv_cells(spark, sf_dir, "nation")
+    t = eng2.save(eng2.create_table(meta, cells))
+    n_cells = t.scan().count()
+    merged = eng2.merge_table(t, factor=2)
+    assert merged.meta.split_points == (b"0000000000000000012",)
+    assert eng2.catalog.describe("nation_merge").split_points == (
+        b"0000000000000000012",
+    )
+    assert merged.scan().count() == n_cells
