@@ -28,9 +28,11 @@ from hbase_1_3_0_spark.operators import jobs
 from hbase_1_3_0_spark.pipeline import (
     decontaminate,
     dedup,
+    lm,
     sampling,
     similarity,
     text,
+    web,
 )
 from hbase_1_3_0_spark.sources import fixtures
 from hbase_1_3_0_spark.sources.kv_encoder import cells_to_table, table_to_cells
@@ -1842,6 +1844,86 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, capacity=512)
 
 
+def _with_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic source URL per document (the fixture corpus
+    carries no URLs) — same closed form the oracle reproduces. Exercises
+    mixed-case hosts, subdomains, .co.uk registered domains, trailing
+    slashes, and tracking params."""
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 4 == 0, F.lit("WWW."))
+        .when(d % 4 == 1, F.lit("blog."))
+        .otherwise(F.lit(""))
+    )
+    tld = F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    host = F.concat(sub, F.lit("site"), (d % 20).cast("string"), tld)
+    path = F.concat(F.lit("/page/"), (d % 7).cast("string"))
+    slash = F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_id="), d.cast("string")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("?id="), (d % 11).cast("string"), F.lit("&utm_campaign=x")
+            ),
+        )
+        .when(d % 5 == 2, F.concat(F.lit("?id="), (d % 11).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    scheme = F.when(d % 6 == 0, F.lit("http")).otherwise(F.lit("https"))
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, path, slash, query)
+    )
+
+
+#: DuckDB closed-form for the canonical URL of the synthetic corpus
+#: (lowercased host, trailing slash stripped, tracking params dropped).
+_CANON_SQL = (
+    "'http' || CASE WHEN doc_id % 6 = 0 THEN '' ELSE 's' END || '://' || "
+    "CASE WHEN doc_id % 4 = 0 THEN 'www.' WHEN doc_id % 4 = 1 THEN 'blog.' "
+    "ELSE '' END || 'site' || (doc_id % 20) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END || "
+    "'/page/' || (doc_id % 7) || "
+    "CASE WHEN doc_id % 5 IN (1, 2) THEN '?id=' || (doc_id % 11) "
+    "ELSE '' END"
+)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-identity dedup after canonicalization (pipeline/web.py):
+    lowercase scheme+host, strip trailing slash and tracking params, keep
+    the smallest doc per canonical URL."""
+    docs = _with_urls(_load(spark, sf_dir, "documents"))
+    return web.url_dedup(docs)
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus stats (public-suffix-aware: co.uk
+    hosts register at the 3rd label): doc count + distinct hosts."""
+    docs = _with_urls(_load(spark, sf_dir, "documents"))
+    return web.domain_stats(docs)
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist with subdomain suffix matching: listed
+    'site3.com' removes 'site3.com' AND 'www.site3.com' but never
+    'site13.com'."""
+    docs = _with_urls(_load(spark, sf_dir, "documents"))
+    out = web.domain_filter(docs, ("site3.com", "site7.co.uk"), mode="block")
+    return out.select("doc_id", "source")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-filter signal: per-doc bits-per-word and
+    OOV rate under an in-corpus add-one unigram LM with a top-500
+    vocabulary (pipeline/lm.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    return lm.perplexity_proxy(docs, vocab_size=500)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1888,11 +1970,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_replication": q_verify_replication,
         "sync_ts_repair": q_sync_ts_repair,
         "multi_table": q_multi_table,
-        # -- comparators / filter variants --
-        "bit_comparator_wide": q_bit_comparator_wide,
-        "first_key_matching": q_first_key_matching,
-        "get_column_count": q_get_column_count,
-        "column_offset_paging": q_column_offset_paging,
+        # -- new in r04: URL/domain web-curation ops + LM perplexity --
+        "url_dedup": q_url_dedup,
+        "url_stats": q_url_stats,
+        "domain_filter": q_domain_filter,
+        "lm_perplexity": q_lm_perplexity,
         # -- rotated in r04: oracle-capable tail (local-green in r03) --
         "corpus_stats": q_corpus_stats,
         "remove_boilerplate": q_remove_boilerplate,
@@ -1936,6 +2018,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "bit_comparator_wide": q_bit_comparator_wide,
+        "first_key_matching": q_first_key_matching,
+        "get_column_count": q_get_column_count,
+        "column_offset_paging": q_column_offset_paging,
         "ttl_expiry": q_ttl_expiry,
         "min_versions": q_min_versions,
         "keep_deleted": q_keep_deleted,
@@ -2717,6 +2803,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(s / 512.0) AS BIGINT) AS bin_id, "
             "(s % 512)::BIGINT AS bin_off, "
             "greatest(0, (s % 512) + n_tokens - 512)::BIGINT AS spill FROM c"
+        ),
+        # The URL oracles reproduce _with_urls' closed form directly
+        # (DuckDB has no parse_url); _CANON_SQL is the canonicalized URL.
+        "url_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+            f"FROM documents GROUP BY {_CANON_SQL}"
+        ),
+        "url_stats": (
+            "WITH h AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 4 = 0 THEN 'www.' WHEN doc_id % 4 = 1 "
+            "THEN 'blog.' ELSE '' END || 'site' || (doc_id % 20) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END "
+            "AS host, 'site' || (doc_id % 20) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END "
+            "AS domain FROM documents) "
+            "SELECT domain, count(*) AS n_docs, "
+            "count(DISTINCT host) AS n_hosts FROM h GROUP BY domain"
+        ),
+        "domain_filter": (
+            "SELECT doc_id, source FROM documents WHERE NOT ("
+            "(doc_id % 20 = 3 AND doc_id % 3 <> 0) OR "
+            "(doc_id % 20 = 7 AND doc_id % 3 = 0))"
+        ),
+        "lm_perplexity": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS word "
+            "FROM documents), "
+            "vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word "
+            "ORDER BY c DESC, word LIMIT 500), "
+            "tot AS (SELECT (SELECT count(*) FROM toks) AS n, "
+            "(SELECT count(*) FROM vocab) AS v) "
+            "SELECT doc_id, count(*) AS n_words, "
+            "round(avg(CASE WHEN vocab.c IS NULL THEN 1.0 ELSE 0.0 END), 6) "
+            "AS oov_rate, "
+            "round(avg(-log2((coalesce(vocab.c, 0) + 1) * 1.0 / (n + v))), 6) "
+            "AS bits_per_word "
+            "FROM toks LEFT JOIN vocab USING (word) CROSS JOIN tot "
+            "GROUP BY doc_id"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

@@ -1,0 +1,90 @@
+"""Corpus language-model scoring: the perplexity-filter quality signal.
+
+CCNet-style curation scores each document against a small LM and drops
+the high-perplexity tail (boilerplate, gibberish, non-language). Shipping
+KenLM is out of scope for a Spark-native engine; this implements the
+same *shape* with an in-corpus add-one-smoothed unigram model:
+
+    bits_per_word(doc) = avg over tokens of -log2((c_w + 1) / (N + V))
+
+where c_w is the corpus count of the token (0 for OOV), N the corpus
+token total and V the model vocabulary size. High bits-per-word = the
+document is unlike the corpus = the perplexity-filter drop candidate.
+
+Scale shape: token counting is one hash aggregation; the model is the
+top-``vocab_size`` rows of it (TakeOrderedAndProject, no global sort) —
+a bounded, broadcastable table, which is what makes scoring at 100 TB a
+broadcast hash join per token instead of a vocabulary-sized shuffle.
+The corpus-total pass is a 1-row aggregate attached by broadcast
+crossJoin (same pattern as aggregations.py's grand-total). Everything
+is JVM Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Word tokenizer shared with the oracle: lowercased latin/digit runs
+#: (apostrophes kept so contractions stay one token).
+TOKEN_PATTERN = "[a-z0-9']+"
+
+
+def word_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def unigram_counts(
+    df: DataFrame, *, text_col: str = "text", vocab_size: int | None = None
+) -> DataFrame:
+    """Corpus unigram counts (word, c); ``vocab_size`` keeps the most
+    frequent words (ties broken by word) — REQUIRED at scale so the
+    model broadcasts."""
+    counts = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if vocab_size is not None:
+        counts = counts.orderBy(F.col("c").desc(), F.col("word")).limit(
+            vocab_size
+        )
+    return counts
+
+
+def perplexity_proxy(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Per-document (id, n_words, oov_rate, bits_per_word) under the
+    in-corpus add-one unigram LM. ``N`` counts every corpus token
+    (including ones outside the capped vocabulary), so capping changes
+    only which words score as OOV, not the mass normalization."""
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
+    )
+    vocab = unigram_counts(df, text_col=text_col, vocab_size=vocab_size)
+    totals = toks.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("_v"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_bits",
+            -F.log2(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("_n") + F.col("_v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.avg(F.when(F.col("c").isNull(), 1.0).otherwise(0.0)), 6
+        ).alias("oov_rate"),
+        F.round(F.avg("_bits"), 6).alias("bits_per_word"),
+    )

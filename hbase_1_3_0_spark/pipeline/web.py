@@ -1,0 +1,166 @@
+"""URL / domain operators for web-scale training-data pipelines.
+
+The CCNet/RefinedWeb/Dolma-style web curation steps that act on a
+document's source URL rather than its text: parse, canonicalize (strip
+tracking params and fragments), URL-level dedup, per-domain statistics,
+and domain block/allow filtering with subdomain suffix matching.
+
+All pure JVM Column expressions (``parse_url``, split/filter/array ops) —
+no Python on the data path. Domain lists are human-curated vocabularies
+(thousands, not millions): they broadcast as literal arrays and each
+URL's membership test is a bounded suffix scan, so the 100 TB corpus is
+never shuffled for filtering; per-domain stats are one hash aggregation
+keyed on the (low-cardinality) registered domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Query parameters that carry click-tracking state, not content identity
+#: (the standard canonicalization drop-list).
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref", "mc_eid")
+
+#: Second-level labels that act as public suffixes under a 2-letter ccTLD
+#: ("example.co.uk" -> registered domain is the 3rd label). A pragmatic
+#: subset of the Public Suffix List; callers with the full PSL can pass
+#: their own set.
+_SECOND_LEVEL_SUFFIXES = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host part of a URL (no port)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def registered_domain(
+    host: Column,
+    second_level: tuple[str, ...] = _SECOND_LEVEL_SUFFIXES,
+) -> Column:
+    """The registrable domain of a host: last two labels, or last three
+    when the second-to-last is a public second-level suffix under a
+    2-letter ccTLD (``a.b.example.co.uk`` -> ``example.co.uk``)."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    last = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(last) == 2)
+        & second.isin(*second_level)
+    )
+    tail = F.when(take3, F.slice(labels, n - 2, 3)).otherwise(
+        F.when(n >= 2, F.slice(labels, n - 1, 2)).otherwise(labels)
+    )
+    return F.array_join(tail, ".")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for URL-identity dedup: lowercase scheme+host, drop
+    the fragment, drop tracking query params (sorted survivors), strip a
+    trailing slash from the path."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = host_of(url)
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/$", ""
+    )
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    is_tracking = lambda kv: (  # noqa: E731
+        F.exists(
+            F.array(*[F.lit(p) for p in TRACKING_PARAMS]),
+            lambda p: kv.startswith(p),
+        )
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda kv: (F.length(kv) > 0) & ~is_tracking(kv),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(kept) > 0, F.concat(F.lit("?"), kept)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Structured URL columns: scheme, host, registered domain, path,
+    canonical form."""
+    u = F.col(url_col)
+    host = host_of(u)
+    return df.withColumns(
+        {
+            "scheme": F.lower(F.parse_url(u, F.lit("PROTOCOL"))),
+            "host": host,
+            "domain": registered_domain(host),
+            "path": F.parse_url(u, F.lit("PATH")),
+            "canonical_url": canonicalize_url(u),
+        }
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per canonical URL. Groups on the md5 of the
+    canonical form (32-hex shuffle keys, not URL bodies — same rationale
+    as exact_dedup)."""
+    return (
+        df.select(
+            F.col(id_col), canonicalize_url(F.col(url_col)).alias("_canon")
+        )
+        .groupBy(F.md5(F.col("_canon")).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per registered domain: document count, distinct host count — the
+    curation dashboard / blocklist-candidate aggregation. One hash agg
+    keyed on the registered domain."""
+    host = host_of(F.col(url_col))
+    return (
+        df.select(
+            registered_domain(host).alias("domain"), host.alias("_host")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_host").alias("n_hosts"),
+        )
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    domains: tuple[str, ...] | list[str],
+    *,
+    url_col: str = "url",
+    mode: str = "block",
+) -> DataFrame:
+    """Block- or allow-list filtering by domain with subdomain matching:
+    a listed ``example.com`` matches host ``example.com`` and any
+    ``*.example.com``. The list broadcasts as a literal array; each host
+    does one bounded suffix scan — no join, no shuffle."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    host = host_of(F.col(url_col))
+    dom_arr = F.array(*[F.lit(d.lower()) for d in domains])
+    listed = F.exists(
+        dom_arr,
+        lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)),
+    )
+    return df.where(~listed if mode == "block" else listed)

@@ -399,3 +399,111 @@ def test_paragraph_dedup_first_doc_wins(spark):
     assert out[1] == "unique one\n\nSHARED PARA"   # first doc keeps it
     assert out[2] == "mine two"                    # stripped elsewhere
     assert 3 not in out                            # nothing left -> drops
+
+
+# ------------------------------------------------------------ web / URL ops
+
+
+def test_canonicalize_url_rules(spark):
+    from hbase_1_3_0_spark.pipeline import web
+
+    cases = [
+        # lowercase scheme+host; path case preserved
+        ("HTTPS://WWW.Example.COM/A/b", "https://www.example.com/A/b"),
+        # trailing slash stripped
+        ("https://a.com/x/", "https://a.com/x"),
+        # tracking params dropped, survivors sorted
+        ("https://a.com/x?utm_source=f&b=2&a=1", "https://a.com/x?a=1&b=2"),
+        # all-tracking query vanishes entirely
+        ("https://a.com/x?utm_id=9&gclid=z", "https://a.com/x"),
+        # fragment dropped
+        ("https://a.com/x#frag", "https://a.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
+    got = [
+        r.c for r in df.select(web.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_registered_domain_public_suffix(spark):
+    from hbase_1_3_0_spark.pipeline import web
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        # 'co.ukx' is not a 2-letter ccTLD: take 2 labels
+        ("x.co.ukx", "co.ukx"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host: string")
+    got = [
+        r.d
+        for r in df.select(
+            web.registered_domain(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_domain_filter_subdomain_boundary(spark):
+    from hbase_1_3_0_spark.pipeline import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://site3.com/x"),
+            (2, "https://www.site3.com/x"),
+            (3, "https://site13.com/x"),     # NOT a subdomain of site3.com
+            (4, "https://evil.site3.com/x"),
+            (5, "https://other.com/x"),
+        ],
+        "doc_id: long, url: string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in web.domain_filter(df, ("site3.com",), mode="block").collect()
+    )
+    assert kept == [3, 5]
+    allowed = sorted(
+        r.doc_id
+        for r in web.domain_filter(df, ("site3.com",), mode="allow").collect()
+    )
+    assert allowed == [1, 2, 4]
+
+
+def test_url_dedup_canonical_identity(spark):
+    from hbase_1_3_0_spark.pipeline import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.com/x/?utm_source=f"),
+            (2, "https://a.com/x"),            # same canonical as 1
+            (3, "https://a.com/x?id=1"),
+        ],
+        "doc_id: long, url: string",
+    )
+    got = {r.doc_id: r.dup_count for r in web.url_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+# ------------------------------------------------------------ LM perplexity
+
+
+def test_perplexity_separates_in_corpus_from_gibberish(spark):
+    from hbase_1_3_0_spark.pipeline import lm
+
+    common = "the cat sat on the mat and the dog ran off"
+    rows = [(i, common) for i in range(10)]
+    rows.append((100, "zxqv wqzzk vvxpq jjqx glorp"))  # OOV gibberish
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in lm.perplexity_proxy(df).collect()}
+    assert out[100].oov_rate == 0.0  # full-vocab model: every word counted
+    assert out[100].bits_per_word > out[0].bits_per_word
+    capped = {
+        r.doc_id: r
+        for r in lm.perplexity_proxy(df, vocab_size=5).collect()
+    }
+    assert capped[100].oov_rate == 1.0  # gibberish words fall out of top-5
+    assert capped[100].bits_per_word > capped[0].bits_per_word
