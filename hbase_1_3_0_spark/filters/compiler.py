@@ -174,9 +174,18 @@ def _range_pred(
     return out
 
 
-# Above this many merged ranges, MultiRowRangeFilter switches from the
-# R-branch OR (prunable, fine for small R) to the O(log R) binary-search
-# decision tree + coarse prunable envelope.
+# MultiRowRangeFilter compilation tiers (measured on the sf0.1 lineitem
+# read path, local[32] — see SCALING.md "many-range membership"):
+# - R <= _MULTI_RANGE_OR_MAX: plain OR of range conjunctions — fully
+#   pushdown-prunable, whole-stage codegen.
+# - beyond: parity binary search as a fold over ceil(log2(2R))+1
+#   iterations probing ONE constant-folded literal boundary array with
+#   element_at — expression size O(log R) regardless of R, so 10k-100k
+#   range scans (the PE randomSeekScan shape at cluster scale) stay
+#   O(log R)/row. A balanced when/otherwise decision tree was measured
+#   and rejected: its O(R) expression node count drops it out of
+#   whole-stage codegen and the fold beat it at every R tested
+#   (R=100: 0.94s vs 1.6s; R=1000: 2.2s vs 9.0s; R=10000: 12.8s vs 83s).
 _MULTI_RANGE_OR_MAX = 16
 _MULTI_RANGE_ENVELOPES = 16
 
@@ -213,22 +222,32 @@ def _sort_and_merge_ranges(
     return merged
 
 
-def _bisect_right_tree(bounds: list[bytes], col: Column) -> Column:
-    """Count of ``bounds`` (sorted) <= col, as a balanced when/otherwise
-    decision tree: the evaluated path is O(log R) comparisons per row
-    (CaseWhen only evaluates the taken branch), the Spark analog of the
+def _bisect_right_fold(bounds: list[bytes], col: Column) -> Column:
+    """Count of ``bounds`` (sorted) <= col, as an iterative binary search:
+    a fold over ceil(log2(n))+1 fixed iterations that each probe the
+    literal boundary array with ``element_at`` — the Spark analog of the
     reference's Collections.binarySearch seek hint
-    (MultiRowRangeFilter.java:225)."""
+    (MultiRowRangeFilter.java:225). The boundary array constant-folds to
+    a single Literal, so expression size is O(log n) regardless of n."""
+    import math
 
-    def rec(lo: int, hi: int) -> Column:
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        return F.when(col >= F.lit(bounds[mid]), rec(mid + 1, hi)).otherwise(
-            rec(lo, mid)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    steps = max(1, math.ceil(math.log2(len(bounds) + 1)) + 1)
+    init = F.struct(
+        F.lit(0).alias("lo"), F.lit(len(bounds)).alias("hi")
+    )
+
+    def it(st: Column, _: Column) -> Column:
+        lo, hi = st["lo"], st["hi"]
+        mid = F.shiftright(lo + hi, 1)
+        ge = col >= F.element_at(arr, mid + 1)
+        active = lo < hi
+        return F.struct(
+            F.when(active & ge, mid + 1).otherwise(lo).alias("lo"),
+            F.when(active & ~ge, mid).otherwise(hi).alias("hi"),
         )
 
-    return rec(0, len(bounds))
+    return F.aggregate(F.sequence(F.lit(1), F.lit(steps)), init, it)["lo"]
 
 
 def _multi_row_range_pred(ranges, col: Column | None = None) -> Column:
@@ -242,10 +261,12 @@ def _multi_row_range_pred(ranges, col: Column | None = None) -> Column:
     randomSeekScan shape — 10k seeks — pays R per row). Instead: parity
     binary search. Merged disjoint half-open intervals flatten to a
     sorted boundary array [s1,e1,s2,e2,...]; a row is inside the union
-    iff the number of boundaries <= row is ODD. The bisect is a balanced
-    decision tree (O(log R) evaluated comparisons), and a coarse
-    <=16-envelope OR is ANDed on so the scan still prunes row groups —
-    the exact tree itself is not pushdown-expressible."""
+    iff the number of boundaries <= row is ODD. The bisect is an
+    iterative element_at fold over a single literal boundary array
+    (expression size O(log R), so even 100k ranges evaluate in O(log R)
+    per row), and a coarse <=16-envelope OR is ANDed on so the scan
+    still prunes row groups — the exact bisect itself is not
+    pushdown-expressible."""
     col = F.col("row") if col is None else col
     merged = _sort_and_merge_ranges(ranges)
     if not merged:
@@ -263,7 +284,7 @@ def _multi_row_range_pred(ranges, col: Column | None = None) -> Column:
         bounds.append(s)
         if e is not None:
             bounds.append(e)
-    exact = F.pmod(_bisect_right_tree(bounds, col), F.lit(2)) == F.lit(1)
+    exact = F.pmod(_bisect_right_fold(bounds, col), F.lit(2)) == F.lit(1)
     # coarse prunable envelope: chunk the merged ranges into at most
     # _MULTI_RANGE_ENVELOPES contiguous groups, OR their hulls
     n = len(merged)

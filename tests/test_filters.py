@@ -201,10 +201,10 @@ def test_multi_row_range_filter(tbl, spark):
 
 
 def test_multi_row_range_many_ranges_binary_search_path(tbl, spark):
-    """>16 merged disjoint ranges takes the O(log R) parity-bisect tree
-    (compiler._multi_row_range_pred); results must equal the brute-force
-    union, including exclusive starts / inclusive stops and an
-    open-ended tail."""
+    """>16 merged disjoint ranges takes the O(log R) parity binary
+    search (compiler._multi_row_range_pred element_at fold); results
+    must equal the brute-force union, including exclusive starts /
+    inclusive stops and an open-ended tail."""
     t, df = tbl
     ranges = [
         ast.RowRange(key(4 * i), bool(i % 2), key(4 * i + 2), bool(i % 3))
