@@ -1343,6 +1343,25 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows over the event stream (30-minute
+    inactivity gap; streaming/wal.py sessionize — the same session_window
+    plan runs under readStream with a watermark). Timestamps emitted as
+    unix micros so the oracle compares exact integers."""
+    from hbase_1_3_0_spark.streaming import wal
+
+    ev = _load(spark, sf_dir, "events")
+    out = wal.sessionize(ev, gap="30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_start"), fmt).alias("start_s"),
+        F.date_format(F.col("session_end"), fmt).alias("end_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_sync_ts_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SyncTable timestamp-aware repair (SyncTable.syncRowCells): a target
     cell NEWER than the source cell gets a delete_version at the target ts
@@ -1963,7 +1982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_table": q_hash_table,
         # -- read-view semantics --
         "compaction": q_compaction,
-        "snapshot_read": q_snapshot_read,
         # -- mutations / jobs --
         "batch_mixed": q_batch_mixed,
         "wal_player": q_wal_player,
@@ -1997,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observer_redact": q_observer_redact,
         "streaming_counters": q_streaming_counters,
         "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
         # -- LLM training-data pipeline --
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
@@ -2018,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "snapshot_read": q_snapshot_read,
         "bit_comparator_wide": q_bit_comparator_wide,
         "first_key_matching": q_first_key_matching,
         "get_column_count": q_get_column_count,
@@ -2591,6 +2611,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, "
             "event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v "
             "FROM events GROUP BY 1, 2"
+        ),
+        # gaps-and-islands: a session breaks when the inter-event gap
+        # EXCEEDS 30 minutes (session_window merges an event landing
+        # exactly at last + gap — closed boundary, verified empirically);
+        # session_end = last event + gap
+        "events_sessionize": (
+            "WITH e AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM e) "
+            "SELECT user_id, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s, "
+            "strftime(max(ts) + INTERVAL 30 MINUTE, "
+            "'%Y-%m-%d %H:%M:%S.%f') AS end_s, "
+            "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         "hash_table": (
             "WITH cells AS ("

@@ -327,3 +327,46 @@ def ttl_maintenance(
         now_ms=now_ms,
     ).localCheckpoint()  # materialize before overwriting the source dir
     writer.write_cells(compacted, table_path)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation: events of one key merge into a session
+    while each arrives within ``gap`` of the previous; only a quiet
+    period STRICTLY longer than ``gap`` closes the session (an event
+    landing exactly at last_ts + gap merges — Spark's session windows
+    are closed at the gap boundary, verified empirically).
+
+    The same ``session_window`` plan runs in batch (this form — the
+    oracle-checkable gaps-and-islands equivalent) and under
+    ``readStream`` with ``watermark`` set, where Spark keeps per-key
+    session state and emits closed sessions once the watermark passes —
+    the streaming-native shape of per-user activity rollups. Scale: the
+    only shuffle is the groupBy on (key, merged session), partial
+    aggregation applies, and state is bounded by the watermark horizon.
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -277,3 +277,35 @@ def test_event_time_ttl_counters_terminate_and_expire(spark, tmp_path):
             live_max[bytes(r.row)] = max(live_max.get(bytes(r.row), 0), r.counter)
     assert expired == {b"r2": 1}      # idle past TTL of event time
     assert live_max[b"r1"] == 7       # accumulated 2 + 5 across batches
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session merges events <= gap apart (the gap boundary is closed:
+    an event exactly AT last+gap merges); only a strictly longer quiet
+    period splits; end = last event + gap."""
+    import datetime as dt
+
+    from hbase_1_3_0_spark.streaming import wal
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: events at 0, 10, 25 min (gaps 10, 15), then exactly
+        # 30 min after 25 -> still the SAME session (closed boundary)
+        (1, t0, 1.0), (1, t0 + 10 * m, 2.0), (1, t0 + 25 * m, 3.0),
+        (1, t0 + 55 * m, 4.0),
+        # then 31 min of quiet -> a NEW session
+        (1, t0 + 86 * m, 5.0),
+        # user 2: single event
+        (2, t0 + 5 * m, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in wal.sessionize(df, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, t0, t0 + 85 * m, 4, 10.0),
+        (1, t0 + 86 * m, t0 + 116 * m, 1, 5.0),
+        (2, t0 + 5 * m, t0 + 35 * m, 1, 7.0),
+    }
