@@ -1935,6 +1935,14 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/coverage proxies per doc: pretokenizer piece
+    count, UTF-8 bytes per piece, ASCII ratio, byte/char expansion
+    (pipeline/text.py tokenizer_stats)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.tokenizer_stats(docs)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-filter signal: per-doc bits-per-word and
     OOV rate under an in-corpus add-one unigram LM with a top-500
@@ -1987,12 +1995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wal_player": q_wal_player,
         "verify_replication": q_verify_replication,
         "sync_ts_repair": q_sync_ts_repair,
-        "multi_table": q_multi_table,
         # -- new in r04: URL/domain web-curation ops + LM perplexity --
         "url_dedup": q_url_dedup,
         "url_stats": q_url_stats,
         "domain_filter": q_domain_filter,
         "lm_perplexity": q_lm_perplexity,
+        "tokenizer_stats": q_tokenizer_stats,
         # -- rotated in r04: oracle-capable tail (local-green in r03) --
         "corpus_stats": q_corpus_stats,
         "remove_boilerplate": q_remove_boilerplate,
@@ -2037,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "multi_table": q_multi_table,
         "snapshot_read": q_snapshot_read,
         "bit_comparator_wide": q_bit_comparator_wide,
         "first_key_matching": q_first_key_matching,
@@ -2843,6 +2852,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(s / 512.0) AS BIGINT) AS bin_id, "
             "(s % 512)::BIGINT AS bin_off, "
             "greatest(0, (s % 512) + n_tokens - 512)::BIGINT AS spill FROM c"
+        ),
+        "tokenizer_stats": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_pretokens, "
+            "round(CASE WHEN len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) > 0 THEN "
+            "strlen(text) * 1.0 / len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) ELSE 0.0 END, 6) "
+            "AS bytes_per_token, "
+            "round(CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0 "
+            "/ length(text) ELSE 1.0 END, 6) AS ascii_ratio, "
+            "round(CASE WHEN length(text) > 0 THEN "
+            "strlen(text) * 1.0 / length(text) ELSE 1.0 END, 6) "
+            "AS utf8_expansion "
+            "FROM documents"
         ),
         # The URL oracles reproduce _with_urls' closed form directly
         # (DuckDB has no parse_url); _CANON_SQL is the canonicalized URL.

@@ -354,3 +354,36 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+#: Pretokenizer pieces: letter runs, digit runs, and single
+#: non-alphanumeric non-space characters — the portable core of the
+#: GPT-2-style pretokenization split (contraction/lookahead rules
+#: dropped so any engine reproduces it with one regex).
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokenizer_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer-coverage / fertility metrics per document — the cheap
+    proxies for "how expensive is this text to tokenize": pretokenizer
+    piece count, UTF-8 bytes per piece (fertility — high values flag
+    text a subword vocab will shatter), ASCII ratio, and the UTF-8
+    byte/char expansion factor. Pure JVM regex/length expressions."""
+    t = F.col(text_col)
+    pieces = F.size(F.regexp_extract_all(t, F.lit(PRETOKEN_RE), 0))
+    n_bytes = F.octet_length(t)
+    n_chars = F.length(t)
+    ascii_chars = F.length(F.regexp_replace(t, "[^\\x00-\\x7F]", ""))
+    return df.select(
+        "doc_id",
+        pieces.alias("n_pretokens"),
+        F.round(
+            F.when(pieces > 0, n_bytes / pieces).otherwise(F.lit(0.0)), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.when(n_chars > 0, ascii_chars / n_chars).otherwise(F.lit(1.0)), 6
+        ).alias("ascii_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_bytes / n_chars).otherwise(F.lit(1.0)), 6
+        ).alias("utf8_expansion"),
+    )

@@ -507,3 +507,19 @@ def test_perplexity_separates_in_corpus_from_gibberish(spark):
     }
     assert capped[100].oov_rate == 1.0  # gibberish words fall out of top-5
     assert capped[100].bits_per_word > capped[0].bits_per_word
+
+
+def test_tokenizer_stats_fertility(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world 123!"), (2, ""), (3, "héllo")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in text.tokenizer_stats(df).collect()}
+    # "hello","world","123","!" -> 4 pieces; 16 ASCII bytes / 4
+    assert got[1].n_pretokens == 4
+    assert got[1].bytes_per_token == 4.0
+    assert got[1].ascii_ratio == 1.0 and got[1].utf8_expansion == 1.0
+    assert got[2].n_pretokens == 0 and got[2].bytes_per_token == 0.0
+    # é is 2 UTF-8 bytes: 5 chars -> 6 bytes; 1 non-ASCII of 5 chars
+    assert got[3].utf8_expansion == 1.2
+    assert got[3].ascii_ratio == 0.8
