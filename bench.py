@@ -273,6 +273,33 @@ def main() -> None:
     # b-pack: concat-and-chunk sequence packing into 2048-token windows
     run("b-pack", lambda: _sink(sampling.pack_sequences(docs, capacity=2048)))
 
+    # b-url: URL canonicalization + identity dedup + per-domain stats over
+    # a synthesized url column (pipeline/web.py — parse_url JVM exprs)
+    from hbase_1_3_0_spark.pipeline import lm, web
+
+    d = F.col("doc_id")
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.when(d % 6 == 0, F.lit("http")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("site"), (d % 50).cast("string"),
+            F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/p/"), (d % 17).cast("string"),
+            F.when(d % 5 == 0, F.lit("?utm_source=x&id=1")).otherwise(F.lit("")),
+        ),
+    )
+
+    def bench_url():
+        _sink(web.url_dedup(urls))
+        _sink(web.domain_stats(urls))
+
+    run("b-url", bench_url)
+
+    # b-lm: in-corpus unigram perplexity scoring, top-2000 vocab broadcast
+    run("b-lm", lambda: _sink(lm.perplexity_proxy(docs, vocab_size=2000)))
+
     # b-sync: HashTable/SyncTable diff of two table versions
     def bench_sync():
         tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
