@@ -1018,6 +1018,19 @@ def q_intra_row_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan.setBatch / allowPartialResults chunking (Scan.java:479,:714):
+    each row's 5 customer cells split into partial Results of <=2 cells
+    in intra-row KVComparator order; result_id identifies the chunk."""
+    t = _table(spark, sf_dir, "customer")
+    out = t.scan_batched(batch=2)
+    return out.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        "result_id",
+    )
+
+
 def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Major compaction (jobs.compact): after tombstone writes, the
     rewritten log holds exactly the visible cells — GC'd markers and masked
@@ -1994,7 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_mixed": q_batch_mixed,
         "wal_player": q_wal_player,
         "verify_replication": q_verify_replication,
-        "sync_ts_repair": q_sync_ts_repair,
+        "scan_batched": q_scan_batched,
         # -- new in r04: URL/domain web-curation ops + LM perplexity --
         "url_dedup": q_url_dedup,
         "url_stats": q_url_stats,
@@ -2045,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "sync_ts_repair": q_sync_ts_repair,
         "multi_table": q_multi_table,
         "snapshot_read": q_snapshot_read,
         "bit_comparator_wide": q_bit_comparator_wide,
@@ -2565,6 +2579,15 @@ def oracle_sql() -> dict[str, str]:
         "intra_row_paging": (
             "SELECT c_custkey, v.q AS qualifier FROM customer CROSS JOIN "
             "(VALUES ('c_custkey'), ('c_mktsegment')) v(q)"
+        ),
+        # qualifiers in intra-row order: acctbal, custkey, mktsegment,
+        # name, nationkey -> chunk = (position-1) // 2
+        "scan_batched": (
+            "SELECT c_custkey, v.q AS qualifier, "
+            "CAST(v.rid AS BIGINT) AS result_id "
+            "FROM customer CROSS JOIN (VALUES "
+            "('c_acctbal', 0), ('c_custkey', 0), ('c_mktsegment', 1), "
+            "('c_name', 1), ('c_nationkey', 2)) v(q, rid)"
         ),
         "compaction": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "

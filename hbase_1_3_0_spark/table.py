@@ -237,6 +237,50 @@ class Table:
         df = Observers.apply(self.observers.post_scan, df)
         return df.select(*CELL_COLUMNS)
 
+    def scan_batched(
+        self, scan: Scan | None = None, *, batch: int, **kw
+    ) -> DataFrame:
+        """Scan.setBatch analog (Scan.java:479; implies
+        setAllowPartialResults, :714): chunk each row's visible cells into
+        partial Results of at most ``batch`` cells, in the intra-row
+        KVComparator order (family asc, qualifier asc, ts desc, seq desc).
+        Returns the scan's cells plus a ``result_id`` column — cells
+        sharing (row, result_id) form one partial Result, mirroring the
+        client seeing a wide row split across next() calls.
+
+        Like the reference (which throws IncompatibleFilterException when
+        the filter has row-level semantics), filters that compile to
+        order-dependent transforms are rejected: their verdicts depend on
+        whole-row visibility, which partial Results break."""
+        if batch <= 0:
+            raise ValueError("batch must be positive")
+        s = scan or Scan()
+        if kw:
+            s = s.with_(**kw)
+        filt = s.filter
+        if isinstance(filt, str):
+            filt = parse_filter(filt)
+        if filt is not None and not is_cell_predicate(filt):
+            c = compile_filter(filt)
+            if c.transforms:
+                raise ValueError(
+                    "cannot set batch on a scan whose filter has row-level "
+                    "semantics (IncompatibleFilterException analog, "
+                    "Scan.java:481)"
+                )
+        cells = self.scan(s)
+        idx = F.row_number().over(
+            Window.partitionBy("row").orderBy(
+                F.col("family").asc(),
+                F.col("qualifier").asc(),
+                F.col("ts").desc(),
+                F.col("seq").desc(),
+            )
+        )
+        return cells.withColumn(
+            "result_id", F.floor((idx - 1) / F.lit(batch)).cast("long")
+        )
+
     def _read_view(
         self, df: DataFrame, s: Scan, cell_pred: Column | None = None
     ) -> DataFrame:

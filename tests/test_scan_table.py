@@ -223,3 +223,46 @@ def test_cells_to_result_map_nested_layout(spark):
     ]
     assert [(v.ts, bytes(v.value)) for v in r1["e"][b"qb"]] == [(150, b"other")]
     assert [(v.ts, bytes(v.value)) for v in got[b"r2"]["d"][b"qa"]] == [(50, b"solo")]
+
+
+def test_scan_batched_partial_results(spark):
+    """Scan.setBatch analog: a wide row's cells chunk into partial
+    Results of <= batch cells in KVComparator order; versions count as
+    cells; row-level filters are rejected."""
+    import pytest as _pytest
+
+    from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
+    from hbase_1_3_0_spark.filters import ast as fa
+    from hbase_1_3_0_spark.table import Table
+
+    cells = spark.createDataFrame(
+        [
+            (b"r1", "d", b"a", 200, TYPE_PUT, b"a2", 0),
+            (b"r1", "d", b"a", 100, TYPE_PUT, b"a1", 0),
+            (b"r1", "d", b"b", 100, TYPE_PUT, b"b1", 0),
+            (b"r1", "d", b"c", 100, TYPE_PUT, b"c1", 0),
+            (b"r2", "d", b"a", 100, TYPE_PUT, b"x", 0),
+        ],
+        CELL_SCHEMA,
+    )
+    t = Table(
+        TableMeta(name="t", families=(FamilyMeta(name="d", max_versions=3),)),
+        cells,
+        now_ms=1,
+    )
+    out = t.scan_batched(batch=2, max_versions=3)
+    got = {
+        (bytes(r.row), bytes(r.qualifier), r.ts): r.result_id
+        for r in out.collect()
+    }
+    # intra-row order: (a,200), (a,100), (b,100), (c,100) -> chunks 0,0,1,1
+    assert got == {
+        (b"r1", b"a", 200): 0,
+        (b"r1", b"a", 100): 0,
+        (b"r1", b"b", 100): 1,
+        (b"r1", b"c", 100): 1,
+        (b"r2", b"a", 100): 0,
+    }
+    with _pytest.raises(ValueError, match="batch"):
+        t.scan_batched(batch=2, filter=fa.PageFilter(1))
