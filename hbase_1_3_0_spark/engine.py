@@ -311,7 +311,13 @@ class Engine:
             kept = tuple(
                 b for i, b in enumerate(bounds) if (i + 1) % factor == 0
             )
-            meta = _replace(meta, split_points=kept or None)
+            # factor >= region count: every boundary drops — pin ONE
+            # region rather than falling back to sampled partitioning
+            meta = _replace(
+                meta,
+                split_points=kept or None,
+                range_partitions=meta.range_partitions if kept else 1,
+            )
         else:
             current = (
                 meta.range_partitions

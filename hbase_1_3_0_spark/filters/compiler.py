@@ -274,10 +274,7 @@ def _multi_row_range_pred(ranges, col: Column | None = None) -> Column:
     if len(merged) <= _MULTI_RANGE_OR_MAX:
         pred = F.lit(False)
         for s, e in merged:
-            conj = F.lit(True) if not s else col >= F.lit(s)
-            if e is not None:
-                conj = conj & (col < F.lit(e))
-            pred = pred | conj
+            pred = pred | _range_pred(s or None, True, e, False, col)
         return pred
     bounds: list[bytes] = []
     for s, e in merged:
@@ -293,10 +290,7 @@ def _multi_row_range_pred(ranges, col: Column | None = None) -> Column:
     for i in range(0, n, step):
         chunk = merged[i : i + step]
         s, e = chunk[0][0], chunk[-1][1]
-        conj = F.lit(True) if not s else col >= F.lit(s)
-        if e is not None:
-            conj = conj & (col < F.lit(e))
-        envelope = envelope | conj
+        envelope = envelope | _range_pred(s or None, True, e, False, col)
     return envelope & exact
 
 

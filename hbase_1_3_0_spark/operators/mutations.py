@@ -209,6 +209,31 @@ def _check_pred(op_col: Column, cur: Column, expected: Column) -> Column:
     return missing_ok | F.coalesce(cmp, F.lit(False))
 
 
+def _judge_checks(cells: DataFrame, checks: DataFrame) -> DataFrame:
+    """Shared CAS judging: attach the pre-batch current value of each
+    record's checked column and evaluate its CompareOp predicate into a
+    ``_pass`` column. ``checks`` carries row, check_family,
+    check_qualifier, check_op, check_value (+ any payload columns, which
+    pass through untouched)."""
+    keys = checks.select(
+        "row",
+        F.col("check_family").alias("family"),
+        F.col("check_qualifier").alias("qualifier"),
+    )
+    cur = _current_values(cells, keys).select(
+        "row",
+        F.col("family").alias("check_family"),
+        F.col("qualifier").alias("check_qualifier"),
+        F.col("_cur"),
+    )
+    return checks.join(
+        cur, ["row", "check_family", "check_qualifier"], "left"
+    ).withColumn(
+        "_pass",
+        _check_pred(F.col("check_op"), F.col("_cur"), F.col("check_value")),
+    )
+
+
 def check_and_mutate(
     cells: DataFrame,
     mutations: DataFrame,
@@ -222,23 +247,7 @@ def check_and_mutate(
     evaluated against the PRE-batch read view (F5 invariant); passing
     mutations apply as cells. Returns (new_cells, per-mutation verdicts).
     """
-    keys = mutations.select(
-        "row",
-        F.col("check_family").alias("family"),
-        F.col("check_qualifier").alias("qualifier"),
-    )
-    cur = _current_values(cells, keys).select(
-        "row",
-        F.col("family").alias("check_family"),
-        F.col("qualifier").alias("check_qualifier"),
-        F.col("_cur"),
-    )
-    judged = mutations.join(
-        cur, ["row", "check_family", "check_qualifier"], "left"
-    ).withColumn(
-        "_pass",
-        _check_pred(F.col("check_op"), F.col("_cur"), F.col("check_value")),
-    )
+    judged = _judge_checks(cells, mutations)
     passing = judged.where(F.col("_pass"))
     new_cells = mutations_to_cells(
         passing.select(
@@ -281,23 +290,7 @@ def check_and_mutate_row(
 
     Returns (new_cells, verdicts) — verdicts: group_id, row, applied.
     """
-    keys = groups.select(
-        "row",
-        F.col("check_family").alias("family"),
-        F.col("check_qualifier").alias("qualifier"),
-    )
-    cur = _current_values(cells, keys).select(
-        "row",
-        F.col("family").alias("check_family"),
-        F.col("qualifier").alias("check_qualifier"),
-        F.col("_cur"),
-    )
-    judged = groups.join(
-        cur, ["row", "check_family", "check_qualifier"], "left"
-    ).withColumn(
-        "_pass",
-        _check_pred(F.col("check_op"), F.col("_cur"), F.col("check_value")),
-    )
+    judged = _judge_checks(cells, groups)
     passing_ids = judged.where(F.col("_pass")).select("group_id")
     applied = mutations.join(F.broadcast(passing_ids), "group_id", "left_semi")
     new_cells = mutations_to_cells(

@@ -137,6 +137,13 @@ def parse_vis_expression(s: str):
             stack.pop()
             attach(node)
         elif val == "!":
+            # the reference rejects doubled NOT ('!!a'): processNOTOp
+            # throws when the top frame is a NOT still missing its child
+            if stack and isinstance(stack[-1], tuple) and stack[-1][:2] == (
+                "pending",
+                "!",
+            ):
+                raise VisibilityParseError(f"doubled '!' in {s!r}")
             stack.append(("pending", "!", None))
         else:  # & or |
             if not stack or stack[-1] == "(" or (
@@ -178,17 +185,24 @@ def _flat_fold_pred(auth_arr: Column, vis: Column) -> Column:
     """Left-to-right fold over a FLAT (paren/quote-free) expression —
     exact equal-precedence left-associative reference semantics as one
     codegen'd ``aggregate`` over the token array. ``!`` may prefix any
-    label. Tokens that can't occur in a flat expression set the ``bad``
-    flag and the cell is denied (fail closed)."""
+    label. Malformed expressions DENY (fail closed), exactly where the
+    reference parser would throw: paren/quote chars in a flat context,
+    interior '!', and operator-sequence errors — a leading/doubled
+    operator ('&a', 'a||b') or a trailing one ('finance&'), the latter
+    via the ``need`` operand-expected flag checked after the fold."""
     tokens = F.regexp_extract_all(vis, F.lit("[&|]|[^&|]+"), 0)
     init = F.struct(
-        F.lit(False).alias("acc"), F.lit("|").alias("op"), F.lit(False).alias("bad")
+        F.lit(False).alias("acc"),
+        F.lit("|").alias("op"),
+        F.lit(False).alias("bad"),
+        F.lit(True).alias("need"),  # an operand is expected next
     )
 
     def step(st: Column, raw: Column) -> Column:
         tok = F.trim(raw)
         is_and = tok == "&"
         is_or = tok == "|"
+        is_op = is_and | is_or
         neg = tok.startswith("!")
         name = F.trim(F.when(neg, F.substring(tok, 2, 1 << 20)).otherwise(tok))
         has = F.array_contains(auth_arr, name)
@@ -196,24 +210,29 @@ def _flat_fold_pred(auth_arr: Column, vis: Column) -> Column:
         new_acc = F.when(st["op"] == "&", st["acc"] & val).otherwise(
             st["acc"] | val
         )
-        malformed = (
-            tok.contains("(")
+        malformed = F.when(
+            is_op,
+            st["need"],  # operator where an operand was expected
+        ).otherwise(
+            ~st["need"]  # two operands in a row (blank between operators)
+            | tok.contains("(")
             | tok.contains(")")
             | tok.contains('"')
             | (F.length(name) == 0)
             | name.contains("!")
         )
         return F.struct(
-            F.when(is_and | is_or, st["acc"]).otherwise(new_acc).alias("acc"),
+            F.when(is_op, st["acc"]).otherwise(new_acc).alias("acc"),
             F.when(is_and, F.lit("&"))
             .when(is_or, F.lit("|"))
             .otherwise(st["op"])
             .alias("op"),
-            (st["bad"] | (~(is_and | is_or) & malformed)).alias("bad"),
+            (st["bad"] | malformed).alias("bad"),
+            is_op.alias("need"),
         )
 
     folded = F.aggregate(tokens, init, step)
-    return folded["acc"] & ~folded["bad"]
+    return folded["acc"] & ~folded["bad"] & ~folded["need"]
 
 
 def visibility_pred(

@@ -40,11 +40,14 @@ def unigram_counts(
     """Corpus unigram counts (word, c); ``vocab_size`` keeps the most
     frequent words (ties broken by word) — REQUIRED at scale so the
     model broadcasts."""
-    counts = (
-        df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+    return _counts_from_tokens(toks, vocab_size)
+
+
+def _counts_from_tokens(
+    toks: DataFrame, vocab_size: int | None
+) -> DataFrame:
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     if vocab_size is not None:
         counts = counts.orderBy(F.col("c").desc(), F.col("word")).limit(
             vocab_size
@@ -66,7 +69,9 @@ def perplexity_proxy(
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
     )
-    vocab = unigram_counts(df, text_col=text_col, vocab_size=vocab_size)
+    # derive the model from the SAME tokenized frame — tokenizing the
+    # corpus once, not once for scoring and again for counting
+    vocab = _counts_from_tokens(toks.select("word"), vocab_size)
     totals = toks.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
         vocab.agg(F.count(F.lit(1)).alias("_v"))
     )

@@ -19,8 +19,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Query parameters that carry click-tracking state, not content identity
-#: (the standard canonicalization drop-list).
-TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref", "mc_eid")
+#: (the standard canonicalization drop-list). ``utm_`` matches as a key
+#: PREFIX (utm_source, utm_id, ...); the rest match the key EXACTLY —
+#: a prefix match on 'ref' would wrongly strip content-identifying
+#: params like refid/refresh/referrer.
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_KEYS = ("fbclid", "gclid", "msclkid", "ref", "mc_eid")
 
 #: Second-level labels that act as public suffixes under a 2-letter ccTLD
 #: ("example.co.uk" -> registered domain is the 3rd label). A pragmatic
@@ -66,12 +70,14 @@ def canonicalize_url(url: Column) -> Column:
         F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/$", ""
     )
     query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
-    is_tracking = lambda kv: (  # noqa: E731
-        F.exists(
-            F.array(*[F.lit(p) for p in TRACKING_PARAMS]),
-            lambda p: kv.startswith(p),
+
+    def is_tracking(kv: Column) -> Column:
+        key = F.substring_index(kv, "=", 1)
+        by_prefix = F.exists(
+            F.array(*[F.lit(p) for p in TRACKING_PREFIXES]),
+            lambda p: key.startswith(p),
         )
-    )
+        return by_prefix | key.isin(*TRACKING_KEYS)
     kept = F.array_join(
         F.array_sort(
             F.filter(

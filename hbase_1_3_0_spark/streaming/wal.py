@@ -334,6 +334,7 @@ def sessionize(
     *,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    value_col: str = "value",
     gap: str = "30 minutes",
     watermark: str | None = None,
 ) -> DataFrame:
@@ -360,7 +361,7 @@ def sessionize(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
         )
         .select(
             F.col(key_col),

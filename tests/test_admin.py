@@ -137,3 +137,21 @@ def test_merge_table_presplit_drops_boundaries(spark, sf_dir, tmp_path):
         b"0000000000000000012",
     )
     assert merged.scan().count() == n_cells
+
+
+def test_merge_table_factor_exceeding_regions_pins_one(spark, sf_dir, tmp_path):
+    """factor >= region count drops every boundary; the result must be
+    ONE pinned region, not default sampled partitioning."""
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.engine import Engine
+    from hbase_1_3_0_spark.sources import fixtures
+
+    eng2 = Engine(spark, root=tmp_path, now_ms=1)
+    splits = (b"0000000000000000008", b"0000000000000000016")
+    meta = TableMeta(name="nation_merge_all", split_points=splits)
+    cells = fixtures.kv_cells(spark, sf_dir, "nation")
+    t = eng2.save(eng2.create_table(meta, cells))
+    merged = eng2.merge_table(t, factor=4)
+    assert merged.meta.split_points is None
+    assert merged.meta.range_partitions == 1
+    assert len(eng2.region_boundaries(merged).collect()) == 1

@@ -418,6 +418,9 @@ def test_canonicalize_url_rules(spark):
         ("https://a.com/x?utm_id=9&gclid=z", "https://a.com/x"),
         # fragment dropped
         ("https://a.com/x#frag", "https://a.com/x"),
+        # 'ref' matches the KEY exactly: refid/refresh are content params
+        ("https://a.com/x?refid=7&ref=tw", "https://a.com/x?refid=7"),
+        ("https://a.com/x?refresh=1", "https://a.com/x?refresh=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
     got = [
