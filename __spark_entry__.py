@@ -1948,6 +1948,14 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram perplexity (0.75*bigram + 0.25*unigram,
+    top-300 vocab, first token pure unigram) — the CCNet-shaped LM
+    filter signal one order up from q_lm_perplexity."""
+    docs = _load(spark, sf_dir, "documents")
+    return lm.bigram_perplexity(docs, vocab_size=300, lam=0.75)
+
+
 def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility/coverage proxies per doc: pretokenizer piece
     count, UTF-8 bytes per piece, ASCII ratio, byte/char expansion
@@ -2005,7 +2013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction": q_compaction,
         # -- mutations / jobs --
         "batch_mixed": q_batch_mixed,
-        "wal_player": q_wal_player,
         "verify_replication": q_verify_replication,
         "scan_batched": q_scan_batched,
         # -- new in r04: URL/domain web-curation ops + LM perplexity --
@@ -2013,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "domain_filter": q_domain_filter,
         "lm_perplexity": q_lm_perplexity,
+        "lm_bigram": q_lm_bigram,
         "tokenizer_stats": q_tokenizer_stats,
         # -- rotated in r04: oracle-capable tail (local-green in r03) --
         "corpus_stats": q_corpus_stats,
@@ -2058,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "wal_player": q_wal_player,
         "sync_ts_repair": q_sync_ts_repair,
         "multi_table": q_multi_table,
         "snapshot_read": q_snapshot_read,
@@ -2875,6 +2884,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(s / 512.0) AS BIGINT) AS bin_id, "
             "(s % 512)::BIGINT AS bin_off, "
             "greatest(0, (s % 512) + n_tokens - 512)::BIGINT AS spill FROM c"
+        ),
+        "lm_bigram": (
+            "WITH toks AS (SELECT doc_id, unnest(ws) AS word, "
+            "generate_subscripts(ws, 1) AS pos FROM (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9'']+') AS ws "
+            "FROM documents)), "
+            "vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word "
+            "ORDER BY c DESC, word LIMIT 300), "
+            "tot AS (SELECT (SELECT count(*) FROM toks) AS n, "
+            "(SELECT count(*) FROM vocab) AS v), "
+            "seq AS (SELECT doc_id, pos, word, lag(word) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS prev FROM toks), "
+            "pairs AS (SELECT prev, word, count(*) AS cb FROM seq "
+            "WHERE prev IS NOT NULL "
+            "AND word IN (SELECT word FROM vocab) "
+            "AND prev IN (SELECT word FROM vocab) GROUP BY prev, word) "
+            "SELECT s.doc_id, count(*) AS n_words, "
+            "round(avg(-log2(CASE WHEN s.prev IS NULL THEN "
+            "(coalesce(vu.c, 0) + 1) * 1.0 / (n + v) ELSE "
+            "0.75 * (CASE WHEN vp.c IS NOT NULL AND pr.cb IS NOT NULL "
+            "THEN pr.cb * 1.0 / vp.c ELSE 0.0 END) + "
+            "0.25 * ((coalesce(vu.c, 0) + 1) * 1.0 / (n + v)) END)), 6) "
+            "AS bits_per_word "
+            "FROM seq s "
+            "LEFT JOIN vocab vu ON s.word = vu.word "
+            "LEFT JOIN vocab vp ON s.prev = vp.word "
+            "LEFT JOIN pairs pr ON s.prev = pr.prev AND s.word = pr.word "
+            "CROSS JOIN tot GROUP BY s.doc_id"
         ),
         "tokenizer_stats": (
             "SELECT doc_id, "

@@ -93,3 +93,77 @@ def perplexity_proxy(
         ).alias("oov_rate"),
         F.round(F.avg("_bits"), 6).alias("bits_per_word"),
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated-bigram upgrade of :func:`perplexity_proxy` — one step
+    closer to the CCNet KenLM signal:
+
+        p(w_i | w_{i-1}) = lam * p_bi(w_i | w_{i-1}) + (1-lam) * p_uni(w_i)
+
+    with add-one-smoothed unigrams and raw maximum-likelihood bigrams
+    over the (capped) vocabulary; a document's first token scores pure
+    unigram. Bigrams are counted only where BOTH words are in-vocab
+    (standard practice), so the bigram table is bounded by the corpus's
+    in-vocab pair diversity — at 100 TB the cap is what keeps the
+    (prev, word) join key-space sane; the unigram model still
+    broadcasts. Plan shape: one tokenize+posexplode pass, one per-doc
+    window (lag) shuffle keyed on the doc, two hash aggs, one shuffle
+    join on (prev, word), one per-doc agg."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    vocab = _counts_from_tokens(toks.select("word"), vocab_size)
+    totals = toks.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("_v"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("word").over(w))
+    in_vocab = vocab.select("word")
+    pairs = (
+        seq.where(F.col("prev").isNotNull())
+        .join(in_vocab, "word", "left_semi")
+        .join(
+            in_vocab.withColumnRenamed("word", "prev"), "prev", "left_semi"
+        )
+        .groupBy("prev", "word")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    scored = (
+        seq.join(F.broadcast(vocab), "word", "left")
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("word").alias("prev"), F.col("c").alias("cv")
+                )
+            ),
+            "prev",
+            "left",
+        )
+        .join(pairs, ["prev", "word"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.coalesce(F.col("c"), F.lit(0)) + 1) / (
+        F.col("_n") + F.col("_v")
+    )
+    p_bi = F.when(
+        F.col("cv").isNotNull() & F.col("cb").isNotNull(),
+        F.col("cb") / F.col("cv"),
+    ).otherwise(F.lit(0.0))
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    )
+    return scored.withColumn("_bits", -F.log2(p)).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("_bits"), 6).alias("bits_per_word"),
+    )

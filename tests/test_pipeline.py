@@ -526,3 +526,16 @@ def test_tokenizer_stats_fertility(spark):
     # é is 2 UTF-8 bytes: 5 chars -> 6 bytes; 1 non-ASCII of 5 chars
     assert got[3].utf8_expansion == 1.2
     assert got[3].ascii_ratio == 0.8
+
+
+def test_bigram_perplexity_rewards_seen_sequences(spark):
+    from hbase_1_3_0_spark.pipeline import lm
+
+    # corpus dominated by one fixed phrase: its bigrams are near-certain
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "mat the on sat cat the"))  # same words, novel order
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in lm.bigram_perplexity(df, lam=0.75).collect()}
+    # identical unigram content => any gap is pure bigram signal
+    assert out[100].bits_per_word > out[0].bits_per_word
+    assert out[0].n_words == 6
