@@ -1868,6 +1868,14 @@ def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha=0.5, target 50% of corpus):
+    per-source tempered mix weight and the Bernoulli keep-rate that
+    realizes it (pipeline/sampling.py temperature_mix_rates)."""
+    docs = _load(spark, sf_dir, "documents")
+    return sampling.temperature_mix_rates(docs, alpha=0.5, target_frac=0.5)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 512-token context windows,
     per source: one shuffle on the stratum + one window cumsum; emits the
@@ -2013,7 +2021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction": q_compaction,
         # -- mutations / jobs --
         "batch_mixed": q_batch_mixed,
-        "verify_replication": q_verify_replication,
         "scan_batched": q_scan_batched,
         # -- new in r04: URL/domain web-curation ops + LM perplexity --
         "url_dedup": q_url_dedup,
@@ -2058,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "train_eval_split": q_train_eval_split,
         "pack_sequences": q_pack_sequences,
         # -- new in r04: CAS-guarded RowMutations --
@@ -2066,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "verify_replication": q_verify_replication,
         "wal_player": q_wal_player,
         "sync_ts_repair": q_sync_ts_repair,
         "multi_table": q_multi_table,
@@ -2867,6 +2876,15 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN 'src1' THEN '{_hexr(0.5)}' "
             f"WHEN 'src2' THEN '{_hexr(0.25)}' "
             f"ELSE '{_hexr(0.1)}' END"
+        ),
+        "temperature_mix": (
+            "WITH per AS (SELECT source, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT *, pow(n, 0.5) AS _t FROM per), "
+            "tot AS (SELECT sum(n) AS tn, sum(_t) AS tt FROM t) "
+            "SELECT source, n, round(_t / tt, 6) AS mix_weight, "
+            "round(least(1.0, 0.5 * tn * (_t / tt) / n), 6) AS keep_rate "
+            "FROM t CROSS JOIN tot"
         ),
         "train_eval_split": (
             "SELECT doc_id, CASE WHEN "

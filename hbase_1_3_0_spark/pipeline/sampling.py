@@ -43,6 +43,8 @@ __all__ = [
     "stratified_sample",
     "train_eval_split",
     "pack_sequences",
+    "temperature_mix_rates",
+    "temperature_sample",
 ]
 
 
@@ -159,4 +161,69 @@ def pack_sequences(
             F.lit(0).cast("long"),
             ((F.col("_start") % capacity) + F.col("n_tokens")) - capacity,
         ).alias("spill"),
+    )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    *,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    strata_col: str = "source",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-source LM
+    weighting: sample source i with probability proportional to
+    ``share_i ** alpha``). Returns per-source (n, mix_weight, keep_rate)
+    where ``keep_rate`` is the Bernoulli rate that realizes the tempered
+    mixture at an expected overall volume of ``target_frac`` of the
+    corpus — feed it to :func:`stratified_sample`. ``alpha < 1`` lifts
+    small sources, ``alpha = 1`` is proportional (rate = target_frac
+    everywhere), ``alpha = 0`` is uniform-over-sources. Rates cap at 1:
+    a tiny source cannot be oversampled without replacement, so the
+    realized mixture flattens at the cap (the standard caveat).
+
+    One hash agg + a broadcast 1-row totals join; ``weight_col`` weights
+    rows (e.g. token counts) instead of counting documents."""
+    w = weight_col if weight_col is not None else F.lit(1)
+    per = df.groupBy(strata_col).agg(F.sum(w).alias("n"))
+    tempered = per.withColumn("_t", F.pow(F.col("n"), F.lit(float(alpha))))
+    totals = tempered.agg(
+        F.sum("n").alias("_total_n"), F.sum("_t").alias("_total_t")
+    )
+    out = tempered.crossJoin(F.broadcast(totals))
+    mix = F.col("_t") / F.col("_total_t")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac)) * F.col("_total_n") * mix / F.col("n"),
+    )
+    return out.select(
+        strata_col,
+        "n",
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(rate, 6).alias("keep_rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix1",
+) -> DataFrame:
+    """Apply :func:`temperature_mix_rates` as a deterministic stratified
+    sample. The per-source rate table is tiny (one row per source) and
+    collects to the driver to become broadcast-literal thresholds —
+    the data pass stays a zero-shuffle narrow map."""
+    rates = {
+        r[strata_col]: r["keep_rate"]
+        for r in temperature_mix_rates(
+            df, alpha=alpha, target_frac=target_frac, strata_col=strata_col
+        ).collect()
+    }
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, seed=seed
     )

@@ -118,3 +118,36 @@ def test_pack_sequences_custom_token_col(spark):
     assert (rows[1].bin_id, rows[1].bin_off, rows[1].spill) == (0, 0, 0)
     assert (rows[2].bin_id, rows[2].bin_off, rows[2].spill) == (0, 100, 44)
     assert (rows[3].bin_id, rows[3].bin_off, rows[3].spill) == (1, 44, 88)
+
+
+def test_temperature_mix_alpha_lifts_small_sources(spark):
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    rates = {r.source: r for r in sampling.temperature_mix_rates(
+        df, alpha=0.5, target_frac=0.3
+    ).collect()}
+    # tempered shares: sqrt(900)=30, sqrt(100)=10 -> 0.75 / 0.25
+    assert rates["big"].mix_weight == 0.75
+    assert rates["small"].mix_weight == 0.25
+    # small source keeps a HIGHER fraction of itself than the big one
+    assert rates["small"].keep_rate > rates["big"].keep_rate
+    # expected volume = target_frac of corpus (no rate hits the cap here)
+    exp = rates["big"].keep_rate * 900 + rates["small"].keep_rate * 100
+    assert abs(exp - 300) < 1
+    # oversample demand on the small source caps at 1.0 (documented)
+    capped = {r.source: r.keep_rate for r in sampling.temperature_mix_rates(
+        df, alpha=0.5, target_frac=0.5
+    ).collect()}
+    assert capped["small"] == 1.0
+    # alpha=1 -> proportional: every keep_rate == target_frac
+    prop = {r.source: r.keep_rate for r in sampling.temperature_mix_rates(
+        df, alpha=1.0, target_frac=0.3
+    ).collect()}
+    assert all(abs(v - 0.3) < 1e-6 for v in prop.values())
+    # end-to-end sample is deterministic and roughly sized
+    got1 = {r.doc_id for r in sampling.temperature_sample(df, alpha=0.5, target_frac=0.3).collect()}
+    got2 = {r.doc_id for r in sampling.temperature_sample(df, alpha=0.5, target_frac=0.3).collect()}
+    assert got1 == got2
+    assert 200 < len(got1) < 400
