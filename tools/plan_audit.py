@@ -35,6 +35,11 @@ AUDIT = [
     "stratified_sample",  # pure narrow map: zero exchanges
     "pack_sequences",   # exactly one hash exchange + window
     "corpus_stats",     # single hash agg with two-level distinct
+    "multi_range",      # parity binary-search fold + prunable envelope
+    "url_dedup",        # canonical-md5 groupBy: 32-hex shuffle keys
+    "lm_bigram",        # lag window + (prev,word) join: no cartesian
+    "events_sessionize",  # session_window: one keyed shuffle
+    "temperature_mix",  # one hash agg + broadcast 1-row totals
 ]
 
 RED_FLAGS = {
@@ -52,6 +57,17 @@ WAIVERS = {
         "corpus side is never shuffled and the loop side is tiny "
         "(similarity.py cosine_topk; lsh/ivf_topk are the bucketed scale "
         "paths)"
+    ),
+    ("lm_bigram", "nested-loop join"): (
+        "crossJoin(broadcast(totals)) attaches the ONE-ROW corpus-total "
+        "aggregate to every token — the grand-total pattern "
+        "(aggregations.py:150 precedent); a 1-row broadcast loop side is "
+        "O(rows), not quadratic"
+    ),
+    ("temperature_mix", "nested-loop join"): (
+        "crossJoin(broadcast(totals)) attaches the ONE-ROW totals "
+        "aggregate to the per-source table (rows = #sources); same "
+        "1-row-broadcast grand-total pattern"
     ),
 }
 
