@@ -741,6 +741,25 @@ def q_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus sink -> source roundtrip (sources/jsonl.py): write
+    the documents table as one-JSON-per-line, read back with a DECLARED
+    schema in PERMISSIVE corrupt-capture mode."""
+    import hashlib
+
+    from hbase_1_3_0_spark.sources import jsonl
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_jsonl_{tag}"
+    jsonl.write_jsonl(docs, path)
+    return jsonl.read_jsonl(
+        spark, path, "doc_id bigint, text string, lang string, source string"
+    )
+
+
 def q_first_key_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FirstKeyValueMatchingQualifiersFilter: cells up to the first
     qualifier-set hit, then next row."""
@@ -2016,7 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstones": q_tombstones,
         "agg_decimal": q_agg_decimal,
         "sync_diff": q_sync_diff,
-        "hash_table": q_hash_table,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- read-view semantics --
         "compaction": q_compaction,
         # -- mutations / jobs --
@@ -2074,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "hash_table": q_hash_table,
         "verify_replication": q_verify_replication,
         "wal_player": q_wal_player,
         "sync_ts_repair": q_sync_ts_repair,
@@ -2876,6 +2896,9 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN 'src1' THEN '{_hexr(0.5)}' "
             f"WHEN 'src2' THEN '{_hexr(0.25)}' "
             f"ELSE '{_hexr(0.1)}' END"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source FROM documents"
         ),
         "temperature_mix": (
             "WITH per AS (SELECT source, count(*)::BIGINT AS n "

@@ -258,3 +258,42 @@ def test_presplit_boundaries_and_write(spark, sf_dir, tmp_path):
     for r in per_file:
         for b in splits:
             assert not (bytes(r.lo) < b <= bytes(r.hi)), (r.f, b)
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed JSONL lines are captured, counted, and excluded — never
+    silently dropped and never fatal."""
+    from hbase_1_3_0_spark.sources import jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+    )
+    schema = "doc_id bigint, text string"
+    clean = jsonl.read_jsonl(spark, str(p), schema)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    stats = jsonl.corrupt_stats(spark, str(p), schema).collect()[0]
+    assert stats.n_lines == 4 and stats.n_corrupt == 2
+    assert stats.corrupt_frac == 0.5
+    quarantined = jsonl.read_jsonl(spark, str(p), schema, keep_corrupt=True)
+    bad = [r for r in quarantined.collect() if r._corrupt_record is not None]
+    assert len(bad) == 2
+
+
+def test_jsonl_write_read_roundtrip(spark, tmp_path):
+    from hbase_1_3_0_spark.sources import jsonl
+
+    df = spark.createDataFrame(
+        [(1, "line with\nnewline", "en"), (2, 'quote " and \\ slash', "de")],
+        "doc_id: long, text: string, lang: string",
+    )
+    path = str(tmp_path / "out")
+    jsonl.write_jsonl(df, path, compression="gzip")
+    back = jsonl.read_jsonl(
+        spark, path, "doc_id bigint, text string, lang string"
+    )
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    assert got == {(1, "line with\nnewline", "en"), (2, 'quote " and \\ slash', "de")}
