@@ -706,3 +706,99 @@ def test_check_and_mutate_matches_model(spark, current, checks):
             }[op]
         expected[r] = ok
     assert got == expected
+
+
+# ---------------------------------------------------------------- visibility
+
+
+def test_fuzz_flat_visibility_fold_matches_reference_parser(spark):
+    """Differential fuzz: for random FLAT expressions (labels, &, |, !,
+    junk), the JVM fold must agree with the driver-side reference-parser
+    evaluation — and DENY wherever the parser raises (fail closed)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.operators.security import (
+        VisibilityParseError,
+        evaluate_vis_expression,
+        visibility_pred,
+    )
+
+    rng = random.Random(20240814)
+    labels = ["a", "b", "finance", "pii", "x1"]
+    pieces = labels + ["!", "&", "|", " ", ""]
+    exprs = set()
+    # well-formed flat expressions
+    for _ in range(120):
+        n = rng.randrange(1, 5)
+        parts = []
+        for i in range(n):
+            lbl = rng.choice(labels)
+            if rng.random() < 0.3:
+                lbl = "!" + lbl
+            parts.append(lbl)
+            if i < n - 1:
+                parts.append(rng.choice(["&", "|"]))
+        exprs.add(" ".join(parts))
+    # random junk (many malformed)
+    for _ in range(120):
+        exprs.add("".join(rng.choice(pieces) for _ in range(rng.randrange(1, 7))))
+    exprs = sorted(e for e in exprs if e.strip())
+
+    auths = ("a", "finance")
+    df = spark.createDataFrame([(e,) for e in exprs], "vis: string")
+    got = {
+        r.vis: bool(r.ok)
+        for r in df.select(
+            "vis", visibility_pred(auths).alias("ok")
+        ).collect()
+    }
+    mismatches = []
+    for e in exprs:
+        try:
+            want = evaluate_vis_expression(e, auths)
+        except VisibilityParseError:
+            want = False
+        if got[e] != want:
+            mismatches.append((e, got[e], want))
+    assert not mismatches, mismatches[:10]
+
+
+# ----------------------------------------------------------------- web / URL
+
+
+def test_fuzz_canonicalize_url_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for a mix of
+    generated URLs (idempotence is what makes the canonical form a safe
+    dedup key)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.pipeline.web import canonicalize_url
+
+    rng = random.Random(7)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "https", "HTTPS"])
+        host = rng.choice(["A.example.COM", "x.co.uk", "site9.com", "WWW.q.org"])
+        path = rng.choice(["", "/", "/a", "/a/", "/a/B/c", "/a%20b"])
+        params = rng.sample(
+            ["utm_source=x", "id=3", "b=2", "a=1", "gclid=z", "refid=9", "ref=t"],
+            rng.randrange(0, 4),
+        )
+        frag = rng.choice(["", "#top", "#s/e?c"])
+        q = ("?" + "&".join(params)) if params else ""
+        urls.append(f"{scheme}://{host}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    once = df.select(
+        "url", canonicalize_url(F.col("url")).alias("c1")
+    )
+    twice = once.select(
+        "url", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    bad = [
+        (r.url, r.c1, r.c2) for r in twice.collect() if r.c1 != r.c2
+    ]
+    assert not bad, bad[:5]
