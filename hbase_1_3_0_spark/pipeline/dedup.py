@@ -710,3 +710,43 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an INCOMING batch against an existing corpus — the
+    streaming-ingest shape: a crawl lands in batches, and each batch
+    must drop (a) exact dups of anything already accepted and (b) dups
+    within itself, without ever rescanning the accepted corpus.
+
+    ``seen_fingerprints``: single-column ``fp`` DataFrame of md5 digests
+    of the accepted corpus (None = empty). Returns ``(survivors,
+    updated_fingerprints)`` — survivors keep the smallest id per
+    in-batch content group, then anti-join the seen store on the 32-hex
+    digest; the updated store is seen + the survivors' digests, ready
+    for the next batch.
+
+    Scale shape: the accepted corpus is represented ONLY by digests
+    (32 bytes/doc — a 10B-doc store is ~320 GB, a fine shuffle-join
+    side; broadcastable for smaller stores via AQE). The batch is
+    shuffled on the digest once; the corpus text is never touched."""
+    fp = F.md5(F.col(text_col))
+    batch = new_docs.select(F.col(id_col), fp.alias("fp"))
+    winners = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    if seen_fingerprints is not None:
+        winners = winners.join(seen_fingerprints, "fp", "left_anti")
+    survivors = new_docs.join(
+        winners.select(id_col), id_col, "left_semi"
+    )
+    new_fps = winners.select("fp")
+    updated = (
+        new_fps
+        if seen_fingerprints is None
+        else seen_fingerprints.unionByName(new_fps)
+    )
+    return survivors, updated

@@ -539,3 +539,24 @@ def test_bigram_perplexity_rewards_seen_sequences(spark):
     # identical unigram content => any gap is pure bigram signal
     assert out[100].bits_per_word > out[0].bits_per_word
     assert out[0].n_words == 6
+
+
+def test_incremental_dedup_batches_chain(spark):
+    """Batch 2 must drop exact dups of batch 1's survivors AND its own
+    internal dups; the digest store threads through."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id: long, text: string"
+    )
+    s1, store = dedup.incremental_dedup(b1, None)
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "beta")],
+        "doc_id: long, text: string",
+    )
+    s2, store2 = dedup.incremental_dedup(b2, store)
+    assert sorted(r.doc_id for r in s2.collect()) == [11]
+    assert store2.count() == 3  # alpha, beta, gamma
+    # a third batch of nothing-new survives nothing
+    b3 = spark.createDataFrame([(20, "gamma")], "doc_id: long, text: string")
+    s3, _ = dedup.incremental_dedup(b3, store2)
+    assert s3.count() == 0
