@@ -1228,6 +1228,21 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "source")
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (seeded k-means codebooks ->
+    rows-only oracle): 64-dim vectors compressed to 8 codes, queries
+    exact, corpus scored through reconstruction."""
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # one Lloyd pass: the rows-only gate checks the encode/ADC plumbing,
+    # not codebook quality (tests train 3 iters and check recall)
+    books = similarity.pq_train(embs, m=8, k=16, dim=64, iters=1)
+    codes = similarity.pq_encode(embs, books)
+    return similarity.pq_topk(codes, queries, books, k=10)
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (seeded hashes -> rows-only oracle)."""
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
@@ -2047,7 +2062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_range": q_scan_range,
         "filter_scvf": q_filter_scvf,
         "versions_latest": q_versions_latest,
-        "tombstones": q_tombstones,
         "agg_decimal": q_agg_decimal,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- read-view semantics --
@@ -2076,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         # -- security tags --
         "visibility_labels": q_visibility_labels,
         "cell_acl": q_cell_acl,
@@ -2108,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
+        "tombstones": q_tombstones,
         "sync_diff": q_sync_diff,
         "hash_table": q_hash_table,
         "verify_replication": q_verify_replication,

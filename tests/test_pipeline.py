@@ -560,3 +560,43 @@ def test_incremental_dedup_batches_chain(spark):
     b3 = spark.createDataFrame([(20, "gamma")], "doc_id: long, text: string")
     s3, _ = dedup.incremental_dedup(b3, store2)
     assert s3.count() == 0
+
+
+# ------------------------------------------------------- product quantization
+
+
+def test_pq_roundtrip_beats_random_codes(emb, spark):
+    from hbase_1_3_0_spark.pipeline import similarity as sim
+
+    books = sim.pq_train(emb, m=8, k=16, dim=64, iters=3)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = sim.pq_encode(emb, books)
+    row = codes.limit(1).collect()[0]
+    assert len(row.pq_code) == 8
+    assert all(0 <= c < 16 for c in row.pq_code)
+    # reconstruction correlates with the original far better than chance
+    joined = emb.join(codes, "vec_id").select(
+        sim.cosine(
+            F.col("embedding"), sim.pq_reconstruct(F.col("pq_code"), books)
+        ).alias("s")
+    )
+    mean_sim = joined.agg(F.avg("s")).collect()[0][0]
+    assert mean_sim > 0.5
+    # determinism
+    codes2 = sim.pq_encode(emb, books)
+    assert codes.orderBy("vec_id").collect() == codes2.orderBy("vec_id").collect()
+
+
+def test_pq_topk_recall_against_exact(emb):
+    from hbase_1_3_0_spark.pipeline import similarity as sim
+
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    # m=16 (4-dim subspaces): finer codes for the recall check — the
+    # synthetic near-isotropic embeddings are PQ's worst case
+    books = sim.pq_train(emb, m=16, k=16, dim=64, iters=3)
+    codes = sim.pq_encode(emb, books)
+    exact = sim.cosine_topk(emb, queries, k=5)
+    approx = sim.pq_topk(codes, queries, books, k=5)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) >= len(e) * 0.2
