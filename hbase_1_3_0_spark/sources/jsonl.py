@@ -44,22 +44,29 @@ def read_jsonl(
     *,
     keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Read JSONL with the declared ``schema``; malformed lines land in
-    the ``_corrupt_record`` column (PERMISSIVE mode) instead of failing
-    the read. ``keep_corrupt=True`` returns them for quarantining;
-    otherwise they are filtered out."""
+    """Read JSONL with the declared ``schema``. ``keep_corrupt=True``
+    reads PERMISSIVE with malformed lines captured in ``_corrupt_record``
+    for quarantining. The default clean read uses DROPMALFORMED — bad
+    lines are excluded by the reader itself, with no corrupt column in
+    the plan: a PERMISSIVE read filtered on ``_corrupt_record IS NULL``
+    breaks under column pruning (Spark's corrupt-column-only scan
+    restriction fires on e.g. ``count()``). Dropping is only silent if
+    you skip the health gate — run :func:`corrupt_stats` first."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    full = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    if keep_corrupt:
+        full = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+        return (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
         .json(path)
     )
-    if keep_corrupt:
-        return df
-    return df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
 def corrupt_stats(
