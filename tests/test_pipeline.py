@@ -600,3 +600,27 @@ def test_pq_topk_recall_against_exact(emb):
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     assert len(e & a) >= len(e) * 0.2
+
+
+def test_ivfpq_topk_recall_and_shape(emb):
+    from hbase_1_3_0_spark.pipeline import similarity as sim
+
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.ivfpq_topk(
+        emb, queries, k=3, num_lists=8, nprobe=4, m=16, codebook_k=16
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= 3
+        assert all(r.vec_id != q for r in rs)
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+    # some overlap with exact search
+    exact = sim.cosine_topk(emb, queries, k=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in rows}
+    assert len(e & a) >= 1
