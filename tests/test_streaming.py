@@ -309,3 +309,48 @@ def test_sessionize_gap_semantics(spark):
         (1, t0 + 86 * m, t0 + 116 * m, 1, 5.0),
         (2, t0 + 5 * m, t0 + 35 * m, 1, 7.0),
     }
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """The SAME sessionize plan runs under readStream with a watermark:
+    an availableNow replay over the file source must emit exactly the
+    batch-mode sessions (append mode emits sessions the watermark
+    closed; a far-future flush event closes all real sessions)."""
+    import datetime as dt
+
+    src = tmp_path / "events"
+    ckpt = tmp_path / "ckpt_sess"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1.0), (1, t0 + 10 * m, 2.0),        # session A (user 1)
+        (1, t0 + 90 * m, 3.0),                       # session B (user 1)
+        (2, t0 + 5 * m, 7.0), (2, t0 + 20 * m, 1.0), # session C (user 2)
+        # flush: a sentinel far past everything advances the watermark
+        (99, t0 + 10_000 * m, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = wal.sessionize(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+        if r.user_id != 99
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in wal.sessionize(df, gap="30 minutes").collect()
+        if r.user_id != 99
+    }
+    assert got == want and len(want) == 3
