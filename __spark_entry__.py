@@ -2048,14 +2048,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     client ops, read-view semantics, mutations, jobs, comparators,
     security tags, coprocessors, streaming, and the full LLM
     training-data pipeline. Round 4 rotates the never-driver-checked
-    tail into the window: the 5 oracle-capable queries that were below
+    tail into the window — the 5 oracle-capable queries that were below
     the line (corpus_stats, remove_boilerplate, vocab_topk,
-    stateful_ttl_event, paragraph_dedup) and the 6 rows-only-by-design
-    ops (seeded-hash LSH/sketch bucketing DuckDB can't mirror), so
-    every declared query has a driver CORRECTNESS row across r01-r04.
-    Rotated-out classics keep their green rows in CORRECTNESS_r01-r03;
-    every query regardless of position is verified locally by
-    ``tools/check_oracles.py`` (CORRECTNESS_LOCAL_r{N}.json).
+    stateful_ttl_event, paragraph_dedup) plus the rows-only-by-design
+    ops (seeded-hash LSH/sketch bucketing DuckDB can't mirror) — and
+    adds the round's new surfaces (jsonl_roundtrip, scan_batched,
+    check_and_mutate_row, incremental_dedup, pq_topk, url_*, lm_*,
+    tokenizer_stats, events_sessionize, temperature_mix), so after r04
+    every query declared through round 3 has a driver CORRECTNESS row
+    and each new query gets its first. Rotated-out classics keep their
+    green rows in CORRECTNESS_r01-r03; every query regardless of
+    position is verified locally by ``tools/check_oracles.py``
+    (CORRECTNESS_LOCAL_r04.json: 117 entries, 0 failures).
     """
     return {
         # -- client read/write representatives (previously green r01+r02) --

@@ -371,3 +371,52 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def dedup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str | Path,
+    *,
+    out_dir: str | Path,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming ingest dedup: a foreachBatch sink where each micro-batch
+    runs :func:`~hbase_1_3_0_spark.pipeline.dedup.incremental_dedup`
+    against the PERSISTED digest store, appends survivors to ``out_dir``
+    and their digests to ``store_dir`` — so the accepted corpus is only
+    ever represented by 32-hex digests and duplicates never land, even
+    across micro-batches and restarts (the store is the cross-batch
+    state; the checkpoint makes re-delivered batches re-dedup
+    idempotently since their digests are already in the store).
+
+    Returns the started StreamingQuery (caller triggers/awaits)."""
+    from pyspark.sql import functions as SF
+
+    from hbase_1_3_0_spark.pipeline.dedup import incremental_dedup
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        try:
+            seen = spark.read.parquet(str(store_dir))
+        except Exception:
+            seen = None
+        survivors, _ = incremental_dedup(
+            batch_df, seen, text_col=text_col, id_col=id_col
+        )
+        survivors = survivors.localCheckpoint()
+        survivors.write.mode("append").parquet(str(out_dir))
+        survivors.select(
+            SF.md5(SF.col(text_col)).alias("fp")
+        ).write.mode("append").parquet(str(store_dir))
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(str(source_dir))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -354,3 +354,42 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
         if r.user_id != 99
     }
     assert got == want and len(want) == 3
+
+
+def test_dedup_ingest_stream_across_batches(spark, tmp_path):
+    """Cross-batch streaming dedup: batch 2's duplicates of batch 1's
+    survivors are dropped via the persisted digest store."""
+    src = tmp_path / "incoming"
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id: long, text: string"
+    )
+    b1.write.parquet(str(src))
+    q = wal.dedup_ingest_stream(
+        spark,
+        src,
+        out_dir=tmp_path / "accepted",
+        store_dir=tmp_path / "store",
+        checkpoint_dir=tmp_path / "ckpt",
+        schema=b1.schema,
+    )
+    q.awaitTermination(120)
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "beta"), (13, "gamma")],
+        "doc_id: long, text: string",
+    )
+    b2.write.mode("append").parquet(str(src))
+    q2 = wal.dedup_ingest_stream(
+        spark,
+        src,
+        out_dir=tmp_path / "accepted",
+        store_dir=tmp_path / "store",
+        checkpoint_dir=tmp_path / "ckpt",
+        schema=b1.schema,
+    )
+    q2.awaitTermination(120)
+    accepted = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    )
+    assert accepted == [1, 2, 11]
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.distinct().count() == 3  # alpha, beta, gamma
