@@ -98,3 +98,60 @@ def corrupt_stats(
             "corrupt_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV twin — same declared-schema / quarantine posture
+# ---------------------------------------------------------------------------
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    header: bool = True,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    # escape='"' = RFC-4180 quote doubling ("" inside quoted fields), the
+    # form every external CSV consumer expects; Spark's default is
+    # backslash-escaping, which round-trips only with itself
+    w = (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("escape", '"')
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    header: bool = True,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """CSV with a DECLARED schema (no inference pass), multiline quoted
+    fields, and the same malformed-line posture as :func:`read_jsonl`:
+    PERMISSIVE + ``_corrupt_record`` for quarantining, DROPMALFORMED for
+    the clean read (a corrupt-column-only scan is illegal under column
+    pruning)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    base = (
+        spark.read.option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
+    if keep_corrupt:
+        full = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+        return (
+            base.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .csv(path)
+        )
+    return base.schema(schema).option("mode", "DROPMALFORMED").csv(path)

@@ -297,3 +297,38 @@ def test_jsonl_write_read_roundtrip(spark, tmp_path):
     )
     got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
     assert got == {(1, "line with\nnewline", "en"), (2, 'quote " and \\ slash', "de")}
+
+
+def test_csv_roundtrip_with_quoting(spark, tmp_path):
+    """CSV twin of the JSONL source: multiline quoted fields, embedded
+    commas/quotes, declared schema, malformed-row drop."""
+    from hbase_1_3_0_spark.sources import jsonl as corpus_io
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain text", "en"),
+            (2, 'has, comma and "quote"', "de"),
+            (3, "multi\nline value", "fr"),
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    path = str(tmp_path / "csv")
+    corpus_io.write_csv(df, path)
+    back = corpus_io.read_csv(
+        spark, path, "doc_id bigint, text string, lang string"
+    )
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    assert got == {
+        (1, "plain text", "en"),
+        (2, 'has, comma and "quote"', "de"),
+        (3, "multi\nline value", "fr"),
+    }
+    # malformed row (wrong arity) quarantines under keep_corrupt
+    bad = tmp_path / "bad.csv"
+    bad.write_text("doc_id,text,lang\n1,ok,en\nnot-a-number,x\n")
+    q = corpus_io.read_csv(
+        spark, str(bad), "doc_id bigint, text string, lang string",
+        keep_corrupt=True,
+    )
+    rows = q.collect()
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
