@@ -332,3 +332,32 @@ def test_csv_roundtrip_with_quoting(spark, tmp_path):
     )
     rows = q.collect()
     assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+
+
+def test_bucketed_cells_diff_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """write_cells_bucketed co-locates the (row, family, qualifier)
+    identity: the SyncTable-style full-outer diff of two bucketed logs
+    plans with ZERO exchanges and produces the same diff as the plain
+    layout."""
+    from hbase_1_3_0_spark.sources import fixtures as fx
+    from hbase_1_3_0_spark.sources import writer as w
+    from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+    nation = fx.load_table(spark, sf_dir, "nation")
+    src = table_to_cells(nation, ["n_nationkey"])
+    tgt = table_to_cells(nation.where(F.col("n_nationkey") % 5 != 0), ["n_nationkey"])
+    w.write_cells_bucketed(src, "bk_src", num_buckets=4)
+    w.write_cells_bucketed(tgt, "bk_tgt", num_buckets=4)
+    a, b = spark.table("bk_src"), spark.table("bk_tgt")
+    j = a.join(b, ["row", "family", "qualifier"], "full_outer").where(
+        b["ts"].isNull() | a["ts"].isNull()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plain = src.join(tgt, ["row", "family", "qualifier"], "full_outer").where(
+        tgt["ts"].isNull() | src["ts"].isNull()
+    )
+    key = lambda r: (bytes(r.row), r.family, bytes(r.qualifier))  # noqa: E731
+    assert sorted(map(key, j.collect())) == sorted(map(key, plain.collect()))
+    spark.sql("DROP TABLE IF EXISTS bk_src")
+    spark.sql("DROP TABLE IF EXISTS bk_tgt")
