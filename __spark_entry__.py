@@ -2985,8 +2985,8 @@ def oracle_sql() -> dict[str, str]:
             "pairs AS (SELECT prev, word, count(*) AS cb FROM seq "
             "WHERE prev IS NOT NULL "
             "AND word IN (SELECT word FROM vocab) "
-            "AND prev IN (SELECT word FROM vocab) GROUP BY prev, word) "
-            "SELECT s.doc_id, count(*) AS n_words, "
+            "AND prev IN (SELECT word FROM vocab) GROUP BY prev, word), "
+            "per_doc AS (SELECT s.doc_id, count(*) AS n_words, "
             "round(avg(-log2(CASE WHEN s.prev IS NULL THEN "
             "(coalesce(vu.c, 0) + 1) * 1.0 / (n + v) ELSE "
             "0.75 * (CASE WHEN vp.c IS NOT NULL AND pr.cb IS NOT NULL "
@@ -2997,7 +2997,11 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN vocab vu ON s.word = vu.word "
             "LEFT JOIN vocab vp ON s.prev = vp.word "
             "LEFT JOIN pairs pr ON s.prev = pr.prev AND s.word = pr.word "
-            "CROSS JOIN tot GROUP BY s.doc_id"
+            "CROSS JOIN tot GROUP BY s.doc_id) "
+            # zero-token docs surface as n_words=0 (lm.py contract)
+            "SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, "
+            "p.bits_per_word "
+            "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
         ),
         "tokenizer_stats": (
             "SELECT doc_id, "
@@ -3045,14 +3049,18 @@ def oracle_sql() -> dict[str, str]:
             "vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word "
             "ORDER BY c DESC, word LIMIT 500), "
             "tot AS (SELECT (SELECT count(*) FROM toks) AS n, "
-            "(SELECT count(*) FROM vocab) AS v) "
-            "SELECT doc_id, count(*) AS n_words, "
+            "(SELECT count(*) FROM vocab) AS v), "
+            "per_doc AS (SELECT doc_id, count(*) AS n_words, "
             "round(avg(CASE WHEN vocab.c IS NULL THEN 1.0 ELSE 0.0 END), 6) "
             "AS oov_rate, "
             "round(avg(-log2((coalesce(vocab.c, 0) + 1) * 1.0 / (n + v))), 6) "
             "AS bits_per_word "
             "FROM toks LEFT JOIN vocab USING (word) CROSS JOIN tot "
-            "GROUP BY doc_id"
+            "GROUP BY doc_id) "
+            # zero-token docs surface as n_words=0 (lm.py contract)
+            "SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, "
+            "p.oov_rate, p.bits_per_word "
+            "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

@@ -220,6 +220,11 @@ def _flat_fold_pred(auth_arr: Column, vis: Column) -> Column:
             | tok.contains('"')
             | (F.length(name) == 0)
             | name.contains("!")
+            # interior whitespace = two adjacent labels: the reference
+            # ExpressionParser ends a label at SPACE, so 'a b' is a
+            # ParseException, not one label (surrounding spaces are
+            # already legal via the trims above)
+            | name.rlike("\\s")
         )
         return F.struct(
             F.when(is_op, st["acc"]).otherwise(new_acc).alias("acc"),

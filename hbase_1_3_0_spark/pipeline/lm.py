@@ -65,7 +65,13 @@ def perplexity_proxy(
     """Per-document (id, n_words, oov_rate, bits_per_word) under the
     in-corpus add-one unigram LM. ``N`` counts every corpus token
     (including ones outside the capped vocabulary), so capping changes
-    only which words score as OOV, not the mass normalization."""
+    only which words score as OOV, not the mass normalization.
+
+    EVERY input document gets a row: zero-token docs (empty /
+    non-latin — exactly the perplexity-filter drop candidates) emit
+    ``n_words=0`` with NULL oov_rate/bits_per_word instead of vanishing
+    at the explode, so a thresholding consumer can't let them bypass
+    the filter by absence."""
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
     )
@@ -86,12 +92,29 @@ def perplexity_proxy(
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
+    per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.round(
             F.avg(F.when(F.col("c").isNull(), 1.0).otherwise(0.0)), 6
         ).alias("oov_rate"),
         F.round(F.avg("_bits"), 6).alias("bits_per_word"),
+    )
+    return _reattach_empty_docs(df, per_doc, id_col)
+
+
+def _reattach_empty_docs(
+    df: DataFrame, per_doc: DataFrame, id_col: str
+) -> DataFrame:
+    """Left-join per-doc scores back onto the full id set so zero-token
+    documents surface as ``n_words=0`` rows (NULL score columns) rather
+    than silently missing. One extra join keyed on the doc id — the
+    scores frame is already shuffled on that key, so this is cheap."""
+    score_cols = [c for c in per_doc.columns if c != id_col]
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn("n_words", F.coalesce(F.col("n_words"), F.lit(0)))
+        .select(id_col, *score_cols)
     )
 
 
@@ -163,7 +186,9 @@ def bigram_perplexity(
     p = F.when(F.col("prev").isNull(), p_uni).otherwise(
         F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
     )
-    return scored.withColumn("_bits", -F.log2(p)).groupBy(id_col).agg(
+    per_doc = scored.withColumn("_bits", -F.log2(p)).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.round(F.avg("_bits"), 6).alias("bits_per_word"),
     )
+    # zero-token docs get n_words=0 rows (see perplexity_proxy)
+    return _reattach_empty_docs(df, per_doc, id_col)

@@ -491,6 +491,81 @@ def test_url_dedup_canonical_identity(spark):
     assert got == {1: 2, 3: 1}
 
 
+def test_canonicalize_url_port_identity(spark):
+    """Non-default explicit ports are distinct origins (kept); the
+    scheme-default port normalizes away."""
+    from hbase_1_3_0_spark.pipeline import web
+
+    cases = [
+        ("http://h.com:8080/x", "http://h.com:8080/x"),
+        ("http://h.com:80/x", "http://h.com/x"),      # default collapses
+        ("https://h.com:443/x", "https://h.com/x"),   # default collapses
+        ("https://h.com:80/x", "https://h.com:80/x"), # 80 on https is real
+        ("http://h.com/x", "http://h.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
+    got = [
+        r.c
+        for r in df.select(
+            web.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+    # port-distinct origins do NOT collapse in url_dedup
+    ddf = spark.createDataFrame(
+        [(1, "http://h.com:8080/x"), (2, "http://h.com/x")],
+        "doc_id: long, url: string",
+    )
+    got = {r.doc_id: r.dup_count for r in web.url_dedup(ddf).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_malformed_urls_never_abort(spark):
+    """ANSI mode: plain parse_url would throw INVALID_URL on the first
+    malformed URL; every web op must instead carry it as NULL / apply
+    its documented policy."""
+    from hbase_1_3_0_spark.pipeline import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://good.com/x"),
+            (2, "not a url"),
+            (3, "http://ok.org/y?id=1"),
+            (4, "%%%"),
+            (5, None),
+        ],
+        "doc_id: long, url: string",
+    )
+    parsed = {r.doc_id: r for r in web.parse_urls(df).collect()}
+    assert parsed[1].canonical_url == "https://good.com/x"
+    assert parsed[2].canonical_url is None and parsed[2].host is None
+    assert parsed[4].domain is None
+
+    clean, quarantined = web.quarantine_urls(df)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 3]
+    assert sorted(r.doc_id for r in quarantined.collect()) == [2, 4, 5]
+
+    # url_dedup: malformed rows survive individually, never merge via NULL
+    got = {r.doc_id: r.dup_count for r in web.url_dedup(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    # domain_stats: malformed rows bucket under NULL domain
+    stats = {r.domain: r.n_docs for r in web.domain_stats(df).collect()}
+    assert stats[None] == 3 and stats["good.com"] == 1
+
+    # domain_filter: malformed = not listed (block keeps, allow drops)
+    blocked = sorted(
+        r.doc_id
+        for r in web.domain_filter(df, ("good.com",), mode="block").collect()
+    )
+    assert blocked == [2, 3, 4, 5]
+    allowed = sorted(
+        r.doc_id
+        for r in web.domain_filter(df, ("good.com",), mode="allow").collect()
+    )
+    assert allowed == [1]
+
+
 # ------------------------------------------------------------ LM perplexity
 
 
@@ -510,6 +585,26 @@ def test_perplexity_separates_in_corpus_from_gibberish(spark):
     }
     assert capped[100].oov_rate == 1.0  # gibberish words fall out of top-5
     assert capped[100].bits_per_word > capped[0].bits_per_word
+
+
+def test_perplexity_zero_token_docs_get_rows(spark):
+    """Empty/non-latin docs — the filter's drop candidates — must NOT
+    vanish at the explode: they get n_words=0 rows so a thresholding
+    consumer sees them (ADVICE r4)."""
+    from hbase_1_3_0_spark.pipeline import lm
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "你好 世界"), (4, None)],
+        "doc_id: long, text: string",
+    )
+    uni = {r.doc_id: r for r in lm.perplexity_proxy(df).collect()}
+    assert set(uni) == {1, 2, 3, 4}
+    assert uni[2].n_words == 0 and uni[2].bits_per_word is None
+    assert uni[3].n_words == 0 and uni[4].n_words == 0
+    assert uni[1].n_words == 3
+    bi = {r.doc_id: r for r in lm.bigram_perplexity(df).collect()}
+    assert set(bi) == {1, 2, 3, 4}
+    assert bi[2].n_words == 0 and bi[2].bits_per_word is None
 
 
 def test_tokenizer_stats_fertility(spark):

@@ -744,6 +744,10 @@ def test_fuzz_flat_visibility_fold_matches_reference_parser(spark):
     # random junk (many malformed)
     for _ in range(120):
         exprs.add("".join(rng.choice(pieces) for _ in range(rng.randrange(1, 7))))
+    # interior-space labels: the reference parser ends a label at SPACE, so
+    # 'a b' is two adjacent labels -> ParseException -> DENY (the fold must
+    # not score 'a b' as one unknown label, which would fail OPEN under |)
+    exprs.update(["x1|a b", "finance|a b", "a b", "a b&finance", "!a b|a"])
     exprs = sorted(e for e in exprs if e.strip())
 
     auths = ("a", "finance")
