@@ -1243,6 +1243,27 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(codes, queries, books, k=10)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed FAISS-style IVF-PQ index (seeded models -> rows-only
+    oracle): nprobe coarse routing + PQ asymmetric-distance scoring —
+    the query path never touches a raw corpus vector, and ivf_list
+    rides through the encode so the plan has zero corpus self-joins
+    (one broadcast join of the routed query set; plan-asserted in
+    tests/test_pipeline.py)."""
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # 1 Lloyd pass per model: the gate checks routing/encode/ADC
+    # plumbing, not model quality (tests train 3 iters, check recall)
+    cents = similarity.kmeans_centroids(embs, k=16, dim=64, iters=1)
+    books = similarity.pq_train(embs, m=8, k=16, dim=64, iters=1)
+    return similarity.ivfpq_topk(
+        embs, queries, k=10, num_lists=16, nprobe=4,
+        centroids=cents, codebooks=books,
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (seeded hashes -> rows-only oracle)."""
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
@@ -2095,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         # -- security tags --
         "visibility_labels": q_visibility_labels,
         "cell_acl": q_cell_acl,

@@ -147,6 +147,43 @@ def lsh_topk(
     )
 
 
+def _lit_matrix(vecs: list[list[float]]) -> Column:
+    """A list of vectors as ONE constant-foldable literal 2D array.
+
+    Round-4 lesson (NOTES_NEXT_ROUND): expression-NODE count, not
+    evaluated-path count, decides plan/codegen cost. Scoring k centroids
+    as k separate dot-subtrees builds O(k x dim) Catalyst nodes per use;
+    a ``transform`` over this literal keeps the dot expression in the
+    tree ONCE and the whole centroid matrix collapses to a single
+    Literal after constant folding."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in v]) for v in vecs]
+    )
+
+
+def _argmax_dot(vec: Column, vecs: list[list[float]]) -> Column:
+    """Index of the vector in ``vecs`` with the largest dot product
+    against ``vec`` (ties -> larger index, matching array_max over
+    (score, index) structs)."""
+    sims = F.transform(
+        _lit_matrix(vecs),
+        lambda c, i: F.struct(_dot(vec, c).alias("s"), i.alias("l")),
+    )
+    return F.array_max(sims)["l"]
+
+
+def _list_affinities(vec: Column, vecs: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` list indices with the largest dot products,
+    best-first (descending score, ties -> larger index first)."""
+    sims = F.transform(
+        _lit_matrix(vecs),
+        lambda c, i: F.struct(_dot(vec, c).alias("s"), i.alias("l")),
+    )
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(sims)), 1, nprobe), lambda x: x["l"]
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     *,
@@ -202,21 +239,11 @@ def ivf_assign(
     no training dependency); pass :func:`kmeans_centroids` output for
     trained lists."""
     cents = centroids or _random_unit_vectors(num_lists, dim, seed)
-    # argmax as array_max over struct(sim, idx) — linear-size expression tree.
-    # (A chained when(d > best_d, ...).otherwise(best_d) rebuild doubles the
-    # tree per centroid: O(2^num_lists) nodes, unplannable past ~12 lists.)
-    sims = F.array(
-        *[
-            F.struct(
-                _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])).alias(
-                    "s"
-                ),
-                F.lit(i).alias("l"),
-            )
-            for i, cvec in enumerate(cents)
-        ]
-    )
-    return df.withColumn("ivf_list", F.array_max(sims)["l"])
+    # argmax as array_max over transform(literal-matrix): the dot
+    # expression appears ONCE in the tree regardless of num_lists
+    # (see _lit_matrix; a per-centroid subtree build is O(k x dim) nodes
+    # and its codegen tax grows with the model, not the data)
+    return df.withColumn("ivf_list", _argmax_dot(F.col(vec_col), cents))
 
 
 def ivf_topk(
@@ -245,22 +272,9 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    sims = F.array(
-        *[
-            F.struct(
-                _dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                F.lit(i).alias("l"),
-            )
-            for i, cvec in enumerate(cents)
-        ]
-    )
     q_lists = q.withColumn(
         "ivf_list",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(sims)), 1, nprobe), lambda x: x["l"]
-            )
-        ),
+        F.explode(_list_affinities(F.col("_qv"), cents, nprobe)),
     )
     cand = c.join(F.broadcast(q_lists), "ivf_list").where(
         F.col("vec_id") != F.col("query_id")
@@ -342,30 +356,33 @@ def pq_train(
 def _pq_sub_assign(
     books: list[list[list[float]]], sub: Column, v: Column
 ) -> Column:
-    """Nearest-centroid code for a subvector, switching on its subspace:
-    argmin L2 == argmax(v·c - ||c||²/2); array_max over scored structs
-    keeps the expression linear in k (see ivf_assign's note)."""
-    chain = None
-    for j, book in enumerate(books):
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        _dot(v, F.array(*[F.lit(float(x)) for x in c]))
-                        - F.lit(sum(x * x for x in c) / 2.0)
-                    ).alias("s"),
-                    F.lit(i).alias("c"),
-                )
-                for i, c in enumerate(book)
-            ]
-        )
-        pick = F.array_max(scored)["c"]
-        chain = (
-            F.when(sub == j, pick)
-            if chain is None
-            else chain.when(sub == j, pick)
-        )
-    return chain
+    """Nearest-centroid code for a subvector, selecting its subspace's
+    codebook by index: argmin L2 == argmax(v·c - ||c||²/2). The whole
+    m x k codebook is ONE literal array of (centroid, half-norm²)
+    structs and the scoring dot appears once in the tree inside a
+    ``transform`` — not an m-branch when-chain with k dot-subtrees per
+    branch, whose Catalyst analysis alone cost ~10s per Lloyd pass at
+    m=8, k=16 (round-4 lesson: expression-node count is the tax)."""
+    lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                        F.lit(sum(x * x for x in c) / 2.0).alias("b"),
+                    )
+                    for c in book
+                ]
+            )
+            for book in books
+        ]
+    )
+    book_for_sub = F.element_at(lit, sub.cast("int") + 1)
+    scored = F.transform(
+        book_for_sub,
+        lambda x, i: F.struct((_dot(v, x["c"]) - x["b"]).alias("s"), i.alias("c")),
+    )
+    return F.array_max(scored)["c"]
 
 
 def pq_encode(
@@ -374,10 +391,14 @@ def pq_encode(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Encode each vector as ``m`` codebook indices (array<int> pq_code) —
     one narrow map, all codegen'd; for m=8,k=16 the code is 8 small ints
-    where the raw vector was 64 floats."""
+    where the raw vector was 64 floats. ``extra_cols`` pass through
+    unchanged (e.g. an ``ivf_list`` assignment), so composed indexes
+    never have to join the corpus back to itself to recover columns the
+    encode dropped."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col)
@@ -389,7 +410,9 @@ def pq_encode(
             for j in range(m)
         ]
     )
-    return df.select(F.col(id_col), codes.alias("pq_code"))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], codes.alias("pq_code")
+    )
 
 
 def pq_reconstruct(
@@ -405,6 +428,62 @@ def pq_reconstruct(
         )
         parts.append(F.element_at(lit, F.element_at(code, j + 1) + 1))
     return F.concat(*parts)
+
+
+# ---------------------------------------------------------------------------
+# Model persistence — train once, reuse across jobs
+# ---------------------------------------------------------------------------
+
+
+def centroids_save(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist IVF coarse-quantizer centroids as a tiny parquet model
+    table (list_id, centroid array<double>) — k x dim floats. A corpus
+    pipeline trains once (:func:`kmeans_centroids`) and every
+    assign/search job loads the model instead of re-running Lloyd
+    passes; the table also versions/ships with the corpus the way FAISS
+    index files do."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    df = spark.createDataFrame(rows, "list_id: int, centroid: array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def centroids_load(spark, path: str) -> list[list[float]]:
+    """Load :func:`centroids_save` output back to the driver-side model
+    (k x dim floats — model state, not data)."""
+    rows = spark.read.parquet(path).collect()
+    cents: list[list[float] | None] = [None] * (max(r.list_id for r in rows) + 1)
+    for r in rows:
+        cents[r.list_id] = list(r.centroid)
+    if any(c is None for c in cents):
+        raise ValueError(f"centroid model at {path} has missing list ids")
+    return cents  # type: ignore[return-value]
+
+
+def pq_save(spark, codebooks: list[list[list[float]]], path: str) -> None:
+    """Persist PQ codebooks as a parquet model table
+    (sub, code, centroid array<double>) — m x k x (dim/m) floats."""
+    rows = [
+        (j, i, [float(x) for x in c])
+        for j, book in enumerate(codebooks)
+        for i, c in enumerate(book)
+    ]
+    df = spark.createDataFrame(
+        rows, "sub: int, code: int, centroid: array<double>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def pq_load(spark, path: str) -> list[list[list[float]]]:
+    """Load :func:`pq_save` output back to the nested codebook list."""
+    rows = spark.read.parquet(path).collect()
+    m = max(r.sub for r in rows) + 1
+    k = max(r.code for r in rows) + 1
+    books: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r.sub][r.code] = list(r.centroid)
+    if any(c is None for book in books for c in book):
+        raise ValueError(f"PQ model at {path} has missing (sub, code) cells")
+    return books  # type: ignore[return-value]
 
 
 def pq_topk(
@@ -487,30 +566,19 @@ def ivfpq_topk(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
         num_lists=num_lists, dim=dim, vec_col="_cv", centroids=cents,
     )
+    # ivf_list rides through the encode as a passthrough column — one
+    # pass over the corpus, zero self-joins (a corpus-by-corpus shuffle
+    # at 100 TB would dwarf the actual search)
     codes = pq_encode(
-        assigned.select("vec_id", "_cv", "ivf_list"),
-        books, vec_col="_cv", id_col="vec_id",
-    ).join(assigned.select("vec_id", "ivf_list"), "vec_id")
+        assigned, books, vec_col="_cv", id_col="vec_id",
+        extra_cols=("ivf_list",),
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    sims = F.array(
-        *[
-            F.struct(
-                _dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                F.lit(i).alias("l"),
-            )
-            for i, cvec in enumerate(cents)
-        ]
-    )
     q_lists = q.withColumn(
         "ivf_list",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(sims)), 1, nprobe),
-                lambda x: x["l"],
-            )
-        ),
+        F.explode(_list_affinities(F.col("_qv"), cents, nprobe)),
     )
     recon = pq_reconstruct(F.col("pq_code"), books)
     cand = codes.join(F.broadcast(q_lists), "ivf_list").where(
