@@ -2034,6 +2034,15 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bigram_perplexity(docs, vocab_size=300, lam=0.75)
 
 
+def q_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram perplexity (d=0.75 binary-exact,
+    top-300 vocab; pos-0 tokens score continuation-unigram, pos-1 KN
+    bigram) — the KenLM-shaped signal the CCNet filter actually uses,
+    two orders up from q_lm_perplexity (pipeline/lm.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    return lm.trigram_perplexity(docs, vocab_size=300)
+
+
 def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility/coverage proxies per doc: pretokenizer piece
     count, UTF-8 bytes per piece, ASCII ratio, byte/char expansion
@@ -2100,6 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": q_domain_filter,
         "lm_perplexity": q_lm_perplexity,
         "lm_bigram": q_lm_bigram,
+        # -- new in r05: KN trigram + composed IVF-PQ index --
+        "lm_trigram": q_lm_trigram,
         "tokenizer_stats": q_tokenizer_stats,
         # -- rotated in r04: oracle-capable tail (local-green in r03) --
         "corpus_stats": q_corpus_stats,
@@ -2129,9 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM training-data pipeline --
         "text_stats": q_text_stats,
         "incremental_dedup": q_incremental_dedup,
-        "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
         "dedup_clusters": q_dedup_clusters,
@@ -2146,6 +2155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r04: CAS-guarded RowMutations --
         "check_and_mutate_row": q_check_and_mutate_row,
         # ---- end of driver-checked window (50) ----
+        # rotated out r05 to admit lm_trigram + ivfpq_topk (multi-round
+        # green: r01/r02 + r04; dedup area still repped in-window by
+        # fingerprint/paragraph/incremental/minhash/simhash/clusters)
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3020,6 +3034,63 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN vocab vp ON s.prev = vp.word "
             "LEFT JOIN pairs pr ON s.prev = pr.prev AND s.word = pr.word "
             "CROSS JOIN tot GROUP BY s.doc_id) "
+            # zero-token docs surface as n_words=0 (lm.py contract)
+            "SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, "
+            "p.bits_per_word "
+            "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+        ),
+        "lm_trigram": (
+            "WITH toks AS (SELECT doc_id, unnest(ws) AS word, "
+            "generate_subscripts(ws, 1) AS pos FROM (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9'']+') AS ws "
+            "FROM documents)), "
+            "vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word "
+            "ORDER BY c DESC, word LIMIT 300), "
+            "tot AS (SELECT (SELECT count(*) FROM vocab) AS v), "
+            "seq AS (SELECT doc_id, pos, word, lag(word) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS prev, "
+            "lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2 "
+            "FROM toks), "
+            "big_types AS (SELECT DISTINCT prev, word FROM seq "
+            "WHERE prev IS NOT NULL AND word IN (SELECT word FROM vocab) "
+            "AND prev IN (SELECT word FROM vocab)), "
+            "tri AS (SELECT prev2, prev, word, count(*) AS c3 FROM seq "
+            "WHERE prev2 IS NOT NULL AND word IN (SELECT word FROM vocab) "
+            "AND prev IN (SELECT word FROM vocab) "
+            "AND prev2 IN (SELECT word FROM vocab) "
+            "GROUP BY prev2, prev, word), "
+            "ctx3 AS (SELECT prev2, prev, sum(c3) AS c2, "
+            "count(*) AS n1pa2 FROM tri GROUP BY prev2, prev), "
+            "cont2 AS (SELECT prev, word, count(DISTINCT prev2) AS cont2 "
+            "FROM tri GROUP BY prev, word), "
+            "ctx2 AS (SELECT prev, count(*) AS ctx2, "
+            "count(DISTINCT word) AS n1pa1 FROM tri GROUP BY prev), "
+            "cont1 AS (SELECT word, count(DISTINCT prev) AS cont1 "
+            "FROM big_types GROUP BY word), "
+            "bt AS (SELECT count(*) AS bt FROM big_types), "
+            "j AS (SELECT s.doc_id, s.prev, s.prev2, "
+            "c1.cont1, x2.ctx2, x2.n1pa1, c2t.cont2, "
+            "x3.c2, x3.n1pa2, t.c3, tot.v, bt.bt "
+            "FROM seq s "
+            "LEFT JOIN cont1 c1 ON s.word = c1.word "
+            "LEFT JOIN ctx2 x2 ON s.prev = x2.prev "
+            "LEFT JOIN cont2 c2t ON s.prev = c2t.prev AND s.word = c2t.word "
+            "LEFT JOIN ctx3 x3 ON s.prev2 = x3.prev2 AND s.prev = x3.prev "
+            "LEFT JOIN tri t ON s.prev2 = t.prev2 AND s.prev = t.prev "
+            "AND s.word = t.word "
+            "CROSS JOIN tot CROSS JOIN bt), "
+            "px AS (SELECT *, (coalesce(cont1, 0) + 1) * 1.0 / (bt + v + 1) "
+            "AS p1 FROM j), "
+            "py AS (SELECT *, CASE WHEN ctx2 IS NOT NULL THEN "
+            "greatest(coalesce(cont2, 0) - 0.75, 0) / ctx2 "
+            "+ 0.75 * n1pa1 / ctx2 * p1 ELSE p1 END AS p2 FROM px), "
+            "pz AS (SELECT *, CASE WHEN c2 IS NOT NULL THEN "
+            "greatest(coalesce(c3, 0) - 0.75, 0) / c2 "
+            "+ 0.75 * n1pa2 / c2 * p2 ELSE p2 END AS p3 FROM py), "
+            "per_doc AS (SELECT doc_id, count(*) AS n_words, "
+            "round(avg(-log2(CASE WHEN prev IS NULL THEN p1 "
+            "WHEN prev2 IS NULL THEN p2 ELSE p3 END)), 6) AS bits_per_word "
+            "FROM pz GROUP BY doc_id) "
             # zero-token docs surface as n_words=0 (lm.py contract)
             "SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, "
             "p.bits_per_word "

@@ -192,3 +192,125 @@ def bigram_perplexity(
     )
     # zero-token docs get n_words=0 rows (see perplexity_proxy)
     return _reattach_empty_docs(df, per_doc, id_col)
+
+
+def trigram_perplexity(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Trigram LM with interpolated Kneser-Ney smoothing — the shape of
+    the CCNet perplexity signal (a KenLM n-gram model with modified KN;
+    this is textbook single-discount KN, d=0.75 binary-exact).
+
+    Backoff chain (all counts over in-vocab n-gram TYPES, which is what
+    bounds every model table by the capped vocabulary's pair/triple
+    diversity at 100 TB):
+
+    - continuation unigram  p1(w) = (N1+(.w) + 1) / (|bigram types| + V + 1)
+      (add-one floor so OOV tokens keep finite bits)
+    - KN bigram   p2(w|v) = max(N1+(.vw) - d, 0)/N1+(.v.)
+                           + d * N1+(v.)/N1+(.v.) * p1(w);  p1 if v unseen
+    - KN trigram  p3(w|u,v) = max(c(uvw) - d, 0)/c(uv)
+                           + d * N1+(uv.)/c(uv) * p2(w|v);  p2 if (u,v) unseen
+
+    Token at position 0 scores p1, position 1 scores p2, the rest p3.
+
+    Plan shape: one tokenize+posexplode pass, one per-doc window (two
+    lags, one shuffle keyed on the doc), hash aggs for the type tables
+    (trigram types, their (u,v)/(v)/(v,w) rollups, continuation
+    unigrams), then scoring joins — per-word tables broadcast; the
+    trigram/bigram-keyed joins shuffle on bounded in-vocab key spaces
+    exactly like bigram_perplexity's pairs join. Zero-token docs get
+    ``n_words=0`` rows."""
+    from pyspark.sql.window import Window
+
+    d = float(discount)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    vocab = _counts_from_tokens(toks.select("word"), vocab_size)
+    in_vocab = vocab.select("word")
+    totals = toks.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("_v"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("word").over(w)).withColumn(
+        "prev2", F.lag("word", 2).over(w)
+    )
+
+    # n-gram TYPE tables over in-vocab words only
+    big_types = (
+        seq.where(F.col("prev").isNotNull())
+        .join(in_vocab, "word", "left_semi")
+        .join(in_vocab.withColumnRenamed("word", "prev"), "prev", "left_semi")
+        .select("prev", "word")
+        .distinct()
+    )
+    tri = (
+        seq.where(F.col("prev2").isNotNull())
+        .join(in_vocab, "word", "left_semi")
+        .join(in_vocab.withColumnRenamed("word", "prev"), "prev", "left_semi")
+        .join(
+            in_vocab.withColumnRenamed("word", "prev2"), "prev2", "left_semi"
+        )
+        .groupBy("prev2", "prev", "word")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    # c(uv) + N1+(uv.) — the trigram denominators, keyed (u,v)
+    ctx3 = tri.groupBy("prev2", "prev").agg(
+        F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("n1pa2")
+    )
+    # N1+(.vw) — distinct left-contexts of the bigram, keyed (v,w)
+    cont2 = tri.groupBy("prev", "word").agg(
+        F.countDistinct("prev2").alias("cont2")
+    )
+    # N1+(.v.) + N1+(v.) — the bigram-level denominators, keyed (v)
+    ctx2 = tri.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("ctx2"),
+        F.countDistinct("word").alias("n1pa1"),
+    )
+    # N1+(.w) + |bigram types| — continuation unigrams
+    cont1 = big_types.groupBy("word").agg(
+        F.countDistinct("prev").alias("cont1")
+    )
+    btypes = big_types.agg(F.count(F.lit(1)).alias("_bt"))
+
+    scored = (
+        seq.join(F.broadcast(cont1), "word", "left")
+        .join(F.broadcast(ctx2), "prev", "left")
+        .join(cont2, ["prev", "word"], "left")
+        .join(ctx3, ["prev2", "prev"], "left")
+        .join(tri, ["prev2", "prev", "word"], "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btypes))
+    )
+    p1 = (F.coalesce(F.col("cont1"), F.lit(0)) + 1) / (
+        F.col("_bt") + F.col("_v") + 1
+    )
+    p2 = F.when(
+        F.col("ctx2").isNotNull(),
+        F.greatest(F.coalesce(F.col("cont2"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("ctx2")
+        + F.lit(d) * F.col("n1pa1") / F.col("ctx2") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("c2").isNotNull(),
+        F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("c2")
+        + F.lit(d) * F.col("n1pa2") / F.col("c2") * p2,
+    ).otherwise(p2)
+    p = (
+        F.when(F.col("prev").isNull(), p1)
+        .when(F.col("prev2").isNull(), p2)
+        .otherwise(p3)
+    )
+    per_doc = scored.withColumn("_bits", -F.log2(p)).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("_bits"), 6).alias("bits_per_word"),
+    )
+    return _reattach_empty_docs(df, per_doc, id_col)

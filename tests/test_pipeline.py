@@ -636,6 +636,25 @@ def test_bigram_perplexity_rewards_seen_sequences(spark):
     assert out[0].n_words == 6
 
 
+def test_trigram_kn_rewards_seen_orders(spark):
+    from hbase_1_3_0_spark.pipeline import lm
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "mat the on sat cat the"))  # same words, novel order
+    rows.append((200, ""))                        # zero-token doc
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in lm.trigram_perplexity(df).collect()}
+    assert out[100].bits_per_word > out[0].bits_per_word
+    assert out[0].n_words == 6
+    assert out[200].n_words == 0 and out[200].bits_per_word is None
+    # KN probabilities are real probabilities: bits strictly positive
+    assert out[0].bits_per_word > 0
+    # trigram context beats bigram on the stereotyped corpus: the fixed
+    # phrase's interior trigrams are near-deterministic
+    bi = {r.doc_id: r for r in lm.bigram_perplexity(df).collect()}
+    assert out[0].bits_per_word <= bi[0].bits_per_word + 1.0
+
+
 def test_incremental_dedup_batches_chain(spark):
     """Batch 2 must drop exact dups of batch 1's survivors AND its own
     internal dups; the digest store threads through."""

@@ -769,6 +769,33 @@ def test_fuzz_flat_visibility_fold_matches_reference_parser(spark):
     assert not mismatches, mismatches[:10]
 
 
+# ------------------------------------------------------------ py-model hash
+
+
+def test_fuzz_pymodel_xxh64_matches_spark(spark):
+    """tools/pymodels.xxh64 (the pure-Python model oracle for the
+    seeded-hash dedup ops) must agree with Spark's xxhash64 on arbitrary
+    strings — all length classes: empty, tails, 4-byte chunk, full
+    32-byte stripes, multi-byte UTF-8."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tools.pymodels import xxh64
+
+    rng = random.Random(99)
+    alphabet = "abcXYZ019 .,!?éüñ中文🙂"
+    strs = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(150)
+    ]
+    strs = sorted(set(strs))
+    df = spark.createDataFrame([(s,) for s in strs], "s: string")
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    bad = [s for s in strs if got[s] != xxh64(s.encode("utf-8"))]
+    assert not bad, bad[:5]
+
+
 # ----------------------------------------------------------------- web / URL
 
 

@@ -25,6 +25,7 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from hbase_1_3_0_spark.engine import build_session  # noqa: E402
+from tools.pymodels import PY_MODELS  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -86,6 +87,35 @@ def main() -> int:
             }
             continue
         elapsed = time.time() - t0
+        if name in PY_MODELS:
+            # seeded-hash ops DuckDB can't mirror, but a pure-Python
+            # model can: exact pair-set compare (tools/pymodels.py)
+            ocols_raw, otups = PY_MODELS[name](sf_dir)
+            ocols = sorted(ocols_raw)
+            scols_ok = scols == ocols
+            srows_set = {row_key(r.asDict(), scols) for r in srows}
+            orows_set = {
+                row_key(dict(zip(ocols_raw, t)), ocols) for t in otups
+            }
+            ok = scols_ok and srows_set == orows_set and len(srows) == len(
+                otups
+            )
+            verdict = "PASS" if ok else "FAIL"
+            print(
+                f"{verdict} {name}: {len(srows)} rows vs py-model "
+                f"{len(otups)} ({elapsed:.1f}s)"
+            )
+            if not ok:
+                failures.append(name)
+            report[name] = {
+                "rows_match": len(srows) == len(otups),
+                "schema_match": scols_ok,
+                "hash_match": ok,
+                "spark_rows": len(srows),
+                "oracle_rows": len(otups),
+                "err": None if ok else "py-model mismatch",
+            }
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {elapsed:.1f}s)")
             report[name] = {
