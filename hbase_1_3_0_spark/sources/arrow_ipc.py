@@ -1,0 +1,183 @@
+"""Arrow IPC corpus source/sink — the columnar interchange twin of
+sources/jsonl.py (same declared-schema / quarantine posture).
+
+Training-data pipelines increasingly ship corpora as Arrow IPC files
+(the format under HuggingFace datasets and Lance-style table formats):
+columnar, zero-copy mmap-able, types preserved exactly — where JSONL
+loses binary/arrays to strings. Spark has no native Arrow-file
+datasource, so both directions run as Arrow-batched ``mapInPandas``
+plumbing (pyarrow is already Spark's interchange layer — the batches
+move executor-side only, nothing funnels through the driver):
+
+- **write**: each partition streams its pandas batches into one
+  ``part-*.arrow`` IPC file; a bounded manifest (one row per partition)
+  is the only thing the driver sees.
+- **read**: the file list parallelizes one-file-per-task; each task
+  opens its file, verifies the DECLARED schema (names + types —
+  inference would be a full extra pass and non-deterministic under
+  corpus growth), and yields record batches. A mismatched/corrupt file
+  either fails the job (default) or is skipped after the
+  :func:`arrow_health` gate — the per-FILE analog of jsonl.py's
+  per-line quarantine.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _arrow_schema(schema: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _as_struct(schema: T.StructType | str) -> T.StructType:
+    if isinstance(schema, str):
+        return T.StructType.fromDDL(schema)
+    return schema
+
+
+def write_arrow(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> list[tuple[str, int]]:
+    """Write one Arrow IPC file per partition; returns the manifest
+    [(file, n_rows)] (bounded: one entry per partition). ``compression``
+    is IPC buffer compression ('zstd'/'lz4') when the pyarrow build
+    supports it."""
+    import shutil
+
+    out = Path(path)
+    if mode == "overwrite" and out.exists():
+        shutil.rmtree(out)
+    elif out.exists() and mode == "error":
+        raise FileExistsError(str(out))
+    out.mkdir(parents=True, exist_ok=True)
+    arrow_schema = _arrow_schema(df.schema)
+    dir_str = str(out)
+
+    def write_part(batches):
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        opts = (
+            ipc.IpcWriteOptions(compression=compression)
+            if compression
+            else None
+        )
+        writer = None
+        fname = None
+        n = 0
+        for pdf in batches:
+            tbl = pa.Table.from_pandas(
+                pdf, schema=arrow_schema, preserve_index=False
+            )
+            if writer is None:
+                fname = f"{dir_str}/part-{uuid.uuid4().hex}.arrow"
+                writer = ipc.new_file(fname, arrow_schema, options=opts)
+            writer.write_table(tbl)
+            n += len(pdf)
+        if writer is not None:
+            writer.close()
+            yield pd.DataFrame({"file": [fname], "n_rows": [n]})
+
+    manifest = df.mapInPandas(write_part, "file string, n_rows long")
+    return [(r.file, r.n_rows) for r in manifest.collect()]
+
+
+def read_arrow(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    on_mismatch: str = "fail",
+) -> DataFrame:
+    """Read an Arrow IPC directory with the DECLARED schema. One task
+    per file (the file list is the only driver-side state). A file whose
+    schema doesn't match (by field names + types) fails the job
+    (``on_mismatch='fail'``) or is skipped (``'skip'`` — only after
+    :func:`arrow_health` has quantified what a skip drops)."""
+    if on_mismatch not in ("fail", "skip"):
+        raise ValueError(f"on_mismatch must be 'fail' or 'skip', got {on_mismatch!r}")
+    schema = _as_struct(schema)
+    files = sorted(str(p) for p in Path(path).glob("*.arrow"))
+    if not files:
+        return spark.createDataFrame([], schema)
+    expected = _arrow_schema(schema)
+    paths = spark.createDataFrame([(f,) for f in files], "file: string")
+    paths = paths.repartition(len(files))
+    skip = on_mismatch == "skip"
+
+    def read_part(batches):
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            for f in pdf["file"]:
+                with ipc.open_file(f) as reader:
+                    got = reader.schema
+                    names_types = [(fl.name, fl.type) for fl in got]
+                    want = [(fl.name, fl.type) for fl in expected]
+                    if names_types != want:
+                        if skip:
+                            continue
+                        raise ValueError(
+                            f"schema mismatch in {f}: {names_types} != {want}"
+                        )
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i).to_pandas()
+
+    return paths.mapInPandas(read_part, schema)
+
+
+def arrow_health(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """Per-file quarantine report (file, ok, n_rows, error) — the health
+    gate before trusting ``on_mismatch='skip'`` (the per-file analog of
+    jsonl.corrupt_stats). Unreadable or schema-mismatched files report
+    ok=false with the error string instead of failing the scan."""
+    schema = _as_struct(schema)
+    files = sorted(str(p) for p in Path(path).glob("*.arrow"))
+    out_schema = "file string, ok boolean, n_rows long, error string"
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    expected = _arrow_schema(schema)
+    paths = spark.createDataFrame([(f,) for f in files], "file: string")
+    paths = paths.repartition(len(files))
+
+    def probe(batches):
+        import pandas as pd
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                try:
+                    with ipc.open_file(f) as reader:
+                        got = [(fl.name, fl.type) for fl in reader.schema]
+                        want = [(fl.name, fl.type) for fl in expected]
+                        if got != want:
+                            rows.append((f, False, None, "schema mismatch"))
+                            continue
+                        n = sum(
+                            reader.get_batch(i).num_rows
+                            for i in range(reader.num_record_batches)
+                        )
+                        rows.append((f, True, n, None))
+                except Exception as e:  # per-file quarantine, not job fail
+                    rows.append((f, False, None, str(e)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["file", "ok", "n_rows", "error"]
+            )
+
+    return paths.mapInPandas(probe, out_schema)

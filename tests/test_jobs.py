@@ -334,6 +334,87 @@ def test_csv_roundtrip_with_quoting(spark, tmp_path):
     assert sum(1 for r in rows if r._corrupt_record is not None) == 1
 
 
+def test_arrow_roundtrip_with_array_column(spark, tmp_path):
+    """Arrow IPC twin of the JSONL source: columnar types (including
+    array<double>) round-trip EXACTLY — the fidelity JSONL can't give —
+    with one IPC file per partition and a bounded manifest."""
+    from hbase_1_3_0_spark.sources import arrow_ipc
+
+    df = spark.createDataFrame(
+        [
+            (1, "line with\nnewline", [0.5, -1.25]),
+            (2, 'quote " and \\ slash', [2.0]),
+            (3, "третий", []),
+        ],
+        "doc_id: long, text: string, vec: array<double>",
+    ).repartition(2)
+    path = str(tmp_path / "arrow")
+    manifest = arrow_ipc.write_arrow(df, path)
+    assert sum(n for _, n in manifest) == 3
+    assert all(f.endswith(".arrow") for f, _ in manifest)
+    back = arrow_ipc.read_arrow(
+        spark, path, "doc_id bigint, text string, vec array<double>"
+    )
+    got = {(r.doc_id, r.text, tuple(r.vec)) for r in back.collect()}
+    assert got == {
+        (1, "line with\nnewline", (0.5, -1.25)),
+        (2, 'quote " and \\ slash', (2.0,)),
+        (3, "третий", ()),
+    }
+
+
+def test_arrow_health_gate_and_skip(spark, tmp_path):
+    """Per-file quarantine: a corrupt file and a schema-mismatched file
+    report ok=false in arrow_health; read_arrow fails on them by default
+    and skips them under on_mismatch='skip'."""
+    import pytest
+
+    from hbase_1_3_0_spark.sources import arrow_ipc
+
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id: long, text: string"
+    ).coalesce(1)
+    path = tmp_path / "mixed"
+    arrow_ipc.write_arrow(good, str(path))
+    # a file with a DIFFERENT schema
+    other = spark.createDataFrame([(9,)], "other_col: long").coalesce(1)
+    arrow_ipc.write_arrow(other, str(tmp_path / "other"))
+    import shutil
+
+    mismatch = next((tmp_path / "other").glob("*.arrow"))
+    shutil.copy(mismatch, path / "zz-mismatch.arrow")
+    # a truncated/corrupt file
+    (path / "zz-corrupt.arrow").write_bytes(b"ARROW1\x00\x00garbage")
+
+    health = {
+        r.file.rsplit("/", 1)[-1]: r
+        for r in arrow_ipc.arrow_health(
+            spark, str(path), "doc_id bigint, text string"
+        ).collect()
+    }
+    assert len(health) == 3
+    oks = [r for r in health.values() if r.ok]
+    assert len(oks) == 1 and oks[0].n_rows == 2
+    assert health["zz-mismatch.arrow"].error == "schema mismatch"
+    assert health["zz-corrupt.arrow"].error is not None
+
+    with pytest.raises(Exception):
+        arrow_ipc.read_arrow(
+            spark, str(path), "doc_id bigint, text string"
+        ).collect()
+    # the corrupt file still fails even under skip (quarantine it first);
+    # schema-mismatch alone skips cleanly
+    (path / "zz-corrupt.arrow").unlink()
+    got = {
+        (r.doc_id, r.text)
+        for r in arrow_ipc.read_arrow(
+            spark, str(path), "doc_id bigint, text string",
+            on_mismatch="skip",
+        ).collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+
+
 def test_bucketed_cells_diff_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """write_cells_bucketed co-locates the (row, family, qualifier)
     identity: the SyncTable-style full-outer diff of two bucketed logs
