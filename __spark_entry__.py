@@ -2046,6 +2046,27 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_url_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-URL policy surface (pipeline/web.py): every 7th doc's
+    URL is garbage; parse_urls must carry it as a NULL canonical (never
+    an ANSI INVALID_URL job abort) and quarantine_urls must split it
+    out — per-doc parseability + canonical form."""
+    docs = _with_urls(_load(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    docs = docs.withColumn(
+        "url",
+        F.when(
+            d % 7 == 0, F.concat(F.lit("not a url "), d.cast("string"))
+        ).otherwise(F.col("url")),
+    )
+    clean, quarantined = web.quarantine_urls(docs)
+    flags = clean.select("doc_id", F.lit(True).alias("parseable")).unionByName(
+        quarantined.select("doc_id", F.lit(False).alias("parseable"))
+    )
+    parsed = web.parse_urls(docs).select("doc_id", "canonical_url")
+    return flags.join(parsed, "doc_id")
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram perplexity (0.75*bigram + 0.25*unigram,
     top-300 vocab, first token pure unigram) — the CCNet-shaped LM
@@ -2129,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "url_stats": q_url_stats,
         "domain_filter": q_domain_filter,
+        # -- new in r05: malformed-URL quarantine policy --
+        "url_quarantine": q_url_quarantine,
         "lm_perplexity": q_lm_perplexity,
         "lm_bigram": q_lm_bigram,
         # -- new in r05: KN trigram + composed IVF-PQ index --
@@ -2165,7 +2188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "cosine_topk": q_cosine_topk,
         "dedup_clusters": q_dedup_clusters,
-        "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
@@ -2183,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
+        "repetition_stats": q_repetition_stats,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3144,6 +3167,11 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
             f"FROM documents GROUP BY {_CANON_SQL}"
+        ),
+        "url_quarantine": (
+            "SELECT doc_id, (doc_id % 7 <> 0) AS parseable, "
+            f"CASE WHEN doc_id % 7 <> 0 THEN {_CANON_SQL} END "
+            "AS canonical_url FROM documents"
         ),
         "url_stats": (
             "WITH h AS (SELECT doc_id, "

@@ -523,6 +523,94 @@ def pq_topk(
     )
 
 
+def ivfpq_build_store(
+    corpus: DataFrame,
+    path: str,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index as a parquet store PARTITIONED BY
+    the inverted list: one pass assigns + encodes the corpus (ivf_list
+    rides through pq_encode), then ``partitionBy('ivf_list')`` writes
+    each list as its own directory of 8-byte codes.
+
+    This is the disk layout of the 100 TB ANN story: a query probing
+    ``nprobe`` of ``num_lists`` lists becomes a parquet scan whose
+    ``ivf_list IN (...)`` predicate is a PARTITION filter — Spark never
+    opens the other lists' files (plan-asserted in tests), so query I/O
+    is nprobe/num_lists of the codes, which are already ~64x smaller
+    than the vectors. Persist the models next to it (:func:`pq_save` /
+    :func:`centroids_save`) and the original vectors never need to be
+    read again at query time."""
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
+        num_lists=len(centroids), dim=len(centroids[0]), vec_col="_cv",
+        centroids=centroids,
+    )
+    codes = pq_encode(
+        assigned, codebooks, vec_col="_cv", id_col="vec_id",
+        extra_cols=("ivf_list",),
+    )
+    # repartition on the partition column: one output file per list,
+    # not one file per (input partition x list)
+    codes.repartition("ivf_list").write.mode("overwrite").partitionBy(
+        "ivf_list"
+    ).parquet(path)
+
+
+def ivfpq_topk_from_store(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against an :func:`ivfpq_build_store` store: route
+    each query to its ``nprobe`` lists, scan ONLY those partitions
+    (``ivf_list isin(...)`` prunes at the parquet-partition level), and
+    score by PQ asymmetric distance. The probed-list set is bounded by
+    queries x nprobe, collected driver-side as routing state (the same
+    topology as the broadcast query join itself)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    q_lists = q.withColumn(
+        "ivf_list",
+        F.explode(_list_affinities(F.col("_qv"), centroids, nprobe)),
+    )
+    probed = sorted(
+        {r.ivf_list for r in q_lists.select("ivf_list").distinct().collect()}
+    )
+    codes = spark.read.parquet(store_path).where(
+        F.col("ivf_list").isin(probed)
+    )
+    recon = pq_reconstruct(F.col("pq_code"), codebooks)
+    cand = codes.join(F.broadcast(q_lists), "ivf_list").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_qv"), recon), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -759,6 +759,43 @@ def test_ivfpq_plan_has_no_corpus_self_join(emb):
     assert plan.count("BroadcastHashJoin") == 1
 
 
+def test_ivfpq_store_partition_pruned_search(emb, spark, tmp_path):
+    """ivfpq_build_store lays the codes out partitionBy(ivf_list); a
+    store-backed search scans ONLY the probed partitions (parquet
+    partition pruning) and returns exactly the in-memory index's
+    results."""
+    from hbase_1_3_0_spark.pipeline import similarity as sim
+
+    cents = sim._random_unit_vectors(8, 64, 7)
+    books = [sim._random_unit_vectors(16, 8, 7 + j) for j in range(8)]
+    store = str(tmp_path / "ivfpq_store")
+    sim.ivfpq_build_store(emb, store, centroids=cents, codebooks=books)
+    # one directory per non-empty list, one file per list
+    parts = sorted(p.name for p in (tmp_path / "ivfpq_store").glob("ivf_list=*"))
+    assert parts and all(p.startswith("ivf_list=") for p in parts)
+
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    from_store = sim.ivfpq_topk_from_store(
+        spark, store, queries, centroids=cents, codebooks=books,
+        k=4, nprobe=2,
+    )
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    # the probed-list predicate must prune at the PARTITION level, and
+    # the store path never shuffles the corpus
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_list[^\]]*IN", plan), plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    in_mem = sim.ivfpq_topk(
+        emb, queries, k=4, num_lists=8, nprobe=2,
+        centroids=cents, codebooks=books,
+    )
+    assert from_store.orderBy("query_id", "rank").collect() == in_mem.orderBy(
+        "query_id", "rank"
+    ).collect()
+
+
 def test_pq_and_centroid_model_persistence(emb, spark, tmp_path):
     """Models round-trip through their parquet tables exactly, and a
     search against loaded models matches the in-memory-model search —

@@ -38,6 +38,8 @@ AUDIT = [
     "multi_range",      # parity binary-search fold + prunable envelope
     "url_dedup",        # canonical-md5 groupBy: 32-hex shuffle keys
     "lm_bigram",        # lag window + (prev,word) join: no cartesian
+    "lm_trigram",       # KN backoff: bounded type-table joins, no cartesian
+    "ivfpq_topk",       # composed index: one broadcast join, no self-join
     "events_sessionize",  # session_window: one keyed shuffle
     "temperature_mix",  # one hash agg + broadcast 1-row totals
 ]
@@ -63,6 +65,11 @@ WAIVERS = {
         "aggregate to every token — the grand-total pattern "
         "(aggregations.py:150 precedent); a 1-row broadcast loop side is "
         "O(rows), not quadratic"
+    ),
+    ("lm_trigram", "nested-loop join"): (
+        "same grand-total pattern as lm_bigram: the ONE-ROW vocab-size "
+        "and bigram-type-count aggregates attach to the token stream by "
+        "1-row broadcast crossJoin — O(rows), not quadratic"
     ),
     ("temperature_mix", "nested-loop join"): (
         "crossJoin(broadcast(totals)) attaches the ONE-ROW totals "
