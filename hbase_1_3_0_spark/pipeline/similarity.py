@@ -611,6 +611,35 @@ def ivfpq_topk_from_store(
     )
 
 
+def ivf_list_means(
+    assigned: DataFrame,
+    *,
+    num_lists: int,
+    dim: int,
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+) -> list[list[float]]:
+    """Per-inverted-list MEAN vectors (the residual anchors for
+    residual IVF-PQ). The spherical assignment centroid is a unit
+    vector — subtracting it INCREASES residual norm on weakly-clustered
+    data (||v - c||^2 ~ ||v||^2 + 1 when v·c is small); the conditional
+    mean is the L2-optimal anchor (within-list variance <= total second
+    moment), which is what FAISS actually subtracts. One dim-wide avg
+    aggregation; only num_lists x dim floats reach the driver. Empty
+    lists anchor at the zero vector (residual = the vector itself)."""
+    rows = (
+        assigned.groupBy(list_col)
+        .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)])
+        .collect()
+    )
+    anchors = [[0.0] * dim for _ in range(num_lists)]
+    for r in rows:
+        vals = [r[f"c{i}"] for i in range(dim)]
+        if all(v is not None for v in vals):
+            anchors[r[list_col]] = [float(v) for v in vals]
+    return anchors
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -627,6 +656,8 @@ def ivfpq_topk(
     seed: int = 7,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    residual: bool = False,
+    anchors: list[list[float]] | None = None,
 ) -> DataFrame:
     """The full FAISS-style IVF-PQ index: the coarse quantizer routes each
     query to its ``nprobe`` nearest inverted lists, and candidates in
@@ -640,25 +671,55 @@ def ivfpq_topk(
     (centroids + codebooks) are driver-side state a few KB big,
     broadcast as literals.
 
+    ``residual=True`` is FAISS's actual IVFPQ encoding: PQ quantizes
+    ``v - anchor[list]`` instead of ``v``, where the anchor is the
+    list's MEAN vector (:func:`ivf_list_means` — the L2-optimal
+    subtraction; the unit-norm spherical assignment centroid would
+    INCREASE residual norm on weakly-clustered data). Residuals carry
+    only the within-list variance, so the same m x k code budget spends
+    its resolution on a smaller ball — reconstruction error drops at
+    identical bytes (asserted in tests). Scoring decodes
+    ``anchor[list] + recon``; one extra literal-matrix lookup per
+    candidate, still zero joins. With ``residual=True``, passed-in
+    ``codebooks`` must be residual-trained and ``anchors`` must be the
+    anchors they were trained against (both default to seeded inline
+    training).
+
     Pass pre-trained ``centroids`` / ``codebooks`` to amortize training
     across queries (one-time :func:`kmeans_centroids` /
     :func:`pq_train`); defaults train seeded models inline."""
     cents = centroids or kmeans_centroids(
         corpus, k=num_lists, dim=dim, vec_col=vec_col, iters=3, seed=seed
     )
-    books = codebooks or pq_train(
-        corpus, m=m, k=codebook_k, dim=dim, vec_col=vec_col, iters=3,
-        seed=seed,
-    )
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
         num_lists=num_lists, dim=dim, vec_col="_cv", centroids=cents,
+    )
+    if residual:
+        anch = anchors or ivf_list_means(
+            assigned, num_lists=num_lists, dim=dim, vec_col="_cv"
+        )
+        anchor_of_list = F.element_at(
+            _lit_matrix(anch), F.col("ivf_list").cast("int") + 1
+        )
+        assigned = assigned.withColumn(
+            "_ev",
+            F.zip_with(
+                F.col("_cv"), anchor_of_list, lambda a, b: a.cast("double") - b
+            ),
+        )
+        enc_col = "_ev"
+    else:
+        enc_col = "_cv"
+    books = codebooks or pq_train(
+        assigned, m=m, k=codebook_k, dim=dim, vec_col=enc_col, iters=3,
+        seed=seed,
     )
     # ivf_list rides through the encode as a passthrough column — one
     # pass over the corpus, zero self-joins (a corpus-by-corpus shuffle
     # at 100 TB would dwarf the actual search)
     codes = pq_encode(
-        assigned, books, vec_col="_cv", id_col="vec_id",
+        assigned, books, vec_col=enc_col, id_col="vec_id",
         extra_cols=("ivf_list",),
     )
     q = queries.select(
@@ -669,6 +730,12 @@ def ivfpq_topk(
         F.explode(_list_affinities(F.col("_qv"), cents, nprobe)),
     )
     recon = pq_reconstruct(F.col("pq_code"), books)
+    if residual:
+        recon = F.zip_with(
+            F.element_at(_lit_matrix(anch), F.col("ivf_list").cast("int") + 1),
+            recon,
+            lambda a, b: a + b,
+        )
     cand = codes.join(F.broadcast(q_lists), "ivf_list").where(
         F.col("vec_id") != F.col("query_id")
     )

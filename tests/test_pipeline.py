@@ -759,6 +759,63 @@ def test_ivfpq_plan_has_no_corpus_self_join(emb):
     assert plan.count("BroadcastHashJoin") == 1
 
 
+def test_residual_ivfpq_cuts_reconstruction_error(emb, spark):
+    """FAISS-style residual encoding: quantizing v - centroid[list]
+    must reconstruct the corpus with LOWER mean L2 error than plain PQ
+    at the identical code budget (the coarse quantizer explains part of
+    the vector, so the codes cover a smaller ball) — and the search
+    still returns well-formed ranked output."""
+    from hbase_1_3_0_spark.pipeline import similarity as sim
+
+    cents = sim.kmeans_centroids(emb, k=16, dim=64, iters=2)
+    assigned = sim.ivf_assign(emb, num_lists=16, dim=64, centroids=cents)
+    anchors = sim.ivf_list_means(assigned, num_lists=16, dim=64)
+    cent_of = F.element_at(
+        sim._lit_matrix(anchors), F.col("ivf_list").cast("int") + 1
+    )
+    resid = assigned.withColumn(
+        "rv",
+        F.zip_with(
+            F.col("embedding"), cent_of, lambda a, b: a.cast("double") - b
+        ),
+    )
+
+    def mean_err(df, vec_col, books, add_back):
+        codes = sim.pq_encode(
+            df, books, vec_col=vec_col, extra_cols=("ivf_list",)
+        )
+        joined = df.select("vec_id", "embedding", "ivf_list").join(
+            codes.select("vec_id", "pq_code"), "vec_id"
+        )
+        recon = sim.pq_reconstruct(F.col("pq_code"), books)
+        if add_back:
+            recon = F.zip_with(cent_of, recon, lambda a, b: a + b)
+        err = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), recon,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return joined.agg(F.avg(err)).collect()[0][0]
+
+    plain_books = sim.pq_train(emb, m=8, k=16, dim=64, iters=3)
+    resid_books = sim.pq_train(resid, m=8, k=16, dim=64, vec_col="rv", iters=3)
+    e_plain = mean_err(assigned, "embedding", plain_books, add_back=False)
+    e_resid = mean_err(resid, "rv", resid_books, add_back=True)
+    assert e_resid < e_plain
+
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.ivfpq_topk(
+        emb, queries, k=3, num_lists=16, nprobe=4,
+        centroids=cents, codebooks=resid_books, residual=True,
+        anchors=anchors,
+    )
+    rows = out.collect()
+    assert rows and all(r.rank <= 3 and r.vec_id != r.query_id for r in rows)
+
+
 def test_ivfpq_store_partition_pruned_search(emb, spark, tmp_path):
     """ivfpq_build_store lays the codes out partitionBy(ivf_list); a
     store-backed search scans ONLY the probed partitions (parquet
