@@ -139,6 +139,62 @@ def read_arrow(
     return paths.mapInPandas(read_part, schema)
 
 
+def read_arrow_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    on_mismatch: str = "fail",
+) -> DataFrame:
+    """Structured-Streaming Arrow ingest: new ``.arrow`` files landing in
+    ``path`` stream through Spark's ``binaryFile`` source (file-arrival
+    tracking, checkpointing, exactly-once file accounting come free) and
+    decode executor-side in the same Arrow-batched ``mapInPandas`` as
+    :func:`read_arrow`. The natural head of a streaming corpus pipeline:
+    compose with e.g. ``streaming/wal.dedup_ingest_stream``-style
+    foreachBatch sinks. ``on_mismatch='skip'`` drops schema-mismatched
+    files (gate with :func:`arrow_health` semantics first); corrupt
+    files always fail the batch — Structured Streaming will retry, and
+    silently dropping undecodable bytes is how corpora rot."""
+    if on_mismatch not in ("fail", "skip"):
+        raise ValueError(f"on_mismatch must be 'fail' or 'skip', got {on_mismatch!r}")
+    schema = _as_struct(schema)
+    expected = _arrow_schema(schema)
+    skip = on_mismatch == "skip"
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require the schema declared; this is
+        # binaryFile's fixed one
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.arrow")
+        .load(str(path))
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            for raw in pdf["content"]:
+                with ipc.open_file(pa.BufferReader(raw)) as reader:
+                    got = [(fl.name, fl.type) for fl in reader.schema]
+                    want = [(fl.name, fl.type) for fl in expected]
+                    if got != want:
+                        if skip:
+                            continue
+                        raise ValueError(
+                            f"schema mismatch in stream file: {got} != {want}"
+                        )
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i).to_pandas()
+
+    return files.mapInPandas(decode, schema)
+
+
 def arrow_health(
     spark: SparkSession, path: str, schema: T.StructType | str
 ) -> DataFrame:

@@ -415,6 +415,54 @@ def test_arrow_health_gate_and_skip(spark, tmp_path):
     assert got == {(1, "a"), (2, "b")}
 
 
+def test_arrow_streaming_ingest(spark, tmp_path):
+    """read_arrow_stream: .arrow files arriving in a directory stream
+    through binaryFile + mapInPandas decode; two trigger cycles see
+    exactly the union of both files' rows (file-level exactly-once via
+    the checkpoint)."""
+    from hbase_1_3_0_spark.sources import arrow_ipc
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id: long, text: string"
+    ).coalesce(1)
+    arrow_ipc.write_arrow(b1, str(tmp_path / "b1"))
+    import shutil
+
+    shutil.copy(next((tmp_path / "b1").glob("*.arrow")), src / "b1.arrow")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = arrow_ipc.read_arrow_stream(
+            spark, str(src), "doc_id bigint, text string"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, "alpha"), (2, "beta")}
+
+    b2 = spark.createDataFrame([(3, "gamma")], "doc_id: long, text: string")
+    arrow_ipc.write_arrow(b2.coalesce(1), str(tmp_path / "b2"))
+    shutil.copy(next((tmp_path / "b2").glob("*.arrow")), src / "b2.arrow")
+    drain()
+    got2 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    # same checkpoint: only the NEW file lands in the second drain —
+    # no reprocessing of b1.arrow (file-level exactly-once)
+    assert got2 == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+
+
 def test_bucketed_cells_diff_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """write_cells_bucketed co-locates the (row, family, qualifier)
     identity: the SyncTable-style full-outer diff of two bucketed logs
