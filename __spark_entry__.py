@@ -2084,6 +2084,15 @@ def q_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.trigram_perplexity(docs, vocab_size=300)
 
 
+def q_lm_trigram_mkn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIFIED Kneser-Ney trigram (Chen-Goodman three-discount
+    smoothing, discounts estimated from each order's count-of-counts —
+    the smoothing KenLM actually ships), top-300 vocab
+    (pipeline/lm.py trigram_perplexity smoothing='mkn')."""
+    docs = _load(spark, sf_dir, "documents")
+    return lm.trigram_perplexity(docs, vocab_size=300, smoothing="mkn")
+
+
 def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility/coverage proxies per doc: pretokenizer piece
     count, UTF-8 bytes per piece, ASCII ratio, byte/char expansion
@@ -2154,8 +2163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quarantine": q_url_quarantine,
         "lm_perplexity": q_lm_perplexity,
         "lm_bigram": q_lm_bigram,
-        # -- new in r05: KN trigram + composed IVF-PQ index --
+        # -- new in r05: KN + modified-KN trigram, composed IVF-PQ --
         "lm_trigram": q_lm_trigram,
+        "lm_trigram_mkn": q_lm_trigram_mkn,
         "tokenizer_stats": q_tokenizer_stats,
         # -- rotated in r04: oracle-capable tail (local-green in r03) --
         "corpus_stats": q_corpus_stats,
@@ -2193,7 +2203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
-        "train_eval_split": q_train_eval_split,
         "pack_sequences": q_pack_sequences,
         # -- new in r04: CAS-guarded RowMutations --
         "check_and_mutate_row": q_check_and_mutate_row,
@@ -2206,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "repetition_stats": q_repetition_stats,
+        "train_eval_split": q_train_eval_split,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -2465,6 +2475,111 @@ ranked AS (
 )
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
 """
+
+
+#: Modified-KN trigram oracle: mirrors trigram_perplexity(smoothing='mkn')
+#: — same CTE chain as the lm_trigram oracle plus per-order
+#: count-of-count discounts (computed once in 1-row CTEs, exactly the
+#: double-division order of the Spark expressions).
+_LM_TRIGRAM_MKN_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(ws) AS word, "
+    "generate_subscripts(ws, 1) AS pos FROM (SELECT doc_id, "
+    "regexp_extract_all(lower(text), '[a-z0-9'']+') AS ws "
+    "FROM documents)), "
+    "vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word "
+    "ORDER BY c DESC, word LIMIT 300), "
+    "tot AS (SELECT (SELECT count(*) FROM vocab) AS v), "
+    "seq AS (SELECT doc_id, pos, word, lag(word) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS prev, "
+    "lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2 "
+    "FROM toks), "
+    "big_types AS (SELECT DISTINCT prev, word FROM seq "
+    "WHERE prev IS NOT NULL AND word IN (SELECT word FROM vocab) "
+    "AND prev IN (SELECT word FROM vocab)), "
+    "tri AS (SELECT prev2, prev, word, count(*) AS c3 FROM seq "
+    "WHERE prev2 IS NOT NULL AND word IN (SELECT word FROM vocab) "
+    "AND prev IN (SELECT word FROM vocab) "
+    "AND prev2 IN (SELECT word FROM vocab) "
+    "GROUP BY prev2, prev, word), "
+    "ctx3 AS (SELECT prev2, prev, sum(c3) AS c2, "
+    "sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS t_ctx_n1, "
+    "sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS t_ctx_n2, "
+    "sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS t_ctx_n3p "
+    "FROM tri GROUP BY prev2, prev), "
+    "cont2 AS (SELECT prev, word, count(DISTINCT prev2) AS cont2 "
+    "FROM tri GROUP BY prev, word), "
+    "ctx2 AS (SELECT prev, sum(cont2) AS ctx2, "
+    "sum(CASE WHEN cont2 = 1 THEN 1 ELSE 0 END) AS b_ctx_n1, "
+    "sum(CASE WHEN cont2 = 2 THEN 1 ELSE 0 END) AS b_ctx_n2, "
+    "sum(CASE WHEN cont2 >= 3 THEN 1 ELSE 0 END) AS b_ctx_n3p "
+    "FROM cont2 GROUP BY prev), "
+    "cont1 AS (SELECT word, count(DISTINCT prev) AS cont1 "
+    "FROM big_types GROUP BY word), "
+    "bt AS (SELECT count(*) AS bt FROM big_types), "
+    "tcc AS (SELECT "
+    "sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS t_n1, "
+    "sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS t_n2, "
+    "sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS t_n3, "
+    "sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS t_n4 FROM tri), "
+    "bcc AS (SELECT "
+    "sum(CASE WHEN cont2 = 1 THEN 1 ELSE 0 END) AS b_n1, "
+    "sum(CASE WHEN cont2 = 2 THEN 1 ELSE 0 END) AS b_n2, "
+    "sum(CASE WHEN cont2 = 3 THEN 1 ELSE 0 END) AS b_n3, "
+    "sum(CASE WHEN cont2 = 4 THEN 1 ELSE 0 END) AS b_n4 FROM cont2), "
+    "tdisc AS (SELECT "
+    "greatest(least(CASE WHEN t_n1 > 0 THEN 1 - 2*ty*t_n2/t_n1 "
+    "ELSE 0.5 END, 1.0), 0.0) AS td1, "
+    "greatest(least(CASE WHEN t_n2 > 0 THEN 2 - 3*ty*t_n3/t_n2 "
+    "ELSE 1.0 END, 2.0), 0.0) AS td2, "
+    "greatest(least(CASE WHEN t_n3 > 0 THEN 3 - 4*ty*t_n4/t_n3 "
+    "ELSE 1.5 END, 3.0), 0.0) AS td3 "
+    "FROM (SELECT *, CASE WHEN (t_n1 + 2*t_n2) > 0 "
+    "THEN t_n1/(t_n1 + 2*t_n2) ELSE 0.0 END AS ty FROM tcc)), "
+    "bdisc AS (SELECT "
+    "greatest(least(CASE WHEN b_n1 > 0 THEN 1 - 2*by*b_n2/b_n1 "
+    "ELSE 0.5 END, 1.0), 0.0) AS bd1, "
+    "greatest(least(CASE WHEN b_n2 > 0 THEN 2 - 3*by*b_n3/b_n2 "
+    "ELSE 1.0 END, 2.0), 0.0) AS bd2, "
+    "greatest(least(CASE WHEN b_n3 > 0 THEN 3 - 4*by*b_n4/b_n3 "
+    "ELSE 1.5 END, 3.0), 0.0) AS bd3 "
+    "FROM (SELECT *, CASE WHEN (b_n1 + 2*b_n2) > 0 "
+    "THEN b_n1/(b_n1 + 2*b_n2) ELSE 0.0 END AS by FROM bcc)), "
+    "j AS (SELECT s.doc_id, s.prev, s.prev2, "
+    "c1.cont1, x2.ctx2, x2.b_ctx_n1, x2.b_ctx_n2, x2.b_ctx_n3p, "
+    "c2t.cont2, x3.c2, x3.t_ctx_n1, x3.t_ctx_n2, x3.t_ctx_n3p, t.c3, "
+    "tot.v, bt.bt, td1, td2, td3, bd1, bd2, bd3 "
+    "FROM seq s "
+    "LEFT JOIN cont1 c1 ON s.word = c1.word "
+    "LEFT JOIN ctx2 x2 ON s.prev = x2.prev "
+    "LEFT JOIN cont2 c2t ON s.prev = c2t.prev AND s.word = c2t.word "
+    "LEFT JOIN ctx3 x3 ON s.prev2 = x3.prev2 AND s.prev = x3.prev "
+    "LEFT JOIN tri t ON s.prev2 = t.prev2 AND s.prev = t.prev "
+    "AND s.word = t.word "
+    "CROSS JOIN tot CROSS JOIN bt CROSS JOIN tdisc CROSS JOIN bdisc), "
+    "px AS (SELECT *, (coalesce(cont1, 0) + 1) * 1.0 / (bt + v + 1) "
+    "AS p1 FROM j), "
+    "py AS (SELECT *, CASE WHEN ctx2 IS NOT NULL THEN "
+    "greatest(coalesce(cont2, 0) - ("
+    "CASE WHEN coalesce(cont2, 0) >= 3 THEN bd3 "
+    "WHEN coalesce(cont2, 0) = 2 THEN bd2 "
+    "WHEN coalesce(cont2, 0) = 1 THEN bd1 ELSE 0.0 END), 0.0) / ctx2 "
+    "+ (bd1*b_ctx_n1 + bd2*b_ctx_n2 + bd3*b_ctx_n3p) / ctx2 * p1 "
+    "ELSE p1 END AS p2 FROM px), "
+    "pz AS (SELECT *, CASE WHEN c2 IS NOT NULL THEN "
+    "greatest(coalesce(c3, 0) - ("
+    "CASE WHEN coalesce(c3, 0) >= 3 THEN td3 "
+    "WHEN coalesce(c3, 0) = 2 THEN td2 "
+    "WHEN coalesce(c3, 0) = 1 THEN td1 ELSE 0.0 END), 0.0) / c2 "
+    "+ (td1*t_ctx_n1 + td2*t_ctx_n2 + td3*t_ctx_n3p) / c2 * p2 "
+    "ELSE p2 END AS p3 FROM py), "
+    "per_doc AS (SELECT doc_id, count(*) AS n_words, "
+    "round(avg(-log2(CASE WHEN prev IS NULL THEN p1 "
+    "WHEN prev2 IS NULL THEN p2 ELSE p3 END)), 6) AS bits_per_word "
+    "FROM pz GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, "
+    "p.bits_per_word "
+    "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3145,6 +3260,7 @@ def oracle_sql() -> dict[str, str]:
             "p.bits_per_word "
             "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
         ),
+        "lm_trigram_mkn": _LM_TRIGRAM_MKN_SQL,
         "tokenizer_stats": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, "

@@ -201,6 +201,7 @@ def trigram_perplexity(
     id_col: str = "doc_id",
     vocab_size: int | None = None,
     discount: float = 0.75,
+    smoothing: str = "kn",
 ) -> DataFrame:
     """Trigram LM with interpolated Kneser-Ney smoothing — the shape of
     the CCNet perplexity signal (a KenLM n-gram model with modified KN;
@@ -219,6 +220,20 @@ def trigram_perplexity(
 
     Token at position 0 scores p1, position 1 scores p2, the rest p3.
 
+    ``smoothing='mkn'`` upgrades to MODIFIED Kneser-Ney (Chen & Goodman
+    1998 — what KenLM actually ships): per order, THREE discounts
+    D1/D2/D3+ chosen by the n-gram's own count and estimated from the
+    order's count-of-counts (n_k = #types occurring exactly k times):
+
+        Y  = n1 / (n1 + 2 n2)
+        D1 = 1 - 2 Y n2/n1,  D2 = 2 - 3 Y n3/n2,  D3+ = 3 - 4 Y n4/n3
+
+    with the backoff weight gamma(ctx) = (D1 N1(ctx.) + D2 N2(ctx.)
+    + D3+ N3+(ctx.)) / c(ctx) so each context's mass still sums to 1.
+    The discounts are 1-row aggregates over the type tables, attached
+    by broadcast (the same grand-total pattern); everything else shares
+    the 'kn' plan. The unigram floor is unchanged.
+
     Plan shape: one tokenize+posexplode pass, one per-doc window (two
     lags, one shuffle keyed on the doc), hash aggs for the type tables
     (trigram types, their (u,v)/(v)/(v,w) rollups, continuation
@@ -228,6 +243,8 @@ def trigram_perplexity(
     ``n_words=0`` rows."""
     from pyspark.sql.window import Window
 
+    if smoothing not in ("kn", "mkn"):
+        raise ValueError(f"smoothing must be 'kn' or 'mkn', got {smoothing!r}")
     d = float(discount)
     toks = df.select(
         F.col(id_col),
@@ -261,18 +278,27 @@ def trigram_perplexity(
         .groupBy("prev2", "prev", "word")
         .agg(F.count(F.lit(1)).alias("c3"))
     )
-    # c(uv) + N1+(uv.) — the trigram denominators, keyed (u,v)
+    # c(uv) + N1+(uv.) — the trigram denominators, keyed (u,v); for mkn
+    # also the per-context count-split Nk(uv.) the gammas need
     ctx3 = tri.groupBy("prev2", "prev").agg(
-        F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("n1pa2")
+        F.sum("c3").alias("c2"),
+        F.count(F.lit(1)).alias("n1pa2"),
+        F.sum((F.col("c3") == 1).cast("long")).alias("t_ctx_n1"),
+        F.sum((F.col("c3") == 2).cast("long")).alias("t_ctx_n2"),
+        F.sum((F.col("c3") >= 3).cast("long")).alias("t_ctx_n3p"),
     )
     # N1+(.vw) — distinct left-contexts of the bigram, keyed (v,w)
     cont2 = tri.groupBy("prev", "word").agg(
         F.countDistinct("prev2").alias("cont2")
     )
-    # N1+(.v.) + N1+(v.) — the bigram-level denominators, keyed (v)
-    ctx2 = tri.groupBy("prev").agg(
-        F.count(F.lit(1)).alias("ctx2"),
-        F.countDistinct("word").alias("n1pa1"),
+    # N1+(.v.) + N1+(v.) — the bigram-level denominators, keyed (v);
+    # mkn count-split over the continuation counts
+    ctx2 = cont2.groupBy("prev").agg(
+        F.sum("cont2").alias("ctx2"),
+        F.count(F.lit(1)).alias("n1pa1"),
+        F.sum((F.col("cont2") == 1).cast("long")).alias("b_ctx_n1"),
+        F.sum((F.col("cont2") == 2).cast("long")).alias("b_ctx_n2"),
+        F.sum((F.col("cont2") >= 3).cast("long")).alias("b_ctx_n3p"),
     )
     # N1+(.w) + |bigram types| — continuation unigrams
     cont1 = big_types.groupBy("word").agg(
@@ -289,20 +315,88 @@ def trigram_perplexity(
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(btypes))
     )
+    if smoothing == "mkn":
+        # order-wide count-of-counts -> the three Chen-Goodman discounts
+        # per order, as 1-row broadcast aggregates (grand-total pattern)
+        tri_cc = tri.agg(
+            F.sum((F.col("c3") == 1).cast("long")).alias("t_n1"),
+            F.sum((F.col("c3") == 2).cast("long")).alias("t_n2"),
+            F.sum((F.col("c3") == 3).cast("long")).alias("t_n3"),
+            F.sum((F.col("c3") == 4).cast("long")).alias("t_n4"),
+        )
+        big_cc = cont2.agg(
+            F.sum((F.col("cont2") == 1).cast("long")).alias("b_n1"),
+            F.sum((F.col("cont2") == 2).cast("long")).alias("b_n2"),
+            F.sum((F.col("cont2") == 3).cast("long")).alias("b_n3"),
+            F.sum((F.col("cont2") == 4).cast("long")).alias("b_n4"),
+        )
+        scored = scored.crossJoin(F.broadcast(tri_cc)).crossJoin(
+            F.broadcast(big_cc)
+        )
+
+        def discounts(n1, n2, n3, n4):
+            """D1/D2/D3+ clamped to [0, order-of-discount] — tiny or
+            degenerate count-of-counts would otherwise go negative and
+            ADD mass. Division guards mirror the DuckDB oracle."""
+            y = F.when(
+                (F.col(n1) + 2 * F.col(n2)) > 0,
+                F.col(n1) / (F.col(n1) + 2 * F.col(n2)),
+            ).otherwise(F.lit(0.0))
+            d1 = F.when(
+                F.col(n1) > 0, 1 - 2 * y * F.col(n2) / F.col(n1)
+            ).otherwise(F.lit(0.5))
+            d2 = F.when(
+                F.col(n2) > 0, 2 - 3 * y * F.col(n3) / F.col(n2)
+            ).otherwise(F.lit(1.0))
+            d3 = F.when(
+                F.col(n3) > 0, 3 - 4 * y * F.col(n4) / F.col(n3)
+            ).otherwise(F.lit(1.5))
+            clamp = lambda c, hi: F.greatest(F.least(c, F.lit(hi)), F.lit(0.0))  # noqa: E731
+            return clamp(d1, 1.0), clamp(d2, 2.0), clamp(d3, 3.0)
+
+        td1, td2, td3 = discounts("t_n1", "t_n2", "t_n3", "t_n4")
+        bd1, bd2, bd3 = discounts("b_n1", "b_n2", "b_n3", "b_n4")
+
+        def d_of(count_col, d1, d2, d3):
+            c = F.coalesce(count_col, F.lit(0))
+            return (
+                F.when(c >= 3, d3)
+                .when(c == 2, d2)
+                .when(c == 1, d1)
+                .otherwise(F.lit(0.0))
+            )
+
+        gamma2 = (
+            bd1 * F.col("b_ctx_n1")
+            + bd2 * F.col("b_ctx_n2")
+            + bd3 * F.col("b_ctx_n3p")
+        ) / F.col("ctx2")
+        gamma3 = (
+            td1 * F.col("t_ctx_n1")
+            + td2 * F.col("t_ctx_n2")
+            + td3 * F.col("t_ctx_n3p")
+        ) / F.col("c2")
+        disc2 = d_of(F.col("cont2"), bd1, bd2, bd3)
+        disc3 = d_of(F.col("c3"), td1, td2, td3)
+    else:
+        gamma2 = F.lit(d) * F.col("n1pa1") / F.col("ctx2")
+        gamma3 = F.lit(d) * F.col("n1pa2") / F.col("c2")
+        disc2 = F.lit(d)
+        disc3 = F.lit(d)
     p1 = (F.coalesce(F.col("cont1"), F.lit(0)) + 1) / (
         F.col("_bt") + F.col("_v") + 1
     )
     p2 = F.when(
         F.col("ctx2").isNotNull(),
-        F.greatest(F.coalesce(F.col("cont2"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        F.greatest(F.coalesce(F.col("cont2"), F.lit(0)) - disc2, F.lit(0.0))
         / F.col("ctx2")
-        + F.lit(d) * F.col("n1pa1") / F.col("ctx2") * p1,
+        + gamma2 * p1,
     ).otherwise(p1)
     p3 = F.when(
         F.col("c2").isNotNull(),
-        F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - disc3, F.lit(0.0))
         / F.col("c2")
-        + F.lit(d) * F.col("n1pa2") / F.col("c2") * p2,
+        + gamma3 * p2,
     ).otherwise(p2)
     p = (
         F.when(F.col("prev").isNull(), p1)

@@ -653,6 +653,14 @@ def test_trigram_kn_rewards_seen_orders(spark):
     # phrase's interior trigrams are near-deterministic
     bi = {r.doc_id: r for r in lm.bigram_perplexity(df).collect()}
     assert out[0].bits_per_word <= bi[0].bits_per_word + 1.0
+    # modified KN: same ordering signal, count-dependent discounts
+    mkn = {
+        r.doc_id: r
+        for r in lm.trigram_perplexity(df, smoothing="mkn").collect()
+    }
+    assert mkn[100].bits_per_word > mkn[0].bits_per_word
+    assert mkn[0].bits_per_word != out[0].bits_per_word  # discounts differ
+    assert mkn[200].n_words == 0
 
 
 def test_incremental_dedup_batches_chain(spark):
