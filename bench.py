@@ -305,6 +305,13 @@ def main() -> None:
     # b-lm: in-corpus unigram perplexity scoring, top-2000 vocab broadcast
     run("b-lm", lambda: _sink(lm.perplexity_proxy(docs, vocab_size=2000)))
 
+    # b-lm3: Kneser-Ney trigram scoring — the KenLM-shaped signal; type
+    # tables bounded by the in-vocab key space, per-word models broadcast
+    run(
+        "b-lm3",
+        lambda: _sink(lm.trigram_perplexity(docs, vocab_size=2000)),
+    )
+
     # b-sync: HashTable/SyncTable diff of two table versions
     sync_tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
         "o_totalprice",
