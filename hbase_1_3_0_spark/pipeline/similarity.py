@@ -531,6 +531,7 @@ def ivfpq_build_store(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    anchors: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF-PQ index as a parquet store PARTITIONED BY
     the inverted list: one pass assigns + encodes the corpus (ivf_list
@@ -544,14 +545,31 @@ def ivfpq_build_store(
     is nprobe/num_lists of the codes, which are already ~64x smaller
     than the vectors. Persist the models next to it (:func:`pq_save` /
     :func:`centroids_save`) and the original vectors never need to be
-    read again at query time."""
+    read again at query time.
+
+    Pass ``anchors`` (with residual-trained ``codebooks``) for the
+    residual encoding — the store then holds residual codes and the
+    SAME anchors must go to :func:`ivfpq_topk_from_store`; persist them
+    with :func:`centroids_save` alongside the other models."""
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
         num_lists=len(centroids), dim=len(centroids[0]), vec_col="_cv",
         centroids=centroids,
     )
+    enc_col = "_cv"
+    if anchors is not None:
+        anchor_of = F.element_at(
+            _lit_matrix(anchors), F.col("ivf_list").cast("int") + 1
+        )
+        assigned = assigned.withColumn(
+            "_ev",
+            F.zip_with(
+                F.col("_cv"), anchor_of, lambda a, b: a.cast("double") - b
+            ),
+        )
+        enc_col = "_ev"
     codes = pq_encode(
-        assigned, codebooks, vec_col="_cv", id_col="vec_id",
+        assigned, codebooks, vec_col=enc_col, id_col="vec_id",
         extra_cols=("ivf_list",),
     )
     # repartition on the partition column: one output file per list,
@@ -572,13 +590,16 @@ def ivfpq_topk_from_store(
     nprobe: int = 4,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    anchors: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ search against an :func:`ivfpq_build_store` store: route
     each query to its ``nprobe`` lists, scan ONLY those partitions
     (``ivf_list isin(...)`` prunes at the parquet-partition level), and
     score by PQ asymmetric distance. The probed-list set is bounded by
     queries x nprobe, collected driver-side as routing state (the same
-    topology as the broadcast query join itself)."""
+    topology as the broadcast query join itself). ``anchors`` must
+    match the store's build (residual stores decode as
+    ``anchor[list] + recon``)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -593,6 +614,14 @@ def ivfpq_topk_from_store(
         F.col("ivf_list").isin(probed)
     )
     recon = pq_reconstruct(F.col("pq_code"), codebooks)
+    if anchors is not None:
+        recon = F.zip_with(
+            F.element_at(
+                _lit_matrix(anchors), F.col("ivf_list").cast("int") + 1
+            ),
+            recon,
+            lambda a, b: a + b,
+        )
     cand = codes.join(F.broadcast(q_lists), "ivf_list").where(
         F.col("vec_id") != F.col("query_id")
     )

@@ -860,6 +860,25 @@ def test_ivfpq_store_partition_pruned_search(emb, spark, tmp_path):
         "query_id", "rank"
     ).collect()
 
+    # residual store round-trips through the same anchors
+    assigned = sim.ivf_assign(emb, num_lists=8, dim=64, centroids=cents)
+    anchors = sim.ivf_list_means(assigned, num_lists=8, dim=64)
+    rstore = str(tmp_path / "ivfpq_store_resid")
+    sim.ivfpq_build_store(
+        emb, rstore, centroids=cents, codebooks=books, anchors=anchors
+    )
+    r_from_store = sim.ivfpq_topk_from_store(
+        spark, rstore, queries, centroids=cents, codebooks=books,
+        k=4, nprobe=2, anchors=anchors,
+    )
+    r_in_mem = sim.ivfpq_topk(
+        emb, queries, k=4, num_lists=8, nprobe=2,
+        centroids=cents, codebooks=books, residual=True, anchors=anchors,
+    )
+    assert r_from_store.orderBy("query_id", "rank").collect() == (
+        r_in_mem.orderBy("query_id", "rank").collect()
+    )
+
 
 def test_pq_and_centroid_model_persistence(emb, spark, tmp_path):
     """Models round-trip through their parquet tables exactly, and a
