@@ -208,9 +208,185 @@ def simhash_pairs_model(
     return ["id_a", "id_b", "hamming"], out
 
 
+# ---------------------------------------------------------------------------
+# ANN models (seeded planes / centroids)
+# ---------------------------------------------------------------------------
+#
+# Float discipline: similarity.py computes dot/norm as a SEQUENTIAL
+# left-to-right F.aggregate fold, so these models use explicit Python
+# loops (same IEEE-754 op order), never numpy reductions (pairwise
+# summation would differ in the last bits and flip signs of near-zero
+# dots / tie-break orderings).
+
+
+def _dot_seq(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _norm_seq(a) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _round6(x: float) -> float:
+    """Spark F.round = HALF_UP on the double's exact decimal value."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _random_unit_vectors(num: int, dim: int, seed: int) -> list[list[float]]:
+    """Same seeded generator contract as similarity._random_unit_vectors
+    (driver-side Python there too, so the sequences are identical)."""
+    import math
+    import random as _random
+
+    rng = _random.Random(seed)
+    vecs = []
+    for _ in range(num):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        vecs.append([x / n for x in v])
+    return vecs
+
+
+def _load_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return [(int(i), list(v)) for i, v in rows]
+
+
+def _rank_topk(scored: dict[int, list[tuple[int, float]]], k: int):
+    """(query -> [(vec_id, sim)]) -> rows ranked by (sim desc, vec_id)."""
+    out = []
+    for qid in sorted(scored):
+        ranked = sorted(scored[qid], key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (vid, sim) in enumerate(ranked, start=1):
+            out.append((qid, vid, sim, rank))
+    return out
+
+
+def lsh_topk_model(
+    sf_dir: str,
+    *,
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_lsh_topk: hyperplane sign-bucket candidates
+    within Hamming distance 1, exact cosine on candidates."""
+    planes = _random_unit_vectors(num_planes, dim, seed)
+    vecs = _load_embeddings(sf_dir)
+    sigs = {}
+    for vid, v in vecs:
+        sig = 0
+        for i, p in enumerate(planes):
+            if _dot_seq(v, p) >= 0:
+                sig += 1 << i
+        sigs[vid] = sig
+    queries = [(vid, v) for vid, v in vecs if vid < 5]
+    scored: dict[int, list[tuple[int, float]]] = {q: [] for q, _ in queries}
+    for qid, qv in queries:
+        qn = _norm_seq(qv)
+        for vid, cv in vecs:
+            if vid == qid:
+                continue
+            if bin(sigs[vid] ^ sigs[qid]).count("1") > probe_hamming:
+                continue
+            sim = _round6(_dot_seq(qv, cv) / (qn * _norm_seq(cv)))
+            scored[qid].append((vid, sim))
+    return ["query_id", "vec_id", "sim", "rank"], _rank_topk(scored, k)
+
+
+def ivf_topk_model(
+    sf_dir: str,
+    *,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_ivf_topk: seeded random centroids, argmax-dot
+    assignment (ties -> larger index), nprobe nearest lists per query,
+    exact cosine on in-list candidates."""
+    cents = _random_unit_vectors(num_lists, dim, seed)
+    vecs = _load_embeddings(sf_dir)
+    assign = {}
+    for vid, v in vecs:
+        best = max(
+            range(num_lists), key=lambda i: (_dot_seq(v, cents[i]), i)
+        )
+        assign[vid] = best
+    queries = [(vid, v) for vid, v in vecs if vid < 5]
+    scored: dict[int, list[tuple[int, float]]] = {q: [] for q, _ in queries}
+    for qid, qv in queries:
+        affin = sorted(
+            ((_dot_seq(qv, c), i) for i, c in enumerate(cents)),
+            reverse=True,
+        )[:nprobe]
+        probed = {i for _, i in affin}
+        qn = _norm_seq(qv)
+        for vid, cv in vecs:
+            if vid == qid or assign[vid] not in probed:
+                continue
+            sim = _round6(_dot_seq(qv, cv) / (qn * _norm_seq(cv)))
+            scored[qid].append((vid, sim))
+    return ["query_id", "vec_id", "sim", "rank"], _rank_topk(scored, k)
+
+
+def random_row_model(
+    sf_dir: str, *, chance: float = 0.25, seed: int = 42
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_random_row: RandomRowFilter keeps a row iff
+    pmod(xxhash64(row, seed), 1e6)/1e6 < chance. Spark's two-arg
+    xxhash64 chains per field: h1 = xxh64(row_bytes, 42) then the
+    4-byte int literal seed hashes with h1 as ITS seed."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+        f"FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()
+    con.close()
+    out = []
+    seed_le4 = seed.to_bytes(4, "little")
+    for r in rows:
+        key = f"{int(r[0]):019d}".encode()
+        h = xxh64(seed_le4, seed=xxh64(key) & _M64) & _M64
+        h = h - (1 << 64) if h >= (1 << 63) else h
+        if (h % 1_000_000) / 1e6 < chance:
+            out.append(tuple(r))
+    return (
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        out,
+    )
+
+
 #: Registry consumed by tools/check_oracles.py: queries DuckDB cannot
 #: mirror but a pure-Python model can.
 PY_MODELS = {
     "minhash_pairs": minhash_pairs_model,
     "simhash_pairs": simhash_pairs_model,
+    "lsh_topk": lsh_topk_model,
+    "ivf_topk": ivf_topk_model,
+    "random_row": random_row_model,
 }
