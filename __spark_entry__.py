@@ -2067,6 +2067,18 @@ def q_url_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.join(parsed, "doc_id")
 
 
+def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas (pipeline/sampling.py exact_k_sample):
+    keep exactly k docs per source, chosen by seeded-hash rank — the
+    quota twin of rate-based stratified_sample (quotas > stratum size
+    keep the whole stratum)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = sampling.exact_k_sample(
+        docs, {"src1": 7, "src4": 3, "src19": 1000}, default_k=2
+    )
+    return out.select("doc_id", "source")
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram perplexity (0.75*bigram + 0.25*unigram,
     top-300 vocab, first token pure unigram) — the CCNet-shaped LM
@@ -2201,7 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
+        "exact_k_sample": q_exact_k_sample,
         "temperature_mix": q_temperature_mix,
         "pack_sequences": q_pack_sequences,
         # -- new in r04: CAS-guarded RowMutations --
@@ -2216,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "repetition_stats": q_repetition_stats,
         "train_eval_split": q_train_eval_split,
+        "stratified_sample": q_stratified_sample,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3129,6 +3142,15 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN 'src1' THEN '{_hexr(0.5)}' "
             f"WHEN 'src2' THEN '{_hexr(0.25)}' "
             f"ELSE '{_hexr(0.1)}' END"
+        ),
+        "exact_k_sample": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            "substr(md5('quota1' || doc_id::VARCHAR), 1, 8), doc_id"
+            ") AS rk FROM documents) "
+            "WHERE rk <= (CASE source WHEN 'src1' THEN 7 "
+            "WHEN 'src4' THEN 3 WHEN 'src19' THEN 1000 ELSE 2 END)"
         ),
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source FROM documents"

@@ -41,6 +41,7 @@ __all__ = [
     "rate_to_hex",
     "hash_bucket",
     "stratified_sample",
+    "exact_k_sample",
     "train_eval_split",
     "pack_sequences",
     "temperature_mix_rates",
@@ -93,6 +94,44 @@ def stratified_sample(
             .otherwise(thr)
         )
     return df.where(bucket < thr)
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: dict[str, int],
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_k: int = 0,
+    seed: str = "quota1",
+) -> DataFrame:
+    """Exact per-stratum quotas — keep EXACTLY ``k[stratum]`` rows (or
+    all, if the stratum is smaller), chosen reproducibly.
+
+    Bernoulli rates (:func:`stratified_sample`) can't hit exact counts;
+    eval-set construction and per-source caps need quotas. Determinism
+    comes from ranking each stratum by the salted md5 of the id (a
+    seeded uniform shuffle that is a pure function of (seed, id)) and
+    keeping the first k — the same k rows on every engine, every run,
+    every retry. One shuffle on the stratum key + one window
+    row_number; a stratum's rows sort within one partition, so quotas
+    over pathologically hot strata should pre-filter with a Bernoulli
+    pass first (rate ~= 2k/stratum_size) to bound the sorted set —
+    the standard two-phase exact-sample trick at 100 TB."""
+    from pyspark.sql.window import Window
+
+    bucket = hash_bucket(F.col(id_col), seed)
+    quota: Column = F.lit(default_k)
+    for stratum, n in k.items():
+        quota = F.when(
+            F.col(strata_col) == stratum, F.lit(int(n))
+        ).otherwise(quota)
+    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
 
 
 def train_eval_split(

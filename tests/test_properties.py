@@ -796,6 +796,62 @@ def test_fuzz_pymodel_xxh64_matches_spark(spark):
     assert not bad, bad[:5]
 
 
+# ------------------------------------------------------------- arrow source
+
+
+def test_fuzz_arrow_roundtrip_typed_rows(spark, tmp_path):
+    """write_arrow -> read_arrow must be the identity on random typed
+    rows: nulls, unicode, newlines, empty/NULL arrays, binary blobs —
+    the type fidelity that justifies an Arrow source over JSONL."""
+    import random
+
+    rng = random.Random(4242)
+    alphabet = "ab \n\t,\"'é中🙂\\x00z09"
+    rows = []
+    for i in range(120):
+        text = (
+            None
+            if rng.random() < 0.1
+            else "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+        )
+        vec = (
+            None
+            if rng.random() < 0.1
+            else [
+                rng.uniform(-10, 10) for _ in range(rng.randrange(0, 5))
+            ]
+        )
+        blob = (
+            None
+            if rng.random() < 0.2
+            else bytes(rng.randrange(256) for _ in range(rng.randrange(0, 12)))
+        )
+        rows.append((i, text, vec, blob))
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, vec: array<double>, blob: binary"
+    ).repartition(3)
+    from hbase_1_3_0_spark.sources import arrow_ipc
+
+    path = str(tmp_path / "fuzz_arrow")
+    arrow_ipc.write_arrow(df, path)
+    back = arrow_ipc.read_arrow(
+        spark, path,
+        "doc_id bigint, text string, vec array<double>, blob binary",
+    )
+
+    def norm(r):
+        return (
+            r[0],
+            r[1],
+            None if r[2] is None else tuple(r[2]),
+            None if r[3] is None else bytes(r[3]),
+        )
+
+    got = sorted(norm((r.doc_id, r.text, r.vec, r.blob)) for r in back.collect())
+    want = sorted(norm(r) for r in rows)
+    assert got == want
+
+
 # ----------------------------------------------------------------- web / URL
 
 

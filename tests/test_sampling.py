@@ -40,6 +40,48 @@ def test_stratified_sample_deterministic(docs):
     assert a == b and a  # same membership on every run, non-empty
 
 
+def test_exact_k_sample_quotas(docs):
+    out = sampling.exact_k_sample(
+        docs, {"src1": 7, "src4": 3, "src19": 10_000}, default_k=2
+    )
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["src1"] == 7 and counts["src4"] == 3
+    # quota above stratum size keeps the whole stratum
+    assert counts["src19"] == totals["src19"]
+    others = [s for s in totals if s not in ("src1", "src4", "src19")]
+    assert all(counts[s] == 2 for s in others)
+    # deterministic membership across runs
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.exact_k_sample(
+            docs, {"src1": 7, "src4": 3, "src19": 10_000}, default_k=2
+        ).collect()
+    )
+    assert a == b
+    # a larger quota keeps a SUPERSET (ranking is quota-independent)
+    bigger = set(
+        r.doc_id
+        for r in sampling.exact_k_sample(
+            docs, {"src1": 12}, default_k=2
+        ).where(F.col("source") == "src1").collect()
+    )
+    smaller = set(
+        r.doc_id
+        for r in sampling.exact_k_sample(
+            docs, {"src1": 7}, default_k=2
+        ).where(F.col("source") == "src1").collect()
+    )
+    assert smaller < bigger
+
+
 def test_stratified_sample_rate_ordering(docs):
     # higher rate keeps a superset-sized sample within each stratum
     lo = sampling.stratified_sample(docs, {}, default_rate=0.2).count()
