@@ -2067,6 +2067,58 @@ def q_url_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.join(parsed, "doc_id")
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal container-header probe (pipeline/multimodal.py
+    probe_media — pure JVM expressions, REAL fixed-offset header
+    parsing): synthesize valid PNG / GIF / canonical-WAV header bytes
+    per doc, probe them back, emit the dimension/duration metadata a
+    curation filter keys on. First oracle-checked multimodal query —
+    the byte synthesis and the probe are independent closed forms."""
+    from hbase_1_3_0_spark.pipeline import multimodal as mm
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    png_w, png_h = d % 600 + 16, d % 400 + 9
+    gif_w, gif_h = d % 500 + 1, d % 300 + 2
+    sr = d % 8 * 1000 + 8000
+    dsize = (d % 50 + 1) * 400
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),       # signature
+        F.unhex(F.lit("0000000D49484452")),       # IHDR length + tag
+        mm.int_to_be_bytes(png_w, 4),
+        mm.int_to_be_bytes(png_h, 4),
+        F.unhex(F.lit("0802000000DEADBEEF")),     # depth/type + mock crc
+    )
+    gif = F.concat(
+        F.lit(b"GIF89a"),
+        mm.int_to_le_bytes(gif_w, 2),
+        mm.int_to_le_bytes(gif_h, 2),
+        F.unhex(F.lit("000000")),
+    )
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        mm.int_to_le_bytes(dsize + 36, 4),
+        F.lit(b"WAVEfmt "),
+        mm.int_to_le_bytes(F.lit(16), 4),
+        mm.int_to_le_bytes(F.lit(1), 2),          # PCM
+        mm.int_to_le_bytes(F.lit(1), 2),          # mono
+        mm.int_to_le_bytes(sr, 4),
+        mm.int_to_le_bytes(sr * 2, 4),            # byte rate (16-bit mono)
+        mm.int_to_le_bytes(F.lit(2), 2),
+        mm.int_to_le_bytes(F.lit(16), 2),
+        F.lit(b"data"),
+        mm.int_to_le_bytes(dsize, 4),
+    )
+    payloads = docs.withColumn(
+        "payload",
+        F.when(d % 3 == 0, png).when(d % 3 == 1, gif).otherwise(wav),
+    )
+    return mm.probe_media(payloads).select(
+        "doc_id", "container", "width", "height",
+        "n_channels", "sample_rate", "duration_ms",
+    )
+
+
 def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-stratum quotas (pipeline/sampling.py exact_k_sample):
     keep exactly k docs per source, chosen by seeded-hash rank — the
@@ -2189,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    driver records the weaker rows-only check for these) --
         "random_row": q_random_row,
         "multimodal_features": q_multimodal_features,
+        # -- new in r05: oracle-checked multimodal header probe --
+        "media_probe": q_media_probe,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
@@ -2210,7 +2264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "cosine_topk": q_cosine_topk,
         "dedup_clusters": q_dedup_clusters,
-        "quality_filter": q_quality_filter,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "exact_k_sample": q_exact_k_sample,
@@ -2229,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
+        "quality_filter": q_quality_filter,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3142,6 +3196,23 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN 'src1' THEN '{_hexr(0.5)}' "
             f"WHEN 'src2' THEN '{_hexr(0.25)}' "
             f"ELSE '{_hexr(0.1)}' END"
+        ),
+        "media_probe": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'png' "
+            "WHEN doc_id % 3 = 1 THEN 'gif' ELSE 'wav' END AS container, "
+            "CASE WHEN doc_id % 3 = 0 THEN doc_id % 600 + 16 "
+            "WHEN doc_id % 3 = 1 THEN doc_id % 500 + 1 END AS width, "
+            "CASE WHEN doc_id % 3 = 0 THEN doc_id % 400 + 9 "
+            "WHEN doc_id % 3 = 1 THEN doc_id % 300 + 2 END AS height, "
+            "CASE WHEN doc_id % 3 = 2 THEN 1 END AS n_channels, "
+            "CASE WHEN doc_id % 3 = 2 THEN doc_id % 8 * 1000 + 8000 END "
+            "AS sample_rate, "
+            "CASE WHEN doc_id % 3 = 2 THEN CAST(floor("
+            "((doc_id % 50 + 1) * 400) * 1000.0 "
+            "/ ((doc_id % 8 * 1000 + 8000) * 2)) AS BIGINT) END "
+            "AS duration_ms "
+            "FROM documents"
         ),
         "exact_k_sample": (
             "SELECT doc_id, source FROM ("

@@ -156,6 +156,84 @@ def test_multimodal_without_decoder_raises(spark):
         multimodal.extract_features(df)
 
 
+def _real_png(width: int, height: int) -> bytes:
+    """A small VALID PNG built with the stdlib (struct + zlib)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """A VALID 16-bit mono WAV built with the stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_probe_media_reads_real_headers(spark):
+    """probe_media's JVM expressions must read the true dimensions of
+    genuinely-valid files produced by the stdlib (not fixtures shaped
+    around the implementation)."""
+    png = _real_png(31, 17)
+    wav = _real_wav(8000, [0, 1000, -1000, 500] * 100)
+    # minimal GIF87a: header + LE logical-screen descriptor
+    gif = b"GIF87a" + (320).to_bytes(2, "little") + (200).to_bytes(
+        2, "little"
+    ) + b"\x00\x00\x00"
+    rows = [(1, png), (2, wav), (3, gif), (4, b"not media"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    got = {r.doc_id: r for r in multimodal.probe_media(df).collect()}
+    assert got[1].container == "png"
+    assert (got[1].width, got[1].height) == (31, 17)
+    assert got[2].container == "wav"
+    assert got[2].sample_rate == 8000 and got[2].n_channels == 1
+    # 400 samples * 2 bytes / (8000*2 B/s) = 50 ms
+    assert got[2].duration_ms == 50
+    assert got[3].container == "gif"
+    assert (got[3].width, got[3].height) == (320, 200)
+    assert got[4].container == "unknown" and got[4].width is None
+    assert got[5].container == "unknown"
+    assert got[1].n_bytes == len(png)
+
+
+def test_wav_features_real_decode(spark):
+    """wav_features actually decodes PCM: a constant half-scale signal
+    has rms == peak == 0.5 (to float precision); garbage quarantines as
+    a NULL-stat row."""
+    half = int(0.5 * 32768)
+    wav = _real_wav(16000, [half] * 64)
+    rows = [(1, wav), (2, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    got = {r.doc_id: r for r in multimodal.wav_features(df).collect()}
+    assert got[1].n_samples == 64 and got[1].sample_rate == 16000
+    assert abs(got[1].rms - 0.5) < 1e-3 and abs(got[1].peak - 0.5) < 1e-3
+    assert got[2].rms is None and got[2].n_samples is None
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v")], "doc_id: long, payload: binary")
     df = multimodal.attach_media(df, "payload", media_type="video", fmt="mp4")
