@@ -14,6 +14,7 @@ sorts columns by name before hashing values).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -752,8 +753,10 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    # pid suffix: two concurrent harness runs on the same sf_dir must
+    # not race on the overwrite/read of a shared scratch directory
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_jsonl_{tag}"
+    path = f"/tmp/spark_graft_jsonl_{tag}_{os.getpid()}"
     jsonl.write_jsonl(docs, path)
     return jsonl.read_jsonl(
         spark, path, "doc_id bigint, text string, lang string, source string"
@@ -773,7 +776,7 @@ def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source"
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_arrow_{tag}"
+    path = f"/tmp/spark_graft_arrow_{tag}_{os.getpid()}"
     arrow_ipc.write_arrow(docs, path)
     return arrow_ipc.read_arrow(
         spark, path, "doc_id bigint, text string, lang string, source string"

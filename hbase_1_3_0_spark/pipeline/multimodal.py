@@ -175,6 +175,7 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     job abort. Full pixel/sample decode stays in
     :func:`extract_features` (real decoder or fake)."""
     p = F.col(payload_col)
+    n = F.length(p)
     is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
     is_gif = F.hex(F.substring(p, 1, 4)) == "47494638"  # 'GIF8'
     is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (  # 'RIFF'
@@ -186,14 +187,22 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(is_wav, F.lit("wav"))
         .otherwise(F.lit("unknown"))
     )
-    width = F.when(is_png, _be_int(p, 17, 4)).when(is_gif, _le_int(p, 7, 2))
-    height = F.when(is_png, _be_int(p, 21, 4)).when(is_gif, _le_int(p, 9, 2))
-    n_channels = F.when(is_wav, _le_int(p, 23, 2))
-    sample_rate = F.when(is_wav, _le_int(p, 25, 4))
+    # every field predicate carries a length guard: a payload truncated
+    # INSIDE a field would otherwise hex/conv the partial bytes into a
+    # fabricated small number — truncated fields must read NULL
+    width = F.when(is_png & (n >= 20), _be_int(p, 17, 4)).when(
+        is_gif & (n >= 8), _le_int(p, 7, 2)
+    )
+    height = F.when(is_png & (n >= 24), _be_int(p, 21, 4)).when(
+        is_gif & (n >= 10), _le_int(p, 9, 2)
+    )
+    n_channels = F.when(is_wav & (n >= 24), _le_int(p, 23, 2))
+    sample_rate = F.when(is_wav & (n >= 28), _le_int(p, 25, 4))
     byte_rate = _le_int(p, 29, 4)
     data_size = _le_int(p, 41, 4)
     duration_ms = F.when(
-        is_wav & (byte_rate > 0), (data_size * 1000).cast("long") / byte_rate
+        is_wav & (n >= 44) & (byte_rate > 0),
+        (data_size * 1000).cast("long") / byte_rate,
     ).cast("long")
     return df.withColumns(
         {
@@ -236,7 +245,6 @@ def wav_features(
 
         import numpy as np
 
-        widths = {1: np.int8, 2: np.int16, 4: np.int32}
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -249,10 +257,20 @@ def wav_features(
                             w.getnframes(),
                         )
                         raw = w.readframes(nf)
-                    dt = widths[sw]
-                    x = np.frombuffer(raw, dtype=dt).astype(np.float64)
-                    full = float(2 ** (8 * sw - 1))
-                    x = x / full
+                    if sw == 1:
+                        # 8-bit WAV PCM is UNSIGNED (0..255, silence at
+                        # 128) — int8 would reflect the waveform around
+                        # full scale and score silence as peak=1.0
+                        x = (
+                            np.frombuffer(raw, dtype=np.uint8).astype(
+                                np.float64
+                            )
+                            - 128.0
+                        ) / 128.0
+                    else:
+                        dt = {2: np.int16, 4: np.int32}[sw]
+                        x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                        x = x / float(2 ** (8 * sw - 1))
                     rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                     peak = float(np.max(np.abs(x))) if len(x) else 0.0
                     rows.append(

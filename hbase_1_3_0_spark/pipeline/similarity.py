@@ -607,6 +607,12 @@ def ivfpq_topk_from_store(
         "ivf_list",
         F.explode(_list_affinities(F.col("_qv"), centroids, nprobe)),
     )
+    # pin the routing: it is consumed TWICE (collect for the partition
+    # filter, then the broadcast join) — without materialization a
+    # nondeterministic queries plan (limit/sample without order) could
+    # route differently in the two evaluations and silently drop the
+    # second routing's lists from the pruned scan
+    q_lists = q_lists.localCheckpoint()
     probed = sorted(
         {r.ivf_list for r in q_lists.select("ivf_list").distinct().collect()}
     )

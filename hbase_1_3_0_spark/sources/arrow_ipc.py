@@ -41,6 +41,45 @@ def _as_struct(schema: T.StructType | str) -> T.StructType:
     return schema
 
 
+def _list_arrow_files(path: str) -> list[str]:
+    """Driver-side file listing — local / shared-filesystem paths ONLY
+    (this source's scope). A URI scheme or a missing directory raises
+    instead of silently reading as an empty corpus: 'no data' must
+    never be indistinguishable from 'wrong path'."""
+    if "://" in str(path):
+        raise ValueError(
+            f"arrow_ipc reads local/shared-filesystem paths, got {path!r} "
+            "(remote URI schemes are not supported by this source)"
+        )
+    base = Path(path)
+    if not base.is_dir():
+        raise FileNotFoundError(f"arrow corpus directory not found: {path}")
+    return sorted(str(p) for p in base.glob("*.arrow"))
+
+
+def _fields(arrow_schema) -> list[tuple]:
+    return [(f.name, f.type) for f in arrow_schema]
+
+
+def _make_check_and_iter(want: list[tuple], skip: bool):
+    """Shared schema-verify + record-batch iteration for the batch and
+    streaming readers. Returned as a NESTED function so cloudpickle
+    serializes it by value into the mapInPandas closure — a
+    module-level function would pickle by reference and require this
+    package on the Python workers' import path."""
+
+    def check_and_iter(reader, where: str):
+        got = [(f.name, f.type) for f in reader.schema]
+        if got != want:
+            if skip:
+                return
+            raise ValueError(f"schema mismatch in {where}: {got} != {want}")
+        for i in range(reader.num_record_batches):
+            yield reader.get_batch(i).to_pandas()
+
+    return check_and_iter
+
+
 def write_arrow(
     df: DataFrame,
     path: str,
@@ -110,13 +149,14 @@ def read_arrow(
     if on_mismatch not in ("fail", "skip"):
         raise ValueError(f"on_mismatch must be 'fail' or 'skip', got {on_mismatch!r}")
     schema = _as_struct(schema)
-    files = sorted(str(p) for p in Path(path).glob("*.arrow"))
+    files = _list_arrow_files(path)
     if not files:
         return spark.createDataFrame([], schema)
-    expected = _arrow_schema(schema)
     paths = spark.createDataFrame([(f,) for f in files], "file: string")
     paths = paths.repartition(len(files))
-    skip = on_mismatch == "skip"
+    check_and_iter = _make_check_and_iter(
+        _fields(_arrow_schema(schema)), on_mismatch == "skip"
+    )
 
     def read_part(batches):
         import pyarrow.ipc as ipc
@@ -124,17 +164,7 @@ def read_arrow(
         for pdf in batches:
             for f in pdf["file"]:
                 with ipc.open_file(f) as reader:
-                    got = reader.schema
-                    names_types = [(fl.name, fl.type) for fl in got]
-                    want = [(fl.name, fl.type) for fl in expected]
-                    if names_types != want:
-                        if skip:
-                            continue
-                        raise ValueError(
-                            f"schema mismatch in {f}: {names_types} != {want}"
-                        )
-                    for i in range(reader.num_record_batches):
-                        yield reader.get_batch(i).to_pandas()
+                    yield from check_and_iter(reader, f)
 
     return paths.mapInPandas(read_part, schema)
 
@@ -159,8 +189,9 @@ def read_arrow_stream(
     if on_mismatch not in ("fail", "skip"):
         raise ValueError(f"on_mismatch must be 'fail' or 'skip', got {on_mismatch!r}")
     schema = _as_struct(schema)
-    expected = _arrow_schema(schema)
-    skip = on_mismatch == "skip"
+    check_and_iter = _make_check_and_iter(
+        _fields(_arrow_schema(schema)), on_mismatch == "skip"
+    )
     files = (
         spark.readStream.format("binaryFile")
         # streaming sources require the schema declared; this is
@@ -179,18 +210,9 @@ def read_arrow_stream(
         import pyarrow.ipc as ipc
 
         for pdf in batches:
-            for raw in pdf["content"]:
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
                 with ipc.open_file(pa.BufferReader(raw)) as reader:
-                    got = [(fl.name, fl.type) for fl in reader.schema]
-                    want = [(fl.name, fl.type) for fl in expected]
-                    if got != want:
-                        if skip:
-                            continue
-                        raise ValueError(
-                            f"schema mismatch in stream file: {got} != {want}"
-                        )
-                    for i in range(reader.num_record_batches):
-                        yield reader.get_batch(i).to_pandas()
+                    yield from check_and_iter(reader, fpath)
 
     return files.mapInPandas(decode, schema)
 
@@ -203,7 +225,7 @@ def arrow_health(
     jsonl.corrupt_stats). Unreadable or schema-mismatched files report
     ok=false with the error string instead of failing the scan."""
     schema = _as_struct(schema)
-    files = sorted(str(p) for p in Path(path).glob("*.arrow"))
+    files = _list_arrow_files(path)
     out_schema = "file string, ok boolean, n_rows long, error string"
     if not files:
         return spark.createDataFrame([], out_schema)

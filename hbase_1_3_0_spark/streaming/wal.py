@@ -434,9 +434,17 @@ def _dedup_commit_batch(
     """One idempotent micro-batch commit for :func:`dedup_ingest_stream`
     (module-level so crash/replay tests can drive it directly).
 
-    Only a genuinely MISSING store reads as empty — any other read error
-    (corrupt files, permissions) propagates and fails the batch rather
-    than silently admitting duplicates against an assumed-empty store."""
+    Only a genuinely EMPTY store reads as empty — a missing directory,
+    or a directory holding no committed parquet files yet (the state a
+    crash during the very first store write leaves behind:
+    FileOutputCommitter creates the base dir before any file commits).
+    Any other read error (corrupt files, permissions) propagates and
+    fails the batch rather than silently admitting duplicates against
+    an assumed-empty store. A store written by a pre-batch_id layout
+    (flat files, no partition column) fails loudly: writing the new
+    batch_id=N partitions next to flat files would produce a mixed
+    layout Spark cannot read back — rewrite the old digests under a
+    batch_id=-1 partition before upgrading in place."""
     from pyspark.errors import AnalysisException
 
     from hbase_1_3_0_spark.pipeline.dedup import incremental_dedup
@@ -444,10 +452,21 @@ def _dedup_commit_batch(
     try:
         store = spark.read.parquet(store_dir)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
+        # PATH_NOT_FOUND: no store yet. UNABLE_TO_INFER_SCHEMA: the dir
+        # exists but holds no committed files (crash before the first
+        # store commit) — same logical state, replay must proceed.
+        if "PATH_NOT_FOUND" not in str(e) and (
+            "UNABLE_TO_INFER_SCHEMA" not in str(e)
+        ):
             raise
         store = None
-    if store is not None and "batch_id" in store.columns:
+    if store is not None and "batch_id" not in store.columns:
+        raise ValueError(
+            f"digest store at {store_dir} uses the legacy flat layout; "
+            "rewrite it partitioned by batch_id (e.g. batch_id=-1 for "
+            "pre-existing digests) before resuming the stream"
+        )
+    if store is not None:
         # exclude this batch's own digests: on re-delivery after a crash
         # between the two writes, a half-committed store must not make
         # the batch's documents look like duplicates of themselves

@@ -414,6 +414,16 @@ def test_arrow_health_gate_and_skip(spark, tmp_path):
     }
     assert got == {(1, "a"), (2, "b")}
 
+    # 'wrong path' must never read as 'empty corpus'
+    with pytest.raises(FileNotFoundError):
+        arrow_ipc.read_arrow(
+            spark, str(tmp_path / "nope"), "doc_id bigint, text string"
+        )
+    with pytest.raises(ValueError, match="local/shared-filesystem"):
+        arrow_ipc.read_arrow(
+            spark, "s3://bucket/corpus", "doc_id bigint, text string"
+        )
+
 
 def test_arrow_streaming_ingest(spark, tmp_path):
     """read_arrow_stream: .arrow files arriving in a directory stream

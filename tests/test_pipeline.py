@@ -218,20 +218,46 @@ def test_probe_media_reads_real_headers(spark):
     assert got[4].container == "unknown" and got[4].width is None
     assert got[5].container == "unknown"
     assert got[1].n_bytes == len(png)
+    # truncation INSIDE a field must read NULL, never a fabricated
+    # number parsed from partial bytes
+    trunc = spark.createDataFrame(
+        [(1, png[:18]), (2, wav[:26]), (3, gif[:8])],
+        "doc_id: long, payload: binary",
+    )
+    t = {r.doc_id: r for r in multimodal.probe_media(trunc).collect()}
+    assert t[1].container == "png" and t[1].width is None
+    assert t[2].container == "wav"
+    assert t[2].n_channels == 1 and t[2].sample_rate is None
+    assert t[2].duration_ms is None
+    assert t[3].container == "gif" and t[3].width == 320
+    assert t[3].height is None
 
 
 def test_wav_features_real_decode(spark):
     """wav_features actually decodes PCM: a constant half-scale signal
     has rms == peak == 0.5 (to float precision); garbage quarantines as
     a NULL-stat row."""
+    import io
+    import wave as wave_mod
+
     half = int(0.5 * 32768)
     wav = _real_wav(16000, [half] * 64)
-    rows = [(1, wav), (2, b"junk")]
+    # 8-bit WAV is UNSIGNED: silence is 0x80, not 0x00
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 32)
+    wav8 = buf.getvalue()
+    rows = [(1, wav), (2, b"junk"), (3, wav8)]
     df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
     got = {r.doc_id: r for r in multimodal.wav_features(df).collect()}
     assert got[1].n_samples == 64 and got[1].sample_rate == 16000
     assert abs(got[1].rms - 0.5) < 1e-3 and abs(got[1].peak - 0.5) < 1e-3
     assert got[2].rms is None and got[2].n_samples is None
+    # 8-bit silence must score as silence (int8 misread would give 1.0)
+    assert got[3].rms == 0.0 and got[3].peak == 0.0
 
 
 def test_frame_sample_plan(spark):

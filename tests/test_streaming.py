@@ -473,3 +473,33 @@ def test_dedup_ingest_crash_between_writes_replays_clean(
     assert sorted(
         r.doc_id for r in spark.read.parquet(out_dir).collect()
     ) == [1, 2, 11, 20]
+
+
+def test_dedup_ingest_store_edge_states(spark, tmp_path):
+    """(a) a store dir that EXISTS but holds no committed parquet files
+    (crash during the very first store write) reads as empty — the
+    replay must proceed, not wedge on UNABLE_TO_INFER_SCHEMA; (b) a
+    legacy flat (non-partitioned) store fails loudly instead of writing
+    a mixed layout Spark can't read back."""
+    import pytest
+
+    from hbase_1_3_0_spark.streaming import wal
+
+    out_dir = str(tmp_path / "out")
+    empty_store = tmp_path / "store_empty"
+    empty_store.mkdir()
+    bdf = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha")], "doc_id: long, text: string"
+    )
+    wal._dedup_commit_batch(
+        spark, bdf, 0, out_dir=out_dir, store_dir=str(empty_store)
+    )
+    assert [r.doc_id for r in spark.read.parquet(out_dir).collect()] == [1]
+
+    legacy = tmp_path / "store_legacy"
+    spark.createDataFrame([("aa",)], "fp: string").write.parquet(str(legacy))
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        wal._dedup_commit_batch(
+            spark, bdf, 1, out_dir=str(tmp_path / "out2"),
+            store_dir=str(legacy),
+        )

@@ -162,7 +162,9 @@ def minhash_pairs_model(
         inter = len(sa & sb)
         j = inter / (len(sa) + len(sb) - inter)
         if j >= threshold:
-            out.append((id_a, id_b, round(j, 6)))
+            # _round6 (HALF_UP), never Python round() (banker's): a
+            # power-of-two denominator can land exactly on a half-tie
+            out.append((id_a, id_b, _round6(j)))
     return ["id_a", "id_b", "jaccard"], out
 
 
