@@ -2122,6 +2122,50 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG SOF marker-walk probe (pipeline/multimodal.py jpeg_probe):
+    spec-valid JPEG prefixes (SOI, APP0/JFIF, DQT, SOF) synthesized
+    JVM-side with per-doc dimensions; the probe walks the variable
+    marker stream in mapInPandas and must recover them."""
+    from hbase_1_3_0_spark.pipeline import multimodal as mm
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    w, h = d % 2000 + 1, d % 1500 + 1
+    # SOI + APP0(JFIF, 16 bytes) + DQT(67 bytes) as fixed hex, then the
+    # SOF segment: marker, len=17, precision=8, h, w, nc=3 + components
+    prefix = (
+        "FFD8"
+        "FFE000104A46494600010200000100010000"
+        "FFDB0043" + "00" * 65
+    )
+    marker = F.when(d % 2 == 0, F.lit("FFC2")).otherwise(F.lit("FFC0"))
+    payload = F.concat(
+        F.unhex(F.concat(F.lit(prefix), marker, F.lit("001108"))),
+        mm.int_to_be_bytes(h, 2),
+        mm.int_to_be_bytes(w, 2),
+        F.unhex(F.lit("03012200021101031101")),
+    )
+    return mm.jpeg_probe(docs.withColumn("payload", payload)).select(
+        "doc_id", "is_jpeg", "width", "height", "n_components", "progressive"
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the web + sampling composition every
+    crawl pipeline runs (no single registrable domain may dominate the
+    corpus): registered domain as the stratum, exact_k_sample as the
+    quota mechanism."""
+    docs = _with_urls(_load(spark, sf_dir, "documents"))
+    host = web.host_of(F.col("url"))
+    docs = docs.withColumn("domain", web.registered_domain(host))
+    out = sampling.exact_k_sample(
+        docs, {"site3.com": 2, "site0.co.uk": 1}, strata_col="domain",
+        default_k=5,
+    )
+    return out.select("doc_id", "domain")
+
+
 def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-stratum quotas (pipeline/sampling.py exact_k_sample):
     keep exactly k docs per source, chosen by seeded-hash rank — the
@@ -2286,6 +2330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
+        # new in r05 below the line (locally oracle-verified; rotate
+        # into the window next round for driver rows)
+        "jpeg_probe": q_jpeg_probe,
+        "domain_cap": q_domain_cap,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3199,6 +3247,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN 'src1' THEN '{_hexr(0.5)}' "
             f"WHEN 'src2' THEN '{_hexr(0.25)}' "
             f"ELSE '{_hexr(0.1)}' END"
+        ),
+        "jpeg_probe": (
+            "SELECT doc_id, TRUE AS is_jpeg, "
+            "doc_id % 2000 + 1 AS width, doc_id % 1500 + 1 AS height, "
+            "3 AS n_components, (doc_id % 2 = 0) AS progressive "
+            "FROM documents"
+        ),
+        "domain_cap": (
+            "WITH d AS (SELECT doc_id, 'site' || (doc_id % 20) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END "
+            "AS domain FROM documents), "
+            "r AS (SELECT doc_id, domain, row_number() OVER ("
+            "PARTITION BY domain ORDER BY "
+            "substr(md5('quota1' || doc_id::VARCHAR), 1, 8), doc_id"
+            ") AS rk FROM d) "
+            "SELECT doc_id, domain FROM r WHERE rk <= "
+            "(CASE domain WHEN 'site3.com' THEN 2 "
+            "WHEN 'site0.co.uk' THEN 1 ELSE 5 END)"
         ),
         "media_probe": (
             "SELECT doc_id, "

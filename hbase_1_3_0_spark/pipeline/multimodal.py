@@ -217,6 +217,78 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+JPEG_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("is_jpeg", T.BooleanType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("progressive", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_probe(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL JPEG dimension probe: walk the marker segments to the SOF
+    frame header (ITU T.81 §B.2.2 — FF C0..CF except DHT/DAC/RST) and
+    read height/width/components. JPEG's frame header sits at a
+    VARIABLE offset behind APPn/quantization segments, so unlike the
+    fixed-offset PNG/GIF/WAV fields (:func:`probe_media`, pure JVM
+    exprs) this walks bytes in an Arrow-batched ``mapInPandas``.
+    Truncated/non-JPEG payloads yield is_jpeg=false / NULL dims."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def probe(b) -> tuple:
+            if b is None:
+                return (False, None, None, None, None)
+            b = bytes(b)
+            if len(b) < 4 or b[0:2] != b"\xff\xd8":
+                return (False, None, None, None, None)
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
+                    return (True, None, None, None, None)  # corrupt stream
+                marker = b[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    i += 2  # standalone markers have no length field
+                    continue
+                if marker == 0xD9 or marker == 0xDA:
+                    break  # EOI / start of scan: no SOF seen
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if seg_len < 2:
+                    return (True, None, None, None, None)
+                is_sof = 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC,  # DHT / JPG / DAC are not frames
+                )
+                if is_sof:
+                    if i + 9 > len(b):
+                        return (True, None, None, None, None)
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    nc = b[i + 9] if i + 9 < len(b) else None
+                    return (True, w, h, nc, marker == 0xC2)
+                i += 2 + seg_len
+            return (True, None, None, None, None)
+
+        for pdf in batches:
+            rows = [
+                (int(doc_id),) + probe(payload)
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "is_jpeg", "width", "height",
+                    "n_components", "progressive",
+                ],
+            )
+
+    return df.mapInPandas(run, JPEG_PROBE_SCHEMA)
+
+
 WAV_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -233,6 +233,47 @@ def test_probe_media_reads_real_headers(spark):
     assert t[3].height is None
 
 
+def _real_jpeg_header(width: int, height: int, progressive: bool = False) -> bytes:
+    """Spec-valid JPEG prefix (ITU T.81): SOI, APP0/JFIF, DQT, then the
+    SOF frame header carrying the dimensions — the marker walk a probe
+    must survive (SOF sits at a variable offset behind the tables)."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof = seg(
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+    )
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def test_jpeg_probe_marker_walk(spark):
+    from hbase_1_3_0_spark.pipeline import multimodal as mm
+
+    rows = [
+        (1, _real_jpeg_header(1024, 768)),
+        (2, _real_jpeg_header(33, 7, progressive=True)),
+        (3, b"\xff\xd8\xff\xd9"),           # SOI+EOI, no frame
+        (4, b"not a jpeg"),
+        (5, _real_jpeg_header(640, 480)[:12]),  # truncated before SOF
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    got = {r.doc_id: r for r in mm.jpeg_probe(df).collect()}
+    assert got[1].is_jpeg and (got[1].width, got[1].height) == (1024, 768)
+    assert got[1].n_components == 3 and got[1].progressive is False
+    assert got[2].progressive is True and got[2].width == 33
+    assert got[3].is_jpeg and got[3].width is None
+    assert not got[4].is_jpeg and got[4].width is None
+    assert got[5].is_jpeg and got[5].width is None
+    assert not got[6].is_jpeg
+
+
 def test_wav_features_real_decode(spark):
     """wav_features actually decodes PCM: a constant half-scale signal
     has rms == peak == 0.5 (to float precision); garbage quarantines as
