@@ -430,6 +430,73 @@ def pq_reconstruct(
     return F.concat(*parts)
 
 
+def opq_rotation(
+    df: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+) -> list[list[float]]:
+    """OPQ-lite rotation for product quantization: PCA axes from a
+    bounded deterministic sample, allocated round-robin across the
+    ``m`` subspaces (axis k — by descending eigenvalue — goes to
+    subspace k mod m).
+
+    Why: PQ splits CONTIGUOUS dims, so a corpus whose variance is
+    concentrated in a few raw dimensions starves one subspace's k
+    centroids while the rest quantize near-constants. Rotating into the
+    PCA basis and BALANCING the axes across subspaces spreads the
+    variance budget — the effect full OPQ (Ge et al., CVPR 2013)
+    optimizes iteratively; eigenvalue round-robin is its standard cheap
+    approximation. Rotation is orthogonal, so L2/cosine geometry (and
+    reconstruction error) are comparable pre/post.
+
+    Driver-side model fit (like kmeans_centroids): ``sample_n`` rows
+    ordered by ``id_col`` (deterministic) fit a dim x dim rotation —
+    model state, not data. Apply with :func:`apply_rotation`; train/
+    encode/search then run on the rotated column (rotate queries with
+    the SAME matrix)."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    xc = x - x.mean(axis=0, keepdims=True)
+    cov = xc.T @ xc
+    vals, vecs = np.linalg.eigh(cov)  # ascending, deterministic
+    axes = vecs[:, ::-1].T  # rows = axes, descending eigenvalue
+    # sign-fix each axis (eigenvectors are sign-ambiguous): largest-|.|
+    # component positive keeps the rotation reproducible
+    for i in range(axes.shape[0]):
+        j = int(np.argmax(np.abs(axes[i])))
+        if axes[i][j] < 0:
+            axes[i] = -axes[i]
+    order = [k for j in range(m) for k in range(dim) if k % m == j]
+    return [[float(v) for v in axes[k]] for k in order]
+
+
+def apply_rotation(
+    df: DataFrame,
+    rotation: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> DataFrame:
+    """Apply an orthogonal rotation as one codegen-friendly transform
+    over the literal matrix: rotated[i] = v · R[i] (the dot expression
+    appears once in the tree — see _lit_matrix)."""
+    rotated = F.transform(
+        _lit_matrix(rotation), lambda r: _dot(F.col(vec_col), r)
+    )
+    return df.withColumn(out_col, rotated)
+
+
 # ---------------------------------------------------------------------------
 # Model persistence — train once, reuse across jobs
 # ---------------------------------------------------------------------------

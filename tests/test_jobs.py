@@ -498,5 +498,22 @@ def test_bucketed_cells_diff_join_is_shuffle_free(spark, sf_dir, tmp_path):
     )
     key = lambda r: (bytes(r.row), r.family, bytes(r.qualifier))  # noqa: E731
     assert sorted(map(key, j.collect())) == sorted(map(key, plain.collect()))
+
+    # the full sync_table job (read-view aggs + diff join) also plans
+    # with ZERO exchanges on the (row, family, qualifier) identity —
+    # the only exchanges left are the (empty) tombstone-marker aggs
+    # keyed (row, family), which is what b-sync-bucketed measures
+    import re
+
+    from hbase_1_3_0_spark.operators import jobs
+
+    sync_plan = (
+        jobs.sync_table(a, b)._jdf.queryExecution().executedPlan().toString()
+    )
+    ident_exchanges = re.findall(
+        r"Exchange hashpartitioning\(row#\d+, family#\d+, qualifier#\d+",
+        sync_plan,
+    )
+    assert not ident_exchanges, ident_exchanges
     spark.sql("DROP TABLE IF EXISTS bk_src")
     spark.sql("DROP TABLE IF EXISTS bk_tgt")

@@ -969,6 +969,49 @@ def test_residual_ivfpq_cuts_reconstruction_error(emb, spark):
     assert rows and all(r.rank <= 3 and r.vec_id != r.query_id for r in rows)
 
 
+def test_opq_rotation_balances_variance_for_pq(spark):
+    """On a corpus whose variance is concentrated in a few raw dims
+    (PQ's worst case: one contiguous subspace hoards the signal while
+    the rest quantize near-constants), the PCA round-robin rotation
+    must cut PQ reconstruction error at the identical code budget.
+    Rotation is orthogonal so L2 error is comparable across spaces."""
+    import numpy as np
+
+    from hbase_1_3_0_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(11)
+    dim, n = 32, 400
+    sigma = np.array([8.0] * 4 + [0.05] * (dim - 4))
+    x = rng.normal(size=(n, dim)) * sigma
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id: long, embedding: array<double>",
+    )
+    rot = sim.opq_rotation(df, dim=dim, m=4, sample_n=n)
+    # orthogonality: R @ R^T = I
+    r = np.array(rot)
+    assert np.allclose(r @ r.T, np.eye(dim), atol=1e-8)
+    rotated = sim.apply_rotation(df, rot)
+
+    def mean_err(frame, col):
+        books = sim.pq_train(frame, m=4, k=16, dim=dim, vec_col=col, iters=3)
+        codes = sim.pq_encode(frame, books, vec_col=col)
+        joined = frame.select("vec_id", F.col(col).alias("_v")).join(
+            codes, "vec_id"
+        )
+        recon = sim.pq_reconstruct(F.col("pq_code"), books)
+        err = F.aggregate(
+            F.zip_with(F.col("_v"), recon, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return joined.agg(F.avg(err)).collect()[0][0]
+
+    e_plain = mean_err(df, "embedding")
+    e_opq = mean_err(rotated, "rotated")
+    assert e_opq < e_plain * 0.9  # a decisive cut, not noise
+
+
 def test_ivfpq_store_partition_pruned_search(emb, spark, tmp_path):
     """ivfpq_build_store lays the codes out partitionBy(ivf_list); a
     store-backed search scans ONLY the probed partitions (parquet
