@@ -475,6 +475,68 @@ def test_dedup_ingest_crash_between_writes_replays_clean(
     ) == [1, 2, 11, 20]
 
 
+def test_streaming_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The composed streaming ingest path a corpus build actually runs:
+    .arrow files land in a directory -> read_arrow_stream decodes them
+    -> a quality predicate drops junk in-stream -> the foreachBatch
+    dedup sink commits survivors idempotently against the cross-batch
+    digest store. Two landing waves; duplicates across waves are
+    dropped, junk never lands, everything else lands exactly once."""
+    import shutil
+
+    from hbase_1_3_0_spark.sources import arrow_ipc
+    from hbase_1_3_0_spark.streaming import wal
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "accepted")
+    store_dir = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        df = spark.createDataFrame(
+            rows, "doc_id: long, text: string"
+        ).coalesce(1)
+        arrow_ipc.write_arrow(df, str(tmp_path / name))
+        shutil.copy(
+            next((tmp_path / name).glob("*.arrow")), landing / f"{name}.arrow"
+        )
+
+    def drain():
+        stream = arrow_ipc.read_arrow_stream(
+            spark, str(landing), "doc_id bigint, text string"
+        )
+        good = stream.where(F.length("text") >= 5)  # in-stream quality gate
+
+        def process(batch_df, batch_id):
+            wal._dedup_commit_batch(
+                spark, batch_df, batch_id,
+                out_dir=out_dir, store_dir=store_dir,
+            )
+
+        q = (
+            good.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land("w1", [(1, "alpha document"), (2, "x"), (3, "beta document")])
+    drain()
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 3]  # junk (2) gated out in-stream
+
+    land(
+        "w2",
+        [(10, "alpha document"), (11, "gamma document"), (12, "y")],
+    )
+    drain()
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # 10 is a cross-wave duplicate of 1; 12 is junk; 11 lands once
+    assert got == [1, 3, 11]
+
+
 def test_dedup_ingest_store_edge_states(spark, tmp_path):
     """(a) a store dir that EXISTS but holds no committed parquet files
     (crash during the very first store write) reads as empty — the
