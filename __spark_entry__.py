@@ -2122,6 +2122,17 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (pipeline/substrings.py — the
+    Lee et al. 2022 span-level pass): every 40-char span repeated
+    across the corpus is excised from all but its globally-first
+    occurrence; per doc, the cleaned text and chars cut."""
+    from hbase_1_3_0_spark.pipeline import substrings
+
+    docs = _load(spark, sf_dir, "documents")
+    return substrings.remove_repeated_spans(docs, k=40)
+
+
 def q_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG SOF marker-walk probe (pipeline/multimodal.py jpeg_probe):
     spec-valid JPEG prefixes (SOI, APP0/JFIF, DQT, SOF) synthesized
@@ -2334,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the window next round for driver rows)
         "jpeg_probe": q_jpeg_probe,
         "domain_cap": q_domain_cap,
+        "substring_dedup": q_substring_dedup,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3247,6 +3259,47 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN 'src1' THEN '{_hexr(0.5)}' "
             f"WHEN 'src2' THEN '{_hexr(0.25)}' "
             f"ELSE '{_hexr(0.1)}' END"
+        ),
+        "substring_dedup": (
+            # mirror of remove_repeated_spans(k=40): rolling md5
+            # windows, min-(doc,pos) winner per repeated digest (order
+            # key doc*1e6+pos — positions are < 1e6), gaps-and-islands
+            # interval merge, ordered complement-segment rebuild
+            "WITH w AS (SELECT doc_id, i AS pos, "
+            "md5(substr(text, i, 40)) AS digest "
+            "FROM (SELECT doc_id, text, "
+            "unnest(range(1, len(text) - 40 + 2)) AS i "
+            "FROM documents WHERE len(text) >= 40)), "
+            "hot AS (SELECT digest, "
+            "min(doc_id * 1000000 + pos) AS first_key "
+            "FROM w GROUP BY digest HAVING count(*) >= 2), "
+            "cut AS (SELECT w.doc_id, w.pos AS s, w.pos + 40 AS e "
+            "FROM w JOIN hot USING (digest) "
+            "WHERE w.doc_id * 1000000 + w.pos <> hot.first_key), "
+            "m AS (SELECT doc_id, s, e, max(e) OVER ("
+            "PARTITION BY doc_id ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            ") AS prev_max FROM cut), "
+            "g AS (SELECT doc_id, s, e, sum("
+            "CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END"
+            ") OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m), "
+            "spans AS (SELECT doc_id, grp, min(s) AS st, max(e) AS en "
+            "FROM g GROUP BY doc_id, grp), "
+            "segs AS (SELECT sp.doc_id, sp.st, sp.en, "
+            "coalesce(lag(sp.en) OVER ("
+            "PARTITION BY sp.doc_id ORDER BY sp.st), 1) AS kf "
+            "FROM spans sp), "
+            "mids AS (SELECT s.doc_id, "
+            "string_agg(substr(d.text, s.kf, s.st - s.kf), '' "
+            "ORDER BY s.kf) AS mid, "
+            "sum(s.en - s.st) AS cut_chars, max(s.en) AS last_end "
+            "FROM segs s JOIN documents d USING (doc_id) "
+            "GROUP BY s.doc_id) "
+            "SELECT d.doc_id, "
+            "CASE WHEN m.doc_id IS NULL THEN d.text "
+            "ELSE m.mid || substr(d.text, m.last_end) END AS clean_text, "
+            "coalesce(m.cut_chars, 0) AS n_cut_chars "
+            "FROM documents d LEFT JOIN mids m USING (doc_id)"
         ),
         "jpeg_probe": (
             "SELECT doc_id, TRUE AS is_jpeg, "

@@ -969,6 +969,43 @@ def test_residual_ivfpq_cuts_reconstruction_error(emb, spark):
     assert rows and all(r.rank <= 3 and r.vec_id != r.query_id for r in rows)
 
 
+def test_repeated_substring_dedup(spark):
+    """Lee-et-al-style span dedup: a license header shared by three docs
+    survives ONLY in its globally-first occurrence; a full-duplicate doc
+    empties entirely; short and unique docs are untouched; char
+    accounting is exact."""
+    from hbase_1_3_0_spark.pipeline import substrings as ss
+
+    lic = (
+        "This work is licensed under the Creative Commons "
+        "Attribution 4.0 International license terms."
+    )
+    rows = [
+        (1, lic + " Doc one unique body text goes right here."),
+        (2, lic + " Doc two totally different following content."),
+        (3, lic + " Doc one unique body text goes right here."),  # dup of 1
+        (4, "short"),
+        (5, "Nothing shared with any other document in this corpus."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in ss.remove_repeated_spans(df, k=30).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc gets a row
+    assert out[1].clean_text == rows[0][1] and out[1].n_cut_chars == 0
+    assert out[3].clean_text == "" and out[3].n_cut_chars == len(rows[2][1])
+    assert out[4].clean_text == "short" and out[5].n_cut_chars == 0
+    # doc 2 lost the shared prefix (incl. the shared ' Doc ' overlap)
+    assert 0 < len(out[2].clean_text) < len(rows[1][1])
+    assert lic not in out[2].clean_text
+    for i, (_, text) in enumerate(rows, start=1):
+        assert len(text) - len(out[i].clean_text) == out[i].n_cut_chars
+
+    spans = {
+        (r.doc_id, r.start, r.end)
+        for r in ss.repeated_spans(df, k=30).collect()
+    }
+    assert {d for d, _, _ in spans} == {2, 3}  # winners keep doc 1 whole
+
+
 def test_opq_rotation_balances_variance_for_pq(spark):
     """On a corpus whose variance is concentrated in a few raw dims
     (PQ's worst case: one contiguous subspace hoards the signal while
