@@ -312,6 +312,16 @@ def main() -> None:
         lambda: _sink(lm.trigram_perplexity(docs, vocab_size=2000)),
     )
 
+    # b-substring: exact repeated-substring excision (Lee et al. span
+    # pass) — the corpus-bytes-heaviest pipeline op: two window explodes
+    # (pass 2 hot-set-gated by a broadcast), ONE digest shuffle total
+    from hbase_1_3_0_spark.pipeline import substrings
+
+    run(
+        "b-substring",
+        lambda: _sink(substrings.remove_repeated_spans(docs, k=40)),
+    )
+
     # b-sync: HashTable/SyncTable diff of two table versions
     sync_tgt_rows = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
         "o_totalprice",

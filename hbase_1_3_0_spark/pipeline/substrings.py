@@ -18,13 +18,29 @@ rolling window digests:
 4. the doc's clean text is the concatenation of the complement
    segments (kept intervals -> substrings -> ordered join).
 
-Scale shape: the window table is ~1 row per text byte — the same cost
-class as the MinHash shingle explode, shuffled once on the digest (a
-32-hex key, never text). At 100 TB run the standard two-phase variant:
-a first pass keeps only digests with corpus DF >= min_count (hash-agg +
-broadcast-able hot set) so the second pass explodes windows only for
-docs that hit the hot set. Everything is JVM Column expressions; the
-text surgery is an ordered array_join, no Python on the data path.
+Scale shape — TWO-PHASE, one shuffle of the window table total:
+
+- **Pass 1** derives the window table (one posexplode, ~1 row per text
+  byte — the same cost class as the MinHash shingle explode) and runs
+  ONE hash aggregation on the digest: per-digest count + globally-first
+  occurrence, both partial-aggregatable, so the map side combines to
+  distinct-digests-per-partition before the only corpus-scale shuffle.
+  Only digests with corpus DF >= ``min_count`` survive — the HOT set,
+  tiny by construction (repeated boilerplate digests only).
+- **Pass 2** re-derives the window table (a pipelined scan+explode, CPU
+  only — re-deriving is cheaper than materializing ~1 row/byte) and
+  joins it to the BROADCAST hot set: the 99%+ non-repeated windows die
+  at the broadcast probe inside the scan stage and never reach a
+  shuffle. Only the surviving hot windows (again tiny) shuffle into the
+  per-doc interval merge.
+
+So the corpus text is exploded twice but SHUFFLED once, and the second
+pass is hot-set-gated exactly like HashTable/SyncTable's
+hash-first-touch-data-second posture (reference:
+hbase-server/.../mapreduce/HashTable.java:64). ``broadcast_hot=False``
+degrades to a shuffle join for the (pathological) corpus whose hot set
+outgrows the driver. Everything is JVM Column expressions; the text
+surgery is an ordered array_join, no Python on the data path.
 """
 
 from __future__ import annotations
@@ -70,17 +86,34 @@ def repeated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Maximal repeated intervals per doc, EXCLUDING each repeated
     window's globally-first occurrence: (doc_id, start, end) with
-    1-based inclusive-exclusive [start, end) character bounds."""
+    1-based inclusive-exclusive [start, end) character bounds.
+
+    Two-phase (module docstring): pass 1 aggregates the window table to
+    the broadcast-able hot digest set (count + first occurrence, one
+    map-side-combinable hash agg — the only corpus-scale shuffle); pass
+    2 re-derives the windows and filters them against the broadcast hot
+    set inside the scan stage, so non-repeated windows never shuffle."""
     win = window_digests(df, k=k, text_col=text_col, id_col=id_col)
-    # winner per digest = min (doc, pos); count filters the hot set
-    grouped = win.groupBy("digest").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"),
+    # PASS 1 — winner per digest = min (doc, pos); count gates the hot
+    # set; both aggregates combine map-side so the shuffle carries
+    # distinct-digests-per-partition, not raw windows
+    hot = (
+        win.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"),
+        )
+        .where(F.col("_n") >= min_count)
+        .select("digest", "_first")
     )
-    hot = grouped.where(F.col("_n") >= min_count)
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    # PASS 2 — re-derive windows (pipelined, no shuffle) and probe the
+    # hot set; only repeated windows survive into the interval merge
     cut = (
         win.join(hot, "digest")
         .where(
@@ -123,74 +156,58 @@ def remove_repeated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """The surgery: every doc keeps its text minus its repeated spans
     (first occurrences corpus-wide are retained). Output:
-    (id, clean_text, n_cut_chars) — every input doc gets a row. The
-    rebuild is JVM-side: kept segments as ordered (start, substring)
-    structs, array_sort + array_join."""
+    (id, clean_text, n_cut_chars) — every input doc gets a row.
+
+    The rebuild consumes the (tiny) span table ONCE: spans aggregate to
+    one sorted array per affected doc, left-join onto the corpus, and
+    the complement segments concatenate in a single higher-order-
+    function expression — segment i is [prev_end_i, next_start_i) with
+    a sentinel head (pos 1) and tail (end of text). No per-segment
+    window shuffle, no union, and the repeated_spans subtree (the two
+    corpus explodes) appears exactly once in the plan."""
     spans = repeated_spans(
-        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col,
+        broadcast_hot=broadcast_hot,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("start"), F.col("end")))
+        ).alias("_spans")
     )
     t = F.col(text_col)
-    # complement segments: [prev_end, next_start) around sorted spans
-    w = Window.partitionBy(id_col).orderBy("start")
-    seg = (
-        df.select(id_col, text_col)
-        .join(spans, id_col)
-        .withColumn("_prev_end", F.lag("end").over(w))
-        .withColumn("_kept_from", F.coalesce(F.col("_prev_end"), F.lit(1)))
+    sp = F.col("_spans")
+    ns = F.size(sp)
+    # kept segment i (0..n inclusive): from (i==0 ? 1 : spans[i-1].end)
+    # up to (i==n ? end-of-text : spans[i].start), exclusive
+    kept_from = lambda i: F.when(  # noqa: E731
+        i == 0, F.lit(1)
+    ).otherwise(F.element_at(sp, i)["end"])
+    kept_to = lambda i: F.when(  # noqa: E731
+        i < ns, F.element_at(sp, i + 1)["start"]
+    ).otherwise(F.length(t) + 1)
+    segs = F.transform(
+        F.sequence(F.lit(0), ns),
+        lambda i: F.substring(t, kept_from(i), kept_to(i) - kept_from(i)),
     )
-    kept_mid = seg.select(
-        id_col,
-        F.struct(
-            F.col("_kept_from").alias("s"),
-            F.substring(
-                t, F.col("_kept_from"), F.col("start") - F.col("_kept_from")
-            ).alias("seg"),
-        ).alias("_seg"),
-        (F.col("end") - F.col("start")).alias("_cut"),
-    )
-    tails = (
-        df.select(id_col, text_col)
-        .join(spans, id_col)
-        .groupBy(id_col)
-        .agg(F.max("end").alias("_last_end"))
-        .join(df.select(id_col, text_col), id_col)
-        .select(
-            id_col,
-            F.struct(
-                F.col("_last_end").alias("s"),
-                F.substring(t, F.col("_last_end"), F.lit(1 << 28)).alias(
-                    "seg"
-                ),
-            ).alias("_seg"),
-            F.lit(0).alias("_cut"),
-        )
-    )
-    rebuilt = (
-        kept_mid.unionByName(tails)
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("_seg")), lambda x: x["seg"]
-                ),
-                "",
-            ).alias("clean_text"),
-            F.sum("_cut").alias("n_cut_chars"),
-        )
+    cut = F.aggregate(
+        sp,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (x["end"] - x["start"]).cast("long"),
     )
     return (
-        df.select(id_col, t.alias("_orig"))
-        .join(rebuilt, id_col, "left")
+        df.select(id_col, text_col)
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("clean_text"), F.col("_orig")).alias(
-                "clean_text"
-            ),
-            F.coalesce(F.col("n_cut_chars"), F.lit(0)).cast("long").alias(
-                "n_cut_chars"
-            ),
+            F.when(sp.isNull(), t)
+            .otherwise(F.array_join(segs, ""))
+            .alias("clean_text"),
+            F.when(sp.isNull(), F.lit(0).cast("long"))
+            .otherwise(cut)
+            .alias("n_cut_chars"),
         )
     )

@@ -193,3 +193,21 @@ def test_sampling_and_packing_plans(spark, sf_dir):
     assert pack_plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in pack_plan
     assert not inspect.has_python_eval(pack)
+
+
+def test_substring_dedup_two_phase_plan(spark, sf_dir):
+    """The repeated-substring pass must be the documented TWO-PHASE
+    shape: the corpus-bytes window table appears exactly twice (one
+    Generate per phase), the second phase probes the hot digest set
+    through a BROADCAST join (no second corpus shuffle), and the span
+    subtree is consumed once (no sort-merge joins, <=3 corpus scans)."""
+    from hbase_1_3_0_spark.pipeline import substrings
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    out = substrings.remove_repeated_spans(docs, k=40)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 3
+    assert not inspect.has_python_eval(out)
