@@ -202,6 +202,7 @@ def trigram_perplexity(
     vocab_size: int | None = None,
     discount: float = 0.75,
     smoothing: str = "kn",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Trigram LM with interpolated Kneser-Ney smoothing — the shape of
     the CCNet perplexity signal (a KenLM n-gram model with modified KN;
@@ -234,13 +235,19 @@ def trigram_perplexity(
     by broadcast (the same grand-total pattern); everything else shares
     the 'kn' plan. The unigram floor is unchanged.
 
-    Plan shape: one tokenize+posexplode pass, one per-doc window (two
-    lags, one shuffle keyed on the doc), hash aggs for the type tables
-    (trigram types, their (u,v)/(v)/(v,w) rollups, continuation
-    unigrams), then scoring joins — per-word tables broadcast; the
-    trigram/bigram-keyed joins shuffle on bounded in-vocab key spaces
-    exactly like bigram_perplexity's pairs join. Zero-token docs get
-    ``n_words=0`` rows."""
+    Plan shape — ONE corpus pass total: the tokenize+posexplode and the
+    per-doc two-lag window materialize ONCE (``localCheckpoint``), and
+    every downstream branch — vocabulary, token totals, the n-gram type
+    tables, the scoring join — reads the materialized token table
+    instead of re-running the explode+window prefix (ReusedExchange
+    only kicks in post-shuffle, so without the checkpoint each of the
+    ~6 consumer branches re-scans and re-explodes the corpus: the r5
+    plan had ~15 parquet scans of the documents table). The type tables
+    stay vocab-bounded and broadcast; the trigram/bigram-keyed joins
+    shuffle on bounded in-vocab key spaces exactly like
+    bigram_perplexity's pairs join. Zero-token docs get ``n_words=0``
+    rows. ``checkpoint=False`` opts out (caller owns persistence —
+    e.g. has already cached/checkpointed the input)."""
     from pyspark.sql.window import Window
 
     if smoothing not in ("kn", "mkn"):
@@ -250,14 +257,18 @@ def trigram_perplexity(
         F.col(id_col),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
     )
-    vocab = _counts_from_tokens(toks.select("word"), vocab_size)
-    in_vocab = vocab.select("word")
-    totals = toks.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
-        vocab.agg(F.count(F.lit(1)).alias("_v"))
-    )
     w = Window.partitionBy(id_col).orderBy("pos")
     seq = toks.withColumn("prev", F.lag("word").over(w)).withColumn(
         "prev2", F.lag("word", 2).over(w)
+    )
+    if checkpoint:
+        seq = seq.localCheckpoint()
+    # vocabulary + totals derive from the SAME materialized token table
+    # (seq's rows are toks' rows plus the lag columns)
+    vocab = _counts_from_tokens(seq.select("word"), vocab_size)
+    in_vocab = vocab.select("word")
+    totals = seq.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("_v"))
     )
 
     # n-gram TYPE tables over in-vocab words only

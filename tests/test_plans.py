@@ -211,3 +211,17 @@ def test_substring_dedup_two_phase_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 3
     assert not inspect.has_python_eval(out)
+
+
+def test_trigram_lm_single_corpus_pass(spark, sf_dir):
+    """The KN trigram LM must materialize the tokenize+lag token table
+    ONCE: every downstream branch (vocab, totals, type tables, scoring)
+    reads the checkpoint, so the final plan scans the documents parquet
+    at most 3 times (r5 shipped ~15 scans — one per uncached branch)."""
+    from hbase_1_3_0_spark.pipeline import lm
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    out = lm.trigram_perplexity(docs, vocab_size=500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 3
+    assert not inspect.has_python_eval(out)
