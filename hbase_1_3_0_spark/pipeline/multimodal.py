@@ -177,7 +177,12 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     p = F.col(payload_col)
     n = F.length(p)
     is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
-    is_gif = F.hex(F.substring(p, 1, 4)) == "47494638"  # 'GIF8'
+    # full 6-byte version magic: 'GIF87a' / 'GIF89a' — matching only
+    # 'GIF8' would classify malformed headers (e.g. 'GIF8xy') as gif
+    # and read fabricated dimensions from them
+    is_gif = F.hex(F.substring(p, 1, 6)).isin(
+        "474946383761", "474946383961"
+    )
     is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (  # 'RIFF'
         F.hex(F.substring(p, 9, 8)) == "57415645666D7420"  # 'WAVEfmt '
     )
@@ -189,11 +194,15 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
     # every field predicate carries a length guard: a payload truncated
     # INSIDE a field would otherwise hex/conv the partial bytes into a
-    # fabricated small number — truncated fields must read NULL
-    width = F.when(is_png & (n >= 20), _be_int(p, 17, 4)).when(
+    # fabricated small number — truncated fields must read NULL. PNG
+    # dims additionally require the first chunk to actually BE IHDR
+    # (bytes 13-16): the spec mandates it, and reading the fixed
+    # offsets out of a non-IHDR first chunk fabricates dimensions
+    png_ihdr = is_png & (F.hex(F.substring(p, 13, 4)) == "49484452")
+    width = F.when(png_ihdr & (n >= 20), _be_int(p, 17, 4)).when(
         is_gif & (n >= 8), _le_int(p, 7, 2)
     )
-    height = F.when(is_png & (n >= 24), _be_int(p, 21, 4)).when(
+    height = F.when(png_ihdr & (n >= 24), _be_int(p, 21, 4)).when(
         is_gif & (n >= 10), _le_int(p, 9, 2)
     )
     n_channels = F.when(is_wav & (n >= 24), _le_int(p, 23, 2))
@@ -251,6 +260,13 @@ def jpeg_probe(
             while i + 4 <= len(b):
                 if b[i] != 0xFF:
                     return (True, None, None, None, None)  # corrupt stream
+                # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may
+                # pad before a marker — skip the run so the first
+                # non-0xFF byte is read as the marker code
+                while i + 2 <= len(b) and b[i + 1] == 0xFF:
+                    i += 1
+                if i + 4 > len(b):
+                    break
                 marker = b[i + 1]
                 if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                     i += 2  # standalone markers have no length field

@@ -790,6 +790,14 @@ def ivfpq_topk(
     Pass pre-trained ``centroids`` / ``codebooks`` to amortize training
     across queries (one-time :func:`kmeans_centroids` /
     :func:`pq_train`); defaults train seeded models inline."""
+    if residual and codebooks is not None and anchors is None:
+        # data-derived anchors generally won't match the anchors the
+        # supplied residual codebooks were trained against; encoding
+        # and decoding would silently disagree and recall would degrade
+        raise ValueError(
+            "residual=True with pre-trained codebooks requires the "
+            "anchors they were trained against (pass anchors=...)"
+        )
     cents = centroids or kmeans_centroids(
         corpus, k=num_lists, dim=dim, vec_col=vec_col, iters=3, seed=seed
     )

@@ -90,8 +90,21 @@ def write_arrow(
     """Write one Arrow IPC file per partition; returns the manifest
     [(file, n_rows)] (bounded: one entry per partition). ``compression``
     is IPC buffer compression ('zstd'/'lz4') when the pyarrow build
-    supports it."""
+    supports it.
+
+    COMMIT PROTOCOL (the mapInPandas twin of FileOutputCommitter —
+    tasks that write side-effect files need one, or a failed/retried or
+    speculatively-executed task leaves its first attempt's file next to
+    the retry's and the reader silently double-counts): every attempt
+    writes to a fresh uniquely-named file under a staging directory;
+    the driver then finalizes ONLY the files named in the returned
+    manifest — which contains exactly one row per partition, from the
+    attempt Spark committed — renaming them to deterministic
+    ``part-<partition>.arrow`` names and deleting the staging dir with
+    any orphaned attempts in it."""
+    import os
     import shutil
+    import uuid as _uuid
 
     out = Path(path)
     if mode == "overwrite" and out.exists():
@@ -99,8 +112,10 @@ def write_arrow(
     elif out.exists() and mode == "error":
         raise FileExistsError(str(out))
     out.mkdir(parents=True, exist_ok=True)
+    staging = out / f"_staging-{_uuid.uuid4().hex}"
+    staging.mkdir()
     arrow_schema = _arrow_schema(df.schema)
-    dir_str = str(out)
+    staging_str = str(staging)
 
     def write_part(batches):
         import uuid
@@ -116,22 +131,42 @@ def write_arrow(
         )
         writer = None
         fname = None
+        part_id = None
         n = 0
         for pdf in batches:
             tbl = pa.Table.from_pandas(
                 pdf, schema=arrow_schema, preserve_index=False
             )
             if writer is None:
-                fname = f"{dir_str}/part-{uuid.uuid4().hex}.arrow"
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                part_id = ctx.partitionId() if ctx is not None else 0
+                # unique per ATTEMPT: concurrent speculative attempts
+                # must never write the same staging file
+                fname = (
+                    f"{staging_str}/part-{part_id:05d}-"
+                    f"{uuid.uuid4().hex}.arrow"
+                )
                 writer = ipc.new_file(fname, arrow_schema, options=opts)
             writer.write_table(tbl)
             n += len(pdf)
         if writer is not None:
             writer.close()
-            yield pd.DataFrame({"file": [fname], "n_rows": [n]})
+            yield pd.DataFrame(
+                {"file": [fname], "part": [part_id], "n_rows": [n]}
+            )
 
-    manifest = df.mapInPandas(write_part, "file string, n_rows long")
-    return [(r.file, r.n_rows) for r in manifest.collect()]
+    manifest = df.mapInPandas(
+        write_part, "file string, part int, n_rows long"
+    ).collect()
+    final: list[tuple[str, int]] = []
+    for r in sorted(manifest, key=lambda r: r.part):
+        dst = out / f"part-{r.part:05d}.arrow"
+        os.replace(r.file, dst)
+        final.append((str(dst), r.n_rows))
+    shutil.rmtree(staging)
+    return final
 
 
 def read_arrow(

@@ -467,6 +467,25 @@ def _dedup_commit_batch(
             "pre-existing digests) before resuming the stream"
         )
     if store is not None:
+        # a store whose max batch_id EXCEEDS the incoming one means the
+        # stream was restarted with a FRESH checkpoint against existing
+        # out/store dirs: batch ids restart at 0, dynamic overwrite
+        # would clobber prior batches' survivors/digests, and the
+        # own-batch exclusion would admit duplicates. Fail loudly —
+        # checkpoint dir and out/store dirs must stay paired. (Equal is
+        # fine: that's this batch's own half-commit being replayed;
+        # smaller including the batch_id=-1 base partition is history.)
+        max_seen = store.agg(F.max("batch_id")).first()[0]
+        if max_seen is not None and max_seen > batch_id:
+            raise ValueError(
+                f"digest store at {store_dir} already contains "
+                f"batch_id={max_seen} > incoming batch_id={batch_id}: "
+                "the stream checkpoint was reset against an existing "
+                "store. Resume with the original checkpoint dir, or "
+                "point the stream at fresh out/store dirs (or fold "
+                "history into the batch_id=-1 base partition with "
+                "compact_digest_store)."
+            )
         # exclude this batch's own digests: on re-delivery after a crash
         # between the two writes, a half-committed store must not make
         # the batch's documents look like duplicates of themselves
@@ -492,3 +511,73 @@ def _dedup_commit_batch(
         .partitionBy("batch_id")
         .parquet(store_dir)
     )
+
+
+def compact_digest_store(
+    spark: SparkSession,
+    store_dir: str | Path,
+    *,
+    up_to_batch: int,
+    num_files: int = 8,
+) -> None:
+    """Fold historical ``batch_id`` partitions of the streaming-dedup
+    digest store into the ``batch_id=-1`` BASE partition — the memstore-
+    flush/compaction posture applied to stream state (reference:
+    hbase-server/.../regionserver/HStore.java — WAL-era state folds into
+    the base store so per-file counts and scan cost stay bounded).
+    Without it the store accretes one partition per micro-batch forever
+    and every batch re-reads an ever-growing file set.
+
+    ``up_to_batch`` is the fold frontier: every partition with
+    ``-1 <= batch_id <= up_to_batch`` is replaced by one deduplicated
+    base partition of ``num_files`` files. The caller MUST pass a
+    frontier strictly below any batch the stream could still replay
+    (i.e. < the checkpoint's last COMMITTED batch id — availableNow /
+    restart semantics only ever re-deliver the batch after the last
+    commit), because a replayed batch excludes its own ``batch_id``
+    from the seen-set and folding it into the base would make its
+    documents look like duplicates of themselves.
+
+    Crash-safe by the same membership argument as the sink: the base
+    partition is written first (dynamic overwrite of ``batch_id=-1``
+    only), the folded partitions are deleted after. A crash between the
+    two leaves digests duplicated between base and history — harmless
+    for a seen-SET — and re-running the compaction converges."""
+    import shutil
+
+    store_dir = str(store_dir)
+    store = spark.read.parquet(store_dir)
+    if "batch_id" not in store.columns:
+        raise ValueError(
+            f"digest store at {store_dir} uses the legacy flat layout; "
+            "compaction requires the batch_id-partitioned layout"
+        )
+    if up_to_batch < 0:
+        raise ValueError(f"up_to_batch must be >= 0, got {up_to_batch}")
+    folded = store.where(F.col("batch_id") <= up_to_batch)
+    # distinct fps, bounded file count, sorted within files so parquet
+    # min/max row-group stats prune digest-membership probes; the new
+    # base must materialize BEFORE the overwrite touches the partition
+    # it was derived from
+    base = (
+        folded.select("fp")
+        .distinct()
+        .repartition(num_files, "fp")
+        .sortWithinPartitions("fp")
+        .localCheckpoint()
+    )
+    (
+        base.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+    for p in Path(store_dir).glob("batch_id=*"):
+        name = p.name.split("=", 1)[1]
+        try:
+            bid = int(name)
+        except ValueError:
+            continue
+        if 0 <= bid <= up_to_batch:
+            shutil.rmtree(p)

@@ -517,3 +517,37 @@ def test_bucketed_cells_diff_join_is_shuffle_free(spark, sf_dir, tmp_path):
     assert not ident_exchanges, ident_exchanges
     spark.sql("DROP TABLE IF EXISTS bk_src")
     spark.sql("DROP TABLE IF EXISTS bk_tgt")
+
+
+def test_arrow_write_commit_protocol(spark, tmp_path):
+    """ADVICE r5: write_arrow must be retry/speculation-safe — attempts
+    write uniquely-named staging files and the driver finalizes ONLY
+    manifest-listed ones to deterministic part-<partition> names, so a
+    failed attempt's file can never be read back as duplicate rows."""
+    from hbase_1_3_0_spark.sources import arrow_ipc
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id: long, text: string"
+    ).repartition(4)
+    path = tmp_path / "arrow_commit"
+    manifest = arrow_ipc.write_arrow(df, str(path))
+    names = sorted(p.name for p in path.glob("*.arrow"))
+    # deterministic per-partition names, one per non-empty partition
+    assert names == sorted(f.rsplit("/", 1)[1] for f, _ in manifest)
+    assert all(
+        n.startswith("part-") and n.endswith(".arrow") and len(n) == 16
+        for n in names
+    )
+    # no staging residue survives the commit
+    assert not list(path.glob("_staging-*"))
+    back = arrow_ipc.read_arrow(spark, str(path), "doc_id bigint, text string")
+    assert back.count() == 8
+
+    # an orphaned stale staging dir (a crashed prior writer) must be
+    # invisible to the reader
+    stale = path / "_staging-deadbeef"
+    stale.mkdir()
+    (stale / "part-00000-junk.arrow").write_bytes(b"not arrow")
+    assert arrow_ipc.read_arrow(
+        spark, str(path), "doc_id bigint, text string"
+    ).count() == 8

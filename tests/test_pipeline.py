@@ -968,6 +968,16 @@ def test_residual_ivfpq_cuts_reconstruction_error(emb, spark):
     rows = out.collect()
     assert rows and all(r.rank <= 3 and r.vec_id != r.query_id for r in rows)
 
+    # ADVICE r5: residual codebooks WITHOUT their training anchors must
+    # refuse rather than silently recompute mismatched anchors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="anchors"):
+        sim.ivfpq_topk(
+            emb, queries, k=3, num_lists=16, nprobe=4,
+            centroids=cents, codebooks=resid_books, residual=True,
+        )
+
 
 def test_repeated_substring_dedup(spark):
     """Lee-et-al-style span dedup: a license header shared by three docs
@@ -1130,3 +1140,40 @@ def test_pq_and_centroid_model_persistence(emb, spark, tmp_path):
     assert mem.orderBy("query_id", "rank").collect() == loaded.orderBy(
         "query_id", "rank"
     ).collect()
+
+
+def test_probe_media_malformed_magic_and_fill_bytes(spark):
+    """ADVICE r5: (a) GIF classification needs the FULL 6-byte version
+    magic — 'GIF8xy' garbage must read unknown, not gif-with-fabricated
+    dims; (b) a PNG whose first chunk is not IHDR must not fabricate
+    width/height from the fixed offsets; (c) jpeg_probe must skip 0xFF
+    fill bytes between marker segments (ITU T.81 B.1.1.2)."""
+    from hbase_1_3_0_spark.pipeline import multimodal as mm
+
+    bad_gif = b"GIF8xy" + (320).to_bytes(2, "little") + (200).to_bytes(
+        2, "little"
+    ) + b"\x00\x00\x00"
+    # valid PNG signature, first chunk type 'TIME' instead of IHDR
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (7).to_bytes(4, "big") + b"TIME"
+        + (31).to_bytes(4, "big") + (17).to_bytes(4, "big") + b"\x08"
+    )
+    df = spark.createDataFrame(
+        [(1, bad_gif), (2, bad_png)], "doc_id: long, payload: binary"
+    )
+    got = {r.doc_id: r for r in mm.probe_media(df).collect()}
+    assert got[1].container == "unknown" and got[1].width is None
+    assert got[2].container == "png"
+    assert got[2].width is None and got[2].height is None
+
+    # JPEG with runs of 0xFF fill bytes padding before each marker
+    jj = _real_jpeg_header(99, 44)
+    segs = jj[2:]  # after SOI
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + segs.replace(
+        b"\xff\xdb", b"\xff\xff\xff\xdb", 1
+    )
+    got2 = mm.jpeg_probe(
+        spark.createDataFrame([(1, padded)], "doc_id: long, payload: binary")
+    ).collect()[0]
+    assert got2.is_jpeg and (got2.width, got2.height) == (99, 44)

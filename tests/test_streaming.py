@@ -565,3 +565,92 @@ def test_dedup_ingest_store_edge_states(spark, tmp_path):
             spark, bdf, 1, out_dir=str(tmp_path / "out2"),
             store_dir=str(legacy),
         )
+
+
+def test_dedup_ingest_fresh_checkpoint_guard(spark, tmp_path):
+    """ADVICE r5: restarting the stream with a FRESH checkpoint against
+    an existing store restarts batch ids at 0 — dynamic overwrite would
+    clobber prior batches and the own-batch exclusion would admit
+    duplicates. The sink must fail loudly when the store already holds
+    batch_id > the incoming one; the equal case (own half-commit
+    replay) must still proceed."""
+    import pytest
+
+    from hbase_1_3_0_spark.streaming import wal
+
+    out_dir, store_dir = str(tmp_path / "out"), str(tmp_path / "store")
+
+    def commit(rows, batch_id):
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wal._dedup_commit_batch(
+            spark, bdf, batch_id, out_dir=out_dir, store_dir=store_dir
+        )
+
+    commit([(1, "alpha")], 0)
+    commit([(2, "beta")], 1)
+    # replay of the CURRENT batch id is fine (idempotent re-delivery)
+    commit([(2, "beta")], 1)
+    # a fresh checkpoint restarting at 0 must be refused
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        commit([(3, "gamma")], 0)
+    # state unharmed: the refused batch wrote nothing
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 2]
+
+
+def test_compact_digest_store_preserves_seen_set(spark, tmp_path):
+    """Compaction folds historical batch partitions into the
+    batch_id=-1 base: the seen-SET is preserved exactly, file/partition
+    counts are bounded, replay of the newest (uncompacted) batch still
+    works, and new batches still dedup against folded history."""
+    from hbase_1_3_0_spark.streaming import wal
+
+    out_dir, store_dir = str(tmp_path / "out"), str(tmp_path / "store")
+
+    def commit(rows, batch_id):
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wal._dedup_commit_batch(
+            spark, bdf, batch_id, out_dir=out_dir, store_dir=store_dir
+        )
+
+    commit([(1, "alpha"), (2, "beta")], 0)
+    commit([(10, "gamma"), (11, "alpha")], 1)
+    commit([(20, "delta")], 2)
+    commit([(30, "epsilon")], 3)
+    before = {
+        r.fp for r in spark.read.parquet(store_dir).select("fp").collect()
+    }
+
+    wal.compact_digest_store(spark, store_dir, up_to_batch=2, num_files=2)
+    parts = sorted(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "store").glob("batch_id=*")
+    )
+    assert parts == [-1, 3]
+    after = {
+        r.fp for r in spark.read.parquet(store_dir).select("fp").collect()
+    }
+    assert after == before  # seen-set preserved exactly
+    base_files = list((tmp_path / "store" / "batch_id=-1").glob("*.parquet"))
+    assert 0 < len(base_files) <= 2
+
+    # replay of the newest (uncompacted) batch is still a no-op
+    commit([(30, "epsilon")], 3)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 2, 10, 20, 30]
+    # new batch dedups against FOLDED history (alpha died in batch 0)
+    commit([(40, "alpha"), (41, "zeta")], 4)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 2, 10, 20, 30, 41]
+    # idempotent: re-running the same compaction converges
+    wal.compact_digest_store(spark, store_dir, up_to_batch=2, num_files=2)
+    assert {
+        r.fp for r in spark.read.parquet(store_dir).select("fp").collect()
+    } == after | {
+        r.fp
+        for r in spark.read.parquet(store_dir)
+        .where(F.col("batch_id").isin(3, 4)).select("fp").collect()
+    }
