@@ -783,6 +783,31 @@ def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus sink -> source roundtrip (sources/jsonl.py read_csv/
+    write_csv): RFC-4180 quote-doubling writer, DECLARED-schema
+    multiline reader. The text column is prefixed with an embedded
+    comma + doubled quote + newline so the roundtrip genuinely
+    exercises quoting and multiline-record parsing, not just happy-path
+    splitting."""
+    import hashlib
+
+    from hbase_1_3_0_spark.sources import jsonl
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('a,"b"\n'), F.col("text")).alias("text"),
+        "lang",
+        "source",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_csv_{tag}_{os.getpid()}"
+    jsonl.write_csv(docs, path)
+    return jsonl.read_csv(
+        spark, path, "doc_id bigint, text string, lang string, source string"
+    )
+
+
 def q_first_key_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FirstKeyValueMatchingQualifiersFilter: cells up to the first
     qualifier-set hit, then next row."""
@@ -1375,6 +1400,77 @@ def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("qualifier"), "UTF-8").alias("event_type"),
         F.col("counter"),
     )
+
+
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest exact dedup END-TO-END through the real
+    Structured Streaming sink (streaming/wal.py dedup_ingest_stream):
+    the corpus lands as three id-ranged micro-batch files, each batch
+    dedups against the persisted digest store and commits survivors +
+    digests idempotently (batch_id-partitioned, dynamic overwrite).
+    The testdata has no exact-duplicate texts, so the corpus is the
+    documents table plus TWO high-id copies of every 7th doc — the
+    copies land in a LATER batch than their originals (cross-batch
+    dedup through the store) and adjacent to each other (in-batch
+    dedup). Because the batches are id-RANGED and processed in id
+    order, the survivor set equals the globally-first doc per content
+    digest no matter how the file source groups triggers — which is
+    what makes the final out_dir state SQL-stateable."""
+    import glob
+    import hashlib
+    import shutil
+
+    from hbase_1_3_0_spark.streaming import wal as walmod
+
+    orig = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base_n = orig.agg(F.max("doc_id")).first()[0] or 0
+    off = base_n + 1
+    dup_src = orig.where(F.col("doc_id") % 7 == 0)
+    copies = dup_src.select(
+        (F.col("doc_id") * 2 + off).alias("doc_id"),
+        "text",
+        F.lit("dup").alias("source"),
+    ).unionByName(
+        dup_src.select(
+            (F.col("doc_id") * 2 + off + 1).alias("doc_id"),
+            "text",
+            F.lit("dup").alias("source"),
+        )
+    )
+    docs = orig.unionByName(copies)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_dingest_{tag}_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    os.makedirs(src)
+    n = docs.agg(F.max("doc_id")).first()[0] or 0
+    cuts = [0, n // 3 + 1, 2 * n // 3 + 1, n + 1]
+    for i in range(3):
+        scratch = f"{base}/scratch{i}"
+        (
+            docs.where(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        shutil.copy(
+            glob.glob(f"{scratch}/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+    q = walmod.dedup_ingest_stream(
+        spark,
+        src,
+        out_dir=f"{base}/out",
+        store_dir=f"{base}/store",
+        checkpoint_dir=f"{base}/ckpt",
+        schema="doc_id bigint, text string, source string",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select("doc_id", "source")
 
 
 def q_stateful_ttl_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2262,6 +2358,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green rows in CORRECTNESS_r01-r03; every query regardless of
     position is verified locally by ``tools/check_oracles.py``
     (CORRECTNESS_LOCAL_r04.json: 117 entries, 0 failures).
+
+    Round 6 rotates IN the two new queries (csv_roundtrip,
+    dedup_ingest) and the three that had no driver row after r05
+    (jpeg_probe, domain_cap, substring_dedup); rotated OUT are five
+    multi-round-covered keys (minhash_pairs, simhash_pairs, random_row
+    — driver rows + r5 local pure-Python model oracles; pq_topk,
+    ivfpq_topk — rows-only r5, the driver's ceiling for Spark-trained
+    float models), whose areas stay represented in-window by
+    lsh/ivf/cosine top-k and the dedup family.
     """
     return {
         # -- client read/write representatives (previously green r01+r02) --
@@ -2272,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- new in r05: Arrow IPC corpus source --
         "arrow_roundtrip": q_arrow_roundtrip,
+        # -- new in r06: CSV source roundtrip (quoted/multiline) --
+        "csv_roundtrip": q_csv_roundtrip,
         # -- read-view semantics --
         "compaction": q_compaction,
         # -- mutations / jobs --
@@ -2297,16 +2404,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         # -- rotated in r04: rows-only-by-design ops (no oracle_sql; the
         #    driver records the weaker rows-only check for these) --
-        "random_row": q_random_row,
         "multimodal_features": q_multimodal_features,
         # -- new in r05: oracle-checked multimodal header probe --
         "media_probe": q_media_probe,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
+        # -- rotated in r06: the 3 queries with no driver row yet
+        #    (landed after the r05 rotation; all local-green) --
+        "jpeg_probe": q_jpeg_probe,
+        "domain_cap": q_domain_cap,
+        "substring_dedup": q_substring_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
         # -- security tags --
         "visibility_labels": q_visibility_labels,
         "cell_acl": q_cell_acl,
@@ -2314,6 +2421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "endpoint_agg": q_endpoint_agg,
         "observer_redact": q_observer_redact,
         "streaming_counters": q_streaming_counters,
+        # -- new in r06: the streaming-ingest dedup sink end-to-end --
+        "dedup_ingest": q_dedup_ingest,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         # -- LLM training-data pipeline --
@@ -2330,10 +2439,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r04: CAS-guarded RowMutations --
         "check_and_mutate_row": q_check_and_mutate_row,
         # ---- end of driver-checked window (50) ----
+        # rotated out r06 to admit csv_roundtrip + dedup_ingest (new)
+        # and jpeg_probe/domain_cap/substring_dedup (the only 3 queries
+        # with no driver row after r05). All five rotated-out keys have
+        # driver rows (minhash/simhash/random_row rows + r5 local
+        # pure-Python model oracles; pq_topk/ivfpq_topk rows-only r5 —
+        # the driver's ceiling for Spark-trained float models); their
+        # areas stay repped in-window by lsh/ivf/cosine top-k and the
+        # dedup family
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "random_row": q_random_row,
         # rotated out r05 to admit lm_trigram + ivfpq_topk +
         # arrow_roundtrip (all multi-round green: r01/r02 + r03/r04;
         # their areas stay repped in-window by fingerprint/paragraph/
-        # incremental/minhash/simhash/clusters + cosine/lsh/ivf/pq)
+        # incremental/clusters + cosine/lsh/ivf)
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2341,11 +2463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
-        # new in r05 below the line (locally oracle-verified; rotate
-        # into the window next round for driver rows)
-        "jpeg_probe": q_jpeg_probe,
-        "domain_cap": q_domain_cap,
-        "substring_dedup": q_substring_dedup,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3350,6 +3467,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arrow_roundtrip": (
             "SELECT doc_id, text, lang, source FROM documents"
+        ),
+        "csv_roundtrip": (
+            "SELECT doc_id, 'a,\"b\"' || chr(10) || text AS text, "
+            "lang, source FROM documents"
+        ),
+        "dedup_ingest": (
+            "WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents), "
+            "corpus AS ("
+            "SELECT doc_id, text, source FROM documents "
+            "UNION ALL SELECT doc_id * 2 + (SELECT o FROM off), text, "
+            "'dup' FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id * 2 + (SELECT o FROM off) + 1, text, "
+            "'dup' FROM documents WHERE doc_id % 7 = 0) "
+            "SELECT c.doc_id, c.source FROM corpus c JOIN ("
+            "SELECT min(doc_id) AS doc_id FROM corpus "
+            "GROUP BY md5(text)) w ON c.doc_id = w.doc_id"
         ),
         "incremental_dedup": (
             "WITH seen AS (SELECT DISTINCT md5(text) AS fp FROM documents "

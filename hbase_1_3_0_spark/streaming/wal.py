@@ -383,6 +383,7 @@ def dedup_ingest_stream(
     schema,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming ingest dedup: a foreachBatch sink where each micro-batch
     runs :func:`~hbase_1_3_0_spark.pipeline.dedup.incremental_dedup`
@@ -411,9 +412,11 @@ def dedup_ingest_stream(
             text_col=text_col, id_col=id_col,
         )
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(schema)
-        .parquet(str(source_dir))
+        reader.parquet(str(source_dir))
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", str(checkpoint_dir))
         .trigger(availableNow=True)
