@@ -497,6 +497,87 @@ def apply_rotation(
     return df.withColumn(out_col, rotated)
 
 
+def opq_train(
+    df: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    kmeans_iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+    seed: int = 7,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """FULL iterative OPQ (Ge et al., CVPR 2013 — the non-parametric
+    variant FAISS ships as OPQMatrix): alternate (a) per-subspace
+    k-means codebooks in the current rotated space with (b) the
+    orthogonal-Procrustes rotation update ``min_R ||X Rᵀ − Y||_F``
+    (Y = the PQ reconstruction), initialized from the eigenvalue
+    round-robin of :func:`opq_rotation`. Each alternation strictly
+    reduces the same quantization objective, so the result upper-bounds
+    the OPQ-lite rotation at the identical code budget.
+
+    Topology: like :func:`opq_rotation`, the model FIT runs driver-side
+    on a bounded deterministic sample (``sample_n`` rows ordered by
+    ``id_col``) — an O(sample_n x dim) numpy problem, which is model
+    state, not data. The corpus-scale work (rotate + encode every
+    vector) stays Spark-side: :func:`apply_rotation` with the returned
+    rotation, then :func:`pq_encode` with the returned codebooks on the
+    rotated column (queries rotate with the SAME matrix). Returns
+    ``(rotation, codebooks)`` — both shaped exactly like
+    :func:`opq_rotation` / :func:`pq_train` output, so every downstream
+    consumer (persistence, pq_topk, the IVF-PQ store) composes
+    unchanged."""
+    import numpy as np
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    rot = np.array(
+        opq_rotation(
+            df, dim=dim, m=m, vec_col=vec_col, id_col=id_col,
+            sample_n=sample_n,
+        )
+    )
+    books = np.array(
+        [_random_unit_vectors(k, sub, seed + j) for j in range(m)]
+    )
+    for _ in range(iters):
+        xr = x @ rot.T
+        # (a) per-subspace Lloyd passes in the current rotated space;
+        # empty cells keep their previous centroid (pq_train contract)
+        recon = np.empty_like(xr)
+        for j in range(m):
+            xs = xr[:, j * sub : (j + 1) * sub]
+            for _ in range(kmeans_iters):
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                code = d2.argmin(axis=1)
+                for c in range(k):
+                    hit = code == c
+                    if hit.any():
+                        books[j][c] = xs[hit].mean(axis=0)
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            recon[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(axis=1)]
+        # (b) orthogonal Procrustes: X^T Y = U S V^T  =>  R^T = U V^T
+        # (U@Vt is invariant to SVD's paired sign flips, so the update
+        # is deterministic for distinct singular values)
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        rot = (u @ vt).T
+    return (
+        [[float(v) for v in row] for row in rot],
+        [[[float(v) for v in c] for c in book] for book in books],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Model persistence — train once, reuse across jobs
 # ---------------------------------------------------------------------------
