@@ -61,6 +61,7 @@ def perplexity_proxy(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab_size: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-document (id, n_words, oov_rate, bits_per_word) under the
     in-corpus add-one unigram LM. ``N`` counts every corpus token
@@ -75,6 +76,11 @@ def perplexity_proxy(
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
     )
+    if checkpoint:
+        # one corpus pass total: vocab/totals/scoring all read the
+        # materialized token table instead of re-running the explode
+        # (see trigram_perplexity — same ReusedExchange limitation)
+        toks = toks.localCheckpoint()
     # derive the model from the SAME tokenized frame — tokenizing the
     # corpus once, not once for scoring and again for counting
     vocab = _counts_from_tokens(toks.select("word"), vocab_size)
@@ -125,6 +131,7 @@ def bigram_perplexity(
     id_col: str = "doc_id",
     vocab_size: int | None = None,
     lam: float = 0.75,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Interpolated-bigram upgrade of :func:`perplexity_proxy` — one step
     closer to the CCNet KenLM signal:
@@ -146,12 +153,15 @@ def bigram_perplexity(
         F.col(id_col),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
     )
-    vocab = _counts_from_tokens(toks.select("word"), vocab_size)
-    totals = toks.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
-        vocab.agg(F.count(F.lit(1)).alias("_v"))
-    )
     w = Window.partitionBy(id_col).orderBy("pos")
     seq = toks.withColumn("prev", F.lag("word").over(w))
+    if checkpoint:
+        # one corpus pass total (see trigram_perplexity)
+        seq = seq.localCheckpoint()
+    vocab = _counts_from_tokens(seq.select("word"), vocab_size)
+    totals = seq.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("_v"))
+    )
     in_vocab = vocab.select("word")
     pairs = (
         seq.where(F.col("prev").isNotNull())

@@ -12,6 +12,26 @@
 
 All math in float64 with sequential array aggregation — deterministic and
 engine-portable (DuckDB's list_dot_product matches to 6 decimals).
+
+Why there is no HNSW here (evaluate-first note, round 6): graph ANN
+builds its index by SEQUENTIAL greedy insertion — each vector's
+neighbors depend on the graph state left by every previous insertion —
+and queries walk the graph one hop at a time. Both fight Spark's
+execution model head-on: an insertion order is a serialization point
+(a driver loop or a single-task build), and a multi-hop walk is either
+one Spark job per hop (latency dies) or a driver-side walk over
+collected adjacency (the index must fit the driver). Distributed HNSW
+in practice means per-partition sub-graphs queried scatter-gather —
+which on Spark degenerates to "open every partition per query", i.e.
+strictly worse I/O than the IVF-PQ store already committed here, whose
+nprobe partition pruning reads only nprobe/num_lists of 64x-compressed
+codes and whose models (centroids + codebooks + anchors) are a few KB
+of broadcast state. HNSW's win over IVF is recall at low latency for
+SINGLE online queries on a resident index — a serving-system shape.
+This engine's shape is batch/throughput top-k over parquet, where the
+IVF-PQ store is the right endgame; if sub-ms online ANN is ever
+needed, export the codes to a serving system rather than emulating
+one in Spark jobs.
 """
 
 from __future__ import annotations
