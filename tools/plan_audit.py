@@ -39,6 +39,7 @@ AUDIT = [
     "url_dedup",        # canonical-md5 groupBy: 32-hex shuffle keys
     "lm_bigram",        # lag window + (prev,word) join: no cartesian
     "lm_trigram",       # KN backoff: bounded type-table joins, no cartesian
+    "substring_dedup",  # two-phase: one digest shuffle, broadcast hot set
     "ivfpq_topk",       # composed index: one broadcast join, no self-join
     "events_sessionize",  # session_window: one keyed shuffle
     "temperature_mix",  # one hash agg + broadcast 1-row totals
