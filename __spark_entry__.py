@@ -2285,6 +2285,34 @@ def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budgets (pipeline/sampling.py
+    token_budget_sample): greedy deterministic fill in seeded-hash rank
+    order, kept while tokens-before < budget (the boundary doc is kept)
+    — how training mixtures are actually specified, where doc-count
+    quotas miss by orders of magnitude on length-skewed sources."""
+    docs = _load(spark, sf_dir, "documents")
+    out = sampling.token_budget_sample(
+        docs, {"src1": 900, "src4": 1, "src7": 250}, default_budget=120
+    )
+    return out.select("doc_id", "source")
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization + deterministic scrub (pipeline/text.py
+    normalize_text): a combining-sequence + zero-width + doubled-space
+    prefix is injected so the NFC composition and every scrub rewrite
+    are genuinely exercised; the oracle mirrors the three regex
+    rewrites and DuckDB's nfc_normalize 1:1."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Cafe\u0301\u200b  x\x07y "), F.col("text")
+        ).alias("text"),
+    )
+    return text.normalize_text(docs)
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram perplexity (0.75*bigram + 0.25*unigram,
     top-300 vocab, first token pure unigram) — the CCNet-shaped LM
@@ -2463,6 +2491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
+        # new in r06 below the line (locally oracle-verified; rotate
+        # into the window next round for driver rows)
+        "token_budget": q_token_budget,
+        "text_normalize": q_text_normalize,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
@@ -3452,6 +3484,28 @@ def oracle_sql() -> dict[str, str]:
             "/ ((doc_id % 8 * 1000 + 8000) * 2)) AS BIGINT) END "
             "AS duration_ms "
             "FROM documents"
+        ),
+        "token_budget": (
+            "WITH t AS (SELECT doc_id, source, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n, "
+            "substr(md5('budget1' || doc_id::VARCHAR), 1, 8) AS bk "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, coalesce(sum(n) OVER ("
+            "PARTITION BY source ORDER BY bk, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b "
+            "FROM t) SELECT doc_id, source FROM c WHERE b < ("
+            "CASE source WHEN 'src1' THEN 900 WHEN 'src4' THEN 1 "
+            "WHEN 'src7' THEN 250 ELSE 120 END)"
+        ),
+        "text_normalize": (
+            "WITH t AS (SELECT doc_id, 'Cafe' || chr(769) || chr(8203) "
+            "|| '  x' || chr(7) || 'y ' || text AS tx FROM documents), "
+            "s AS (SELECT doc_id, regexp_replace(regexp_replace("
+            "regexp_replace(tx, '\\r\\n?', chr(10), 'g'), "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+            "\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), "
+            "'[ \\t]+', ' ', 'g') AS sx FROM t) "
+            "SELECT doc_id, nfc_normalize(sx) AS norm_text FROM s"
         ),
         "exact_k_sample": (
             "SELECT doc_id, source FROM ("

@@ -42,6 +42,7 @@ __all__ = [
     "hash_bucket",
     "stratified_sample",
     "exact_k_sample",
+    "token_budget_sample",
     "train_eval_split",
     "pack_sequences",
     "temperature_mix_rates",
@@ -131,6 +132,59 @@ def exact_k_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= quota)
         .drop("_rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: Column | None = None,
+    default_budget: int = 0,
+    seed: str = "budget1",
+) -> DataFrame:
+    """Per-stratum TOKEN budgets — how training mixtures are actually
+    specified ("2B tokens of source X, 500M of Y"), where doc-count
+    quotas (:func:`exact_k_sample`) miss because documents vary in
+    length by orders of magnitude.
+
+    Greedy deterministic fill: each stratum's docs are ranked by the
+    salted md5 of the id (a seeded uniform shuffle, reproducible across
+    engines/retries) and kept while the tokens accumulated BEFORE the
+    doc are still under the budget — so the doc that crosses the
+    boundary is kept (the budget is a floor-crossing rule, not a hard
+    ceiling; a budget of 1 keeps exactly one doc). Same plan shape as
+    :func:`exact_k_sample`: one shuffle on the stratum key + one window
+    cumulative sum; pre-filter pathologically hot strata with a
+    Bernoulli pass (rate ~= 2·budget/stratum_tokens) to bound the
+    sorted set — the two-phase trick at 100 TB.
+
+    ``token_col`` defaults to the engine's standard whitespace-
+    punctuation-agnostic word count (``text.token_count``) over a
+    ``text`` column."""
+    from pyspark.sql.window import Window
+
+    from hbase_1_3_0_spark.pipeline.text import token_count
+
+    tok = token_col if token_col is not None else token_count(F.col("text"))
+    budget: Column = F.lit(int(default_budget))
+    for stratum, b in budgets.items():
+        budget = F.when(
+            F.col(strata_col) == stratum, F.lit(int(b))
+        ).otherwise(budget)
+    bucket = hash_bucket(F.col(id_col), seed)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(bucket, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long"))
+    return (
+        df.withColumn("_before", before)
+        .where((F.col("_before") < budget))
+        .drop("_before")
     )
 
 

@@ -387,3 +387,77 @@ def tokenizer_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(n_chars > 0, n_bytes / n_chars).otherwise(F.lit(1.0)), 6
         ).alias("utf8_expansion"),
     )
+
+
+# characters the scrub removes wholesale: C0 controls except \t\n (and \r,
+# which the line-ending rewrite handles first), DEL, and the zero-width
+# family (ZWSP/ZWNJ/ZWJ/BOM) that breaks tokenizers and dedup fingerprints
+_SCRUB_CLASS = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\u200B\\u200C\\u200D\\uFEFF]"
+)
+
+
+def scrub_text(text: Column) -> Column:
+    """Deterministic pre-tokenization scrub, pure JVM regex (stays in
+    whole-stage codegen): (1) line endings normalize to ``\\n``
+    (``\\r\\n`` and lone ``\\r``), (2) C0 controls (except tab/newline),
+    DEL, and zero-width characters are removed, (3) runs of horizontal
+    whitespace collapse to one space. Mirrored 1:1 by the DuckDB oracle
+    (same three regex rewrites), so scrubbed fingerprints stay
+    engine-portable."""
+    t = F.regexp_replace(text, "\\r\\n?", "\n")
+    t = F.regexp_replace(t, _SCRUB_CLASS, "")
+    return F.regexp_replace(t, "[ \\t]+", " ")
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    scrub: bool = True,
+) -> DataFrame:
+    """Unicode normalization for corpus hygiene: the same text encoded
+    composed vs decomposed ('é' vs 'e'+U+0301) tokenizes differently and
+    defeats exact dedup, so curation pipelines canonicalize (NFC is the
+    standard; NFKC additionally folds compatibility forms — wider net,
+    lossier). Output: ``(id, norm_text)``.
+
+    The :func:`scrub_text` pass runs first as JVM regex; the
+    normalization itself is a per-codepoint table transform the JVM
+    expression language doesn't expose, so it runs as an Arrow-batched
+    ``mapInPandas`` over stdlib ``unicodedata`` — the same justified-
+    Python shape as the JPEG marker walk (variable-width, table-driven,
+    library-backed), never a row-at-a-time UDF."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    src = (
+        df.withColumn(text_col, scrub_text(F.col(text_col)))
+        if scrub
+        else df
+    )
+    src = src.select(id_col, text_col)
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema}[id_col]
+    out_schema = f"{id_col} {id_type}, norm_text string"
+
+    def run(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "norm_text": [
+                        None
+                        if t is None
+                        else unicodedata.normalize(form, t)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, out_schema)

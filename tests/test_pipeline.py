@@ -1230,3 +1230,74 @@ def test_full_opq_beats_opq_lite(spark):
     # deterministic: same inputs, same model
     rot2, books2 = sim.opq_train(df, dim=dim, m=m, k=16, iters=4, sample_n=n)
     assert rot2 == rot and books2 == books
+
+
+def test_scrub_and_unicode_normalize(spark):
+    """scrub_text: line endings -> \\n, controls/zero-width removed,
+    horizontal runs collapsed — pure JVM. normalize_text: NFC composes
+    combining sequences, NFKC additionally folds compatibility forms;
+    NULL text stays NULL."""
+    from hbase_1_3_0_spark.pipeline import text as tx
+
+    rows = [
+        (1, "a\r\nb\rc"),
+        (2, "x\x00y​z"),
+        (3, "a  \t b"),
+        (4, "Café"),
+        (5, "ﬁne"),  # 'fi' ligature
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    scrubbed = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", tx.scrub_text(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert scrubbed[1] == "a\nb\nc"
+    assert scrubbed[2] == "xyz"
+    assert scrubbed[3] == "a b"
+
+    nfc = {r.doc_id: r.norm_text for r in tx.normalize_text(df).collect()}
+    assert nfc[4] == "Café"
+    assert nfc[5] == "ﬁne"  # NFC keeps compatibility ligatures
+    assert nfc[6] is None
+    nfkc = {
+        r.doc_id: r.norm_text
+        for r in tx.normalize_text(df, form="NFKC").collect()
+    }
+    assert nfkc[5] == "fine"  # NFKC folds them
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="form"):
+        tx.normalize_text(df, form="NFX")
+
+
+def test_token_budget_sample(spark):
+    """Greedy deterministic per-stratum token-budget fill: docs rank by
+    salted md5, kept while tokens-before < budget (boundary doc kept);
+    zero-budget strata drop entirely; reproducible across calls."""
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    rows = [
+        (i, "s1", "tok " * (10 + i)) for i in range(10)
+    ] + [(100 + i, "s2", "w " * 5) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = sampling.token_budget_sample(df, {"s1": 30, "s2": 1})
+    got = sorted(r.doc_id for r in out.collect())
+    # s2: budget 1 -> exactly the first-ranked doc
+    assert len([d for d in got if d >= 100]) == 1
+    # s1: kept docs' tokens-before < 30 -> total tokens >= 30, and
+    # removing the last-ranked kept doc drops below the budget
+    kept_s1 = [d for d in got if d < 100]
+    toks = {i: 10 + i for i in range(10)}
+    assert sum(toks[d] for d in kept_s1) >= 30
+    # default budget 0 -> unlisted strata vanish
+    out2 = sampling.token_budget_sample(df, {"s1": 5})
+    assert all(r.source == "s1" for r in out2.collect())
+    # deterministic
+    got2 = sorted(r.doc_id for r in sampling.token_budget_sample(
+        df, {"s1": 30, "s2": 1}
+    ).collect())
+    assert got2 == got
