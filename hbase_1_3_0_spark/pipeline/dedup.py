@@ -225,6 +225,31 @@ def minhash_signatures(
     )
 
 
+def signature_bands(
+    sig: DataFrame, *, bands: int, num_hashes: int
+) -> DataFrame:
+    """LSH banding of a ``(_id, _sig)`` signature frame: one row per
+    (doc, band) keyed by the xxhash64 of the band's signature slice —
+    the join key that makes near-dup candidate generation a bucket
+    join instead of all-pairs. Shared by the batch candidate paths and
+    the streaming near-dup ingest store."""
+    rows = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("_sig"), bidx * rows + 1, rows)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     *,
@@ -262,27 +287,13 @@ def minhash_lsh_candidates(
     - ``'all'``: exhaustive within-bucket pairs — required when every
       qualifying PAIR must be reported (verified-pairs functions).
     """
-    rows = num_hashes // bands
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, seed=seed,
     )
 
     def band_rows(s: DataFrame) -> DataFrame:
-        return s.select(
-            "_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda bidx: F.struct(
-                        bidx.alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), bidx * rows + 1, rows)
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select("_id", "bb.band", "bb.bucket")
+        return signature_bands(s, bands=bands, num_hashes=num_hashes)
 
     if pair_mode == "all":
         banded = band_rows(sig)
