@@ -1473,6 +1473,67 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/out").select("doc_id", "source")
 
 
+def q_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest end-to-end (streaming/wal.py
+    neardup_ingest_stream): docs with doc_id < 250 plus an injected
+    suffix-perturbed copy of every 9th doc (landing at high ids, i.e.
+    in a LATER id-ranged batch) flow through the MinHash-signature
+    store sink; copies die by signature-estimated Jaccard against the
+    accepted store, in-batch smaller-id neighbors kill greedily. The
+    oracle is a pure-Python model (tools/pymodels.py — spec-faithful
+    XXH64, same banding/estimate/greedy rule), not DuckDB."""
+    import glob
+    import hashlib
+    import shutil
+
+    from hbase_1_3_0_spark.streaming import wal as walmod
+
+    orig = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select("doc_id", "text", "source")
+    )
+    off = 250
+    copies = orig.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") * 2 + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        F.lit("dup").alias("source"),
+    )
+    docs = orig.unionByName(copies)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_ndingest_{tag}_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    os.makedirs(src)
+    n = docs.agg(F.max("doc_id")).first()[0] or 0
+    cuts = [0, n // 3 + 1, 2 * n // 3 + 1, n + 1]
+    for i in range(3):
+        scratch = f"{base}/scratch{i}"
+        (
+            docs.where(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        shutil.copy(
+            glob.glob(f"{scratch}/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+    q = walmod.neardup_ingest_stream(
+        spark,
+        src,
+        out_dir=f"{base}/out",
+        store_dir=f"{base}/store",
+        checkpoint_dir=f"{base}/ckpt",
+        schema="doc_id bigint, text string, source string",
+        threshold=0.9,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select("doc_id", "source")
+
+
 def q_stateful_ttl_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState with
     EVENT-TIME timeouts): per-key counters whose state expires when the
@@ -2495,6 +2556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the window next round for driver rows)
         "token_budget": q_token_budget,
         "text_normalize": q_text_normalize,
+        # seeded-hash streaming sink: pure-Python model oracle locally
+        # (tools/pymodels.py), rows-only at the driver by design
+        "neardup_ingest": q_neardup_ingest,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window

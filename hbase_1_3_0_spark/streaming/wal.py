@@ -424,6 +424,59 @@ def dedup_ingest_stream(
     )
 
 
+def _load_ingest_store(
+    spark: SparkSession, store_dir: str, batch_id: int
+) -> DataFrame | None:
+    """Read a batch_id-partitioned ingest store, returning None for the
+    two genuinely-empty states and failing loudly on the dangerous ones.
+
+    Only a genuinely EMPTY store reads as empty — a missing directory,
+    or a directory holding no committed parquet files yet (the state a
+    crash during the very first store write leaves behind:
+    FileOutputCommitter creates the base dir before any file commits).
+    Any other read error (corrupt files, permissions) propagates and
+    fails the batch rather than silently admitting duplicates against
+    an assumed-empty store. A store written by a pre-batch_id layout
+    (flat files, no partition column) fails loudly: writing new
+    batch_id=N partitions next to flat files would produce a mixed
+    layout Spark cannot read back. A store whose max batch_id EXCEEDS
+    the incoming one means the stream was restarted with a FRESH
+    checkpoint against existing dirs: batch ids restart at 0, dynamic
+    overwrite would clobber prior batches, and the own-batch exclusion
+    would admit duplicates — fail loudly; checkpoint dir and out/store
+    dirs must stay paired. (Equal is fine: the batch's own half-commit
+    being replayed; smaller — including the batch_id=-1 base partition
+    compaction writes — is history.)"""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and (
+            "UNABLE_TO_INFER_SCHEMA" not in str(e)
+        ):
+            raise
+        return None
+    if "batch_id" not in store.columns:
+        raise ValueError(
+            f"ingest store at {store_dir} uses the legacy flat layout; "
+            "rewrite it partitioned by batch_id (e.g. batch_id=-1 for "
+            "pre-existing state) before resuming the stream"
+        )
+    max_seen = store.agg(F.max("batch_id")).first()[0]
+    if max_seen is not None and max_seen > batch_id:
+        raise ValueError(
+            f"ingest store at {store_dir} already contains "
+            f"batch_id={max_seen} > incoming batch_id={batch_id}: "
+            "the stream checkpoint was reset against an existing "
+            "store. Resume with the original checkpoint dir, or "
+            "point the stream at fresh out/store dirs (or fold "
+            "history into the batch_id=-1 base partition with "
+            "compact_digest_store)."
+        )
+    return store
+
+
 def _dedup_commit_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -448,47 +501,10 @@ def _dedup_commit_batch(
     batch_id=N partitions next to flat files would produce a mixed
     layout Spark cannot read back — rewrite the old digests under a
     batch_id=-1 partition before upgrading in place."""
-    from pyspark.errors import AnalysisException
-
     from hbase_1_3_0_spark.pipeline.dedup import incremental_dedup
 
-    try:
-        store = spark.read.parquet(store_dir)
-    except AnalysisException as e:
-        # PATH_NOT_FOUND: no store yet. UNABLE_TO_INFER_SCHEMA: the dir
-        # exists but holds no committed files (crash before the first
-        # store commit) — same logical state, replay must proceed.
-        if "PATH_NOT_FOUND" not in str(e) and (
-            "UNABLE_TO_INFER_SCHEMA" not in str(e)
-        ):
-            raise
-        store = None
-    if store is not None and "batch_id" not in store.columns:
-        raise ValueError(
-            f"digest store at {store_dir} uses the legacy flat layout; "
-            "rewrite it partitioned by batch_id (e.g. batch_id=-1 for "
-            "pre-existing digests) before resuming the stream"
-        )
+    store = _load_ingest_store(spark, store_dir, batch_id)
     if store is not None:
-        # a store whose max batch_id EXCEEDS the incoming one means the
-        # stream was restarted with a FRESH checkpoint against existing
-        # out/store dirs: batch ids restart at 0, dynamic overwrite
-        # would clobber prior batches' survivors/digests, and the
-        # own-batch exclusion would admit duplicates. Fail loudly —
-        # checkpoint dir and out/store dirs must stay paired. (Equal is
-        # fine: that's this batch's own half-commit being replayed;
-        # smaller including the batch_id=-1 base partition is history.)
-        max_seen = store.agg(F.max("batch_id")).first()[0]
-        if max_seen is not None and max_seen > batch_id:
-            raise ValueError(
-                f"digest store at {store_dir} already contains "
-                f"batch_id={max_seen} > incoming batch_id={batch_id}: "
-                "the stream checkpoint was reset against an existing "
-                "store. Resume with the original checkpoint dir, or "
-                "point the stream at fresh out/store dirs (or fold "
-                "history into the batch_id=-1 base partition with "
-                "compact_digest_store)."
-            )
         # exclude this batch's own digests: on re-delivery after a crash
         # between the two writes, a half-committed store must not make
         # the batch's documents look like duplicates of themselves
@@ -584,3 +600,184 @@ def compact_digest_store(
             continue
         if 0 <= bid <= up_to_batch:
             shutil.rmtree(p)
+
+
+def neardup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str | Path,
+    *,
+    out_dir: str | Path,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingest NEAR-dup filter — the MinHash twin of
+    :func:`dedup_ingest_stream`: the accepted corpus is represented only
+    by its MinHash SIGNATURES (num_hashes longs/doc — text never lands
+    in the store), and each micro-batch drops documents whose
+    signature-estimated Jaccard against any accepted doc (or any
+    smaller-id doc in the same batch) reaches ``threshold``.
+
+    Same exactly-once mechanism as the digest sink: both sinks
+    partitioned by ``batch_id``, dynamic partition overwrite, own-batch
+    state excluded from the seen-set, fresh-checkpoint guard.
+
+    Returns the started StreamingQuery (caller triggers/awaits)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _neardup_commit_batch(
+            spark, batch_df, batch_id,
+            out_dir=str(out_dir), store_dir=str(store_dir),
+            text_col=text_col, id_col=id_col, threshold=threshold,
+            n=n, num_hashes=num_hashes, bands=bands, seed=seed,
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(str(source_dir))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _neardup_commit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    out_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """One idempotent near-dup micro-batch commit (module-level so
+    crash/replay tests can drive it directly).
+
+    DECISION RULE (deterministic, model-oracle-able): a batch document
+    dies iff a banded LSH candidate neighbor with signature-estimated
+    Jaccard (matching-minhash fraction) >= ``threshold`` exists either
+    (a) in the accepted store (earlier batches' SURVIVORS — replays
+    exclude the batch's own partition), or (b) at a SMALLER id within
+    its own batch — whether or not that smaller neighbor itself
+    survives (the greedy first-wins rule; kill-via-dead-neighbor keeps
+    the rule a pure function of the batch + store, which is what makes
+    replay idempotent). Banding bounds candidate generation exactly as
+    in :func:`~hbase_1_3_0_spark.pipeline.dedup.minhash_lsh_candidates`
+    — near-identical docs that land in no shared band are missed, the
+    standard LSH recall trade.
+
+    Scale shape: the batch shuffles once on the band bucket; the store
+    side re-derives its band table per batch (a projection over
+    signatures, linear in accepted docs — fold old partitions with
+    :func:`compact_digest_store`-style maintenance when file counts
+    grow; the signature table itself is ~64 longs/doc, 100x smaller
+    than text)."""
+    from hbase_1_3_0_spark.pipeline.dedup import (
+        minhash_signatures,
+        signature_bands,
+    )
+
+    store = _load_ingest_store(spark, store_dir, batch_id)
+    sigs = minhash_signatures(
+        batch_df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, seed=seed,
+    ).localCheckpoint()
+    batch_bands = signature_bands(sigs, bands=bands, num_hashes=num_hashes)
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_sig_a"), F.col("_sig_b"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_hashes)
+    )
+
+    def killed_ids(cand_pairs: DataFrame, sig_b: DataFrame) -> DataFrame:
+        """(victim _id, neighbor _nid) pairs -> distinct victim ids with
+        est >= threshold; signatures joined back by id so the band join
+        never carries arrays."""
+        return (
+            cand_pairs.distinct()
+            .join(sigs.select(F.col("_id"), F.col("_sig").alias("_sig_a")), "_id")
+            .join(
+                sig_b.select(
+                    F.col("_nid"), F.col("_nsig").alias("_sig_b")
+                ),
+                "_nid",
+            )
+            .where(est >= F.lit(float(threshold)))
+            .select("_id")
+            .distinct()
+        )
+
+    kill = None
+    if store is not None:
+        prior = store.where(F.col("batch_id") != batch_id)
+        prior_sigs = prior.select(
+            F.col("doc_id").alias("_nid"), F.col("sig").alias("_nsig")
+        )
+        prior_bands = signature_bands(
+            prior_sigs.select(
+                F.col("_nid").alias("_id"), F.col("_nsig").alias("_sig")
+            ),
+            bands=bands, num_hashes=num_hashes,
+        ).select(F.col("_id").alias("_nid"), "band", "bucket")
+        cross = batch_bands.join(prior_bands, ["band", "bucket"]).select(
+            "_id", "_nid"
+        )
+        kill = killed_ids(cross, prior_sigs)
+    # in-batch: smaller-id banded neighbors
+    inbatch = (
+        batch_bands.alias("x")
+        .join(batch_bands.alias("y"), ["band", "bucket"])
+        .where(F.col("y._id") < F.col("x._id"))
+        .select(F.col("x._id").alias("_id"), F.col("y._id").alias("_nid"))
+    )
+    in_kill = killed_ids(
+        inbatch,
+        sigs.select(F.col("_id").alias("_nid"), F.col("_sig").alias("_nsig")),
+    )
+    kill = in_kill if kill is None else kill.unionByName(in_kill).distinct()
+    survivors = batch_df.join(
+        kill.select(F.col("_id").alias(id_col)), id_col, "left_anti"
+    ).localCheckpoint()
+    (
+        survivors.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    (
+        survivors.select(F.col(id_col))
+        .join(sigs, F.col(id_col) == F.col("_id"))
+        .select(
+            F.col(id_col).alias("doc_id"), F.col("_sig").alias("sig")
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )

@@ -654,3 +654,98 @@ def test_compact_digest_store_preserves_seen_set(spark, tmp_path):
         for r in spark.read.parquet(store_dir)
         .where(F.col("batch_id").isin(3, 4)).select("fp").collect()
     }
+
+
+def test_neardup_ingest_across_batches(spark, tmp_path):
+    """Near-dup streaming sink: exact clones and near-identical texts
+    die against the signature store; the store holds only signatures
+    (never text); smaller-id in-batch neighbors kill (greedy rule);
+    unrelated docs land; replay of the newest batch is a no-op."""
+    from hbase_1_3_0_spark.streaming import wal
+
+    out_dir, store_dir = str(tmp_path / "out"), str(tmp_path / "store")
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet forest all day long without rest"
+    )
+    other = (
+        "completely different material about spark physical plans and "
+        "shuffle exchanges nothing shared with the fox sentences at all"
+    )
+
+    def commit(rows, batch_id):
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wal._neardup_commit_batch(
+            spark, bdf, batch_id, out_dir=out_dir, store_dir=store_dir,
+            threshold=0.5,
+        )
+
+    # batch 0: doc 2 is an in-batch near-dup of doc 1 (smaller id wins)
+    commit([(1, base), (2, base + "!"), (3, other)], 0)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 3]
+    # store is signatures only
+    store = spark.read.parquet(store_dir)
+    assert set(store.columns) == {"doc_id", "sig", "batch_id"}
+    assert sorted(r.doc_id for r in store.collect()) == [1, 3]
+
+    # batch 1: 10 = exact clone of 1, 11 = near-dup of 1, 12 = fresh
+    fresh = (
+        "yet another unrelated passage concerning parquet row groups "
+        "and min max statistics used for pruning large table scans"
+    )
+    commit([(10, base), (11, base + " again"), (12, fresh)], 1)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 3, 12]
+    # replay batch 1 (crash re-delivery): identical final state
+    commit([(10, base), (11, base + " again"), (12, fresh)], 1)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 3, 12]
+
+
+def test_neardup_ingest_stream_end_to_end(spark, tmp_path):
+    """The composed stream: files land, availableNow drains through
+    neardup_ingest_stream, near-dups across waves die."""
+    from hbase_1_3_0_spark.streaming import wal
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t1 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    t2 = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+
+    def land(name, rows):
+        df = spark.createDataFrame(
+            rows, "doc_id: long, text: string"
+        ).coalesce(1)
+        scratch = tmp_path / f"scratch_{name}"
+        df.write.mode("overwrite").parquet(str(scratch))
+        import glob as g
+        import shutil
+
+        shutil.copy(
+            g.glob(f"{scratch}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    land("b0", [(1, t1), (2, t2)])
+    land("b1", [(10, t1 + " end"), (11, "totally new words appear here "
+                                        "that overlap with neither text")])
+    q = wal.neardup_ingest_stream(
+        spark, str(src),
+        out_dir=str(tmp_path / "out"), store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema="doc_id bigint, text string",
+        threshold=0.5, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [1, 2, 11]  # 10 is a near-dup of 1 across waves

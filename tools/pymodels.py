@@ -383,6 +383,104 @@ def random_row_model(
     )
 
 
+
+
+def neardup_ingest_model(
+    sf_dir: str,
+    *,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_neardup_ingest: the streaming MinHash
+    near-dup sink over three id-ranged batches of (docs with id < 250
+    plus a suffix-perturbed copy of every 9th doc at id 2*doc_id+250).
+
+    Replicates the sink's decision rule independently: a doc dies iff a
+    banded LSH candidate with signature-match fraction >= threshold
+    exists among earlier batches' SURVIVORS, or at a smaller id within
+    its own batch (whether or not that neighbor survived — the greedy
+    rule). Signature math is the same seeded affine-permutation fold as
+    minhash_pairs_model."""
+    import duckdb
+
+    mersenne = (1 << 61) - 1
+    rng = random.Random(seed)
+    a = np.array(
+        [rng.randrange(1, mersenne) % (1 << 31) for _ in range(num_hashes)],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [rng.randrange(0, mersenne) % (1 << 31) for _ in range(num_hashes)],
+        dtype=np.uint64,
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id < 250 ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    corpus = [(int(i), t if t is not None else "", s) for i, t, s in rows]
+    corpus += [
+        (2 * i + 250, t + " qq zz", "dup")
+        for i, t, _ in list(corpus)
+        if i % 9 == 0
+    ]
+    hash_cache: dict[str, int] = {}
+    sigs: dict[int, tuple[int, ...]] = {}
+    src_of: dict[int, str] = {}
+    for doc_id, text, source in corpus:
+        src_of[doc_id] = source
+        sh = _char_shingles(text, n)
+        cs = np.empty(len(sh), dtype=np.uint64)
+        for j, s in enumerate(sh):
+            h = hash_cache.get(s)
+            if h is None:
+                h = xxh64(s.encode("utf-8")) % (1 << 31)
+                hash_cache[s] = h
+            cs[j] = h
+        vals = (a[None, :] * cs[:, None] + b[None, :]) % np.uint64(mersenne)
+        sigs[doc_id] = tuple(int(x) for x in vals.min(axis=0))
+    rpb = num_hashes // bands
+
+    def band_keys(sig):
+        return [
+            (bi, sig[bi * rpb : (bi + 1) * rpb]) for bi in range(bands)
+        ]
+
+    def est(x, y):
+        return sum(1 for p, q in zip(x, y) if p == q) / num_hashes
+
+    ids = sorted(sigs)
+    top = ids[-1]
+    cuts = [0, top // 3 + 1, 2 * top // 3 + 1, top + 1]
+    accepted_buckets: dict[tuple, list[int]] = {}
+    out = []
+    for bnum in range(3):
+        batch = [i for i in ids if cuts[bnum] <= i < cuts[bnum + 1]]
+        batch_buckets: dict[tuple, list[int]] = {}
+        for i in batch:
+            for key in band_keys(sigs[i]):
+                batch_buckets.setdefault(key, []).append(i)
+        survivors = []
+        for i in batch:
+            nbrs: set[int] = set()
+            for key in band_keys(sigs[i]):
+                nbrs.update(accepted_buckets.get(key, ()))
+                nbrs.update(j for j in batch_buckets.get(key, ()) if j < i)
+            if not any(
+                est(sigs[i], sigs[j]) >= threshold for j in nbrs
+            ):
+                survivors.append(i)
+        for i in survivors:
+            out.append((i, src_of[i]))
+            for key in band_keys(sigs[i]):
+                accepted_buckets.setdefault(key, []).append(i)
+    return ["doc_id", "source"], out
+
+
 #: Registry consumed by tools/check_oracles.py: queries DuckDB cannot
 #: mirror but a pure-Python model can.
 PY_MODELS = {
@@ -391,4 +489,5 @@ PY_MODELS = {
     "lsh_topk": lsh_topk_model,
     "ivf_topk": ivf_topk_model,
     "random_row": random_row_model,
+    "neardup_ingest": neardup_ingest_model,
 }
