@@ -540,12 +540,52 @@ def compact_digest_store(
     num_files: int = 8,
 ) -> None:
     """Fold historical ``batch_id`` partitions of the streaming-dedup
-    digest store into the ``batch_id=-1`` BASE partition — the memstore-
+    DIGEST store into the ``batch_id=-1`` base (see
+    :func:`compact_ingest_store` — this is the ``fp``-keyed instance)."""
+    compact_ingest_store(
+        spark, store_dir, up_to_batch=up_to_batch, num_files=num_files,
+        key_cols=("fp",),
+    )
+
+
+def compact_neardup_store(
+    spark: SparkSession,
+    store_dir: str | Path,
+    *,
+    up_to_batch: int,
+    num_files: int = 8,
+) -> None:
+    """Fold historical ``batch_id`` partitions of the streaming NEAR-dup
+    SIGNATURE store (see :func:`compact_ingest_store` — keyed on
+    ``doc_id``, carrying the ``sig`` array)."""
+    compact_ingest_store(
+        spark, store_dir, up_to_batch=up_to_batch, num_files=num_files,
+        key_cols=("doc_id",), carry_cols=("sig",),
+    )
+
+
+def compact_ingest_store(
+    spark: SparkSession,
+    store_dir: str | Path,
+    *,
+    up_to_batch: int,
+    num_files: int = 8,
+    key_cols: tuple[str, ...] = ("fp",),
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """Fold historical ``batch_id`` partitions of a batch_id-partitioned
+    ingest store into the ``batch_id=-1`` BASE partition — the memstore-
     flush/compaction posture applied to stream state (reference:
     hbase-server/.../regionserver/HStore.java — WAL-era state folds into
     the base store so per-file counts and scan cost stay bounded).
     Without it the store accretes one partition per micro-batch forever
     and every batch re-reads an ever-growing file set.
+
+    ``key_cols`` define row identity (rows dedup on them across folded
+    partitions — first-seen wins for ``carry_cols``, which are
+    identical across copies of the same key in a correctly-written
+    store anyway); the base is hash-bucketed and sorted on the keys so
+    parquet min/max row-group stats prune membership probes.
 
     ``up_to_batch`` is the fold frontier: every partition with
     ``-1 <= batch_id <= up_to_batch`` is replaced by one deduplicated
@@ -557,32 +597,35 @@ def compact_digest_store(
     from the seen-set and folding it into the base would make its
     documents look like duplicates of themselves.
 
-    Crash-safe by the same membership argument as the sink: the base
+    Crash-safe by the same membership argument as the sinks: the base
     partition is written first (dynamic overwrite of ``batch_id=-1``
     only), the folded partitions are deleted after. A crash between the
-    two leaves digests duplicated between base and history — harmless
-    for a seen-SET — and re-running the compaction converges."""
+    two leaves rows duplicated between base and history — harmless for
+    seen-SET semantics — and re-running the compaction converges."""
     import shutil
 
     store_dir = str(store_dir)
     store = spark.read.parquet(store_dir)
     if "batch_id" not in store.columns:
         raise ValueError(
-            f"digest store at {store_dir} uses the legacy flat layout; "
+            f"ingest store at {store_dir} uses the legacy flat layout; "
             "compaction requires the batch_id-partitioned layout"
         )
     if up_to_batch < 0:
         raise ValueError(f"up_to_batch must be >= 0, got {up_to_batch}")
     folded = store.where(F.col("batch_id") <= up_to_batch)
-    # distinct fps, bounded file count, sorted within files so parquet
-    # min/max row-group stats prune digest-membership probes; the new
-    # base must materialize BEFORE the overwrite touches the partition
-    # it was derived from
+    # the new base must materialize BEFORE the overwrite touches the
+    # partition it was derived from
+    keys = [F.col(c) for c in key_cols]
+    if carry_cols:
+        dropped = folded.groupBy(*keys).agg(
+            *[F.first(c).alias(c) for c in carry_cols]
+        )
+    else:
+        dropped = folded.select(*keys).distinct()
     base = (
-        folded.select("fp")
-        .distinct()
-        .repartition(num_files, "fp")
-        .sortWithinPartitions("fp")
+        dropped.repartition(num_files, *keys)
+        .sortWithinPartitions(*keys)
         .localCheckpoint()
     )
     (

@@ -749,3 +749,53 @@ def test_neardup_ingest_stream_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == [1, 2, 11]  # 10 is a near-dup of 1 across waves
+
+
+def test_compact_neardup_store_preserves_signatures(spark, tmp_path):
+    """The signature store compacts exactly like the digest store:
+    history folds into batch_id=-1 carrying the sig arrays, membership
+    preserved, and later batches still near-dup against folded
+    history."""
+    from hbase_1_3_0_spark.streaming import wal
+
+    out_dir, store_dir = str(tmp_path / "out"), str(tmp_path / "store")
+    t1 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    t2 = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+
+    def commit(rows, batch_id):
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wal._neardup_commit_batch(
+            spark, bdf, batch_id, out_dir=out_dir, store_dir=store_dir,
+            threshold=0.5,
+        )
+
+    commit([(1, t1)], 0)
+    commit([(2, t2)], 1)
+    before = {
+        (r.doc_id, tuple(r.sig))
+        for r in spark.read.parquet(store_dir).collect()
+    }
+    wal.compact_neardup_store(spark, store_dir, up_to_batch=1, num_files=2)
+    parts = sorted(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "store").glob("batch_id=*")
+    )
+    assert parts == [-1]
+    after = {
+        (r.doc_id, tuple(r.sig))
+        for r in spark.read.parquet(store_dir).collect()
+    }
+    assert after == before
+    # a near-dup of folded history still dies; fresh text lands
+    commit([(10, t1 + " more"), (11, "entirely new unshared sentence "
+                                     "about bloom filters and sorted runs")], 2)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [1, 2, 11]
