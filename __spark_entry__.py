@@ -1402,6 +1402,42 @@ def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _land_id_ranged_batches(
+    docs: DataFrame, base: str, *, n_batches: int = 3
+) -> str:
+    """Shared scaffolding for the streaming-ingest queries: land ``docs``
+    as ``n_batches`` id-RANGED parquet files (b0.parquet < b1.parquet <
+    ... by doc_id range) under ``base``/src, so an availableNow stream
+    with maxFilesPerTrigger=1 delivers them as ordered micro-batches.
+    Returns the source directory."""
+    import glob
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    os.makedirs(src)
+    n = docs.agg(F.max("doc_id")).first()[0] or 0
+    # cut formula is part of the ORACLE CONTRACT: tools/pymodels.py
+    # neardup_ingest_model replicates exactly these boundaries
+    cuts = [0] + [k * n // n_batches + 1 for k in range(1, n_batches)] + [
+        n + 1
+    ]
+    for i in range(n_batches):
+        scratch = f"{base}/scratch{i}"
+        (
+            docs.where(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        shutil.copy(
+            glob.glob(f"{scratch}/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+    return src
+
+
 def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest exact dedup END-TO-END through the real
     Structured Streaming sink (streaming/wal.py dedup_ingest_stream):
@@ -1416,14 +1452,18 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, the survivor set equals the globally-first doc per content
     digest no matter how the file source groups triggers — which is
     what makes the final out_dir state SQL-stateable."""
-    import glob
     import hashlib
-    import shutil
 
     from hbase_1_3_0_spark.streaming import wal as walmod
 
     orig = _load(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
+        "doc_id",
+        # NULL text would diverge from the oracle: Spark's md5(NULL) is
+        # NULL and the anti-join never matches it (the doc survives per
+        # batch), while GROUP BY md5(text) buckets NULLs together —
+        # coalesce pins both sides to the '' digest
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "source",
     )
     base_n = orig.agg(F.max("doc_id")).first()[0] or 0
     off = base_n + 1
@@ -1442,24 +1482,7 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = orig.unionByName(copies)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = f"/tmp/spark_graft_dingest_{tag}_{os.getpid()}"
-    shutil.rmtree(base, ignore_errors=True)
-    src = f"{base}/src"
-    os.makedirs(src)
-    n = docs.agg(F.max("doc_id")).first()[0] or 0
-    cuts = [0, n // 3 + 1, 2 * n // 3 + 1, n + 1]
-    for i in range(3):
-        scratch = f"{base}/scratch{i}"
-        (
-            docs.where(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(scratch)
-        )
-        shutil.copy(
-            glob.glob(f"{scratch}/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
+    src = _land_id_ranged_batches(docs, base)
     q = walmod.dedup_ingest_stream(
         spark,
         src,
@@ -1482,9 +1505,7 @@ def q_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted store, in-batch smaller-id neighbors kill greedily. The
     oracle is a pure-Python model (tools/pymodels.py — spec-faithful
     XXH64, same banding/estimate/greedy rule), not DuckDB."""
-    import glob
     import hashlib
-    import shutil
 
     from hbase_1_3_0_spark.streaming import wal as walmod
 
@@ -1502,24 +1523,7 @@ def q_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = orig.unionByName(copies)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = f"/tmp/spark_graft_ndingest_{tag}_{os.getpid()}"
-    shutil.rmtree(base, ignore_errors=True)
-    src = f"{base}/src"
-    os.makedirs(src)
-    n = docs.agg(F.max("doc_id")).first()[0] or 0
-    cuts = [0, n // 3 + 1, 2 * n // 3 + 1, n + 1]
-    for i in range(3):
-        scratch = f"{base}/scratch{i}"
-        (
-            docs.where(
-                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(scratch)
-        )
-        shutil.copy(
-            glob.glob(f"{scratch}/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
+    src = _land_id_ranged_batches(docs, base)
     q = walmod.neardup_ingest_stream(
         spark,
         src,
@@ -3593,11 +3597,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ingest": (
             "WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents), "
             "corpus AS ("
-            "SELECT doc_id, text, source FROM documents "
-            "UNION ALL SELECT doc_id * 2 + (SELECT o FROM off), text, "
-            "'dup' FROM documents WHERE doc_id % 7 = 0 "
-            "UNION ALL SELECT doc_id * 2 + (SELECT o FROM off) + 1, text, "
-            "'dup' FROM documents WHERE doc_id % 7 = 0) "
+            "SELECT doc_id, coalesce(text, '') AS text, source "
+            "FROM documents "
+            "UNION ALL SELECT doc_id * 2 + (SELECT o FROM off), "
+            "coalesce(text, ''), 'dup' FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id * 2 + (SELECT o FROM off) + 1, "
+            "coalesce(text, ''), 'dup' FROM documents WHERE doc_id % 7 = 0) "
             "SELECT c.doc_id, c.source FROM corpus c JOIN ("
             "SELECT min(doc_id) AS doc_id FROM corpus "
             "GROUP BY md5(text)) w ON c.doc_id = w.doc_id"

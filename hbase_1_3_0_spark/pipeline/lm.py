@@ -79,8 +79,10 @@ def perplexity_proxy(
     if checkpoint:
         # one corpus pass total: vocab/totals/scoring all read the
         # materialized token table instead of re-running the explode
-        # (see trigram_perplexity — same ReusedExchange limitation)
-        toks = toks.localCheckpoint()
+        # (see trigram_perplexity — same ReusedExchange limitation).
+        # eager=False: materialize at the FIRST ACTION, not at
+        # DataFrame construction (plan inspection stays free)
+        toks = toks.localCheckpoint(eager=False)
     # derive the model from the SAME tokenized frame — tokenizing the
     # corpus once, not once for scoring and again for counting
     vocab = _counts_from_tokens(toks.select("word"), vocab_size)
@@ -156,8 +158,9 @@ def bigram_perplexity(
     w = Window.partitionBy(id_col).orderBy("pos")
     seq = toks.withColumn("prev", F.lag("word").over(w))
     if checkpoint:
-        # one corpus pass total (see trigram_perplexity)
-        seq = seq.localCheckpoint()
+        # one corpus pass total (see trigram_perplexity); lazy so plan
+        # inspection doesn't trigger the job
+        seq = seq.localCheckpoint(eager=False)
     vocab = _counts_from_tokens(seq.select("word"), vocab_size)
     totals = seq.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
         vocab.agg(F.count(F.lit(1)).alias("_v"))
@@ -272,7 +275,7 @@ def trigram_perplexity(
         "prev2", F.lag("word", 2).over(w)
     )
     if checkpoint:
-        seq = seq.localCheckpoint()
+        seq = seq.localCheckpoint(eager=False)
     # vocabulary + totals derive from the SAME materialized token table
     # (seq's rows are toks' rows plus the lag columns)
     vocab = _counts_from_tokens(seq.select("word"), vocab_size)

@@ -478,6 +478,11 @@ def opq_rotation(
     model state, not data. Apply with :func:`apply_rotation`; train/
     encode/search then run on the rotated column (rotate queries with
     the SAME matrix)."""
+    x = _collect_sample(df, id_col=id_col, vec_col=vec_col, sample_n=sample_n)
+    return _pca_round_robin(x, dim=dim, m=m)
+
+
+def _collect_sample(df, *, id_col, vec_col, sample_n):
     import numpy as np
 
     rows = (
@@ -486,7 +491,12 @@ def opq_rotation(
         .limit(sample_n)
         .collect()
     )
-    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _pca_round_robin(x, *, dim: int, m: int) -> list[list[float]]:
+    import numpy as np
+
     xc = x - x.mean(axis=0, keepdims=True)
     cov = xc.T @ xc
     vals, vecs = np.linalg.eigh(cov)  # ascending, deterministic
@@ -555,19 +565,10 @@ def opq_train(
     sub = dim // m
     if sub * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(id_col)
-        .limit(sample_n)
-        .collect()
-    )
-    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    rot = np.array(
-        opq_rotation(
-            df, dim=dim, m=m, vec_col=vec_col, id_col=id_col,
-            sample_n=sample_n,
-        )
-    )
+    x = _collect_sample(df, id_col=id_col, vec_col=vec_col, sample_n=sample_n)
+    # init from the PCA round-robin of the SAME collected sample — one
+    # driver round-trip, not two
+    rot = np.array(_pca_round_robin(x, dim=dim, m=m))
     books = np.array(
         [_random_unit_vectors(k, sub, seed + j) for j in range(m)]
     )

@@ -90,7 +90,10 @@ def write_arrow(
     """Write one Arrow IPC file per partition; returns the manifest
     [(file, n_rows)] (bounded: one entry per partition). ``compression``
     is IPC buffer compression ('zstd'/'lz4') when the pyarrow build
-    supports it.
+    supports it. ``mode``: 'overwrite' (default) replaces the directory,
+    'error' refuses an existing one, 'append' adds this write's files
+    with part numbers continuing after the existing run's (finalize
+    never renames over a prior write's files).
 
     COMMIT PROTOCOL (the mapInPandas twin of FileOutputCommitter —
     tasks that write side-effect files need one, or a failed/retried or
@@ -103,15 +106,30 @@ def write_arrow(
     ``part-<partition>.arrow`` names and deleting the staging dir with
     any orphaned attempts in it."""
     import os
+    import re
     import shutil
     import uuid as _uuid
 
+    if mode not in ("overwrite", "error", "append"):
+        raise ValueError(
+            f"mode must be 'overwrite', 'error' or 'append', got {mode!r}"
+        )
     out = Path(path)
     if mode == "overwrite" and out.exists():
         shutil.rmtree(out)
     elif out.exists() and mode == "error":
         raise FileExistsError(str(out))
     out.mkdir(parents=True, exist_ok=True)
+    # append: deterministic names continue AFTER the existing run's —
+    # finalize must never os.replace over a prior write's files
+    part_base = 0
+    if mode == "append":
+        existing = [
+            int(m.group(1))
+            for p in out.glob("part-*.arrow")
+            if (m := re.fullmatch(r"part-(\d+)\.arrow", p.name))
+        ]
+        part_base = max(existing) + 1 if existing else 0
     staging = out / f"_staging-{_uuid.uuid4().hex}"
     staging.mkdir()
     arrow_schema = _arrow_schema(df.schema)
@@ -162,7 +180,7 @@ def write_arrow(
     ).collect()
     final: list[tuple[str, int]] = []
     for r in sorted(manifest, key=lambda r: r.part):
-        dst = out / f"part-{r.part:05d}.arrow"
+        dst = out / f"part-{part_base + r.part:05d}.arrow"
         os.replace(r.file, dst)
         final.append((str(dst), r.n_rows))
     shutil.rmtree(staging)

@@ -463,7 +463,21 @@ def _load_ingest_store(
             "rewrite it partitioned by batch_id (e.g. batch_id=-1 for "
             "pre-existing state) before resuming the stream"
         )
-    max_seen = store.agg(F.max("batch_id")).first()[0]
+    # frontier check: for a local/shared-fs store the partition dir
+    # names ARE the batch ids — a driver-side listing, not a per-batch
+    # whole-store Spark job; remote URIs fall back to the (partition-
+    # column) aggregation
+    max_seen = None
+    if "://" not in store_dir:
+        ids = []
+        for p in Path(store_dir).glob("batch_id=*"):
+            try:
+                ids.append(int(p.name.split("=", 1)[1]))
+            except ValueError:
+                continue
+        max_seen = max(ids) if ids else None
+    else:
+        max_seen = store.agg(F.max("batch_id")).first()[0]
     if max_seen is not None and max_seen > batch_id:
         raise ValueError(
             f"ingest store at {store_dir} already contains "
@@ -605,6 +619,16 @@ def compact_ingest_store(
     import shutil
 
     store_dir = str(store_dir)
+    if "://" in store_dir:
+        # the delete phase walks the directory with local-filesystem
+        # APIs; on a remote URI it would silently no-op and leave every
+        # folded partition in place — fail loudly instead (the sinks
+        # themselves are URI-agnostic; compaction is local/shared-fs
+        # scope like sources/arrow_ipc)
+        raise ValueError(
+            f"compact_ingest_store operates on local/shared-filesystem "
+            f"paths, got {store_dir!r}"
+        )
     store = spark.read.parquet(store_dir)
     if "batch_id" not in store.columns:
         raise ValueError(

@@ -551,3 +551,24 @@ def test_arrow_write_commit_protocol(spark, tmp_path):
     assert arrow_ipc.read_arrow(
         spark, str(path), "doc_id bigint, text string"
     ).count() == 8
+
+
+def test_arrow_write_append_mode(spark, tmp_path):
+    """mode='append' continues part numbering after the existing run —
+    a second write must never rename over a prior write's files; an
+    unknown mode is refused."""
+    import pytest
+
+    from hbase_1_3_0_spark.sources import arrow_ipc
+
+    path = str(tmp_path / "arrow_append")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id: long, text: string").coalesce(1)
+    df2 = spark.createDataFrame([(3, "c")], "doc_id: long, text: string").coalesce(1)
+    arrow_ipc.write_arrow(df1, path)
+    arrow_ipc.write_arrow(df2, path, mode="append")
+    back = arrow_ipc.read_arrow(spark, path, "doc_id bigint, text string")
+    assert sorted(r.doc_id for r in back.collect()) == [1, 2, 3]
+    names = sorted(p.name for p in (tmp_path / "arrow_append").glob("*.arrow"))
+    assert names == ["part-00000.arrow", "part-00001.arrow"]
+    with pytest.raises(ValueError, match="mode"):
+        arrow_ipc.write_arrow(df1, path, mode="add")

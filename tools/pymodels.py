@@ -434,6 +434,12 @@ def neardup_ingest_model(
     for doc_id, text, source in corpus:
         src_of[doc_id] = source
         sh = _char_shingles(text, n)
+        if not sh:
+            # no shingles -> the Spark sink emits no signature row for
+            # this doc: it can never band, never be killed, and never
+            # kills — model it as signature-less (always survives)
+            sigs[doc_id] = None
+            continue
         cs = np.empty(len(sh), dtype=np.uint64)
         for j, s in enumerate(sh):
             h = hash_cache.get(s)
@@ -462,10 +468,15 @@ def neardup_ingest_model(
         batch = [i for i in ids if cuts[bnum] <= i < cuts[bnum + 1]]
         batch_buckets: dict[tuple, list[int]] = {}
         for i in batch:
+            if sigs[i] is None:
+                continue
             for key in band_keys(sigs[i]):
                 batch_buckets.setdefault(key, []).append(i)
         survivors = []
         for i in batch:
+            if sigs[i] is None:
+                survivors.append(i)
+                continue
             nbrs: set[int] = set()
             for key in band_keys(sigs[i]):
                 nbrs.update(accepted_buckets.get(key, ()))
@@ -476,6 +487,8 @@ def neardup_ingest_model(
                 survivors.append(i)
         for i in survivors:
             out.append((i, src_of[i]))
+            if sigs[i] is None:
+                continue
             for key in band_keys(sigs[i]):
                 accepted_buckets.setdefault(key, []).append(i)
     return ["doc_id", "source"], out
