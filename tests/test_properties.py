@@ -889,3 +889,72 @@ def test_fuzz_canonicalize_url_idempotent(spark):
         (r.url, r.c1, r.c2) for r in twice.collect() if r.c1 != r.c2
     ]
     assert not bad, bad[:5]
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    ),
+    planted=st.text(alphabet="abc", min_size=6, max_size=12),
+    k=st.sampled_from([4, 6]),
+)
+def test_substring_dedup_matches_python_model(spark, texts, planted, k):
+    """remove_repeated_spans must equal an independent brute-force
+    Python model exactly: same window digests (md5), same global-first
+    winner, same interval merge and excision — on small random corpora
+    with a planted shared substring (tiny alphabet maximizes natural
+    repeats, exercising winner ties and interval coalescing)."""
+    import hashlib
+
+    from hbase_1_3_0_spark.pipeline import substrings
+
+    # plant the shared span into half the docs to guarantee cross-doc
+    # repeats beyond whatever the tiny alphabet produces naturally
+    docs = [
+        (i, t + planted if i % 2 == 0 else t) for i, t in enumerate(texts)
+    ]
+
+    def model():
+        # windows: (doc, pos0) -> digest, 0-based pos
+        occ: dict[str, list[tuple[int, int]]] = {}
+        for i, t in docs:
+            for p in range(len(t) - k + 1):
+                d = hashlib.md5(t[p : p + k].encode()).hexdigest()
+                occ.setdefault(d, []).append((i, p))
+        cut: dict[int, list[tuple[int, int]]] = {}
+        for d, places in occ.items():
+            if len(places) < 2:
+                continue
+            first = min(places)
+            for i, p in places:
+                if (i, p) != first:
+                    cut.setdefault(i, []).append((p, p + k))
+        out = {}
+        for i, t in docs:
+            spans = sorted(cut.get(i, []))
+            merged: list[list[int]] = []
+            for s, e in spans:
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            kept = []
+            prev = 0
+            for s, e in merged:
+                kept.append(t[prev:s])
+                prev = e
+            kept.append(t[prev:])
+            out[i] = ("".join(kept), sum(e - s for s, e in merged))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut_chars)
+        for r in substrings.remove_repeated_spans(df, k=k).collect()
+    }
+    assert got == model()
