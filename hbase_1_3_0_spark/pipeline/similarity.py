@@ -412,27 +412,182 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     extra_cols: tuple[str, ...] | list[str] = (),
+    eta: float | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` codebook indices (array<int> pq_code) —
     one narrow map, all codegen'd; for m=8,k=16 the code is 8 small ints
     where the raw vector was 64 floats. ``extra_cols`` pass through
     unchanged (e.g. an ``ivf_list`` assignment), so composed indexes
     never have to join the corpus back to itself to recover columns the
-    encode dropped."""
+    encode dropped.
+
+    ``eta`` switches assignment to the ANISOTROPIC cost (must match the
+    codebooks' training — pass the same eta used for
+    :func:`pq_train_anisotropic`): cost = ||v-c||^2 + (eta-1) *
+    ((v.v - c.v)^2 / v.v), i.e. residual error parallel to the vector
+    weighted eta x the orthogonal error. Per-subspace slices and their
+    squared norms are projected ONCE before the candidate transform so
+    the aggregate subtrees aren't duplicated per candidate
+    (expression-node count is the codegen tax)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col)
+    if eta is None:
+        codes = F.array(
+            *[
+                _pq_sub_assign(
+                    [codebooks[j]], F.lit(0), F.slice(v, j * sub + 1, sub)
+                )
+                for j in range(m)
+            ]
+        )
+        return df.select(
+            F.col(id_col), *[F.col(c) for c in extra_cols],
+            codes.alias("pq_code"),
+        )
+    pre = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        *[F.slice(v, j * sub + 1, sub).alias(f"_v{j}") for j in range(m)],
+    )
+    pre = pre.select(
+        "*",
+        *[
+            _dot(F.col(f"_v{j}"), F.col(f"_v{j}")).alias(f"_vv{j}")
+            for j in range(m)
+        ],
+    )
     codes = F.array(
         *[
-            _pq_sub_assign(
-                [codebooks[j]], F.lit(0), F.slice(v, j * sub + 1, sub)
+            _pq_sub_assign_aniso(
+                codebooks[j], F.col(f"_v{j}"), F.col(f"_vv{j}"), eta
             )
             for j in range(m)
         ]
     )
-    return df.select(
+    return pre.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], codes.alias("pq_code")
     )
+
+
+def _pq_sub_assign_aniso(
+    book: list[list[float]], v: Column, vv: Column, eta: float
+) -> Column:
+    """Anisotropic nearest-code for one subvector: argmin over the
+    literal (centroid, ||c||^2) structs of ||v-c||^2 + (eta-1) *
+    (v.v - c.v)^2 / v.v (zero vectors fall back to plain L2). The dot
+    appears once in the tree inside a transform (literal-matrix
+    lesson); ties break to the lowest code via struct array_min."""
+    lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                F.lit(sum(x * x for x in c)).alias("n2"),
+            )
+            for c in book
+        ]
+    )
+    # two-level transform so the O(sub) dot evaluates ONCE per candidate
+    # and the cost only reuses its scalar result
+    dots = F.transform(
+        lit,
+        lambda x, i: F.struct(
+            _dot(v, x["c"]).alias("cv"), x["n2"].alias("n2"), i.alias("i")
+        ),
+    )
+    scored = F.transform(
+        dots,
+        lambda d: F.struct(
+            (
+                vv
+                + d["n2"]
+                - 2 * d["cv"]
+                + F.when(
+                    vv > 0,
+                    F.lit(float(eta) - 1.0)
+                    * (vv - d["cv"]) * (vv - d["cv"]) / vv,
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+            d["i"].alias("c"),
+        ),
+    )
+    return F.array_min(scored)["c"]
+
+
+def pq_train_anisotropic(
+    df: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    eta: float = 4.0,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """ScaNN-style ANISOTROPIC product quantization (Guo et al., ICML
+    2020 "Accelerating Large-Scale Inference with Anisotropic Vector
+    Quantization"): for maximum-inner-product / cosine search, what
+    hurts ranking is the component of quantization error PARALLEL to
+    the datapoint (it directly perturbs every high-scoring dot
+    product), while orthogonal error mostly cancels against unrelated
+    queries. Training therefore minimizes, per subspace,
+
+        sum_i  eta * ||r_par(i)||^2 + ||r_orth(i)||^2
+
+    (r = x_i - c split against x_i's own direction; eta >= 1, eta=1 is
+    vanilla PQ). Both Lloyd steps have closed forms: assignment is the
+    weighted distance (the same cost :func:`pq_encode` applies with
+    ``eta``), and the centroid update solves the tiny sub-dim linear
+    system (n I + (eta-1) sum u u^T) c = sum x + (eta-1) sum (u.x) u
+    per cluster. The model FIT runs driver-side on the same bounded
+    deterministic sample as :func:`opq_train` (an O(sample_n x dim)
+    numpy problem — model state, not data); corpus-scale encoding
+    stays Spark-side via ``pq_encode(..., eta=eta)``. Returns
+    codebooks shaped exactly like :func:`pq_train`, so persistence and
+    every PQ consumer compose unchanged."""
+    import numpy as np
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if eta < 1.0:
+        raise ValueError(f"eta must be >= 1 (1 = vanilla PQ), got {eta}")
+    x = _collect_sample(df, id_col=id_col, vec_col=vec_col, sample_n=sample_n)
+    books = [
+        np.array(_random_unit_vectors(k, sub, seed + j)) for j in range(m)
+    ]
+    w = float(eta) - 1.0
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        vv = (xs**2).sum(axis=1)
+        safe = vv > 0
+        u = np.zeros_like(xs)
+        u[safe] = xs[safe] / np.sqrt(vv[safe])[:, None]
+        bj = books[j]
+        for _ in range(iters):
+            cv = xs @ bj.T
+            cn = (bj**2).sum(axis=1)
+            cost = vv[:, None] + cn[None, :] - 2 * cv
+            denom = np.where(safe, vv, 1.0)[:, None]
+            cost = cost + np.where(
+                safe[:, None], w * (vv[:, None] - cv) ** 2 / denom, 0.0
+            )
+            code = cost.argmin(axis=1)
+            for c in range(k):
+                hit = code == c
+                if not hit.any():
+                    continue  # empty cell keeps its previous centroid
+                uh, xh = u[hit], xs[hit]
+                a_mat = int(hit.sum()) * np.eye(sub) + w * (uh.T @ uh)
+                rhs = xh.sum(axis=0) + w * (
+                    (uh * xh).sum(axis=1)[:, None] * uh
+                ).sum(axis=0)
+                bj[c] = np.linalg.solve(a_mat, rhs)
+        books[j] = bj
+    return [[[float(v) for v in c] for c in bj] for bj in books]
 
 
 def pq_reconstruct(

@@ -1301,3 +1301,61 @@ def test_token_budget_sample(spark):
         df, {"s1": 30, "s2": 1}
     ).collect())
     assert got2 == got
+
+
+def test_anisotropic_pq_cuts_parallel_error(spark):
+    """ScaNN-style anisotropic PQ must trade orthogonal for PARALLEL
+    error: at the identical code budget, mean squared parallel residual
+    (the component that perturbs inner-product ranking) drops decisively
+    below vanilla PQ's, while total L2 error stays bounded (within 2x).
+    Spark-side anisotropic encode must agree with the training rule, and
+    the trainer must be deterministic."""
+    import numpy as np
+
+    from hbase_1_3_0_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(31)
+    dim, n, m, eta = 32, 500, 4, 8.0
+    x = rng.normal(size=(n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)  # unit (MIPS/cosine)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id: long, embedding: array<double>",
+    )
+
+    def errors(books, eta_enc):
+        codes = sim.pq_encode(df, books, eta=eta_enc)
+        recon = sim.pq_reconstruct(F.col("pq_code"), books)
+        joined = df.join(codes, "vec_id").select(
+            "vec_id", F.col("embedding").alias("_v"), recon.alias("_r")
+        )
+        rows = joined.collect()
+        par = tot = 0.0
+        for r in rows:
+            v = np.array(r._v)
+            res = v - np.array(r._r)
+            p = float(res @ v)  # v is unit: parallel magnitude
+            par += p * p
+            tot += float(res @ res)
+        return par / len(rows), tot / len(rows)
+
+    plain_books = sim.pq_train(df, m=m, k=16, dim=dim, iters=4)
+    e_par_plain, e_tot_plain = errors(plain_books, None)
+    aniso_books = sim.pq_train_anisotropic(
+        df, dim=dim, m=m, k=16, eta=eta, iters=4, sample_n=n
+    )
+    e_par_aniso, e_tot_aniso = errors(aniso_books, eta)
+    assert e_par_aniso < e_par_plain * 0.8  # decisive parallel cut
+    assert e_tot_aniso < e_tot_plain * 2.0  # bounded total trade
+
+    # deterministic
+    again = sim.pq_train_anisotropic(
+        df, dim=dim, m=m, k=16, eta=eta, iters=4, sample_n=n
+    )
+    assert again == aniso_books
+
+    # eta < 1 refused; eta on encode requires matching training
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eta"):
+        sim.pq_train_anisotropic(df, dim=dim, m=m, k=16, eta=0.5)
