@@ -578,6 +578,64 @@ def compact_neardup_store(
     )
 
 
+def compact_neardup_band_store(
+    spark: SparkSession,
+    band_store_dir: str | Path,
+    *,
+    up_to_batch: int,
+    num_files: int = 8,
+) -> None:
+    """Fold historical ``batch_id`` partitions of the streaming NEAR-dup
+    BAND store (see :func:`compact_ingest_store` — keyed on the full
+    ``(band, bucket, doc_id)`` row; the base sorts on that key, so every
+    base file's row groups carry tight ``band``/``bucket`` min/max stats
+    for the per-batch probe join's scan).
+
+    Compact the band store and the signature store with the SAME
+    ``up_to_batch`` frontier — they are two projections of one accepted
+    set and must stay membership-identical."""
+    compact_ingest_store(
+        spark, band_store_dir, up_to_batch=up_to_batch,
+        num_files=num_files, key_cols=("band", "bucket", "doc_id"),
+    )
+
+
+def backfill_neardup_band_store(
+    spark: SparkSession,
+    store_dir: str | Path,
+    band_store_dir: str | Path,
+    *,
+    bands: int = 16,
+    num_hashes: int = 64,
+) -> None:
+    """Build the near-dup BAND store from an existing SIGNATURE store —
+    the migration path for enabling ``band_store_dir`` on a stream that
+    has already accepted documents. One banding pass over the signature
+    store (the last time that pass ever runs over full history);
+    ``batch_id`` rides through unchanged so idempotent replay and
+    compaction frontiers keep working. Run it while the stream is
+    stopped: a half-written backfill next to live commits would let the
+    probe miss candidates."""
+    from hbase_1_3_0_spark.pipeline.dedup import signature_bands
+
+    store = spark.read.parquet(str(store_dir))
+    bands_df = signature_bands(
+        store.select(
+            F.col("doc_id").alias("_id"), F.col("sig").alias("_sig")
+        ),
+        bands=bands, num_hashes=num_hashes,
+    ).join(store.select(F.col("doc_id").alias("_id"), "batch_id"), "_id")
+    (
+        bands_df.select(
+            F.col("_id").alias("doc_id"), "band", "bucket", "batch_id"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(band_store_dir))
+    )
+
+
 def compact_ingest_store(
     spark: SparkSession,
     store_dir: str | Path,
@@ -685,6 +743,7 @@ def neardup_ingest_stream(
     bands: int = 16,
     seed: int = 42,
     max_files_per_trigger: int | None = None,
+    band_store_dir: str | Path | None = None,
 ):
     """Streaming ingest NEAR-dup filter — the MinHash twin of
     :func:`dedup_ingest_stream`: the accepted corpus is represented only
@@ -697,6 +756,19 @@ def neardup_ingest_stream(
     partitioned by ``batch_id``, dynamic partition overwrite, own-batch
     state excluded from the seen-set, fresh-checkpoint guard.
 
+    ``band_store_dir`` (optional, recommended at scale) maintains the
+    accepted set's LSH band table ``(doc_id, band, bucket)`` as a third
+    batch_id-partitioned store, written incrementally per batch. With it
+    the per-batch candidate probe is a narrow 3-long-column parquet scan
+    joined on ``(band, bucket)``; without it every batch re-derives the
+    band table from the signature store — a posexplode + 16 slice-hashes
+    over EVERY accepted signature, per micro-batch, forever. Same
+    incremental-index posture as the partition-pruned IVF-PQ code store
+    (pipeline/similarity.py). Enable from the stream's first batch, or
+    run :func:`backfill_neardup_band_store` once (stream stopped) to
+    migrate an existing store; decision rule and outputs are identical
+    either way (the band table is a pure function of the signatures).
+
     Returns the started StreamingQuery (caller triggers/awaits)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -705,6 +777,9 @@ def neardup_ingest_stream(
             out_dir=str(out_dir), store_dir=str(store_dir),
             text_col=text_col, id_col=id_col, threshold=threshold,
             n=n, num_hashes=num_hashes, bands=bands, seed=seed,
+            band_store_dir=(
+                None if band_store_dir is None else str(band_store_dir)
+            ),
         )
 
     reader = spark.readStream.schema(schema)
@@ -733,6 +808,7 @@ def _neardup_commit_batch(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    band_store_dir: str | None = None,
 ) -> None:
     """One idempotent near-dup micro-batch commit (module-level so
     crash/replay tests can drive it directly).
@@ -750,12 +826,17 @@ def _neardup_commit_batch(
     — near-identical docs that land in no shared band are missed, the
     standard LSH recall trade.
 
-    Scale shape: the batch shuffles once on the band bucket; the store
-    side re-derives its band table per batch (a projection over
-    signatures, linear in accepted docs — fold old partitions with
-    :func:`compact_digest_store`-style maintenance when file counts
-    grow; the signature table itself is ~64 longs/doc, 100x smaller
-    than text)."""
+    Scale shape: the batch shuffles once on the band bucket. The store
+    side is either (a) with ``band_store_dir``: a columnar scan of the
+    persisted ``(band, bucket, doc_id)`` band table — no per-batch
+    re-banding of history, and the compacted base's ``(band, bucket)``
+    sort gives the probe tight row-group stats — or (b) without it: a
+    band projection re-derived from the signature store every batch
+    (posexplode + slice hashes, linear in ALL accepted docs — fine for
+    short-lived streams, the growth term for long-lived ones). Fold old
+    partitions of every store with the matching ``compact_*`` job when
+    file counts grow; signatures are ~64 longs/doc, 100x smaller than
+    text, and band rows are 3 longs."""
     from hbase_1_3_0_spark.pipeline.dedup import (
         minhash_signatures,
         signature_bands,
@@ -804,12 +885,29 @@ def _neardup_commit_batch(
         prior_sigs = prior.select(
             F.col("doc_id").alias("_nid"), F.col("sig").alias("_nsig")
         )
-        prior_bands = signature_bands(
-            prior_sigs.select(
-                F.col("_nid").alias("_id"), F.col("_nsig").alias("_sig")
-            ),
-            bands=bands, num_hashes=num_hashes,
-        ).select(F.col("_id").alias("_nid"), "band", "bucket")
+        if band_store_dir is not None:
+            band_store = _load_ingest_store(spark, band_store_dir, batch_id)
+            if band_store is None:
+                # signatures accepted but no band rows: the stream ran
+                # without a band store before — probing an empty band
+                # table would silently admit duplicates of all history
+                raise ValueError(
+                    f"band store at {band_store_dir} is empty but the "
+                    f"signature store at {store_dir} is not; run "
+                    "backfill_neardup_band_store (stream stopped) before "
+                    "enabling band_store_dir on an existing stream"
+                )
+            prior_bands = (
+                band_store.where(F.col("batch_id") != batch_id)
+                .select(F.col("doc_id").alias("_nid"), "band", "bucket")
+            )
+        else:
+            prior_bands = signature_bands(
+                prior_sigs.select(
+                    F.col("_nid").alias("_id"), F.col("_nsig").alias("_sig")
+                ),
+                bands=bands, num_hashes=num_hashes,
+            ).select(F.col("_id").alias("_nid"), "band", "bucket")
         cross = batch_bands.join(prior_bands, ["band", "bucket"]).select(
             "_id", "_nid"
         )
@@ -848,3 +946,22 @@ def _neardup_commit_batch(
         .partitionBy("batch_id")
         .parquet(store_dir)
     )
+    if band_store_dir is not None:
+        # the accepted set's band table, maintained incrementally: the
+        # batch's bands were already derived for its own probe, so the
+        # store write is a semi-join projection, not a new banding pass.
+        # Ordering (out -> sigs -> bands) is crash-safe by the same
+        # argument as the other writes: a replayed batch excludes its
+        # own partition from every store, and dynamic overwrite makes
+        # the rewrite idempotent.
+        (
+            batch_bands.join(
+                survivors.select(F.col(id_col).alias("_id")), "_id"
+            )
+            .select(F.col("_id").alias("doc_id"), "band", "bucket")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(band_store_dir)
+        )

@@ -799,3 +799,165 @@ def test_compact_neardup_store_preserves_signatures(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out_dir).collect()
     )
     assert got == [1, 2, 11]
+
+def test_neardup_band_store_equivalence(spark, tmp_path):
+    """The persisted band store changes the probe's physical shape, not
+    its answer: twin ingests with and without band_store_dir accept the
+    same documents batch-by-batch, the band store holds exactly the
+    banding of the signature store, and replay stays idempotent."""
+    from hbase_1_3_0_spark.pipeline.dedup import signature_bands
+    from hbase_1_3_0_spark.streaming import wal
+
+    t1 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    t2 = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    batches = [
+        [(1, t1), (2, t1 + "!"), (3, t2)],
+        [(10, t1), (11, t2 + " end"), (12, "fresh unshared words about "
+                                           "broadcast joins and codegen")],
+        [(20, t2), (21, "another novel passage on watermark semantics "
+                        "and state store checkpoint formats")],
+    ]
+    plain = {"out": str(tmp_path / "po"), "store": str(tmp_path / "ps")}
+    banded = {
+        "out": str(tmp_path / "bo"), "store": str(tmp_path / "bs"),
+        "bands": str(tmp_path / "bb"),
+    }
+
+    for bid, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wal._neardup_commit_batch(
+            spark, bdf, bid, out_dir=plain["out"],
+            store_dir=plain["store"], threshold=0.5,
+        )
+        wal._neardup_commit_batch(
+            spark, bdf, bid, out_dir=banded["out"],
+            store_dir=banded["store"], threshold=0.5,
+            band_store_dir=banded["bands"],
+        )
+        a = sorted(
+            r.doc_id
+            for r in spark.read.parquet(plain["out"]).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in spark.read.parquet(banded["out"]).collect()
+        )
+        assert a == b, f"batch {bid}: {a} != {b}"
+
+    # band store is exactly the banding of the signature store
+    store = spark.read.parquet(banded["store"])
+    want = {
+        (r._id, r.band, r.bucket)
+        for r in signature_bands(
+            store.select(
+                F.col("doc_id").alias("_id"), F.col("sig").alias("_sig")
+            ),
+            bands=16, num_hashes=64,
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(banded["bands"]).collect()
+    }
+    assert got == want
+
+    # replay of the newest batch is a no-op for all three stores
+    bdf = spark.createDataFrame(batches[-1], "doc_id: long, text: string")
+    wal._neardup_commit_batch(
+        spark, bdf, 2, out_dir=banded["out"], store_dir=banded["store"],
+        threshold=0.5, band_store_dir=banded["bands"],
+    )
+    assert {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(banded["bands"]).collect()
+    } == got
+
+    # enabling a band store against an existing signature store without
+    # backfill fails loudly (empty band table would admit duplicates)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backfill_neardup_band_store"):
+        wal._neardup_commit_batch(
+            spark,
+            spark.createDataFrame([(30, t1)], "doc_id: long, text: string"),
+            3, out_dir=plain["out"], store_dir=plain["store"],
+            threshold=0.5, band_store_dir=str(tmp_path / "missing_bands"),
+        )
+    # ... and backfill is the migration path: build the band table from
+    # the signature store, then the banded probe kills folded history
+    wal.backfill_neardup_band_store(
+        spark, plain["store"], str(tmp_path / "pb"), bands=16, num_hashes=64
+    )
+    wal._neardup_commit_batch(
+        spark,
+        spark.createDataFrame(
+            [(30, t1), (31, "still more unseen text mentioning skew "
+                            "salting and adaptive coalesce")],
+            "doc_id: long, text: string",
+        ),
+        3, out_dir=plain["out"], store_dir=plain["store"],
+        threshold=0.5, band_store_dir=str(tmp_path / "pb"),
+    )
+    assert sorted(
+        r.doc_id
+        for r in spark.read.parquet(plain["out"])
+        .where(F.col("batch_id") == 3).collect()
+    ) == [31]  # 30 is a clone of folded doc 1
+
+
+def test_compact_neardup_band_store(spark, tmp_path):
+    """Band-store compaction folds history into a (band, bucket)-sorted
+    batch_id=-1 base with membership preserved, and later batches still
+    probe folded history correctly."""
+    from hbase_1_3_0_spark.streaming import wal
+
+    out_dir = str(tmp_path / "out")
+    store_dir = str(tmp_path / "store")
+    band_dir = str(tmp_path / "bands")
+    t1 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    t2 = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+
+    def commit(rows, batch_id):
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wal._neardup_commit_batch(
+            spark, bdf, batch_id, out_dir=out_dir, store_dir=store_dir,
+            threshold=0.5, band_store_dir=band_dir,
+        )
+
+    commit([(1, t1)], 0)
+    commit([(2, t2)], 1)
+    before = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(band_dir).collect()
+    }
+    wal.compact_neardup_store(spark, store_dir, up_to_batch=1, num_files=2)
+    wal.compact_neardup_band_store(
+        spark, band_dir, up_to_batch=1, num_files=2
+    )
+    parts = sorted(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "bands").glob("batch_id=*")
+    )
+    assert parts == [-1]
+    after = {
+        (r.doc_id, r.band, r.bucket)
+        for r in spark.read.parquet(band_dir).collect()
+    }
+    assert after == before
+    # near-dups of folded history die via the compacted band base
+    commit([(10, t1 + " more"), (11, "wholly different closing words "
+                                     "about speculative task retries")], 2)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 11]
