@@ -2459,7 +2459,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     — driver rows + r5 local pure-Python model oracles; pq_topk,
     ivfpq_topk — rows-only r5, the driver's ceiling for Spark-trained
     float models), whose areas stay represented in-window by
-    lsh/ivf/cosine top-k and the dedup family.
+    lsh/ivf/cosine top-k and the dedup family. Late r06 additionally
+    rotates IN the round's last three new queries (token_budget,
+    text_normalize, neardup_ingest — all local-green, plain-session
+    smoke-tested) for lm_perplexity/lm_bigram/vocab_topk (r04+r05
+    green; LM and text areas stay repped by the trigram pair and
+    corpus/text/tokenizer stats).
     """
     return {
         # -- client read/write representatives (previously green r01+r02) --
@@ -2483,8 +2488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": q_domain_filter,
         # -- new in r05: malformed-URL quarantine policy --
         "url_quarantine": q_url_quarantine,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_bigram": q_lm_bigram,
         # -- new in r05: KN + modified-KN trigram, composed IVF-PQ --
         "lm_trigram": q_lm_trigram,
         "lm_trigram_mkn": q_lm_trigram_mkn,
@@ -2492,7 +2495,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated in r04: oracle-capable tail (local-green in r03) --
         "corpus_stats": q_corpus_stats,
         "remove_boilerplate": q_remove_boilerplate,
-        "vocab_topk": q_vocab_topk,
+        # -- rotated in late r06: the round's last three new queries
+        #    (token-budget greedy fill, NFC normalization+scrub — both
+        #    DuckDB-oracled; neardup_ingest = the streaming MinHash
+        #    near-dup sink, rows-only at the driver by design, verified
+        #    locally against a pure-Python model oracle). All three
+        #    smoke-tested on a plain local[8] session. --
+        "token_budget": q_token_budget,
+        "text_normalize": q_text_normalize,
+        "neardup_ingest": q_neardup_ingest,
         "stateful_ttl_event": q_stateful_ttl_event,
         "paragraph_dedup": q_paragraph_dedup,
         # -- rotated in r04: rows-only-by-design ops (no oracle_sql; the
@@ -2556,13 +2567,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
-        # new in r06 below the line (locally oracle-verified; rotate
-        # into the window next round for driver rows)
-        "token_budget": q_token_budget,
-        "text_normalize": q_text_normalize,
-        # seeded-hash streaming sink: pure-Python model oracle locally
-        # (tools/pymodels.py), rows-only at the driver by design
-        "neardup_ingest": q_neardup_ingest,
+        # rotated out late r06 to admit token_budget/text_normalize/
+        # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
+        # repped in-window by the trigram pair; vocab_topk r04+r05
+        # green, text area repped by corpus_stats/text_stats/
+        # tokenizer_stats/remove_boilerplate)
+        "lm_perplexity": q_lm_perplexity,
+        "lm_bigram": q_lm_bigram,
+        "vocab_topk": q_vocab_topk,
         # no-oracle-by-design with an existing rows-only driver row (r04)
         "median_approx": q_median_approx,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
