@@ -742,6 +742,7 @@ def test_neardup_ingest_stream_end_to_end(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         schema="doc_id bigint, text string",
         threshold=0.5, max_files_per_trigger=1,
+        band_store_dir=str(tmp_path / "bands"),
     )
     q.awaitTermination(120)
     got = sorted(
@@ -749,6 +750,12 @@ def test_neardup_ingest_stream_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == [1, 2, 11]  # 10 is a near-dup of 1 across waves
+    # the stream maintained the band store: one partition per batch,
+    # 16 band rows per accepted doc
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    assert bands.count() == 3 * 16
+    assert sorted(r.doc_id for r in bands.select("doc_id").distinct()
+                  .collect()) == [1, 2, 11]
 
 
 def test_compact_neardup_store_preserves_signatures(spark, tmp_path):
