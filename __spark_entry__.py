@@ -1243,6 +1243,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed local fingerprints (MOSS algorithm, k=8 w=4): k-gram md5
+    hashes, rightmost-min per sliding window — pure array exprs, zero
+    shuffle (pipeline/text.py winnow_fingerprints)."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return text.winnow_fingerprints(docs).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "fp"
+    )
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage pairs: docs sharing >= 5 distinct winnowed
+    fingerprints after the hot-fp document-frequency cap (<= 50 docs) —
+    the overlap detector whole-doc fingerprints can't express."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return text.winnow_overlap(docs, min_shared=5, max_df=50).select(
+        "a", "b", F.col("shared").cast("long").alias("shared")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: hash-min connected components over a pair graph
     (the step between pair generation and actual dedup — clusters span
@@ -2567,6 +2587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
+        # new late r06 (below the line; rotate in for r07 driver rows):
+        # MOSS winnowing — local fingerprints + copied-passage pairs
+        "winnow_fp": q_winnow_fp,
+        "winnow_overlap": q_winnow_overlap,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
@@ -3252,6 +3276,51 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "ngram_jaccard": _JACCARD_SQL,
+        "winnow_fp": (
+            # MOSS winnowing, k=8 w=4: k-gram md5-prefix hashes, the
+            # rightmost minimum of each sliding window is a fingerprint
+            "WITH norm AS (SELECT doc_id, regexp_replace(lower(text), "
+            "'[^a-z0-9]', '', 'g') AS t FROM documents WHERE doc_id < 50), "
+            "g0 AS (SELECT doc_id, t, length(t) - 7 AS m FROM norm "
+            "WHERE length(t) >= 8), "
+            "grams AS (SELECT doc_id, i, "
+            "substring(md5(substring(t, i, 8)), 1, 8) AS h "
+            "FROM g0, UNNEST(generate_series(1, m)) AS gi(i)), "
+            "wins AS (SELECT doc_id, j, least(4, m) AS wlen "
+            "FROM g0, UNNEST(generate_series(1, greatest(m - 3, 1))) "
+            "AS gj(j)), "
+            "cand AS (SELECT w.doc_id, w.j, g.i, g.h, row_number() OVER "
+            "(PARTITION BY w.doc_id, w.j ORDER BY g.h ASC, g.i DESC) AS rn "
+            "FROM wins w JOIN grams g ON g.doc_id = w.doc_id "
+            "AND g.i BETWEEN w.j AND w.j + w.wlen - 1) "
+            "SELECT DISTINCT doc_id, i::INTEGER AS pos, h AS fp "
+            "FROM cand WHERE rn = 1"
+        ),
+        "winnow_overlap": (
+            "WITH norm AS (SELECT doc_id, regexp_replace(lower(text), "
+            "'[^a-z0-9]', '', 'g') AS t FROM documents WHERE doc_id < 150), "
+            "g0 AS (SELECT doc_id, t, length(t) - 7 AS m FROM norm "
+            "WHERE length(t) >= 8), "
+            "grams AS (SELECT doc_id, i, "
+            "substring(md5(substring(t, i, 8)), 1, 8) AS h "
+            "FROM g0, UNNEST(generate_series(1, m)) AS gi(i)), "
+            "wins AS (SELECT doc_id, j, least(4, m) AS wlen "
+            "FROM g0, UNNEST(generate_series(1, greatest(m - 3, 1))) "
+            "AS gj(j)), "
+            "cand AS (SELECT w.doc_id, w.j, g.i, g.h, row_number() OVER "
+            "(PARTITION BY w.doc_id, w.j ORDER BY g.h ASC, g.i DESC) AS rn "
+            "FROM wins w JOIN grams g ON g.doc_id = w.doc_id "
+            "AND g.i BETWEEN w.j AND w.j + w.wlen - 1), "
+            "fps AS (SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1), "
+            "ok AS (SELECT h FROM fps GROUP BY h "
+            "HAVING count(*) <= 50), "
+            "pruned AS (SELECT doc_id, h FROM fps WHERE h IN "
+            "(SELECT h FROM ok)) "
+            "SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS shared "
+            "FROM pruned x JOIN pruned y ON x.h = y.h "
+            "AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 5"
+        ),
         "embedding_near_dup": (
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e "
             "FROM embeddings) "

@@ -82,6 +82,132 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed LOCAL fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character ``k``-gram of the alnum-normalized
+    text, slide a window of ``w`` consecutive gram hashes, and select
+    each window's minimum hash (ties -> the RIGHTMOST minimum, per the
+    paper); the distinct selected (position, hash) pairs are the
+    document's fingerprints. Unlike the whole-doc :func:`fingerprint`,
+    these survive insertions, deletions, and reordering — any shared
+    substring of length >= k + w - 1 is guaranteed to contribute at
+    least one shared fingerprint, which is what makes them the overlap/
+    plagiarism-detection primitive.
+
+    Gram hashes are the first 8 hex chars of md5 (portable: DuckDB
+    computes the identical string, and hex-string MIN equals numeric
+    MIN), so selection decisions are oracle-checkable. Output:
+    one row per fingerprint — (id, pos, fp) with ``pos`` the 1-based
+    gram position in the normalized text. Docs whose normalized text is
+    shorter than ``k`` emit no rows; docs with fewer than ``w`` grams
+    winnow over the single short window.
+
+    Scale shape: entirely per-row array expressions (transform/slice/
+    array_min over a sequence) plus one posexplode — ZERO shuffles, no
+    UDFs, O(len * w) JVM work per doc inside whole-stage codegen. The
+    density guarantee bounds output at ~2/(w+1) fingerprints per
+    character, so the exploded table is a bounded fraction of corpus
+    bytes."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    m = F.length(norm) - F.lit(k - 1)  # number of k-grams
+    # MATERIALIZE the gram-hash array before windowing: referenced
+    # inline, Catalyst re-evaluates the whole transform (m md5 calls)
+    # for every slice() of every window — O(m^2) digests per doc
+    # (measured ~90s for 50 docs); as a stored column each slice is an
+    # O(w) array copy and the md5 pass runs once, O(m*w) total.
+    grams = df.where(m >= 1).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.substring(F.md5(F.substring(norm, i, k)), 1, 8),
+        ).alias("_hs"),
+    )
+    # windows j = 1 .. max(m - w + 1, 1); a short doc (m < w) winnows
+    # its single truncated window
+    hs = F.col("_hs")
+    wlen = F.least(F.lit(w), F.size(hs))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+            ),
+            lambda j: F.struct(
+                # rightmost index of the min within the window slice:
+                # wlen + 1 - (first index of min in the REVERSED slice)
+                (
+                    j
+                    + wlen
+                    - F.array_position(
+                        F.reverse(F.slice(hs, j, wlen)),
+                        F.array_min(F.slice(hs, j, wlen)),
+                    )
+                ).alias("pos"),
+                F.array_min(F.slice(hs, j, wlen)).alias("fp"),
+            ),
+        )
+    )
+    return (
+        grams.select(F.col(id_col), F.explode(sel).alias("_s"))
+        .select(F.col(id_col), F.col("_s.pos").alias("pos"),
+                F.col("_s.fp").alias("fp"))
+    )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` distinct winnowed
+    fingerprint hashes — the copied-passage detector :func:`fingerprint`
+    (whole-doc) structurally cannot express. Fingerprints appearing in
+    more than ``max_df`` documents are dropped before pairing (the
+    standard hot-shingle cap: boilerplate fps pair everything with
+    everything; dropping them bounds each fp's pair fan-out at
+    max_df^2 instead of corpus^2 — same posture as the MinHash star
+    linkage in pipeline/dedup.py).
+
+    One fp-keyed aggregation + one self-join on fp + one pair-keyed
+    aggregation; emits (a, b, shared) with a < b."""
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+    )
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(ok, "fp")
+    pairs = (
+        pruned.alias("x")
+        .join(pruned.alias("y"), "fp")
+        .where(F.col("x._id") < F.col("y._id"))
+        .groupBy(
+            F.col("x._id").alias("a"), F.col("y._id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return pairs
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1359,3 +1359,110 @@ def test_anisotropic_pq_cuts_parallel_error(spark):
 
     with _pytest.raises(ValueError, match="eta"):
         sim.pq_train_anisotropic(df, dim=dim, m=m, k=16, eta=0.5)
+
+
+def _winnow_model(s: str, k: int = 8, w: int = 4):
+    """Brute-force winnowing reference: same normalization, same md5-
+    prefix hash, rightmost-min per window. Returns {(pos, fp)} 1-based."""
+    import hashlib
+    import re
+
+    t = re.sub(r"[^a-z0-9]", "", s.lower())
+    m = len(t) - k + 1
+    if m < 1:
+        return set()
+    hs = [
+        hashlib.md5(t[i:i + k].encode()).hexdigest()[:8] for i in range(m)
+    ]
+    wlen = min(w, m)
+    out = set()
+    for j in range(max(m - w + 1, 1)):
+        sub = hs[j:j + wlen]
+        mn = min(sub)
+        pos = j + max(i for i, h in enumerate(sub) if h == mn)
+        out.add((pos + 1, mn))
+    return out
+
+
+def test_winnow_fingerprints_match_reference_model(spark):
+    """Spark winnowing equals the brute-force Python model on texts that
+    exercise ties, punctuation stripping, and short-doc edges; the MOSS
+    density/coverage guarantee holds (every window selects something)."""
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog, twice! "
+            "The quick brown fox jumps over the lazy dog, again."),
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaa"),      # all-equal hashes: tie rule
+        (3, "abcdefgh"),                      # exactly one k-gram
+        (4, "abcdefghi"),                     # m=2 < w: one short window
+        (5, "short"),                         # < k: no fingerprints
+        (6, ""),                              # empty
+        (7, "Punctuation, spacing -- and CASE should not matter; "
+            "punctuationspacingandcaseshouldnotmatter"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in text.winnow_fingerprints(df).collect()
+    }
+    want = {
+        (d, p, f) for d, s in texts for (p, f) in _winnow_model(s)
+    }
+    assert got == want
+    assert not any(d in (5, 6) for d, _, _ in got)
+    # doc 2: every k-gram identical -> every window picks its rightmost
+    # element; selected positions are exactly w-strided from the end
+    sel2 = sorted(p for d, p, _ in got if d == 2)
+    m2 = 24 - 8 + 1
+    assert sel2 == list(range(4, m2 + 1))
+
+
+def test_winnow_overlap_detects_insertion(spark):
+    """A doc and its copy-with-insertion share winnowed fingerprints
+    (whole-doc fingerprint misses them); unrelated docs don't pair."""
+    base = (
+        "winnowing selects the rightmost minimum hash of each window "
+        "so local matches survive global edits to the document text"
+    )
+    edited = base.replace(
+        "so local matches", "and therefore local matches still"
+    )
+    other = (
+        "completely disjoint vocabulary about regional servers and "
+        "memstore flush policies nothing in common with the original"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id: long, text: string"
+    )
+    pairs = {
+        (r.a, r.b): r.shared
+        for r in text.winnow_overlap(df, min_shared=2, max_df=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # whole-doc fingerprints are all distinct — the overlap op sees what
+    # exact dedup cannot
+    assert df.select(text.fingerprint(F.col("text"))).distinct().count() == 3
+
+
+def test_winnow_overlap_hot_fp_cap(spark):
+    """A fingerprint present in every doc is dropped by max_df before
+    pairing — the bound that keeps boilerplate from pairing the corpus
+    quadratically."""
+    boiler = "all rights reserved copyright notice standard footer text"
+    docs = [
+        (i, f"unique body {i} with its own words number {i * 7} " * 3
+            + boiler)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    # with the cap below the corpus size, boilerplate-only pairs vanish
+    pairs = text.winnow_overlap(df, min_shared=1, max_df=3).collect()
+    # the shared footer appears in all 6 docs -> its fps are capped out;
+    # remaining pairs can only come from the (distinct) bodies
+    capped = {(r.a, r.b) for r in pairs}
+    uncapped = {
+        (r.a, r.b)
+        for r in text.winnow_overlap(df, min_shared=1, max_df=100).collect()
+    }
+    assert len(capped) < len(uncapped)
+    assert len(uncapped) == 15  # footer pairs everything with everything
