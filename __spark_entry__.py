@@ -1253,6 +1253,32 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): 20 merges learned
+    from the word-frequency table — ONE corpus scan, then vocab-bounded
+    iterations (pipeline/bpe.py). Deterministic argmax (count DESC,
+    left ASC, right ASC); verified locally against a pure-Python
+    reference trainer (tools/pymodels.py), rows-only at the driver
+    (iterative, not SQL-expressible)."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return bpe.bpe_train(docs, num_merges=20, min_count=2)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary after segmenting the word table under freshly
+    learned BPE merges (composed train + encode; same reference-model
+    oracle posture as bpe_train)."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return bpe.bpe_vocab(docs, num_merges=20, min_count=2).select(
+        "token", F.col("n_words").cast("long").alias("n_words"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-passage pairs: docs sharing >= 5 distinct winnowed
     fingerprints after the hot-fp document-frequency cap (<= 50 docs) —
@@ -2591,6 +2617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MOSS winnowing — local fingerprints + copied-passage pairs
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
+        # new late r06: BPE tokenizer training (iterative — py-model
+        # oracle locally, rows-only at the driver by design)
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05

@@ -1466,3 +1466,89 @@ def test_winnow_overlap_hot_fp_cap(spark):
     }
     assert len(capped) < len(uncapped)
     assert len(uncapped) == 15  # footer pairs everything with everything
+
+
+def test_bpe_train_matches_reference(spark):
+    """Spark BPE training equals the classic sequential trainer on a
+    corpus with known merge structure, including the left-to-right
+    non-overlap rule and the (count, left, right) tie-break."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    texts = [
+        (1, "low low low low low lower lower newest newest newest "
+            "newest newest newest widest widest widest"),
+        (2, "aaaa aaaa aaaa bbbb"),  # exercises (a,a) self-pair merges
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe.bpe_train(df, num_merges=10, min_count=2)
+        .orderBy("rank").collect()
+    ]
+    # reference trainer (same rules, pure python)
+    import re
+
+    counts: dict = {}
+    for _, t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    words = [(list(w) + ["</w>"], c) for w, c in counts.items()]
+    want = []
+    for rank in range(10):
+        pc: dict = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        want.append((rank, a, b, c))
+        def apply(syms):
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            return out
+        words = [(apply(syms), c0) for syms, c0 in words]
+    assert got == want
+    assert len(got) > 3  # the corpus supports several merges
+
+
+def test_bpe_segment_reconstructs_words(spark):
+    """Segmentation under learned merges partitions every word exactly:
+    concatenated tokens (minus the EOW marker) equal the word."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    df = spark.createDataFrame(
+        [(1, "internationalization international nation nationalize "
+             "internal international nation nation")],
+        "doc_id: long, text: string",
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe.bpe_train(df, num_merges=8, min_count=2)
+        .orderBy("rank").collect()
+    ]
+    wc = bpe.word_counts(df)
+    seg = bpe.bpe_segment(wc, merges, checkpoint_every=3)
+    for r in seg.collect():
+        joined = "".join(r.tokens).replace(bpe.EOW, "")
+        assert joined == r.word, (r.word, r.tokens)
+    # at least one multi-char token was learned
+    assert any(
+        len(t.replace(bpe.EOW, "")) > 1 for r in seg.collect() for t in r.tokens
+    )
+
+
+def test_bpe_train_min_count_early_stop(spark):
+    """Training stops when no pair reaches min_count instead of
+    emitting noise merges."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id: long, text: string"
+    )
+    out = bpe.bpe_train(df, num_merges=10, min_count=2).collect()
+    assert out == []  # every pair occurs once

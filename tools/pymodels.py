@@ -496,7 +496,88 @@ def neardup_ingest_model(
 
 #: Registry consumed by tools/check_oracles.py: queries DuckDB cannot
 #: mirror but a pure-Python model can.
+
+
+def _ref_bpe_wordcounts(sf_dir: str, max_id: int = 200):
+    import re
+
+    counts: dict[str, int] = {}
+    for _id, text in _load_docs(sf_dir, max_id=max_id):
+        for w in re.findall(r"[a-z0-9]+", text.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _ref_bpe_apply(syms: list, a: str, b: str) -> list:
+    out: list = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_bpe_train(counts: dict, num_merges: int, min_count: int):
+    """Reference BPE (Sennrich et al.): overlapping pair counts over the
+    word-frequency table, argmax with (count DESC, left ASC, right ASC)
+    tie-break, left-to-right non-overlapping merge application."""
+    words = [(list(w) + ["</w>"], c) for w, c in counts.items()]
+    merges = []
+    for rank in range(num_merges):
+        pc: dict = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        merges.append((rank, a, b, c))
+        words = [(_ref_bpe_apply(syms, a, b), cnt) for syms, cnt in words]
+    return merges, words
+
+
+def bpe_train_model(
+    sf_dir: str, *, num_merges: int = 20, min_count: int = 2
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_bpe_train: the 20-merge BPE table learned
+    from documents with doc_id < 200."""
+    counts = _ref_bpe_wordcounts(sf_dir)
+    merges, _ = _ref_bpe_train(counts, num_merges, min_count)
+    return ["rank", "left", "right", "pair_count"], [
+        (r, a, b, c) for r, a, b, c in merges
+    ]
+
+
+def bpe_vocab_model(
+    sf_dir: str, *, num_merges: int = 20, min_count: int = 2
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_bpe_vocab: the subword vocabulary after
+    segmenting the word table under the learned merges — (token,
+    n_words, total) with n_words = distinct words containing the token
+    and total = corpus-weighted occurrence count (a token appearing
+    twice in one word counts twice per word instance)."""
+    counts = _ref_bpe_wordcounts(sf_dir)
+    _, words = _ref_bpe_train(counts, num_merges, min_count)
+    n_words: dict = {}
+    total: dict = {}
+    for syms, c in words:
+        for t in syms:
+            total[t] = total.get(t, 0) + c
+        for t in set(syms):
+            n_words[t] = n_words.get(t, 0) + 1
+    return ["token", "n_words", "total"], [
+        (t, n_words[t], total[t]) for t in sorted(total)
+    ]
+
+
 PY_MODELS = {
+    "bpe_train": bpe_train_model,
+    "bpe_vocab": bpe_vocab_model,
     "minhash_pairs": minhash_pairs_model,
     "simhash_pairs": simhash_pairs_model,
     "lsh_topk": lsh_topk_model,
