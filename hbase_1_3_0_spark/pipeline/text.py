@@ -182,11 +182,17 @@ def winnow_overlap(
     linkage in pipeline/dedup.py).
 
     One fp-keyed aggregation + one self-join on fp + one pair-keyed
-    aggregation; emits (a, b, shared) with a < b."""
+    aggregation; emits (a, b, shared) with a < b. The distinct
+    (doc, fp) table is localCheckpoint'd: it has THREE consumers (the
+    df-cap aggregation and both sides of the pair self-join), and an
+    uncheckpointed multi-consumer explode prefix re-runs the whole
+    corpus winnowing pass per branch (plan-audited: 18 exchanges with
+    ~3 corpus passes down to one winnow pass checkpointed)."""
     fps = (
         winnow_fingerprints(df, text_col, id_col, k=k, w=w)
         .select(F.col(id_col).alias("_id"), "fp")
         .distinct()
+        .localCheckpoint()
     )
     ok = (
         fps.groupBy("fp")

@@ -43,6 +43,9 @@ AUDIT = [
     "ivfpq_topk",       # composed index: one broadcast join, no self-join
     "events_sessionize",  # session_window: one keyed shuffle
     "temperature_mix",  # one hash agg + broadcast 1-row totals
+    "winnow_fp",        # winnowing: pure array exprs, zero exchanges
+    "winnow_overlap",   # fp-bucket pair join behind the hot-fp cap
+    "bpe_vocab",        # segment + explode + one vocab-keyed hash agg
 ]
 
 RED_FLAGS = {
