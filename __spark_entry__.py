@@ -1253,6 +1253,21 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle n-gram language ID: top-40 char-trigram rank
+    profiles per labeled language, out-of-place distance, argmin
+    (pipeline/langid.py). Deterministic tie-breaks make it fully
+    DuckDB-oracle-able; profiles broadcast, doc side one keyed agg +
+    window."""
+    from hbase_1_3_0_spark.pipeline import langid
+
+    docs = _load(spark, sf_dir, "documents")
+    profiles = langid.train_profiles(docs)
+    return langid.classify(
+        docs.where(F.col("doc_id") < 200), profiles
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016): 20 merges learned
     from the word-frequency table — ONE corpus scan, then vocab-bounded
@@ -2621,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle locally, rows-only at the driver by design)
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
+        # new late r06: rank-profile language ID (DuckDB-oracled)
+        "langid_ngram": q_langid_ngram,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
@@ -3325,6 +3342,36 @@ def oracle_sql() -> dict[str, str]:
             "AND g.i BETWEEN w.j AND w.j + w.wlen - 1) "
             "SELECT DISTINCT doc_id, i::INTEGER AS pos, h AS fp "
             "FROM cand WHERE rn = 1"
+        ),
+        "langid_ngram": (
+            # Cavnar-Trenkle: per-lang top-40 trigram rank profiles,
+            # out-of-place distance with missing-gram penalty 40,
+            # argmin with (dist, lang) tie-break
+            "WITH norm AS (SELECT doc_id, lang, trim(regexp_replace("
+            "lower(text), '[^a-z0-9]+', ' ', 'g')) AS t FROM documents), "
+            "lg AS (SELECT lang, substring(t, i, 3) AS gram FROM norm, "
+            "UNNEST(generate_series(1, length(t) - 2)) AS g(i) "
+            "WHERE length(t) >= 3), "
+            "lp AS (SELECT lang, gram, row_number() OVER (PARTITION BY "
+            "lang ORDER BY count(*) DESC, gram ASC) AS rank FROM lg "
+            "GROUP BY lang, gram QUALIFY rank <= 40), "
+            "dg AS (SELECT doc_id, substring(t, i, 3) AS gram FROM norm, "
+            "UNNEST(generate_series(1, length(t) - 2)) AS g(i) "
+            "WHERE length(t) >= 3 AND doc_id < 200), "
+            "dp AS (SELECT doc_id, gram, row_number() OVER (PARTITION BY "
+            "doc_id ORDER BY count(*) DESC, gram ASC) AS dr FROM dg "
+            "GROUP BY doc_id, gram QUALIFY dr <= 40), "
+            "cand AS (SELECT d.doc_id, d.gram, d.dr, l.lang FROM dp d "
+            "CROSS JOIN (SELECT DISTINCT lang FROM lp) l), "
+            "scored AS (SELECT c.doc_id, c.lang, sum(CASE WHEN p.rank "
+            "IS NULL THEN 40 ELSE abs(c.dr - p.rank) END) AS dist "
+            "FROM cand c LEFT JOIN lp p ON p.lang = c.lang "
+            "AND p.gram = c.gram GROUP BY 1, 2), "
+            "best AS (SELECT doc_id, lang, dist, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn "
+            "FROM scored) "
+            "SELECT doc_id, lang AS predicted, dist::BIGINT AS dist "
+            "FROM best WHERE rn = 1"
         ),
         "winnow_overlap": (
             "WITH norm AS (SELECT doc_id, regexp_replace(lower(text), "

@@ -1552,3 +1552,83 @@ def test_bpe_train_min_count_early_stop(spark):
     )
     out = bpe.bpe_train(df, num_merges=10, min_count=2).collect()
     assert out == []  # every pair occurs once
+
+
+def test_langid_ngram_classifies_real_languages(spark):
+    """Rank-profile language ID trained on genuine snippets classifies
+    held-out text of each language correctly (the marker-word heuristic
+    lang_id needs dictionary hits; the n-gram profile does not)."""
+    from hbase_1_3_0_spark.pipeline import langid
+
+    train = [
+        ("en", "the quick brown fox jumps over the lazy dog and the "
+               "birds sing in the morning while children walk to school"),
+        ("en", "this is a story about the weather and the many things "
+               "that happen when the rain falls on the quiet town"),
+        ("de", "der schnelle braune fuchs springt ueber den faulen hund "
+               "und die voegel singen morgens waehrend die kinder zur "
+               "schule gehen"),
+        ("de", "dies ist eine geschichte ueber das wetter und die "
+               "vielen dinge die geschehen wenn der regen faellt"),
+        ("fr", "le renard brun rapide saute par dessus le chien "
+               "paresseux et les oiseaux chantent le matin quand les "
+               "enfants vont a l ecole"),
+        ("fr", "ceci est une histoire sur le temps et les nombreuses "
+               "choses qui arrivent quand la pluie tombe sur la ville"),
+        ("es", "el rapido zorro marron salta sobre el perro perezoso y "
+               "los pajaros cantan por la manana cuando los ninos van "
+               "a la escuela"),
+        ("es", "esta es una historia sobre el clima y las muchas cosas "
+               "que suceden cuando la lluvia cae sobre la ciudad"),
+    ]
+    held_out = [
+        (1, "en", "the children played in the garden while the dog "
+                  "watched the birds from the window of the house"),
+        (2, "de", "die kinder spielten im garten waehrend der hund die "
+                  "voegel vom fenster des hauses beobachtete"),
+        (3, "fr", "les enfants jouaient dans le jardin pendant que le "
+                  "chien regardait les oiseaux depuis la fenetre"),
+        (4, "es", "los ninos jugaban en el jardin mientras el perro "
+                  "miraba los pajaros desde la ventana de la casa"),
+    ]
+    prof = langid.train_profiles(
+        spark.createDataFrame(train, "lang: string, text: string")
+    )
+    got = {
+        r.doc_id: r.predicted
+        for r in langid.classify(
+            spark.createDataFrame(
+                [(i, t) for i, _, t in held_out],
+                "doc_id: long, text: string",
+            ),
+            prof,
+        ).collect()
+    }
+    assert got == {i: lang for i, lang, _ in held_out}
+
+
+def test_langid_ngram_deterministic_and_short_doc_safe(spark):
+    """Tie-breaks are total: identical corpora give identical profiles
+    across runs; docs shorter than the gram length get no prediction
+    rather than an error."""
+    from hbase_1_3_0_spark.pipeline import langid
+
+    df = spark.createDataFrame(
+        [("aa", "one common phrase repeated here"),
+         ("bb", "one common phrase repeated here")],
+        "lang: string, text: string",
+    )
+    p1 = sorted(map(tuple, langid.train_profiles(df).collect()))
+    p2 = sorted(map(tuple, langid.train_profiles(df).collect()))
+    assert p1 == p2
+    # identical corpora -> identical gram ranks for both labels
+    by_lang = {}
+    for lang, gram, rank in p1:
+        by_lang.setdefault(lang, set()).add((gram, rank))
+    assert by_lang["aa"] == by_lang["bb"]
+    out = langid.classify(
+        spark.createDataFrame([(1, "ab"), (2, "")],
+                              "doc_id: long, text: string"),
+        langid.train_profiles(df),
+    ).collect()
+    assert out == []  # both docs have no trigram at all
