@@ -225,3 +225,64 @@ def test_trigram_lm_single_corpus_pass(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 3
     assert not inspect.has_python_eval(out)
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
+    """Winnowing is a pure per-row array computation: no exchange at
+    all, no Python eval, one corpus scan."""
+    from hbase_1_3_0_spark.pipeline import text
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    out = text.winnow_fingerprints(docs)
+    assert inspect.shuffle_exchange_count(out) == 0
+    assert not inspect.has_python_eval(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_winnow_overlap_single_winnow_pass(spark, sf_dir):
+    """The (doc, fp) table is checkpointed before its three consumers
+    (df-cap agg + both self-join sides): the final plan contains ZERO
+    documents-parquet scans — every branch reads the materialized
+    fingerprint table, so the corpus winnowing pass ran exactly once."""
+    from hbase_1_3_0_spark.pipeline import text
+
+    docs = fixtures.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100
+    )
+    out = text.winnow_overlap(docs, min_shared=2, max_df=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert "CartesianProduct" not in plan
+    assert not inspect.has_python_eval(out)
+
+
+def test_bpe_word_counts_single_scan_map_side_combine(spark, sf_dir):
+    """BPE's only corpus-width pass: one scan, one hash aggregation
+    with a partial (map-side) stage, no Python."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    out = bpe.word_counts(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert inspect.shuffle_exchange_count(out) == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert not inspect.has_python_eval(out)
+
+
+def test_langid_profiles_broadcast(spark, sf_dir):
+    """Classification joins the tiny rank profiles by BROADCAST (both
+    the language list and the profile table); the doc side never
+    sort-merge-joins."""
+    from hbase_1_3_0_spark.pipeline import langid
+
+    docs = fixtures.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100
+    )
+    prof = langid.train_profiles(docs)
+    out = langid.classify(docs, prof)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not inspect.has_python_eval(out)
