@@ -2521,18 +2521,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivfpq_topk — rows-only r5, the driver's ceiling for Spark-trained
     float models), whose areas stay represented in-window by
     lsh/ivf/cosine top-k and the dedup family. Late r06 additionally
-    rotates IN the round's last three new queries (token_budget,
-    text_normalize, neardup_ingest — all local-green, plain-session
-    smoke-tested) for lm_perplexity/lm_bigram/vocab_topk (r04+r05
-    green; LM and text areas stay repped by the trigram pair and
-    corpus/text/tokenizer stats).
+    rotates IN the round's last new queries — token_budget,
+    text_normalize, neardup_ingest, then winnow_fp, winnow_overlap,
+    langid_ngram, bpe_train, bpe_vocab (all local-green, plain-session
+    smoke-tested) — for lm_perplexity/lm_bigram/vocab_topk/
+    versions_latest/agg_decimal/batch_mixed/url_stats/events_window
+    (each >= 2 rounds driver-green; their areas stay repped in-window).
     """
     return {
         # -- client read/write representatives (previously green r01+r02) --
         "scan_range": q_scan_range,
         "filter_scvf": q_filter_scvf,
-        "versions_latest": q_versions_latest,
-        "agg_decimal": q_agg_decimal,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- new in r05: Arrow IPC corpus source --
         "arrow_roundtrip": q_arrow_roundtrip,
@@ -2541,11 +2540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- read-view semantics --
         "compaction": q_compaction,
         # -- mutations / jobs --
-        "batch_mixed": q_batch_mixed,
         "scan_batched": q_scan_batched,
         # -- new in r04: URL/domain web-curation ops + LM perplexity --
         "url_dedup": q_url_dedup,
-        "url_stats": q_url_stats,
         "domain_filter": q_domain_filter,
         # -- new in r05: malformed-URL quarantine policy --
         "url_quarantine": q_url_quarantine,
@@ -2577,6 +2574,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_probe": q_jpeg_probe,
         "domain_cap": q_domain_cap,
         "substring_dedup": q_substring_dedup,
+        # -- rotated in LATE r06 (all plain-session smoke-tested +
+        #    local-green): winnowing, langid (DuckDB-oracled); BPE
+        #    (py-model oracle, rows-only at the driver by design) --
+        "winnow_fp": q_winnow_fp,
+        "winnow_overlap": q_winnow_overlap,
+        "langid_ngram": q_langid_ngram,
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         # -- security tags --
@@ -2588,7 +2593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counters": q_streaming_counters,
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
         "dedup_ingest": q_dedup_ingest,
-        "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         # -- LLM training-data pipeline --
         "text_stats": q_text_stats,
@@ -2628,21 +2632,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
-        # new late r06 (below the line; rotate in for r07 driver rows):
-        # MOSS winnowing — local fingerprints + copied-passage pairs
-        "winnow_fp": q_winnow_fp,
-        "winnow_overlap": q_winnow_overlap,
-        # new late r06: BPE tokenizer training (iterative — py-model
-        # oracle locally, rows-only at the driver by design)
-        "bpe_train": q_bpe_train,
-        "bpe_vocab": q_bpe_vocab,
-        # new late r06: rank-profile language ID (DuckDB-oracled)
-        "langid_ngram": q_langid_ngram,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
         # green, text area repped by corpus_stats/text_stats/
         # tokenizer_stats/remove_boilerplate)
+        # rotated out late r06 for winnow/langid/bpe (each >= 2 rounds
+        # driver-green; read-view/interpreter/mutations/streaming/url
+        # areas stay repped in-window by compaction, endpoint_agg,
+        # check_and_mutate_row, dedup_ingest + events_sessionize, and
+        # the url_dedup/url_quarantine/domain_* family)
+        "versions_latest": q_versions_latest,
+        "agg_decimal": q_agg_decimal,
+        "batch_mixed": q_batch_mixed,
+        "url_stats": q_url_stats,
+        "events_window": q_events_window,
         "lm_perplexity": q_lm_perplexity,
         "lm_bigram": q_lm_bigram,
         "vocab_topk": q_vocab_topk,
