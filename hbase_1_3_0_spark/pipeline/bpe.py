@@ -96,6 +96,7 @@ def bpe_train(
     *,
     num_merges: int = 20,
     min_count: int = 2,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     merge table ``(rank, left, right, pair_count)`` in learned order —
@@ -105,9 +106,13 @@ def bpe_train(
 
     Driver state is one (left, right, count) row per iteration; the
     distributed word table is rewritten per merge and eagerly
-    localCheckpoint'd (see module docstring for why)."""
+    localCheckpoint'd (see module docstring for why). ``words`` accepts
+    a precomputed :func:`word_counts` table so composed callers (e.g.
+    :func:`bpe_vocab`) pay the corpus scan exactly once."""
     spark = df.sparkSession
-    wc = word_counts(df, text_col).where(F.length("word") > 0)
+    wc = (words if words is not None else word_counts(df, text_col)).where(
+        F.length("word") > 0
+    )
     words = wc.select(
         _initial_symbols(F.col("word")).alias("syms"), "cnt"
     ).localCheckpoint()
@@ -168,14 +173,22 @@ def bpe_vocab(
     freshly learned merges — ``(token, n_words, total)`` where
     ``n_words`` counts distinct words containing the token and
     ``total`` is the corpus-weighted occurrence count (a token
-    appearing twice in one word counts twice per word instance)."""
+    appearing twice in one word counts twice per word instance).
+
+    The word-count table is materialized ONCE (localCheckpoint) and
+    shared by training and segmentation — one corpus scan total."""
+    wc = (
+        word_counts(df, text_col)
+        .where(F.length("word") > 0)
+        .localCheckpoint()
+    )
     merges = [
         (r.left, r.right)
         for r in bpe_train(
-            df, text_col, num_merges=num_merges, min_count=min_count
+            df, text_col, num_merges=num_merges, min_count=min_count,
+            words=wc,
         ).orderBy("rank").collect()
     ]
-    wc = word_counts(df, text_col).where(F.length("word") > 0)
     seg = bpe_segment(wc, merges)
     return (
         seg.select("word", F.explode("tokens").alias("token"), "cnt")
