@@ -958,3 +958,106 @@ def test_substring_dedup_matches_python_model(spark, texts, planted, k):
         for r in substrings.remove_repeated_spans(df, k=k).collect()
     }
     assert got == model()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60),
+        min_size=1, max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+    w=st.integers(min_value=1, max_value=5),
+)
+def test_winnow_fingerprints_match_python_model(spark, texts, k, w):
+    """Winnowing equals the brute-force reference on random tiny-
+    alphabet corpora across (k, w) — the tiny alphabet forces hash ties,
+    exercising the rightmost-min rule; and the MOSS coverage guarantee
+    holds (every w-window of grams contains a selected position)."""
+    import hashlib
+    import re
+
+    from hbase_1_3_0_spark.pipeline import text as textops
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in textops.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    want = set()
+    cover_ok = True
+    for i, s in docs:
+        t = re.sub(r"[^a-z0-9]", "", s.lower())
+        m = len(t) - k + 1
+        if m < 1:
+            continue
+        hs = [
+            hashlib.md5(t[j:j + k].encode()).hexdigest()[:8]
+            for j in range(m)
+        ]
+        wlen = min(w, m)
+        sel_pos = set()
+        for j in range(max(m - w + 1, 1)):
+            sub = hs[j:j + wlen]
+            mn = min(sub)
+            p = j + max(q for q, h in enumerate(sub) if h == mn)
+            want.add((i, p + 1, mn))
+            sel_pos.add(p)
+        for j in range(max(m - w + 1, 1)):
+            if not any(j <= p < j + wlen for p in sel_pos):
+                cover_ok = False
+    assert got == want
+    assert cover_ok
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1, max_size=12,
+    ),
+    num_merges=st.integers(min_value=1, max_value=8),
+)
+def test_bpe_train_matches_python_model(spark, words, num_merges):
+    """bpe_train equals the sequential reference trainer on random
+    tiny-alphabet corpora — merge order, tie-breaks, pair counts, and
+    the left-to-right non-overlap rule (the 'aaa' + (a,a) case arises
+    naturally here)."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    corpus = " ".join(words)
+    df = spark.createDataFrame([(1, corpus)], "doc_id: long, text: string")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe.bpe_train(df, num_merges=num_merges, min_count=2)
+        .orderBy("rank").collect()
+    ]
+    counts: dict = {}
+    for wd in words:
+        counts[wd] = counts.get(wd, 0) + 1
+    syms_list = [(list(wd) + ["</w>"], c) for wd, c in counts.items()]
+    want = []
+    for rank in range(num_merges):
+        pc: dict = {}
+        for syms, c in syms_list:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        want.append((rank, a, b, c))
+
+        def apply(syms):
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            return out
+
+        syms_list = [(apply(syms), c0) for syms, c0 in syms_list]
+    assert got == want
