@@ -1253,6 +1253,19 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors cosine-matched
+    against a broadcast eval set (every 17th vector), best probe per
+    contaminated vector (pipeline/decontaminate.py
+    embedding_contamination) — catches paraphrased eval leakage the
+    n-gram `decontaminate` query misses."""
+    embs = _load(spark, sf_dir, "embeddings")
+    evalset = embs.where(F.col("vec_id") % 17 == 0)
+    return decontaminate.embedding_contamination(
+        embs, evalset, threshold=0.3
+    )
+
+
 def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cavnar-Trenkle n-gram language ID: top-40 char-trigram rank
     profiles per labeled language, out-of-place distance, argmin
@@ -2632,6 +2645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
+        # new late r06, below the line (DuckDB-oracled, local-green):
+        # rotate in for an r07 driver row
+        "embedding_decontaminate": q_embedding_decontaminate,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
@@ -3346,6 +3362,21 @@ def oracle_sql() -> dict[str, str]:
             "AND g.i BETWEEN w.j AND w.j + w.wlen - 1) "
             "SELECT DISTINCT doc_id, i::INTEGER AS pos, h AS fp "
             "FROM cand WHERE rn = 1"
+        ),
+        "embedding_decontaminate": (
+            "WITH p AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv "
+            "FROM embeddings WHERE vec_id % 17 = 0), "
+            "c AS (SELECT vec_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings), "
+            "s AS (SELECT c.vec_id, p.pid, "
+            "round(list_dot_product(cv, pv) / "
+            "(sqrt(list_dot_product(cv, cv)) * "
+            "sqrt(list_dot_product(pv, pv))), 6) AS sim "
+            "FROM c CROSS JOIN p WHERE c.vec_id != p.pid), "
+            "f AS (SELECT vec_id, pid, sim, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY sim DESC, pid ASC) AS rn "
+            "FROM s WHERE sim >= 0.3) "
+            "SELECT vec_id, pid AS eval_id, sim FROM f WHERE rn = 1"
         ),
         "langid_ngram": (
             # Cavnar-Trenkle: per-lang top-40 trigram rank profiles,

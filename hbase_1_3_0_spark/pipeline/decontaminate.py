@@ -105,3 +105,50 @@ def ngram_contamination(
         F.round(contamination, 6).alias("contamination"),
         (contamination > threshold).alias("contaminated"),
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic twin of
+    :func:`ngram_contamination`: flags corpus vectors whose cosine
+    against ANY probe (eval-set) vector reaches ``threshold``, catching
+    paraphrased eval leakage that exact n-gram overlap misses. Returns
+    ``(id, eval_id, sim)`` — the best-matching probe per contaminated
+    corpus vector (ties on the 6-dp-rounded similarity break on probe
+    id, so the output is engine-portable and oracle-checkable).
+
+    Scale shape: the probe side is an EVAL SET — small by definition —
+    and broadcasts; the corpus is never shuffled (one narrow pass +
+    a per-vector window over its above-threshold hits only). For probe
+    sets too large to broadcast, go through the LSH/IVF candidate
+    paths in pipeline/similarity.py instead."""
+    from pyspark.sql import Window
+
+    from hbase_1_3_0_spark.pipeline.similarity import cosine
+
+    p = probes.select(
+        F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .where(F.col(id_col) != F.col("_pid"))
+        .select(
+            F.col(id_col),
+            F.col("_pid"),
+            F.round(cosine(F.col("_cv"), F.col("_pv")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("_pid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_pid").alias("eval_id"), "sim")
+    )

@@ -1632,3 +1632,35 @@ def test_langid_ngram_deterministic_and_short_doc_safe(spark):
         langid.train_profiles(df),
     ).collect()
     assert out == []  # both docs have no trigram at all
+
+
+def test_embedding_contamination_flags_planted_leak(spark):
+    """A corpus vector equal (or near-equal) to an eval vector is
+    flagged with that eval id; orthogonal vectors are not; a vector
+    never matches itself by id."""
+    from hbase_1_3_0_spark.pipeline import decontaminate
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # = eval 100 -> contaminated
+        (2, [0.9, 0.1, 0.0, 0.0]),   # near eval 100 -> contaminated
+        (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both evals
+        (100, [1.0, 0.0, 0.0, 0.0]),  # the eval rows live in the
+        (101, [0.0, 1.0, 0.0, 0.0]),  # corpus too (self-excluded)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    out = {
+        r.vec_id: (r.eval_id, r.sim)
+        for r in decontaminate.embedding_contamination(
+            df, df.where(F.col("vec_id") >= 100), threshold=0.9
+        ).collect()
+    }
+    assert out[1] == (100, 1.0)
+    assert out[2][0] == 100 and out[2][1] >= 0.9
+    assert 3 not in out
+    # eval vec 100 does not match itself; nothing else reaches 0.9 of it
+    # except corpus vec 1 (exact) -> flagged with eval_id 1? No: probes
+    # are only >=100, so 100's best probe would be itself (excluded) and
+    # 101 (orthogonal) -> absent
+    assert 100 not in out and 101 not in out
