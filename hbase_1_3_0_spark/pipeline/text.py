@@ -113,8 +113,12 @@ def winnow_fingerprints(
     array_min over a sequence) plus one posexplode — ZERO shuffles, no
     UDFs, O(len * w) JVM work per doc inside whole-stage codegen. The
     density guarantee bounds output at ~2/(w+1) fingerprints per
-    character, so the exploded table is a bounded fraction of corpus
-    bytes."""
+    character — so PICK w FOR THE CORPUS SCALE: the (k=8, w=4) defaults
+    are the paper's plagiarism-detection shape (~0.4 fp/char — the fp
+    table is a multiple of corpus bytes, fine for targeted overlap
+    checks); for whole-corpus fingerprinting use the dedup-literature
+    shape (e.g. k=25, w=40: guarantee length k+w-1=64, density < 5%,
+    fp table a small fraction of corpus bytes)."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
