@@ -1253,6 +1253,16 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing without document splitting
+    (pipeline/sampling.py pack_bins_ffd): deterministic per-group FFD
+    inside Arrow-batched applyInPandas — verified against a pure-Python
+    reference packer (tools/pymodels.py); rows-only at the driver
+    (sequential greedy, not SQL-expressible)."""
+    docs = _load(spark, sf_dir, "documents")
+    return sampling.pack_bins_ffd(docs, capacity=64, num_groups=8)
+
+
 def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: corpus vectors cosine-matched
     against a broadcast eval set (every 17th vector), best probe per
@@ -2648,6 +2658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new late r06, below the line (DuckDB-oracled, local-green):
         # rotate in for an r07 driver row
         "embedding_decontaminate": q_embedding_decontaminate,
+        # new late r06: FFD bin packing (py-model oracle, rows-only
+        # at the driver by design — sequential greedy)
+        "pack_bins": q_pack_bins,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05

@@ -1664,3 +1664,51 @@ def test_embedding_contamination_flags_planted_leak(spark):
     # are only >=100, so 100's best probe would be itself (excluded) and
     # 101 (orthogonal) -> absent
     assert 100 not in out and 101 not in out
+
+
+def test_pack_bins_ffd_valid_and_matches_model(spark):
+    """FFD packing: every bin respects capacity, oversize docs get
+    dedicated bins, assignment equals the sequential reference packer,
+    and packing beats concat-free naive one-doc-per-bin density."""
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    rows = [(i, "tok " * n) for i, n in enumerate(
+        [60, 50, 40, 30, 20, 10, 10, 5, 70, 3, 33, 31, 64, 65, 1, 2]
+    )]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = sampling.pack_bins_ffd(
+        df, capacity=64, num_groups=2
+    ).collect()
+    got = {(r.doc_id): (r.n_tokens, r.grp, r.bin, r.oversize) for r in out}
+    # reference: same grouping, sort, FFD
+    toks = {i: t.count("tok") for i, t in rows}
+    want = {}
+    for grp in (0, 1):
+        docs = sorted(
+            [(i, toks[i]) for i in toks if i % 2 == grp],
+            key=lambda d: (-d[1], d[0]),
+        )
+        bins = []
+        for i, t in docs:
+            if t > 64:
+                bins.append(-1)
+                want[i] = (t, grp, len(bins) - 1, True)
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= t:
+                    bins[b] = rem - t
+                    want[i] = (t, grp, b, False)
+                    break
+            else:
+                bins.append(64 - t)
+                want[i] = (t, grp, len(bins) - 1, False)
+    assert got == want
+    # capacity respected for non-oversize bins
+    fill: dict = {}
+    for i, (t, grp, b, ov) in got.items():
+        if not ov:
+            fill[(grp, b)] = fill.get((grp, b), 0) + t
+    assert all(v <= 64 for v in fill.values())
+    # fewer bins than docs (packing actually packs)
+    n_bins = len({(g, b) for _, (t, g, b, _) in got.items()})
+    assert n_bins < len(rows)

@@ -575,7 +575,50 @@ def bpe_vocab_model(
     ]
 
 
+
+
+def pack_bins_model(
+    sf_dir: str, *, capacity: int = 64, num_groups: int = 8
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_pack_bins: per-group first-fit-decreasing
+    bin assignment of the documents table (tokens = the [A-Za-z0-9]+
+    word count, groups = doc_id % num_groups, sort (tokens DESC, id
+    ASC), docs over capacity get a dedicated oversize bin)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    out = []
+    by_grp: dict = {}
+    for doc_id, n in rows:
+        by_grp.setdefault(int(doc_id) % num_groups, []).append(
+            (int(doc_id), int(n))
+        )
+    for grp, docs in by_grp.items():
+        docs.sort(key=lambda d: (-d[1], d[0]))
+        bins: list = []
+        for doc_id, t in docs:
+            if t > capacity:
+                bins.append(-1)
+                out.append((doc_id, t, grp, len(bins) - 1, True))
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= t:
+                    bins[b] = rem - t
+                    out.append((doc_id, t, grp, b, False))
+                    break
+            else:
+                bins.append(capacity - t)
+                out.append((doc_id, t, grp, len(bins) - 1, False))
+    return ["doc_id", "n_tokens", "grp", "bin", "oversize"], out
+
+
 PY_MODELS = {
+    "pack_bins": pack_bins_model,
     "bpe_train": bpe_train_model,
     "bpe_vocab": bpe_vocab_model,
     "minhash_pairs": minhash_pairs_model,
