@@ -1253,6 +1253,14 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher quality-rule battery (Rae et al. 2021 App. A) as one
+    codegen'd projection — every signal + pass flag, DuckDB-oracled
+    (pipeline/text.py gopher_quality)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.gopher_quality(docs)
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing bin packing without document splitting
     (pipeline/sampling.py pack_bins_ffd): deterministic per-group FFD
@@ -2661,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new late r06: FFD bin packing (py-model oracle, rows-only
         # at the driver by design — sequential greedy)
         "pack_bins": q_pack_bins,
+        "gopher_quality": q_gopher_quality,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
@@ -3375,6 +3384,48 @@ def oracle_sql() -> dict[str, str]:
             "AND g.i BETWEEN w.j AND w.j + w.wlen - 1) "
             "SELECT DISTINCT doc_id, i::INTEGER AS pos, h AS fp "
             "FROM cand WHERE rn = 1"
+        ),
+        "gopher_quality": (
+            "WITH f AS (SELECT doc_id, text, "
+            "regexp_extract_all(text, '[A-Za-z0-9]+') AS ws, "
+            "list_filter(string_split(text, chr(10)), "
+            "x -> length(trim(x)) > 0) AS ls FROM documents), "
+            "g AS (SELECT doc_id, len(ws)::BIGINT AS n_words, "
+            "CASE WHEN len(ws) > 0 THEN round(list_sum("
+            "list_transform(ws, x -> length(x))) * 1.0 / len(ws), 6) "
+            "END AS mean_word_len, "
+            "CASE WHEN len(ws) > 0 THEN round(("
+            "(length(text) - length(replace(text, '#', ''))) + "
+            "(length(text) - length(replace(text, '...', ''))) / 3.0 + "
+            "(length(text) - length(replace(text, chr(8230), '')))"
+            ") * 1.0 / len(ws), 6) END AS symbol_word_ratio, "
+            "CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, "
+            "x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')"
+            ")) * 1.0 / len(ls), 6) END AS bullet_line_frac, "
+            "CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, "
+            "x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), "
+            "chr(8230)))) * 1.0 / len(ls), 6) END AS ellipsis_line_frac, "
+            "CASE WHEN len(ws) > 0 THEN round(len(list_filter(ws, "
+            "x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws), 6) "
+            "END AS alpha_word_frac, "
+            "(list_contains(list_transform(ws, x -> lower(x)), 'the')::INT "
+            "+ list_contains(list_transform(ws, x -> lower(x)), 'be')::INT "
+            "+ list_contains(list_transform(ws, x -> lower(x)), 'to')::INT "
+            "+ list_contains(list_transform(ws, x -> lower(x)), 'of')::INT "
+            "+ list_contains(list_transform(ws, x -> lower(x)), 'and')::INT "
+            "+ list_contains(list_transform(ws, x -> lower(x)), 'that')::INT "
+            "+ list_contains(list_transform(ws, x -> lower(x)), 'have')::INT "
+            "+ list_contains(list_transform(ws, x -> lower(x)), 'with')::INT"
+            ")::BIGINT AS stop_hits FROM f) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, "
+            "bullet_line_frac, ellipsis_line_frac, alpha_word_frac, "
+            "stop_hits, coalesce(n_words BETWEEN 50 AND 100000 "
+            "AND mean_word_len BETWEEN 3.0 AND 10.0 "
+            "AND symbol_word_ratio <= 0.1 "
+            "AND (bullet_line_frac IS NULL OR bullet_line_frac <= 0.9) "
+            "AND (ellipsis_line_frac IS NULL OR ellipsis_line_frac <= 0.3) "
+            "AND alpha_word_frac >= 0.8 AND stop_hits >= 2, false) "
+            "AS pass_gopher FROM g"
         ),
         "embedding_decontaminate": (
             "WITH p AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv "

@@ -597,3 +597,99 @@ def normalize_text(
             )
 
     return src.mapInPandas(run, out_schema)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A — the public standard for
+    corpus quality filtering), as pure Column expressions over one scan:
+
+    - ``n_words`` in [50, 100000]
+    - ``mean_word_len`` in [3, 10]
+    - ``symbol_word_ratio`` (# and ellipsis per word) <= 0.1
+    - ``bullet_line_frac`` (lines starting -, *) <= 0.9
+    - ``ellipsis_line_frac`` (lines ending ... or U+2026) <= 0.3
+    - ``alpha_word_frac`` (words containing a letter) >= 0.8
+    - ``stop_hits`` (distinct Gopher stopwords present) >= 2
+
+    Emits every signal (ratios 6-dp rounded, NULL-safe for empty docs)
+    plus ``pass_gopher``. Zero shuffles, no UDFs, engine-portable
+    expressions — the whole battery is one codegen'd projection, so at
+    100 TB it rides the same scan as any other per-doc map.
+    """
+    t = F.col(text_col)
+    words = F.regexp_extract_all(t, F.lit(WORD_RE), 0)
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    mean_word_len = F.when(
+        n_words > 0, F.round(word_chars / n_words, 6)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_word_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 6)
+    )
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("-") | F.ltrim(x).startswith("*"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...")
+            | F.rtrim(x).endswith("…"),
+        )
+    )
+    bullet_line_frac = F.when(
+        n_lines > 0, F.round(bullet_lines / n_lines, 6)
+    )
+    ellipsis_line_frac = F.when(
+        n_lines > 0, F.round(ellipsis_lines / n_lines, 6)
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+    )
+    alpha_word_frac = F.when(
+        n_words > 0, F.round(alpha_words / n_words, 6)
+    )
+    lowered = F.transform(words, F.lower)
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(lowered, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    passes = (
+        n_words.between(50, 100000)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_word_ratio <= 0.1)
+        & (bullet_line_frac.isNull() | (bullet_line_frac <= 0.9))
+        & (ellipsis_line_frac.isNull() | (ellipsis_line_frac <= 0.3))
+        & (alpha_word_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.coalesce(passes, F.lit(False)).alias("pass_gopher"),
+    )

@@ -1712,3 +1712,36 @@ def test_pack_bins_ffd_valid_and_matches_model(spark):
     # fewer bins than docs (packing actually packs)
     n_bins = len({(g, b) for _, (t, g, b, _) in got.items()})
     assert n_bins < len(rows)
+
+
+def test_gopher_quality_battery_edges(spark):
+    """The Gopher rule battery on handcrafted edges: a clean passing
+    doc, bullet-heavy, ellipsis-heavy, symbol-heavy, alpha-poor, and
+    empty docs each fail exactly the intended rule."""
+    clean = (
+        "The quick brown fox jumps over the lazy dog and then walks "
+        "back to the den because it wants to rest with its friends "
+        "that have been waiting all morning for food and play and "
+        "sunshine in the tall grass near the river bend today again "
+        "while the birds keep singing softly above the calm water"
+    )
+    rows = [
+        (1, clean),
+        (2, "- one\n- two\n- three\n- four\nplain"),      # bullets
+        (3, "first...\nsecond...\nthird...\nclean line"),  # ellipses
+        (4, "# " * 60 + "the of and"),                     # symbols
+        (5, " ".join(str(n) for n in range(60)) + " the of"),  # alpha-poor
+        (6, ""),                                           # empty
+    ]
+    from hbase_1_3_0_spark.pipeline import text as textops
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in textops.gopher_quality(df).collect()}
+    assert out[1].pass_gopher
+    assert out[1].stop_hits >= 2 and out[1].alpha_word_frac == 1.0
+    assert out[2].bullet_line_frac == 0.8 and not out[2].pass_gopher
+    assert out[3].ellipsis_line_frac == 0.75 and not out[3].pass_gopher
+    assert out[4].symbol_word_ratio > 0.1 and not out[4].pass_gopher
+    assert out[5].alpha_word_frac < 0.8 and not out[5].pass_gopher
+    assert out[6].n_words == 0 and not out[6].pass_gopher
+    assert out[6].mean_word_len is None
