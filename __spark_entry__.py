@@ -1253,6 +1253,14 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning rules (Raffel et al. 2020 §2.2) — cleaned
+    text + per-doc counts + keep flag, DuckDB-oracled
+    (pipeline/text.py c4_clean)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.c4_clean(docs)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher quality-rule battery (Rae et al. 2021 App. A) as one
     codegen'd projection — every signal + pass flag, DuckDB-oracled
@@ -2670,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at the driver by design — sequential greedy)
         "pack_bins": q_pack_bins,
         "gopher_quality": q_gopher_quality,
+        "c4_clean": q_c4_clean,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
@@ -3384,6 +3393,26 @@ def oracle_sql() -> dict[str, str]:
             "AND g.i BETWEEN w.j AND w.j + w.wlen - 1) "
             "SELECT DISTINCT doc_id, i::INTEGER AS pos, h AS fp "
             "FROM cand WHERE rn = 1"
+        ),
+        "c4_clean": (
+            "WITH f AS (SELECT doc_id, text, string_split(text, chr(10)) "
+            "AS ls FROM documents), "
+            "g AS (SELECT doc_id, text, ls, list_filter(ls, x -> "
+            "regexp_matches(rtrim(x), '[.!?\"]$') AND "
+            "len(regexp_extract_all(x, '[A-Za-z0-9]+')) >= 3 AND "
+            "NOT contains(lower(x), 'javascript')) AS kl FROM f), "
+            "h AS (SELECT doc_id, text, ls, "
+            "list_aggregate(kl, 'string_agg', chr(10)) AS joined, kl "
+            "FROM g) "
+            "SELECT doc_id, coalesce(joined, '') AS clean_text, "
+            "len(list_filter(ls, x -> length(trim(x)) > 0))::BIGINT "
+            "AS n_lines, len(kl)::BIGINT AS n_lines_kept, "
+            "len(regexp_extract_all(coalesce(joined, ''), '[.!?]'))::BIGINT "
+            "AS n_sentences, "
+            "coalesce(len(regexp_extract_all(coalesce(joined, ''), "
+            "'[.!?]')) >= 5 AND NOT contains(text, '{') AND "
+            "NOT contains(lower(text), 'lorem ipsum'), false) AS kept "
+            "FROM h"
         ),
         "gopher_quality": (
             "WITH f AS (SELECT doc_id, text, "

@@ -693,3 +693,52 @@ def gopher_quality(
         stop_hits.cast("long").alias("stop_hits"),
         F.coalesce(passes, F.lit(False)).alias("pass_gopher"),
     )
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 line- and page-level cleaning rules (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning" §2.2 — the public
+    Common-Crawl recipe), as one shuffle-free projection:
+
+    line level — a line survives iff it ends in terminal punctuation
+    (``.``, ``!``, ``?`` or a closing quote) after right-trim, has at
+    least 3 words, and does not mention javascript (case-insensitive);
+    page level — the document survives iff its surviving text contains
+    at least 5 sentence terminators, the original text has no curly
+    brace, and no 'lorem ipsum' (case-insensitive).
+
+    Emits every input doc with the cleaned text, per-doc counts, and
+    the ``kept`` flag — callers filter on it; keeping rejects visible
+    makes the filter auditable. Pure array/string expressions riding
+    the scan: the 100 TB cost is the corpus read itself."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    word_n = lambda x: F.size(  # noqa: E731
+        F.regexp_extract_all(x, F.lit(WORD_RE), 0)
+    )
+    keep_line = lambda x: (  # noqa: E731
+        F.rtrim(x).rlike('[.!?"]$')
+        & (word_n(x) >= 3)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept_lines = F.filter(lines, keep_line)
+    cleaned = F.array_join(kept_lines, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(cleaned, F.lit("[.!?]"), 0)
+    )
+    kept = (
+        (n_sentences >= 5)
+        & ~t.contains("{")
+        & ~F.lower(t).contains("lorem ipsum")
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        F.size(F.filter(lines, lambda x: F.length(F.trim(x)) > 0))
+        .cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        F.coalesce(kept, F.lit(False)).alias("kept"),
+    )

@@ -1745,3 +1745,33 @@ def test_gopher_quality_battery_edges(spark):
     assert out[5].alpha_word_frac < 0.8 and not out[5].pass_gopher
     assert out[6].n_words == 0 and not out[6].pass_gopher
     assert out[6].mean_word_len is None
+
+
+def test_c4_clean_rules(spark):
+    """C4 rules on handcrafted docs: terminal-punctuation line keep,
+    3-word minimum, javascript drop, 5-sentence page rule, curly-brace
+    and lorem-ipsum page drops."""
+    from hbase_1_3_0_spark.pipeline import text as textops
+
+    good = "\n".join(
+        f"This is a complete healthy sentence number {i}." for i in range(6)
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nPlease enable JavaScript to continue."),  # line drop
+        (3, good + "\nshort line\nno terminal punctuation here"),
+        (4, good.replace("number 0.", "number 0. {")),  # brace: page drop
+        (5, good + "\nLorem Ipsum dolor sit amet."),    # page drop
+        (6, "One sentence only."),                      # < 5 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in textops.c4_clean(df).collect()}
+    assert out[1].kept and out[1].n_lines_kept == 6
+    # the javascript line is dropped but the page survives
+    assert out[2].kept and out[2].n_lines_kept == 6
+    assert "JavaScript" not in out[2].clean_text
+    # unpunctuated/short lines dropped, page survives
+    assert out[3].kept and out[3].n_lines_kept == 6
+    assert not out[4].kept        # curly brace kills the page
+    assert not out[5].kept        # lorem ipsum kills the page
+    assert not out[6].kept and out[6].n_sentences == 1
