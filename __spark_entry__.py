@@ -1253,6 +1253,14 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram battery (Rae et al. 2021 App. A): top
+    2-4-gram char fractions + duplicated 5-10-gram position coverage
+    (pipeline/text.py gopher_repetition), DuckDB-oracled."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.gopher_repetition(docs)
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/page cleaning rules (Raffel et al. 2020 §2.2) — cleaned
     text + per-doc counts + keep flag, DuckDB-oracled
@@ -2679,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
+        "gopher_repetition": q_gopher_repetition,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
@@ -3393,6 +3402,9 @@ def oracle_sql() -> dict[str, str]:
             "AND g.i BETWEEN w.j AND w.j + w.wlen - 1) "
             "SELECT DISTINCT doc_id, i::INTEGER AS pos, h AS fp "
             "FROM cand WHERE rn = 1"
+        ),
+        "gopher_repetition": (
+            "WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), toks AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w, length(ws[i]) AS wlen FROM base, UNNEST(generate_series(1, len(ws))) AS g(i)), totals AS (SELECT doc_id, sum(wlen) AS total FROM toks GROUP BY 1), seq AS (SELECT doc_id, pos, w AS w0, wlen AS l0, lead(w, 1) OVER win AS w1, lead(wlen, 1) OVER win AS l1, lead(w, 2) OVER win AS w2, lead(wlen, 2) OVER win AS l2, lead(w, 3) OVER win AS w3, lead(wlen, 3) OVER win AS l3, lead(w, 4) OVER win AS w4, lead(wlen, 4) OVER win AS l4, lead(w, 5) OVER win AS w5, lead(wlen, 5) OVER win AS l5, lead(w, 6) OVER win AS w6, lead(wlen, 6) OVER win AS l6, lead(w, 7) OVER win AS w7, lead(wlen, 7) OVER win AS l7, lead(w, 8) OVER win AS w8, lead(wlen, 8) OVER win AS l8, lead(w, 9) OVER win AS w9, lead(wlen, 9) OVER win AS l9 FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), grams AS (SELECT doc_id, 2 AS n, pos, w0 || ' ' || w1 AS gram, l0 + l1 AS glen FROM seq WHERE w1 IS NOT NULL UNION ALL SELECT doc_id, 3 AS n, pos, w0 || ' ' || w1 || ' ' || w2 AS gram, l0 + l1 + l2 AS glen FROM seq WHERE w2 IS NOT NULL UNION ALL SELECT doc_id, 4 AS n, pos, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 AS gram, l0 + l1 + l2 + l3 AS glen FROM seq WHERE w3 IS NOT NULL UNION ALL SELECT doc_id, 5 AS n, pos, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS gram, l0 + l1 + l2 + l3 + l4 AS glen FROM seq WHERE w4 IS NOT NULL UNION ALL SELECT doc_id, 6 AS n, pos, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS gram, l0 + l1 + l2 + l3 + l4 + l5 AS glen FROM seq WHERE w5 IS NOT NULL UNION ALL SELECT doc_id, 7 AS n, pos, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 || ' ' || w6 AS gram, l0 + l1 + l2 + l3 + l4 + l5 + l6 AS glen FROM seq WHERE w6 IS NOT NULL UNION ALL SELECT doc_id, 8 AS n, pos, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram, l0 + l1 + l2 + l3 + l4 + l5 + l6 + l7 AS glen FROM seq WHERE w7 IS NOT NULL UNION ALL SELECT doc_id, 9 AS n, pos, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 || ' ' || w6 || ' ' || w7 || ' ' || w8 AS gram, l0 + l1 + l2 + l3 + l4 + l5 + l6 + l7 + l8 AS glen FROM seq WHERE w8 IS NOT NULL UNION ALL SELECT doc_id, 10 AS n, pos, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 || ' ' || w6 || ' ' || w7 || ' ' || w8 || ' ' || w9 AS gram, l0 + l1 + l2 + l3 + l4 + l5 + l6 + l7 + l8 + l9 AS glen FROM seq WHERE w9 IS NOT NULL), counts AS (SELECT doc_id, n, gram, count(*) AS c, min(glen) AS glen FROM grams GROUP BY 1, 2, 3), top AS (SELECT doc_id, n, c * glen AS chars FROM (SELECT doc_id, n, gram, c, glen, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn FROM counts WHERE n IN (2, 3, 4)) WHERE rn = 1 AND c >= 2), dup0 AS (SELECT g.doc_id, g.n, g.pos FROM grams g JOIN counts c USING (doc_id, n, gram) WHERE c.c >= 2 AND g.n >= 5), dupocc AS (SELECT DISTINCT doc_id, n, q FROM dup0, UNNEST(generate_series(pos, pos + n - 1)) AS u(q)), cov AS (SELECT d.doc_id, d.n, sum(t.wlen) AS chars FROM dupocc d JOIN toks t ON t.doc_id = d.doc_id AND t.pos = d.q GROUP BY 1, 2), m AS (SELECT doc_id, 't' || n AS k, chars FROM top UNION ALL SELECT doc_id, 'd' || n AS k, chars FROM cov) SELECT t.doc_id, round(coalesce(max(CASE WHEN k = 't2' THEN chars END), 0) * 1.0 / any_value(total), 6) AS top_2gram_frac, round(coalesce(max(CASE WHEN k = 't3' THEN chars END), 0) * 1.0 / any_value(total), 6) AS top_3gram_frac, round(coalesce(max(CASE WHEN k = 't4' THEN chars END), 0) * 1.0 / any_value(total), 6) AS top_4gram_frac, round(coalesce(max(CASE WHEN k = 'd5' THEN chars END), 0) * 1.0 / any_value(total), 6) AS dup_5gram_frac, round(coalesce(max(CASE WHEN k = 'd6' THEN chars END), 0) * 1.0 / any_value(total), 6) AS dup_6gram_frac, round(coalesce(max(CASE WHEN k = 'd7' THEN chars END), 0) * 1.0 / any_value(total), 6) AS dup_7gram_frac, round(coalesce(max(CASE WHEN k = 'd8' THEN chars END), 0) * 1.0 / any_value(total), 6) AS dup_8gram_frac, round(coalesce(max(CASE WHEN k = 'd9' THEN chars END), 0) * 1.0 / any_value(total), 6) AS dup_9gram_frac, round(coalesce(max(CASE WHEN k = 'd10' THEN chars END), 0) * 1.0 / any_value(total), 6) AS dup_10gram_frac FROM (SELECT doc_id, total FROM totals WHERE total > 0) t LEFT JOIN m USING (doc_id) GROUP BY t.doc_id, t.total"
         ),
         "c4_clean": (
             "WITH f AS (SELECT doc_id, text, string_split(text, chr(10)) "

@@ -742,3 +742,160 @@ def c4_clean(
         n_sentences.cast("long").alias("n_sentences"),
         F.coalesce(kept, F.lit(False)).alias("kept"),
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The duplicate-n-gram half of the Gopher rules (Rae et al. 2021
+    Appendix A): per document,
+
+    - ``top_{n}gram_frac`` (n in ``top_ns``) — characters attributed to
+      the MOST FREQUENT word n-gram (occurrences x the gram's summed
+      token lengths) over total token characters; 0 when no n-gram
+      repeats (a once-occurring "top" gram is noise, per the public
+      reimplementations); ties break on the lexicographically smallest
+      gram, so the stat is deterministic.
+    - ``dup_{n}gram_frac`` (n in ``dup_ns``) — characters of token
+      POSITIONS covered by at least one occurrence of any DUPLICATED
+      n-gram (count >= 2), counted once per position, over total token
+      characters — the coverage semantics, not the naive sum that
+      double-counts overlaps.
+
+    Words are ``WORD_RE`` tokens of the lowercased text; character
+    counts are token characters (separators excluded) so both engines
+    agree exactly. Docs with fewer than n tokens report 0 for that n.
+
+    Plan shape: ONE posexplode of the token array feeds a single
+    (doc, n, gram) counting shuffle for every n at once; coverage
+    re-explodes only DUPLICATED occurrences (<= n rows per occurrence —
+    linear with a small constant, because duplicated grams are the
+    minority in clean corpora; for pathological corpora the
+    gaps-and-islands interval union in pipeline/substrings.py is the
+    drop-in replacement). The token table is localCheckpoint'd: five
+    consumers would otherwise re-run the corpus scan per branch."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'[a-z0-9]+', 0)"
+                )
+            ).alias("pos", "w"),
+        )
+        .withColumn("wlen", F.length("w"))
+        .localCheckpoint()
+    )
+    totals = toks.groupBy(id_col).agg(
+        F.sum("wlen").alias("_total"), F.count(F.lit(1)).alias("_m")
+    )
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    # gram rows for every n in one pass over the token table: gram at
+    # pos p spans tokens p..p+n-1 (built with leads; NULL lead => no
+    # full gram at p)
+    max_n = max(all_ns)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.col("w").alias("_w0")] + [
+        F.lead("w", i).over(w_doc).alias(f"_w{i}") for i in range(1, max_n)
+    ]
+    lead_lens = [F.col("wlen").alias("_l0")] + [
+        F.lead("wlen", i).over(w_doc).alias(f"_l{i}")
+        for i in range(1, max_n)
+    ]
+    seq = toks.select(F.col(id_col), "pos", *lead_cols, *lead_lens)
+    grams = None
+    for n in all_ns:
+        g = seq.where(F.col(f"_w{n-1}").isNotNull()).select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.col("pos"),
+            F.concat_ws(
+                " ", *[F.col(f"_w{i}") for i in range(n)]
+            ).alias("gram"),
+            sum(
+                [F.col(f"_l{i}") for i in range(1, n)],
+                F.col("_l0"),
+            ).alias("glen"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("_c"), F.first("glen").alias("glen")
+    )
+    # top-gram char fraction for small n
+    w_top = Window.partitionBy(id_col, "n").orderBy(
+        F.desc("_c"), F.asc("gram")
+    )
+    top = (
+        counts.where(F.col("n").isin(*top_ns))
+        .withColumn("_rn", F.row_number().over(w_top))
+        .where((F.col("_rn") == 1) & (F.col("_c") >= 2))
+        .select(
+            F.col(id_col), "n",
+            (F.col("_c") * F.col("glen")).alias("_chars"),
+        )
+    )
+    # duplicated-gram position coverage for large n
+    dup_occ = (
+        grams.where(F.col("n").isin(*dup_ns))
+        .join(
+            counts.where(F.col("_c") >= 2).select(id_col, "n", "gram"),
+            [id_col, "n", "gram"],
+        )
+        .select(
+            F.col(id_col), "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("_q"),
+        )
+        .distinct()
+    )
+    cov = (
+        dup_occ.join(
+            toks.select(F.col(id_col), F.col("pos").alias("_q"), "wlen"),
+            [id_col, "_q"],
+        )
+        .groupBy(id_col, "n")
+        .agg(F.sum("wlen").alias("_chars"))
+    )
+    # one conditional aggregation instead of 9 per-metric joins
+    merged = top.select(
+        F.col(id_col), F.concat(F.lit("t"), F.col("n")).alias("_k"),
+        "_chars",
+    ).unionByName(
+        cov.select(
+            F.col(id_col), F.concat(F.lit("d"), F.col("n")).alias("_k"),
+            "_chars",
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("_k") == f"t{n}", F.col("_chars"))).alias(
+            f"_t{n}"
+        )
+        for n in top_ns
+    ] + [
+        F.max(F.when(F.col("_k") == f"d{n}", F.col("_chars"))).alias(
+            f"_d{n}"
+        )
+        for n in dup_ns
+    ]
+    out = totals.join(merged.groupBy(id_col).agg(*aggs), id_col, "left")
+    cols = [F.col(id_col)]
+    for n in top_ns:
+        cols.append(
+            F.round(
+                F.coalesce(F.col(f"_t{n}"), F.lit(0)) / F.col("_total"), 6
+            ).alias(f"top_{n}gram_frac")
+        )
+    for n in dup_ns:
+        cols.append(
+            F.round(
+                F.coalesce(F.col(f"_d{n}"), F.lit(0)) / F.col("_total"), 6
+            ).alias(f"dup_{n}gram_frac")
+        )
+    return out.where(F.col("_total") > 0).select(*cols)

@@ -1775,3 +1775,34 @@ def test_c4_clean_rules(spark):
     assert not out[4].kept        # curly brace kills the page
     assert not out[5].kept        # lorem ipsum kills the page
     assert not out[6].kept and out[6].n_sentences == 1
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Duplicate-n-gram stats against hand-computed values: overlapping
+    top-gram occurrences count chars multiply (the count x len
+    convention), dup coverage counts each token position once, clean
+    docs report zero everywhere."""
+    from hbase_1_3_0_spark.pipeline import text as textops
+
+    rows = [
+        (1, "aa bb aa bb aa bb cc"),
+        (2, "x1 x2 x3 x4 x5 q x1 x2 x3 x4 x5"),
+        (3, "all unique words here today truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in textops.gopher_repetition(df).collect()}
+    # doc 1: 14 token chars; "aa bb" x3 -> 12/14; "aa bb aa" ties broken
+    # lexicographically -> 12/14; "aa bb aa bb" x2 overlapping -> 16/14
+    assert out[1].top_2gram_frac == 0.857143
+    assert out[1].top_3gram_frac == 0.857143
+    assert out[1].top_4gram_frac == 1.142857  # overlap exceeds 1 by design
+    assert out[1].dup_5gram_frac == 0.0
+    # doc 2: the 5-gram repeats at positions 0 and 6 -> 10 of 11 tokens
+    # covered -> 20/21 chars
+    assert out[2].dup_5gram_frac == 0.952381
+    assert out[2].dup_6gram_frac == 0.0
+    # doc 3: nothing repeats
+    assert all(
+        getattr(out[3], f) == 0.0
+        for f in out[3].asDict() if f != "doc_id"
+    )
