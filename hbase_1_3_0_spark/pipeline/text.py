@@ -809,21 +809,37 @@ def gopher_repetition(
         for i in range(1, max_n)
     ]
     seq = toks.select(F.col(id_col), "pos", *lead_cols, *lead_lens)
-    grams = None
-    for n in all_ns:
-        g = seq.where(F.col(f"_w{n-1}").isNotNull()).select(
-            F.col(id_col),
-            F.lit(n).alias("n"),
-            F.col("pos"),
-            F.concat_ws(
-                " ", *[F.col(f"_w{i}") for i in range(n)]
-            ).alias("gram"),
-            sum(
-                [F.col(f"_l{i}") for i in range(1, n)],
-                F.col("_l0"),
-            ).alias("glen"),
+    # ALL n-gram rows from one projection (explode an array over n) —
+    # a 9-way union would re-run the lead-window subtree per branch
+    # (plan-audited: 42 exchanges as a union, one window pass this way)
+    per_n = [
+        F.when(
+            F.col(f"_w{n-1}").isNotNull(),
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", *[F.col(f"_w{i}") for i in range(n)]
+                ).alias("gram"),
+                sum(
+                    [F.col(f"_l{i}") for i in range(1, n)],
+                    F.col("_l0"),
+                ).alias("glen"),
+            ),
         )
-        grams = g if grams is None else grams.unionByName(g)
+        for n in all_ns
+    ]
+    grams = (
+        seq.select(
+            F.col(id_col), "pos",
+            F.explode(
+                F.filter(F.array(*per_n), lambda x: x.isNotNull())
+            ).alias("_g"),
+        )
+        .select(
+            F.col(id_col), F.col("_g.n").alias("n"), "pos",
+            F.col("_g.gram").alias("gram"), F.col("_g.glen").alias("glen"),
+        )
+    )
     counts = grams.groupBy(id_col, "n", "gram").agg(
         F.count(F.lit(1)).alias("_c"), F.first("glen").alias("glen")
     )

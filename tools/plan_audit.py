@@ -46,6 +46,12 @@ AUDIT = [
     "winnow_fp",        # winnowing: pure array exprs, zero exchanges
     "winnow_overlap",   # fp-bucket pair join behind the hot-fp cap
     "bpe_vocab",        # segment + explode + one vocab-keyed hash agg
+    "langid_ngram",     # broadcast profiles; doc-keyed agg + window
+    "embedding_decontaminate",  # broadcast eval set; corpus unshuffled
+    "gopher_quality",   # one codegen'd projection riding the scan
+    "gopher_repetition",  # one counting shuffle for all n
+    "c4_clean",         # shuffle-free line/page filter projection
+    "pack_bins",        # grouped applyInPandas (justified Python tier)
 ]
 
 RED_FLAGS = {
@@ -79,6 +85,19 @@ WAIVERS = {
         "crossJoin(broadcast(totals)) attaches the ONE-ROW totals "
         "aggregate to the per-source table (rows = #sources); same "
         "1-row-broadcast grand-total pattern"
+    ),
+    ("langid_ngram", "nested-loop join"): (
+        "crossJoin(broadcast(langs)) fans each doc's top-K grams out to "
+        "the candidate LANGUAGE LIST — a handful of rows by definition; "
+        "fan-out is docs x langs, bounded and intended (out-of-place "
+        "distance needs a score per candidate language)"
+    ),
+    ("embedding_decontaminate", "nested-loop join"): (
+        "crossJoin(broadcast(evalset)) scores the corpus against the "
+        "EVAL SET — small by definition and broadcast; corpus side never "
+        "shuffles. Brute-force is the oracle-checkable baseline; the "
+        "docstring routes non-broadcastable probe sets to the LSH/IVF "
+        "paths (same posture as the cosine_topk waiver)"
     ),
 }
 
