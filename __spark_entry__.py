@@ -2573,7 +2573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     langid_ngram, bpe_train, bpe_vocab (all local-green, plain-session
     smoke-tested) — for lm_perplexity/lm_bigram/vocab_topk/
     versions_latest/agg_decimal/batch_mixed/url_stats/events_window
-    (each >= 2 rounds driver-green; their areas stay repped in-window).
+    (each >= 2 rounds driver-green; their areas stay repped in-window),
+    then the quality/packing batch (gopher_quality, gopher_repetition,
+    c4_clean, embedding_decontaminate, pack_bins) for text_stats/
+    cosine_topk/temperature_mix/pack_sequences/exact_k_sample — after
+    which EVERY declared query has a driver row in r01-r06.
     """
     return {
         # -- client read/write representatives (previously green r01+r02) --
@@ -2629,6 +2633,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ngram": q_langid_ngram,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
+        # -- rotated in LATEST r06 (plain-session smoke-tested +
+        #    local-green): quality batteries, C4, embedding decon
+        #    (DuckDB-oracled); pack_bins (py-model, rows-only) --
+        "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_clean": q_c4_clean,
+        "embedding_decontaminate": q_embedding_decontaminate,
+        "pack_bins": q_pack_bins,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         # -- security tags --
@@ -2642,16 +2654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest": q_dedup_ingest,
         "events_sessionize": q_events_sessionize,
         # -- LLM training-data pipeline --
-        "text_stats": q_text_stats,
         "incremental_dedup": q_incremental_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
-        "cosine_topk": q_cosine_topk,
         "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
-        "exact_k_sample": q_exact_k_sample,
-        "temperature_mix": q_temperature_mix,
-        "pack_sequences": q_pack_sequences,
         # -- new in r04: CAS-guarded RowMutations --
         "check_and_mutate_row": q_check_and_mutate_row,
         # ---- end of driver-checked window (50) ----
@@ -2679,15 +2686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
-        # new late r06, below the line (DuckDB-oracled, local-green):
-        # rotate in for an r07 driver row
-        "embedding_decontaminate": q_embedding_decontaminate,
-        # new late r06: FFD bin packing (py-model oracle, rows-only
-        # at the driver by design — sequential greedy)
-        "pack_bins": q_pack_bins,
-        "gopher_quality": q_gopher_quality,
-        "c4_clean": q_c4_clean,
-        "gopher_repetition": q_gopher_repetition,
         # rotated out late r06 to admit token_budget/text_normalize/
         # neardup_ingest (lm_perplexity/lm_bigram r04+r05 green, LM area
         # repped in-window by the trigram pair; vocab_topk r04+r05
@@ -2698,6 +2696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # areas stay repped in-window by compaction, endpoint_agg,
         # check_and_mutate_row, dedup_ingest + events_sessionize, and
         # the url_dedup/url_quarantine/domain_* family)
+        # rotated out latest r06 for the quality/packing batch (each
+        # multi-round driver-green; text/similarity/sampling/packing
+        # areas stay repped by gopher/c4/corpus_stats, lsh/ivf topk,
+        # token_budget/domain_cap, pack_bins)
+        "text_stats": q_text_stats,
+        "cosine_topk": q_cosine_topk,
+        "temperature_mix": q_temperature_mix,
+        "pack_sequences": q_pack_sequences,
+        "exact_k_sample": q_exact_k_sample,
         "versions_latest": q_versions_latest,
         "agg_decimal": q_agg_decimal,
         "batch_mixed": q_batch_mixed,
