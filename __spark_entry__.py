@@ -3728,7 +3728,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "paragraph_dedup": (
             "WITH p0 AS (SELECT doc_id, regexp_split_to_array(text, "
-            "'\n\s*\n') AS ps FROM documents), "
+            "'\n\\s*\n') AS ps FROM documents), "
             "p AS (SELECT doc_id, ps[i] AS para, i AS pos FROM p0, "
             "UNNEST(generate_series(1, len(ps))) AS g(i) "
             "WHERE len(trim(ps[i])) > 0), "
