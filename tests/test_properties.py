@@ -1061,3 +1061,65 @@ def test_bpe_train_matches_python_model(spark, words, num_merges):
 
         syms_list = [(apply(syms), c0) for syms, c0 in syms_list]
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab .\n", min_size=0, max_size=80),
+        min_size=1, max_size=5,
+    ),
+)
+def test_gopher_repetition_matches_python_model(spark, texts):
+    """The dup-n-gram battery equals a brute-force Python model on
+    random tiny-alphabet corpora (repeats arise constantly at alphabet
+    size 2, exercising ties, overlaps, and coverage dedup)."""
+    from hbase_1_3_0_spark.pipeline import text as textops
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r.doc_id: tuple(
+            r[f"top_{n}gram_frac"] for n in (2, 3, 4)
+        ) + tuple(r[f"dup_{n}gram_frac"] for n in range(5, 11))
+        for r in textops.gopher_repetition(df).collect()
+    }
+    import re
+
+    from tools.pymodels import _round6
+
+    want = {}
+    for i, t in docs:
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        total = sum(len(w) for w in ws)
+        if total == 0:
+            continue
+        vals = []
+        for n in (2, 3, 4):
+            grams: dict = {}
+            for p in range(len(ws) - n + 1):
+                g = " ".join(ws[p:p + n])
+                grams.setdefault(g, []).append(p)
+            best = 0
+            if grams:
+                g, occ = min(
+                    grams.items(), key=lambda kv: (-len(kv[1]), kv[0])
+                )
+                if len(occ) >= 2:
+                    glen = sum(len(w) for w in g.split(" "))
+                    best = len(occ) * glen
+            vals.append(_round6(best / total))
+        for n in range(5, 11):
+            grams = {}
+            for p in range(len(ws) - n + 1):
+                g = " ".join(ws[p:p + n])
+                grams.setdefault(g, []).append(p)
+            covered = set()
+            for g, occ in grams.items():
+                if len(occ) >= 2:
+                    for p in occ:
+                        covered.update(range(p, p + n))
+            chars = sum(len(ws[q]) for q in covered)
+            vals.append(_round6(chars / total))
+        want[i] = tuple(vals)
+    assert got == want
