@@ -1243,6 +1243,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed winnow dedup: overlap pairs (MOSS fingerprints, hot-fp
+    cap) -> connected components -> min-id winner per component ->
+    survivor set. Verified against a pure-Python model (winnowing +
+    union-find, tools/pymodels.py); rows-only at the driver (iterative
+    components)."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pairs = text.winnow_overlap(docs, min_shared=5, max_df=50).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    labels = dedup.connected_components(pairs)
+    comp = labels.select(F.col("id").alias("doc_id"), "component")
+    winners = comp.groupBy("component").agg(
+        F.min("doc_id").alias("_winner")
+    )
+    dead = (
+        comp.join(winners, "component")
+        .where(F.col("doc_id") != F.col("_winner"))
+        .select("doc_id")
+    )
+    return docs.join(dead, "doc_id", "left_anti").select("doc_id")
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed local fingerprints (MOSS algorithm, k=8 w=4): k-gram md5
     hashes, rightmost-min per sliding window — pure array exprs, zero
@@ -2700,6 +2723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-round driver-green; text/similarity/sampling/packing
         # areas stay repped by gopher/c4/corpus_stats, lsh/ivf topk,
         # token_budget/domain_cap, pack_bins)
+        # new latest r06, below the line (py-model oracle; rotate in
+        # for an r07 rows-only driver row)
+        "winnow_dedup": q_winnow_dedup,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "temperature_mix": q_temperature_mix,

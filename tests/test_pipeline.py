@@ -1806,3 +1806,44 @@ def test_gopher_repetition_hand_computed(spark):
         getattr(out[3], f) == 0.0
         for f in out[3].asDict() if f != "doc_id"
     )
+
+
+def test_winnow_dedup_composition(spark):
+    """Composed winnow dedup: a doc, its edited copy, and an unrelated
+    doc -> the smaller id of the near-dup pair survives plus the
+    unrelated doc; transitive chains collapse to one winner."""
+    from hbase_1_3_0_spark.pipeline import dedup, text as textops
+    from pyspark.sql import functions as FF
+
+    base = (
+        "winnowing based deduplication links documents through shared "
+        "local fingerprints even after small edits are applied to them"
+    )
+    docs = [
+        (1, base),
+        (2, base.replace("small edits", "minor modifications")),
+        (3, base.replace("small edits are applied", "several further "
+                         "small edits are applied")),
+        (9, "entirely different content about shuffle partitioning and "
+            "adaptive query execution with no shared passages at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    pairs = textops.winnow_overlap(df, min_shared=2, max_df=10).select(
+        FF.col("a").alias("id_a"), FF.col("b").alias("id_b")
+    )
+    labels = dedup.connected_components(pairs)
+    comp = labels.select(FF.col("id").alias("doc_id"), "component")
+    winners = comp.groupBy("component").agg(
+        FF.min("doc_id").alias("_winner")
+    )
+    dead = (
+        comp.join(winners, "component")
+        .where(FF.col("doc_id") != FF.col("_winner"))
+        .select("doc_id")
+    )
+    got = sorted(
+        r.doc_id
+        for r in df.join(dead, "doc_id", "left_anti")
+        .select("doc_id").collect()
+    )
+    assert got == [1, 9]

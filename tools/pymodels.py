@@ -617,7 +617,83 @@ def pack_bins_model(
     return ["doc_id", "n_tokens", "grp", "bin", "oversize"], out
 
 
+
+
+def winnow_dedup_model(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 50,
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_winnow_dedup: survivors after winnowed-
+    fingerprint overlap pairing (MOSS rightmost-min selection), hot-fp
+    df cap, connected components over the pair graph, min-id winner per
+    component. Pure Python: hashlib md5 + union-find."""
+    import hashlib
+    import re
+
+    docs = _load_docs(sf_dir, max_id=150)
+    fps: dict[int, set[str]] = {}
+    for doc_id, s_ in docs:
+        t = re.sub(r"[^a-z0-9]", "", s_.lower())
+        m = len(t) - k + 1
+        sel: set[str] = set()
+        if m >= 1:
+            hs = [
+                hashlib.md5(t[i : i + k].encode()).hexdigest()[:8]
+                for i in range(m)
+            ]
+            wlen = min(w, m)
+            for j in range(max(m - w + 1, 1)):
+                sel.add(min(hs[j : j + wlen]))
+        fps[doc_id] = sel
+    df_count: dict[str, int] = {}
+    for sel in fps.values():
+        for f in sel:
+            df_count[f] = df_count.get(f, 0) + 1
+    hot_ok = {f for f, c in df_count.items() if c <= max_df}
+    by_fp: dict[str, list[int]] = {}
+    for doc_id, sel in fps.items():
+        for f in sel & hot_ok:
+            by_fp.setdefault(f, []).append(doc_id)
+    shared: dict[tuple[int, int], int] = {}
+    for members in by_fp.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                key = (members[x], members[y])
+                shared[key] = shared.get(key, 0) + 1
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (a, b), c in shared.items():
+        if c >= min_shared:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    dead = set()
+    comp: dict[int, list[int]] = {}
+    for d in parent:
+        comp.setdefault(find(d), []).append(d)
+    for root, members in comp.items():
+        for m_ in members:
+            if m_ != min(members):
+                dead.add(m_)
+    return ["doc_id"], [
+        (doc_id,) for doc_id, _ in docs if doc_id not in dead
+    ]
+
+
 PY_MODELS = {
+    "winnow_dedup": winnow_dedup_model,
     "pack_bins": pack_bins_model,
     "bpe_train": bpe_train_model,
     "bpe_vocab": bpe_vocab_model,
