@@ -2417,12 +2417,44 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring dedup (pipeline/substrings.py — the
     Lee et al. 2022 span-level pass): every 40-char span repeated
-    across the corpus is excised from all but its globally-first
-    occurrence; per doc, the cleaned text and chars cut."""
+    across the corpus is merged into maximal excision intervals,
+    excluding each span's globally-first occurrence.
+
+    Driver-compared output is the merged SPAN TABLE — pure integers
+    (doc_id, span_start, span_end) — deliberately NOT the rebuilt
+    text: r06 showed free-text reconstruction hash-compares are
+    engine-version-sensitive (DuckDB string_agg/substr drift), while
+    the span integers are engine-neutral. The text surgery itself is
+    exact-tested in pytest against a pure-Python model
+    (tests/test_properties.py::test_substring_dedup_matches_python_model)
+    and its length accounting is driver-checked by substring_clean."""
     from hbase_1_3_0_spark.pipeline import substrings
 
     docs = _load(spark, sf_dir, "documents")
-    return substrings.remove_repeated_spans(docs, k=40)
+    return substrings.repeated_spans(docs, k=40).select(
+        "doc_id",
+        F.col("start").alias("span_start"),
+        F.col("end").alias("span_end"),
+    )
+
+
+def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length accounting of the repeated-substring surgery: per doc,
+    the rebuilt clean text's LENGTH and the chars cut — integers only,
+    so the oracle can state clean_len = len(text) - cut without
+    rebuilding text in SQL (engine-neutral). If the Spark-side
+    higher-order rebuild dropped or duplicated a segment,
+    length(clean_text) would diverge from len - cut and this row
+    hash-mismatches."""
+    from hbase_1_3_0_spark.pipeline import substrings
+
+    docs = _load(spark, sf_dir, "documents")
+    out = substrings.remove_repeated_spans(docs, k=40)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        "n_cut_chars",
+    )
 
 
 def q_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2637,7 +2669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "neardup_ingest": q_neardup_ingest,
         "stateful_ttl_event": q_stateful_ttl_event,
-        "paragraph_dedup": q_paragraph_dedup,
         # -- rotated in r04: rows-only-by-design ops (no oracle_sql; the
         #    driver records the weaker rows-only check for these) --
         "multimodal_features": q_multimodal_features,
@@ -2647,7 +2678,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (landed after the r05 rotation; all local-green) --
         "jpeg_probe": q_jpeg_probe,
         "domain_cap": q_domain_cap,
+        # -- r07: substring_dedup re-shaped to the integer span table
+        #    (the r06 hash-mismatch was free-text reconstruction
+        #    engine-drift); substring_clean adds the integer length
+        #    accounting of the rebuild --
         "substring_dedup": q_substring_dedup,
+        "substring_clean": q_substring_clean,
+        # -- r07: winnow_dedup rotated IN (the one declared query with
+        #    zero driver rows after r06; py-model oracle local-green) --
+        "winnow_dedup": q_winnow_dedup,
         # -- rotated in LATE r06 (all plain-session smoke-tested +
         #    local-green): winnowing, langid (DuckDB-oracled); BPE
         #    (py-model oracle, rows-only at the driver by design) --
@@ -2678,7 +2717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         # -- LLM training-data pipeline --
         "incremental_dedup": q_incremental_dedup,
-        "fingerprint_dedup": q_fingerprint_dedup,
         "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
@@ -2723,9 +2761,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-round driver-green; text/similarity/sampling/packing
         # areas stay repped by gopher/c4/corpus_stats, lsh/ivf topk,
         # token_budget/domain_cap, pack_bins)
-        # new latest r06, below the line (py-model oracle; rotate in
-        # for an r07 rows-only driver row)
-        "winnow_dedup": q_winnow_dedup,
+        # rotated out r07 to admit substring_clean + winnow_dedup
+        # (both driver-green priorities per VERDICT r06); each is
+        # multi-round driver-green r01-r06 and the dedup area stays
+        # repped in-window by incremental_dedup, dedup_clusters,
+        # dedup_ingest, substring_dedup and winnow_dedup
+        "paragraph_dedup": q_paragraph_dedup,
+        "fingerprint_dedup": q_fingerprint_dedup,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "temperature_mix": q_temperature_mix,
@@ -3809,10 +3851,38 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE '{_hexr(0.1)}' END"
         ),
         "substring_dedup": (
-            # mirror of remove_repeated_spans(k=40): rolling md5
-            # windows, min-(doc,pos) winner per repeated digest (order
-            # key doc*1e6+pos — positions are < 1e6), gaps-and-islands
-            # interval merge, ordered complement-segment rebuild
+            # mirror of repeated_spans(k=40): rolling md5 windows,
+            # min-(doc,pos) winner per repeated digest (order key
+            # doc*1e6+pos — positions are < 1e6), gaps-and-islands
+            # interval merge. Output is the merged span table —
+            # INTEGERS ONLY (the r06 lesson: rebuilt free text
+            # hash-compares are engine-version-sensitive)
+            "WITH w AS (SELECT doc_id, i AS pos, "
+            "md5(substr(text, i, 40)) AS digest "
+            "FROM (SELECT doc_id, text, "
+            "unnest(range(1, len(text) - 40 + 2)) AS i "
+            "FROM documents WHERE len(text) >= 40)), "
+            "hot AS (SELECT digest, "
+            "min(doc_id * 1000000 + pos) AS first_key "
+            "FROM w GROUP BY digest HAVING count(*) >= 2), "
+            "cut AS (SELECT w.doc_id, w.pos AS s, w.pos + 40 AS e "
+            "FROM w JOIN hot USING (digest) "
+            "WHERE w.doc_id * 1000000 + w.pos <> hot.first_key), "
+            "m AS (SELECT doc_id, s, e, max(e) OVER ("
+            "PARTITION BY doc_id ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            ") AS prev_max FROM cut), "
+            "g AS (SELECT doc_id, s, e, sum("
+            "CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END"
+            ") OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m) "
+            "SELECT doc_id, min(s) AS span_start, max(e) AS span_end "
+            "FROM g GROUP BY doc_id, grp"
+        ),
+        "substring_clean": (
+            # length accounting of the surgery: clean_len stated as
+            # len(text) - total_cut (no text rebuild in SQL — that is
+            # the engine-sensitive part the Spark side exact-tests in
+            # pytest). Spans CTE chain identical to substring_dedup.
             "WITH w AS (SELECT doc_id, i AS pos, "
             "md5(substr(text, i, 40)) AS digest "
             "FROM (SELECT doc_id, text, "
@@ -3831,23 +3901,14 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT doc_id, s, e, sum("
             "CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END"
             ") OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m), "
-            "spans AS (SELECT doc_id, grp, min(s) AS st, max(e) AS en "
+            "spans AS (SELECT doc_id, min(s) AS st, max(e) AS en "
             "FROM g GROUP BY doc_id, grp), "
-            "segs AS (SELECT sp.doc_id, sp.st, sp.en, "
-            "coalesce(lag(sp.en) OVER ("
-            "PARTITION BY sp.doc_id ORDER BY sp.st), 1) AS kf "
-            "FROM spans sp), "
-            "mids AS (SELECT s.doc_id, "
-            "string_agg(substr(d.text, s.kf, s.st - s.kf), '' "
-            "ORDER BY s.kf) AS mid, "
-            "sum(s.en - s.st) AS cut_chars, max(s.en) AS last_end "
-            "FROM segs s JOIN documents d USING (doc_id) "
-            "GROUP BY s.doc_id) "
+            "agg AS (SELECT doc_id, sum(en - st) AS cut_chars "
+            "FROM spans GROUP BY doc_id) "
             "SELECT d.doc_id, "
-            "CASE WHEN m.doc_id IS NULL THEN d.text "
-            "ELSE m.mid || substr(d.text, m.last_end) END AS clean_text, "
-            "coalesce(m.cut_chars, 0) AS n_cut_chars "
-            "FROM documents d LEFT JOIN mids m USING (doc_id)"
+            "len(d.text) - coalesce(a.cut_chars, 0) AS clean_len, "
+            "coalesce(a.cut_chars, 0) AS n_cut_chars "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "jpeg_probe": (
             "SELECT doc_id, TRUE AS is_jpeg, "
