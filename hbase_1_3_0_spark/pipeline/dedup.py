@@ -714,13 +714,17 @@ def dedup_by_components(
 ) -> DataFrame:
     """End-to-end near-dup removal: cluster the pair graph, keep the
     smallest-id document of each cluster (plus every unpaired document).
-    The labels frame is tiny relative to the corpus (only docs appearing in
-    a pair), so the anti-join broadcasts."""
+
+    The loser set is NOT force-broadcast: on a heavily-duplicated corpus
+    (e.g. 40% dups over 10B docs) losers number in the billions and a
+    broadcast hint would OOM the driver. AQE picks broadcast at runtime
+    whenever the loser set really is small — the same posture the fused
+    SCVF join uses — and degrades to a shuffled anti-join otherwise."""
     labels = connected_components(pairs, src=src, dst=dst)
     losers = labels.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 def incremental_dedup(

@@ -286,3 +286,40 @@ def test_langid_profiles_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert not inspect.has_python_eval(out)
+
+
+def test_dedup_by_components_anti_join_no_forced_broadcast(spark, sf_dir):
+    """dedup_by_components must keep the LEFT ANTI join on the loser
+    set but NOT carry a mandatory broadcast hint: the loser set is
+    unbounded (a 40%-dup corpus has O(corpus) losers), so the choice
+    must be AQE's. The optimized logical plan therefore shows the anti
+    join without a user-injected ResolvedHint/hints= broadcast."""
+    from hbase_1_3_0_spark.pipeline import dedup
+
+    docs = fixtures.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    pairs = (
+        docs.alias("a")
+        .select((F.col("doc_id") % 50).alias("g"), F.col("doc_id").alias("id_a"))
+        .join(
+            docs.select(
+                (F.col("doc_id") % 50).alias("g"),
+                F.col("doc_id").alias("id_b"),
+            ),
+            "g",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .limit(100)
+    )
+    out = dedup.dedup_by_components(docs, pairs)
+    qe = out._jdf.queryExecution()
+    logical = qe.optimizedPlan().toString()
+    assert "LeftAnti" in logical
+    # a user-forced broadcast survives optimization as a join hint on
+    # the anti join; AQE-chosen broadcasts never appear in the logical
+    # plan, so this distinguishes hint from runtime choice
+    assert "leftHint" not in logical.split("LeftAnti")[1].split("\n")[0] \
+        and "broadcast" not in logical.split("LeftAnti")[1].split("\n")[0]
+    assert out.count() >= 0  # executes end-to-end
