@@ -1318,8 +1318,10 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram `decontaminate` query misses."""
     embs = _load(spark, sf_dir, "embeddings")
     evalset = embs.where(F.col("vec_id") % 17 == 0)
+    # probes here ARE drawn from the corpus (shared id space), so the
+    # tautological self-pair is excluded explicitly
     return decontaminate.embedding_contamination(
-        embs, evalset, threshold=0.3
+        embs, evalset, threshold=0.3, exclude_self=True
     )
 
 
@@ -3585,8 +3587,11 @@ def oracle_sql() -> dict[str, str]:
             "best AS (SELECT doc_id, lang, dist, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn "
             "FROM scored) "
-            "SELECT doc_id, lang AS predicted, dist::BIGINT AS dist "
-            "FROM best WHERE rn = 1"
+            # every input doc gets a row: gram-less docs -> 'und'/NULL
+            "SELECT d0.doc_id, coalesce(b.predicted, 'und') AS predicted, "
+            "b.dist FROM (SELECT doc_id FROM documents WHERE doc_id < 200) "
+            "d0 LEFT JOIN (SELECT doc_id, lang AS predicted, "
+            "dist::BIGINT AS dist FROM best WHERE rn = 1) b USING (doc_id)"
         ),
         "winnow_overlap": (
             "WITH norm AS (SELECT doc_id, regexp_replace(lower(text), "

@@ -109,13 +109,18 @@ def bpe_train(
     localCheckpoint'd (see module docstring for why). ``words`` accepts
     a precomputed :func:`word_counts` table so composed callers (e.g.
     :func:`bpe_vocab`) pay the corpus scan exactly once."""
+    from hbase_1_3_0_spark.plans.checkpoints import (
+        releasable_local_checkpoint,
+    )
+
     spark = df.sparkSession
     wc = (words if words is not None else word_counts(df, text_col)).where(
         F.length("word") > 0
     )
-    words = wc.select(
-        _initial_symbols(F.col("word")).alias("syms"), "cnt"
-    ).localCheckpoint()
+    ckpt = releasable_local_checkpoint(
+        wc.select(_initial_symbols(F.col("word")).alias("syms"), "cnt")
+    )
+    words = ckpt.df
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
         best = (
@@ -131,9 +136,20 @@ def bpe_train(
             break
         left, right, cnt = best[0].a, best[0].b, int(best[0].c)
         merges.append((rank, left, right, cnt))
-        words = words.select(
-            _apply_merge(F.col("syms"), left, right).alias("syms"), "cnt"
-        ).localCheckpoint()
+        prev = ckpt
+        ckpt = releasable_local_checkpoint(
+            words.select(
+                _apply_merge(F.col("syms"), left, right).alias("syms"),
+                "cnt",
+            )
+        )
+        words = ckpt.df
+        # the new checkpoint has materialized; the superseded one is
+        # dead — free its blocks instead of accreting num_merges copies
+        # of the word table in block-manager storage (plain
+        # DataFrame.unpersist is a no-op for local checkpoints)
+        prev.release()
+    ckpt.release()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

@@ -114,6 +114,7 @@ def embedding_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Embedding-space decontamination — the semantic twin of
     :func:`ngram_contamination`: flags corpus vectors whose cosine
@@ -122,6 +123,15 @@ def embedding_contamination(
     ``(id, eval_id, sim)`` — the best-matching probe per contaminated
     corpus vector (ties on the 6-dp-rounded similarity break on probe
     id, so the output is engine-portable and oracle-checkable).
+
+    ``exclude_self`` suppresses corpus/probe pairs with EQUAL ids. It
+    defaults to False because probes are normally an independent eval
+    set whose id space is unrelated to the corpus — there, an id
+    collision is a coincidence and dropping the pair would silently
+    hide a genuine contamination hit. Set it to True only when the
+    probes are drawn FROM the corpus and share its id space (as
+    q_embedding_decontaminate does), where the self-pair is a
+    tautological sim=1.0 match.
 
     Scale shape: the probe side is an EVAL SET — small by definition —
     and broadcasts; the corpus is never shuffled (one narrow pass +
@@ -136,9 +146,11 @@ def embedding_contamination(
         F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(p))
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("_pid"))
     scored = (
-        c.crossJoin(F.broadcast(p))
-        .where(F.col(id_col) != F.col("_pid"))
+        scored
         .select(
             F.col(id_col),
             F.col("_pid"),

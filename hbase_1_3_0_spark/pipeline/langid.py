@@ -82,7 +82,13 @@ def classify(
     """Predict a language per document: ``(id, predicted, dist)`` where
     ``dist`` is the winning out-of-place distance. ``top_k`` must match
     the value the profiles were trained with (it is also the
-    missing-gram penalty)."""
+    missing-gram penalty).
+
+    EVERY input document gets exactly one output row: a doc whose
+    normalized text is shorter than ``n`` (zero n-grams) cannot be
+    scored and comes back as ``predicted='und'`` with a null ``dist``
+    (ISO 639-2's undetermined code) rather than silently vanishing —
+    downstream joins must never lose documents."""
     doc_counts = (
         df.select(
             F.col(id_col),
@@ -121,12 +127,25 @@ def classify(
     best = Window.partitionBy(id_col).orderBy(
         F.asc("dist"), F.asc("lang")
     )
-    return (
+    winners = (
         scored.withColumn("_rn", F.row_number().over(best))
         .where(F.col("_rn") == 1)
         .select(
             F.col(id_col),
             F.col("lang").alias("predicted"),
             F.col("dist").cast("long").alias("dist"),
+        )
+    )
+    # gram-less docs (normalized text shorter than n) never reach the
+    # scorer — left-join back onto the input ids and verdict them 'und'
+    return (
+        df.select(id_col)
+        .join(winners, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("predicted"), F.lit("und")).alias(
+                "predicted"
+            ),
+            F.col("dist"),
         )
     )

@@ -338,10 +338,11 @@ def pack_bins_ffd(
     truncates or re-chunks those).
 
     Exact FFD is inherently sequential, so it runs per GROUP: documents
-    hash into ``num_groups`` deterministic groups (``pmod(id,
-    num_groups)`` — engine-portable, reproducible under retries), each
-    group sorts (tokens DESC, id ASC) and packs sequentially inside one
-    Arrow-batched ``applyInPandas`` task. This is the justified-Python
+    hash into ``num_groups`` deterministic groups — ``pmod(id,
+    num_groups)`` for integral ids, ``pmod(xxhash64(id), num_groups)``
+    for any other id type (both engine-portable and reproducible under
+    retries) — each group sorts (tokens DESC, id ASC) and packs
+    sequentially inside one Arrow-batched ``applyInPandas`` task. This is the justified-Python
     tier: a greedy sequential scan has no Column-expression form. Bin
     ids are (group, bin) pairs; packing quality is within-group FFD
     (the classic 11/9 OPT + 6/9 bound per group). At 100 TB pick
@@ -355,9 +356,17 @@ def pack_bins_ffd(
     toks = token_col if token_col is not None else F.size(
         F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
     )
+    # group key: ids need not be numeric — integral ids keep the direct
+    # pmod (stable vs prior rounds); everything else routes through
+    # xxhash64 so string/binary doc ids work instead of raising
+    id_type = df.schema[id_col].dataType.simpleString()
+    integral = id_type in ("tinyint", "smallint", "int", "bigint")
+    grp_src = F.col(id_col) if integral else F.xxhash64(F.col(id_col))
     slim = df.select(
-        F.col(id_col).alias("_id"), toks.cast("long").alias("n_tokens")
-    ).withColumn("grp", F.pmod(F.col("_id"), F.lit(num_groups)).cast("int"))
+        F.col(id_col).alias("_id"),
+        toks.cast("long").alias("n_tokens"),
+        F.pmod(grp_src, F.lit(num_groups)).cast("int").alias("grp"),
+    )
 
     cap = int(capacity)
 
@@ -389,7 +398,8 @@ def pack_bins_ffd(
         return pdf
 
     out_schema = (
-        "_id long, n_tokens long, grp int, bin long, oversize boolean"
+        f"_id {id_type}, n_tokens long, grp int, bin long, "
+        "oversize boolean"
     )
     return (
         slim.groupBy("grp")

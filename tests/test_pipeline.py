@@ -1554,6 +1554,26 @@ def test_bpe_train_min_count_early_stop(spark):
     assert out == []  # every pair occurs once
 
 
+def test_bpe_train_releases_superseded_checkpoints(spark):
+    """Per-merge local checkpoints of the word table must be freed as
+    they are superseded: after training, block-manager storage holds no
+    more persistent RDDs than before (DataFrame.unpersist is a no-op
+    for local checkpoints, so this needs the explicit release path)."""
+    from hbase_1_3_0_spark.pipeline import bpe
+    from hbase_1_3_0_spark.plans.checkpoints import _persistent_ids
+
+    sc = spark.sparkContext
+    before = _persistent_ids(sc)
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low newer newest new")],
+        "doc_id: long, text: string",
+    )
+    merges = bpe.bpe_train(df, num_merges=8, min_count=2).collect()
+    assert len(merges) > 0
+    leaked = _persistent_ids(sc) - before
+    assert leaked == set(), f"leaked checkpoint RDDs: {leaked}"
+
+
 def test_langid_ngram_classifies_real_languages(spark):
     """Rank-profile language ID trained on genuine snippets classifies
     held-out text of each language correctly (the marker-word heuristic
@@ -1626,12 +1646,16 @@ def test_langid_ngram_deterministic_and_short_doc_safe(spark):
     for lang, gram, rank in p1:
         by_lang.setdefault(lang, set()).add((gram, rank))
     assert by_lang["aa"] == by_lang["bb"]
-    out = langid.classify(
-        spark.createDataFrame([(1, "ab"), (2, "")],
-                              "doc_id: long, text: string"),
-        langid.train_profiles(df),
-    ).collect()
-    assert out == []  # both docs have no trigram at all
+    out = sorted(
+        (r.doc_id, r.predicted, r.dist)
+        for r in langid.classify(
+            spark.createDataFrame([(1, "ab"), (2, "")],
+                                  "doc_id: long, text: string"),
+            langid.train_profiles(df),
+        ).collect()
+    )
+    # gram-less docs are NOT dropped: each gets an 'und' verdict
+    assert out == [(1, "und", None), (2, "und", None)]
 
 
 def test_embedding_contamination_flags_planted_leak(spark):
@@ -1653,7 +1677,8 @@ def test_embedding_contamination_flags_planted_leak(spark):
     out = {
         r.vec_id: (r.eval_id, r.sim)
         for r in decontaminate.embedding_contamination(
-            df, df.where(F.col("vec_id") >= 100), threshold=0.9
+            df, df.where(F.col("vec_id") >= 100), threshold=0.9,
+            exclude_self=True,
         ).collect()
     }
     assert out[1] == (100, 1.0)
@@ -1664,6 +1689,24 @@ def test_embedding_contamination_flags_planted_leak(spark):
     # are only >=100, so 100's best probe would be itself (excluded) and
     # 101 (orthogonal) -> absent
     assert 100 not in out and 101 not in out
+
+
+def test_embedding_contamination_default_keeps_id_collisions(spark):
+    """With an INDEPENDENT eval set (the default, exclude_self=False),
+    a corpus id that happens to equal a probe id must still be flagged
+    — the collision is a coincidence, not a self-pair."""
+    from hbase_1_3_0_spark.pipeline import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    probes = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    out = decontaminate.embedding_contamination(
+        corpus, probes, threshold=0.9
+    ).collect()
+    assert len(out) == 1 and out[0].eval_id == 7 and out[0].sim == 1.0
 
 
 def test_pack_bins_ffd_valid_and_matches_model(spark):
@@ -1712,6 +1755,29 @@ def test_pack_bins_ffd_valid_and_matches_model(spark):
     # fewer bins than docs (packing actually packs)
     n_bins = len({(g, b) for _, (t, g, b, _) in got.items()})
     assert n_bins < len(rows)
+
+
+def test_pack_bins_ffd_string_ids(spark):
+    """String doc ids route the grouping through xxhash64 instead of
+    raising an AnalysisException; packing is still valid and every doc
+    keeps its id."""
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    rows = [(f"doc-{i}", "tok " * n) for i, n in enumerate(
+        [60, 50, 40, 30, 20, 10, 70, 5]
+    )]
+    df = spark.createDataFrame(rows, "doc_id: string, text: string")
+    out = sampling.pack_bins_ffd(df, capacity=64, num_groups=3).collect()
+    assert sorted(r.doc_id for r in out) == sorted(i for i, _ in rows)
+    fill: dict = {}
+    for r in out:
+        if not r.oversize:
+            fill[(r.grp, r.bin)] = fill.get((r.grp, r.bin), 0) + r.n_tokens
+    assert all(v <= 64 for v in fill.values())
+    assert all(r.oversize == (r.n_tokens > 64) for r in out)
+    # deterministic across reruns (seeded-hash grouping)
+    again = sampling.pack_bins_ffd(df, capacity=64, num_groups=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
 def test_gopher_quality_battery_edges(spark):
