@@ -890,20 +890,34 @@ def _neardup_commit_batch(
         )
         if band_store_dir is not None:
             band_store = _load_ingest_store(spark, band_store_dir, batch_id)
-            if band_store is None:
-                # signatures accepted but no band rows: the stream ran
-                # without a band store before — probing an empty band
-                # table would silently admit duplicates of all history
+            if band_store is None and prior.limit(1).count() > 0:
+                # signatures accepted in EARLIER batches but no band
+                # rows: the stream ran without a band store before —
+                # probing an empty band table would silently admit
+                # duplicates of all history. (An empty band store with
+                # ONLY the incoming batch's own signature partition is
+                # benign: a crash between the first batch's signature
+                # write and band write — replay excludes that partition
+                # anyway, so there is no history to probe.)
                 raise ValueError(
                     f"band store at {band_store_dir} is empty but the "
                     f"signature store at {store_dir} is not; run "
                     "backfill_neardup_band_store (stream stopped) before "
                     "enabling band_store_dir on an existing stream"
                 )
-            prior_bands = (
-                band_store.where(F.col("batch_id") != batch_id)
-                .select(F.col("doc_id").alias("_nid"), "band", "bucket")
-            )
+            if band_store is None:
+                prior_bands = signature_bands(
+                    prior_sigs.select(
+                        F.col("_nid").alias("_id"),
+                        F.col("_nsig").alias("_sig"),
+                    ),
+                    bands=bands, num_hashes=num_hashes,
+                ).select(F.col("_id").alias("_nid"), "band", "bucket")
+            else:
+                prior_bands = (
+                    band_store.where(F.col("batch_id") != batch_id)
+                    .select(F.col("doc_id").alias("_nid"), "band", "bucket")
+                )
         else:
             prior_bands = signature_bands(
                 prior_sigs.select(

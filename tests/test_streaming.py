@@ -968,3 +968,54 @@ def test_compact_neardup_band_store(spark, tmp_path):
                                      "about speculative task retries")], 2)
     got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 2, 11]
+
+
+def test_neardup_first_batch_half_commit_replays(spark, tmp_path):
+    """A crash on the VERY FIRST micro-batch between the signature-store
+    write and the band-store write leaves a signature store holding only
+    the batch's own partition and an absent band store. Replaying that
+    batch is the stream's normal recovery (its own partition is excluded
+    from the probe anyway) and must NOT trip the backfill guard — while
+    genuinely earlier signature history without band rows still does."""
+    import shutil
+
+    from hbase_1_3_0_spark.streaming import wal
+
+    out_dir = str(tmp_path / "out")
+    store_dir = str(tmp_path / "store")
+    band_dir = str(tmp_path / "bands")
+    t1 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+
+    def commit(rows, batch_id):
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wal._neardup_commit_batch(
+            spark, bdf, batch_id, out_dir=out_dir, store_dir=store_dir,
+            threshold=0.5, band_store_dir=band_dir,
+        )
+
+    # batch 0 commits fully, then we delete the band store to simulate
+    # the crash having happened before its write
+    commit([(1, t1), (2, t1 + " tail")], 0)
+    accepted = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    )
+    shutil.rmtree(band_dir)
+
+    # replay of batch 0 proceeds (no raise), reproduces the same
+    # survivors, and rebuilds the band store for the batch
+    commit([(1, t1), (2, t1 + " tail")], 0)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == accepted
+    assert spark.read.parquet(band_dir).count() > 0
+
+    # but with REAL prior history (batch 0 accepted, band store gone),
+    # a later batch still fails loudly toward backfill
+    shutil.rmtree(band_dir)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backfill_neardup_band_store"):
+        commit([(10, "completely novel words about broadcast joins")], 1)
