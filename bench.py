@@ -12,6 +12,13 @@ Per BASELINE.md each workload is timed as the MIN of 3 runs (set
 $SPARK_GRAFT_BENCH_RUNS to change) — single-JVM local mode has multi-second
 JIT/GC variance, and the shared host injects random multi-second stalls;
 the fastest sample is the only consistent estimator of plan cost.
+
+Noise is made self-documenting two ways: (1) sample rounds are INTERLEAVED
+round-robin across all workloads (round 1 of everything, then round 2, ...)
+so a host load spike lands on at most one sample of many workloads instead
+of all samples of one; (2) the emitted JSON carries the raw per-sample
+array for every workload ("samples"), so a spread like [9.1, 2.9, 2.8] is
+visible in the artifact itself rather than collapsed into its min.
 """
 
 from __future__ import annotations
@@ -19,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import statistics
 import sys
 import tempfile
 import time
@@ -92,24 +98,13 @@ def main() -> None:
     orders = fixtures.load_table(spark, SF_DIR, "orders")
     events = fixtures.load_table(spark, SF_DIR, "events")
 
-    timings: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    workloads: list[tuple[str, object]] = []
 
     def run(name, fn):
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            fn()
-            samples.append(time.time() - t0)
-        # min, not median: the container shares a host whose background load
-        # injects multi-second stalls at random; the fastest sample is the
-        # only consistent estimator of actual plan cost under external noise
-        timings[name] = round(min(samples), 3)
-        print(
-            f"{name}: {timings[name]}s "
-            f"(samples: {[round(s, 2) for s in samples]})",
-            file=sys.stderr,
-        )
+        # registration only — execution is deferred so sample rounds can be
+        # interleaved round-robin across ALL workloads (see module docstring)
+        workloads.append((name, fn))
 
     # b-scan-full: full scan + read view over lineitem-kv (PE scan)
     run("b-scan-full", lambda: _sink(li.scan()))
@@ -342,9 +337,24 @@ def main() -> None:
     writer.write_cells_bucketed(sync_tgt, "bench_sync_tgt", num_buckets=32)
     bk_src, bk_tgt = spark.table("bench_sync_src"), spark.table("bench_sync_tgt")
     run("b-sync-bucketed", lambda: _sink(jobs.sync_table(bk_src, bk_tgt)))
+
+    # ---- execute: interleaved sample rounds over every workload ----
+    samples: dict[str, list[float]] = {name: [] for name, _ in workloads}
+    for rnd in range(n_runs):
+        print(f"--- sample round {rnd + 1}/{n_runs} ---", file=sys.stderr)
+        for name, fn in workloads:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            samples[name].append(dt)
+            print(f"{name}: {dt:.2f}s", file=sys.stderr)
     spark.sql("DROP TABLE IF EXISTS bench_sync_src")
     spark.sql("DROP TABLE IF EXISTS bench_sync_tgt")
 
+    # min, not median: the container shares a host whose background load
+    # injects multi-second stalls at random; the fastest sample is the
+    # only consistent estimator of actual plan cost under external noise
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -354,6 +364,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": {
+                    name: [round(x, 3) for x in s]
+                    for name, s in samples.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -319,9 +319,13 @@ class Engine:
                 range_partitions=meta.range_partitions if kept else 1,
             )
         else:
+            # catalog value, else the session's parallelism — NOT
+            # table.cells.rdd.getNumPartitions(): touching .rdd forces
+            # the whole DataFrame through an RDD conversion node just
+            # to read a partition count
             current = (
                 meta.range_partitions
-                or table.cells.rdd.getNumPartitions()
+                or table.cells.sparkSession.sparkContext.defaultParallelism
             )
             meta = _replace(
                 meta, range_partitions=max(1, current // factor)

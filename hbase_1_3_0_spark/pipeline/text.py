@@ -89,13 +89,25 @@ def winnow_fingerprints(
     *,
     k: int = 8,
     w: int = 4,
+    robust: bool = False,
 ) -> DataFrame:
     """Winnowed LOCAL fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every character ``k``-gram of the alnum-normalized
     text, slide a window of ``w`` consecutive gram hashes, and select
     each window's minimum hash (ties -> the RIGHTMOST minimum, per the
     paper); the distinct selected (position, hash) pairs are the
-    document's fingerprints. Unlike the whole-doc :func:`fingerprint`,
+    document's fingerprints.
+
+    ``robust=True`` applies the paper's ROBUST winnowing rule (§4 /
+    Fig. 6): on a tie for the window minimum, re-select the PREVIOUS
+    window's selection when it is one of the minima (no new
+    fingerprint), else take the rightmost minimum. On low-entropy /
+    repetitive text (where equal gram hashes abound) this records far
+    fewer fingerprints for the same match guarantee; on tie-free text
+    it selects exactly the standard positions. The sequential
+    left-to-right dependence is per-document state, expressed as ONE
+    ``aggregate`` fold over the window sequence — still a zero-shuffle
+    pure-array projection, O(len * w) per doc. Unlike the whole-doc :func:`fingerprint`,
     these survive insertions, deletions, and reordering — any shared
     substring of length >= k + w - 1 is guaranteed to contribute at
     least one shared fingerprint, which is what makes them the overlap/
@@ -139,26 +151,64 @@ def winnow_fingerprints(
     # its single truncated window
     hs = F.col("_hs")
     wlen = F.least(F.lit(w), F.size(hs))
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
-            ),
-            lambda j: F.struct(
-                # rightmost index of the min within the window slice:
-                # wlen + 1 - (first index of min in the REVERSED slice)
-                (
-                    j
-                    + wlen
-                    - F.array_position(
-                        F.reverse(F.slice(hs, j, wlen)),
-                        F.array_min(F.slice(hs, j, wlen)),
-                    )
-                ).alias("pos"),
-                F.array_min(F.slice(hs, j, wlen)).alias("fp"),
-            ),
-        )
+    windows = F.sequence(
+        F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
     )
+
+    def _rightmost_min(j):
+        # rightmost index of the min within the window slice:
+        # wlen + 1 - (first index of min in the REVERSED slice)
+        return (
+            j
+            + wlen
+            - F.array_position(
+                F.reverse(F.slice(hs, j, wlen)),
+                F.array_min(F.slice(hs, j, wlen)),
+            )
+        )
+
+    if robust:
+        # fold over windows carrying (recorded fps, previous selection):
+        # keep the previous selection whenever it still sits in the
+        # window holding the minimal value
+        def _step(acc, j):
+            v = F.array_min(F.slice(hs, j, wlen))
+            prev = acc["prev"]
+            # F.get is 0-based and NULL-safe out of bounds (prev=0
+            # start state must not trip ANSI element_at)
+            prev_holds_min = (
+                (prev >= j)
+                & (prev <= j + wlen - 1)
+                & (F.get(hs, (prev - 1).cast("int")) == v)
+            )
+            p = _rightmost_min(j)
+            return F.when(prev_holds_min, acc).otherwise(
+                F.struct(
+                    F.concat(
+                        acc["sel"],
+                        F.array(F.struct(p.alias("pos"), v.alias("fp"))),
+                    ).alias("sel"),
+                    p.alias("prev"),
+                )
+            )
+
+        init = F.struct(
+            F.array()
+            .cast("array<struct<pos:bigint,fp:string>>")
+            .alias("sel"),
+            F.lit(0).cast("bigint").alias("prev"),
+        )
+        sel = F.array_distinct(F.aggregate(windows, init, _step)["sel"])
+    else:
+        sel = F.array_distinct(
+            F.transform(
+                windows,
+                lambda j: F.struct(
+                    _rightmost_min(j).alias("pos"),
+                    F.array_min(F.slice(hs, j, wlen)).alias("fp"),
+                ),
+            )
+        )
     return (
         grams.select(F.col(id_col), F.explode(sel).alias("_s"))
         .select(F.col(id_col), F.col("_s.pos").alias("pos"),

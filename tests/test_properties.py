@@ -1011,6 +1011,71 @@ def test_winnow_fingerprints_match_python_model(spark, texts, k, w):
     assert cover_ok
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60),
+        min_size=1, max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+    w=st.integers(min_value=1, max_value=5),
+)
+def test_robust_winnowing_matches_python_model(spark, texts, k, w):
+    """ROBUST winnowing (Schleimer et al. §4: on a tie keep the previous
+    selection when it is still minimal, else rightmost min; record on
+    change only) equals the sequential reference on tie-heavy
+    tiny-alphabet corpora; the coverage guarantee still holds (every
+    window contains a selected position); and the selected set is a
+    subset of the standard mode's positions."""
+    import hashlib
+    import re
+
+    from hbase_1_3_0_spark.pipeline import text as textops
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in textops.winnow_fingerprints(
+            df, k=k, w=w, robust=True
+        ).collect()
+    }
+    std = {
+        (r.doc_id, r.pos, r.fp)
+        for r in textops.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    want = set()
+    cover_ok = True
+    for i, s in docs:
+        t = re.sub(r"[^a-z0-9]", "", s.lower())
+        m = len(t) - k + 1
+        if m < 1:
+            continue
+        hs = [
+            hashlib.md5(t[j:j + k].encode()).hexdigest()[:8]
+            for j in range(m)
+        ]
+        wlen = min(w, m)
+        sel_pos = set()
+        prev = -1  # 0-based selected gram index, -1 = none yet
+        for j in range(max(m - w + 1, 1)):
+            sub = hs[j:j + wlen]
+            mn = min(sub)
+            if j <= prev < j + wlen and hs[prev] == mn:
+                sel_pos.add(prev)
+                continue
+            prev = j + max(q for q, h in enumerate(sub) if h == mn)
+            want.add((i, prev + 1, mn))
+            sel_pos.add(prev)
+        for j in range(max(m - w + 1, 1)):
+            if not any(j <= p < j + wlen for p in sel_pos):
+                cover_ok = False
+    assert got == want
+    assert cover_ok
+    assert {(d, p) for d, p, _ in got} <= {(d, p) for d, p, _ in std}
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     words=st.lists(
@@ -1123,3 +1188,168 @@ def test_gopher_repetition_matches_python_model(spark, texts):
             vals.append(_round6(chars / total))
         want[i] = tuple(vals)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Full OrderedBytes numeric analog (TestOrderedBytes mirror:
+# hbase-common/src/test/java/org/apache/hadoop/hbase/util/TestOrderedBytes.java
+# testNumeric* — sort-order preservation and round-trip over random values
+# including negatives and arbitrary-precision decimals, NULL first, DESC
+# inversion, Struct composite field-wise order)
+# ---------------------------------------------------------------------------
+
+_decimal_st = st.decimals(
+    min_value=-(10**19), max_value=10**19, allow_nan=False,
+    allow_infinity=False, places=18,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(_decimal_st, min_size=2, max_size=25, unique=True),
+    with_null=st.booleans(),
+)
+def test_ordered_numeric_preserves_order_and_roundtrips(
+    spark, vals, with_null
+):
+    """encode_ordered_numeric: unsigned byte order == numeric order for
+    random decimals (negatives included, any scale), NULL sorts first,
+    decode inverts exactly, and DESCENDING reverses the order with NULL
+    last."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    if with_null:
+        rows.append((len(rows), None))
+    df = spark.createDataFrame(rows, "i: int, v: decimal(38,18)")
+    enc = df.select(
+        "i", "v",
+        codecs.encode_ordered_numeric(F.col("v")).alias("k"),
+        codecs.encode_ordered_numeric(
+            F.col("v"), descending=True
+        ).alias("kd"),
+        codecs.decode_ordered_numeric(
+            codecs.encode_ordered_numeric(F.col("v"))
+        ).alias("back"),
+    ).collect()
+    none_first = lambda r: (r.v is not None, r.v)  # noqa: E731
+    want = [r.i for r in sorted(enc, key=none_first)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+    assert [
+        r.i for r in sorted(enc, key=lambda r: bytes(r.kd))
+    ] == list(reversed(want))
+    for r in enc:
+        if r.v is None:
+            assert r.back is None
+        else:
+            assert r.back == Decimal(r.v)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.sampled_from(
+                [float("inf"), float("-inf"), float("nan"), 0.0]
+            ),
+        ),
+        min_size=2, max_size=25,
+    )
+)
+def test_ordered_numeric_doubles_full_range(spark, vals):
+    """Doubles across the full ±1e308 range (scientific-notation
+    renderings) keep the reference's total order: -inf < finite < +inf
+    < NaN; decode round-trips bit-exactly for finite values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    # dedupe on the numeric value (0.0 == -0.0 collapses)
+    uniq = []
+    for v in vals:
+        if not any(
+            (math.isnan(v) and math.isnan(u)) or v == u for u in uniq
+        ):
+            uniq.append(v)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(uniq)], "i: int, v: double"
+    )
+    enc = df.select(
+        "i", "v",
+        codecs.encode_ordered_numeric(F.col("v")).alias("k"),
+        codecs.decode_ordered_numeric(
+            codecs.encode_ordered_numeric(F.col("v")), "double"
+        ).alias("back"),
+    ).collect()
+
+    def rank(x):
+        if math.isnan(x):
+            return (2, 0.0)
+        return (1, x)
+
+    want = [r.i for r in sorted(enc, key=lambda r: rank(r.v))]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+    for r in enc:
+        if math.isnan(r.v):
+            assert math.isnan(r.back)
+        else:
+            assert r.back == r.v
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), _decimal_st),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=2, max_codepoint=0x2FF
+                    ),
+                    max_size=8,
+                ),
+            ),
+        ),
+        min_size=2, max_size=20,
+    )
+)
+def test_ordered_struct_composite_orders_field_wise(spark, pairs):
+    """Struct composite (numeric, string) keys: flat unsigned byte
+    comparison of the concatenated segments equals field-wise tuple
+    comparison with NULLs first — the types/Struct.java contract."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    uniq = list(dict.fromkeys(pairs))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(uniq)],
+        "i: int, a: decimal(38,18), b: string",
+    )
+    enc = df.select(
+        "i", "a", "b",
+        codecs.ordered_struct(
+            codecs.ordered_numeric_segment(F.col("a")),
+            codecs.ordered_string_segment(F.col("b")),
+        ).alias("k"),
+    ).collect()
+
+    def tup(r):
+        return (
+            (r.a is not None, r.a),
+            (r.b is not None, r.b),
+        )
+
+    want = [r.i for r in sorted(enc, key=tup)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want

@@ -2,19 +2,34 @@
 ``queries()`` entry and its ``oracle_sql()`` side-by-side at a given SF and
 compare row count, column names, and (order-insensitive) values.
 
-Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--json OUT.json]
+           [--changed-since GITREF] [sf_dir] [query ...]
 
 With ``--json`` a driver-format report ({name: {rows_match, schema_match,
 hash_match, spark_rows, oracle_rows, err}}) is written for ALL checked
 queries — committed per round as CORRECTNESS_LOCAL_r{N}.json so the full
 95-query inventory has a recorded verdict even though the driver's own
 gate stops at the first 50 ``queries()`` keys.
+
+``--changed-since GITREF`` selects only the queries affected by the diff
+since GITREF (working tree included): queries whose ``q_*`` function or
+oracle entry appears in changed ``__spark_entry__.py`` hunks, plus every
+query whose function source references a changed ``hbase_1_3_0_spark``
+module or any module that transitively imports one. The full ~16-min run
+stays the per-round gate; this mode is the cheap pre-rotation pass for
+late-round additions (the mechanism VERDICT r06 asked for after
+substring_dedup's env sensitivity reached the driver unexercised).
+Over-approximates on purpose; explicit query args further intersect it.
 """
 
 from __future__ import annotations
 
+import ast as pyast
+import inspect
 import json
 import math
+import re
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -47,12 +62,95 @@ def row_key(row, cols):
     return tuple(normalize(row[c]) for c in cols)
 
 
+REPO = Path(__file__).resolve().parent.parent
+PKG = "hbase_1_3_0_spark"
+
+
+def _module_imports(path: Path) -> set[str]:
+    """Repo-internal module basenames imported by ``path`` (ast-parsed)."""
+    out: set[str] = set()
+    try:
+        tree = pyast.parse(path.read_text())
+    except SyntaxError:
+        return out
+    for node in pyast.walk(tree):
+        if isinstance(node, pyast.ImportFrom) and node.module:
+            if node.module.startswith(PKG):
+                tail = node.module.rsplit(".", 1)[-1]
+                out.add(tail)
+                for a in node.names:
+                    out.add(a.name)
+        elif isinstance(node, pyast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG):
+                    out.add(a.name.rsplit(".", 1)[-1])
+    return out
+
+
+def changed_queries(gitref: str, qs: dict) -> set[str]:
+    """Query names affected by the working-tree diff since ``gitref``."""
+    diff = subprocess.run(
+        ["git", "diff", gitref, "--", "."],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout
+    changed_files = {
+        line[len("+++ b/"):]
+        for line in diff.splitlines()
+        if line.startswith("+++ b/")
+    }
+    # 1) changed repo modules -> expand to every module that (transitively)
+    #    imports one of them, so a helper edit re-checks its consumers
+    imports = {
+        p.stem: _module_imports(p)
+        for p in (REPO / PKG).rglob("*.py")
+    }
+    affected = {
+        Path(f).stem for f in changed_files
+        if f.startswith(PKG + "/") and f.endswith(".py")
+    }
+    grew = True
+    while grew:
+        grew = False
+        for mod, deps in imports.items():
+            if mod not in affected and deps & affected:
+                affected.add(mod)
+                grew = True
+    # 2) q_* names and quoted oracle keys touched in __spark_entry__ hunks
+    touched: set[str] = set()
+    if "__spark_entry__.py" in changed_files:
+        for line in diff.splitlines():
+            if line[:1] in "+-" and line[:3] not in ("+++", "---"):
+                touched.update(re.findall(r"\bq_([a-z0-9_]+)", line))
+                touched.update(re.findall(r'"([a-z0-9_]+)":', line))
+    selected = set()
+    for name, fn in qs.items():
+        if name in touched:
+            selected.add(name)
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except OSError:
+            selected.add(name)
+            continue
+        words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src))
+        if words & affected:
+            selected.add(name)
+    return selected
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    changed_since = None
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--changed-since":
+            changed_since = argv[1]
+            argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     report: dict[str, dict] = {}
@@ -68,6 +166,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if changed_since:
+        sel = changed_queries(changed_since, qs)
+        print(
+            f"--changed-since {changed_since}: {len(sel)} of {len(qs)} "
+            f"queries affected: {sorted(sel)}"
+        )
+        only = only & sel if only else sel
+        if not only:
+            print("nothing affected; exiting green")
+            return 0
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -692,8 +692,48 @@ def winnow_dedup_model(
     ]
 
 
+def winnow_robust_model(
+    sf_dir: str, *, k: int = 8, w: int = 4, max_id: int = 50
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_winnow_robust: ROBUST winnowing (Schleimer
+    et al. §4) — on a tie for the window minimum keep the previous
+    window's selection when it is one of the minima, else rightmost
+    minimum; record only on selection change. Pure Python mirror of
+    pipeline/text.py winnow_fingerprints(robust=True)."""
+    import hashlib
+    import re
+
+    docs = _load_docs(sf_dir, max_id=max_id)
+    rows: list[tuple] = []
+    for doc_id, s_ in docs:
+        t = re.sub(r"[^a-z0-9]", "", s_.lower())
+        m = len(t) - k + 1
+        if m < 1:
+            continue
+        hs = [
+            hashlib.md5(t[i : i + k].encode()).hexdigest()[:8]
+            for i in range(m)
+        ]
+        wlen = min(w, m)
+        sel: list[tuple[int, str]] = []
+        prev = 0
+        for j in range(1, max(m - w + 1, 1) + 1):
+            win = hs[j - 1 : j - 1 + wlen]
+            v = min(win)
+            if j <= prev <= j + wlen - 1 and hs[prev - 1] == v:
+                continue
+            off = max(i for i, x in enumerate(win) if x == v)
+            p = j + off
+            sel.append((p, v))
+            prev = p
+        for p, v in dict.fromkeys(sel):
+            rows.append((doc_id, p, v))
+    return ["doc_id", "pos", "fp"], rows
+
+
 PY_MODELS = {
     "winnow_dedup": winnow_dedup_model,
+    "winnow_robust": winnow_robust_model,
     "pack_bins": pack_bins_model,
     "bpe_train": bpe_train_model,
     "bpe_vocab": bpe_vocab_model,
