@@ -1088,7 +1088,16 @@ def q_intra_row_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan.setBatch / allowPartialResults chunking (Scan.java:479,:714):
     each row's 5 customer cells split into partial Results of <=2 cells
-    in intra-row KVComparator order; result_id identifies the chunk."""
+    in intra-row KVComparator order; result_id identifies the chunk.
+
+    DIVERGENCE (documented like PageFilter's): ``Scan.setMaxResultSize``
+    (Scan.java:533) — SIZE-based RPC chunking — is deliberately not
+    modeled. It bounds bytes per client-server round trip, a transport
+    concern with no analog in Spark's execution model (partition sizing
+    plays that role: spark.sql.files.maxPartitionBytes on the scan
+    side, AQE target sizes after shuffles). Only the CELL-COUNT batch
+    semantics above are observable in results, and those are modeled
+    exactly."""
     t = _table(spark, sf_dir, "customer")
     out = t.scan_batched(batch=2)
     return out.select(

@@ -256,6 +256,58 @@ def main() -> None:
         ),
     )
 
+    # b-neardup: streaming MinHash near-dup ingest through the real
+    # Structured Streaming sink, WITH the persisted band store
+    # (streaming/wal.py neardup_ingest_stream) — 3 id-ranged
+    # micro-batches over the documents corpus; each sample starts from
+    # fresh store/checkpoint dirs (the measured work is the full
+    # 3-batch ingest: signature build, band-store probe+append, greedy
+    # in-batch + cross-batch kill, idempotent commits)
+    import glob
+
+    from hbase_1_3_0_spark.streaming import wal as walmod
+
+    nd_base = tempfile.mkdtemp(prefix="bench_nd_", dir=SCRATCH)
+    nd_src = f"{nd_base}/src"
+    os.makedirs(nd_src)
+    nd_docs = docs.select("doc_id", "text", "source")
+    nd_max = nd_docs.agg(F.max("doc_id")).first()[0] or 0
+    nd_cuts = [0, nd_max // 3 + 1, 2 * nd_max // 3 + 1, nd_max + 1]
+    for i in range(3):
+        scratch = f"{nd_base}/scratch{i}"
+        (
+            nd_docs.where(
+                (F.col("doc_id") >= nd_cuts[i])
+                & (F.col("doc_id") < nd_cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        shutil.copy(
+            glob.glob(f"{scratch}/part-*.parquet")[0], f"{nd_src}/b{i}.parquet"
+        )
+
+    def bench_neardup():
+        run_dir = tempfile.mkdtemp(prefix="bench_nd_run_", dir=SCRATCH)
+        try:
+            q = walmod.neardup_ingest_stream(
+                spark,
+                nd_src,
+                out_dir=f"{run_dir}/out",
+                store_dir=f"{run_dir}/store",
+                checkpoint_dir=f"{run_dir}/ckpt",
+                schema="doc_id bigint, text string, source string",
+                threshold=0.8,
+                max_files_per_trigger=1,
+                band_store_dir=f"{run_dir}/bands",
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(run_dir, ignore_errors=True)
+
+    run("b-neardup", bench_neardup)
+
     # b-topk: brute-force cosine top-10 for 100 query vectors (broadcast
     # queries, corpus never shuffled)
     topk_queries = embs.where(F.col("vec_id") < 100).select(
@@ -374,6 +426,7 @@ def main() -> None:
     )
     spark.stop()
     shutil.rmtree(bench_root, ignore_errors=True)
+    shutil.rmtree(nd_base, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -394,9 +394,51 @@ def ordered_string_segment(col: Column) -> Column:
     )
 
 
+def decode_ordered_string(col: Column) -> Column:
+    """Inverse of :func:`ordered_string_segment` (SQL NULL for the NULL
+    class)."""
+    s = col.cast(T.StringType())
+    return F.when(s == _NUM_NULL, F.lit(None).cast(T.StringType())).otherwise(
+        F.substring(s, F.lit(2), F.length(s) - 2)
+    )
+
+
+def ordered_blob_segment(col: Column) -> Column:
+    """Binary column -> order-preserving prefix-free segment — the
+    OrderedBlobVar analog (OrderedBytes.java:402 encodeBlobVar): unlike
+    the string segment, content may hold ANY byte (0x00 and 0x01
+    included). The reference frees its 0x00 terminator by 7-bit-packing
+    the payload (8/7x size); this analog hex-expands instead (2x size —
+    hex digits are ASCII-ordered, so byte order is preserved verbatim)
+    and keeps the same low terminator, trading a denser wire form for
+    an encoding Catalyst evaluates as two codegen'd intrinsics. NULL
+    sorts first; a blob that is a prefix of another sorts first."""
+    return F.when(col.isNull(), F.lit(_NUM_NULL)).otherwise(
+        F.concat(F.lit("V"), F.hex(col), F.lit("\x01"))
+    )
+
+
+def decode_ordered_blob(col: Column) -> Column:
+    """Inverse of :func:`ordered_blob_segment` (SQL NULL for the NULL
+    class)."""
+    s = col.cast(T.StringType())
+    return F.when(s == _NUM_NULL, F.lit(None).cast(T.BinaryType())).otherwise(
+        F.unhex(F.substring(s, F.lit(2), F.length(s) - 2))
+    )
+
+
 def ordered_struct(*segments: Column) -> Column:
     """Struct-style composite key (types/Struct.java:67): concatenate
     already-encoded segments into one binary whose flat unsigned byte
     comparison equals field-wise comparison — guaranteed by every
-    segment encoding being prefix-free and self-terminating."""
+    segment encoding being prefix-free and self-terminating.
+
+    Union2..4 (types/Union2.java and siblings) need no extra machinery:
+    every segment family is SELF-IDENTIFYING via its header char
+    (numeric classes A-G < string T < blob V), so one struct position
+    may hold a numeric segment in some rows and a string/blob segment
+    in others; cross-member order falls out of the header bytes exactly
+    as the reference's union order falls out of its member encodings
+    (all numerics sort before all strings before all blobs, NULL class
+    first)."""
     return F.encode(F.concat(*segments), "UTF-8")

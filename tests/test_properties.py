@@ -1353,3 +1353,100 @@ def test_ordered_struct_composite_orders_field_wise(spark, pairs):
 
     want = [r.i for r in sorted(enc, key=tup)]
     assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    blobs=st.lists(
+        st.one_of(st.none(), st.binary(max_size=12)),
+        min_size=2, max_size=20,
+    )
+)
+def test_ordered_blob_preserves_byte_order_and_roundtrips(spark, blobs):
+    """ordered_blob_segment (OrderedBlobVar analog): segment order ==
+    unsigned byte order of the raw blobs with NULL first, any content
+    byte allowed (0x00/0x01 included), prefixes sort first, decode
+    inverts exactly."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    uniq = list(dict.fromkeys(blobs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(uniq)], "i: int, v: binary"
+    )
+    enc = df.select(
+        "i", "v",
+        codecs.ordered_struct(
+            codecs.ordered_blob_segment(F.col("v"))
+        ).alias("k"),
+        codecs.decode_ordered_blob(
+            codecs.ordered_blob_segment(F.col("v"))
+        ).alias("back"),
+    ).collect()
+    none_first = lambda r: (r.v is not None, bytes(r.v or b""))  # noqa: E731
+    want = [r.i for r in sorted(enc, key=none_first)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+    for r in enc:
+        if r.v is None:
+            assert r.back is None
+        else:
+            assert bytes(r.back) == bytes(r.v)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(min_value=-(10**6), max_value=10**6,
+                        allow_nan=False, allow_infinity=False, places=3),
+            st.text(
+                alphabet=st.characters(min_codepoint=2, max_codepoint=0x7E),
+                max_size=6,
+            ),
+        ),
+        min_size=2, max_size=20,
+    )
+)
+def test_ordered_union_position_orders_by_member_class(spark, vals):
+    """Union2-style mixed struct position (types/Union2.java): one key
+    slot holding numeric segments in some rows and string segments in
+    others orders by (member class, value) — all numerics before all
+    strings, NULL class first — purely from the self-identifying
+    segment headers."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    uniq = list(dict.fromkeys(vals))
+    rows = [
+        (i,
+         v if isinstance(v, Decimal) else None,
+         v if isinstance(v, str) else None)
+        for i, v in enumerate(uniq)
+    ]
+    df = spark.createDataFrame(rows, "i: int, num: decimal(12,3), s: string")
+    enc = df.select(
+        "i", "num", "s",
+        codecs.ordered_struct(
+            F.when(
+                F.col("s").isNotNull(),
+                codecs.ordered_string_segment(F.col("s")),
+            ).otherwise(codecs.ordered_numeric_segment(F.col("num")))
+        ).alias("k"),
+    ).collect()
+
+    def rank(r):
+        if r.num is not None:
+            return (1, r.num, "")
+        if r.s is not None:
+            return (2, 0, r.s)
+        return (0, 0, "")
+
+    want = [r.i for r in sorted(enc, key=rank)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
