@@ -1306,6 +1306,15 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_repetition(docs)
 
 
+def q_gopher_rep_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_repetition with coverage='islands' — gaps-and-islands
+    interval union + per-doc prefix-sum endpoint probes instead of the
+    per-position explode (the pathological-corpus scale path; identical
+    output by contract, same DuckDB oracle as gopher_repetition)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.gopher_repetition(docs, coverage="islands")
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/page cleaning rules (Raffel et al. 2020 §2.2) — cleaned
     text + per-doc counts + keep flag, DuckDB-oracled
@@ -2754,8 +2763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated in r04: rows-only-by-design ops (no oracle_sql; the
         #    driver records the weaker rows-only check for these) --
         "multimodal_features": q_multimodal_features,
-        # -- new in r05: oracle-checked multimodal header probe --
-        "media_probe": q_media_probe,
+        # -- r07: islands-mode repetition coverage (same oracle as
+        #    gopher_repetition) — media_probe rotated below the line
+        #    for it (r05+r06 driver-green; multimodal area repped
+        #    in-window by jpeg_probe + multimodal_features) --
+        "gopher_rep_islands": q_gopher_rep_islands,
         # -- rotated in r06: the 3 queries with no driver row yet
         #    (landed after the r05 rotation; all local-green) --
         "jpeg_probe": q_jpeg_probe,
@@ -2848,10 +2860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-round driver-green r01-r06 and the dedup area stays
         # repped in-window by incremental_dedup, dedup_clusters,
         # dedup_ingest, substring_dedup and winnow_dedup
-        # rotated out r07 to admit ordered_numeric + winnow_robust (new);
-        # both r04-r06 driver-green, text area repped in-window
+        # rotated out r07 to admit ordered_numeric + winnow_robust +
+        # gopher_rep_islands (new); each r04-r06 driver-green, their
+        # areas repped in-window
         "remove_boilerplate": q_remove_boilerplate,
         "corpus_stats": q_corpus_stats,
+        "media_probe": q_media_probe,
         "paragraph_dedup": q_paragraph_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
         "text_stats": q_text_stats,
@@ -3240,7 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
         "o_orderpriority"
     )
-    return {
+    sql = {
         "scan_range": (
             f"SELECT {cust_cols} FROM customer "
             "WHERE c_custkey >= 100 AND c_custkey < 600"
@@ -4294,3 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.
     }
+    # the islands-mode twin is output-identical by contract, so it shares
+    # gopher_repetition's oracle verbatim
+    sql["gopher_rep_islands"] = sql["gopher_repetition"]
+    return sql

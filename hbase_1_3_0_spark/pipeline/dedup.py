@@ -648,6 +648,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    check_convergence: bool = True,
 ) -> DataFrame:
     """Group near-duplicate pairs into clusters: (id, component) where
     ``component`` is the smallest id reachable from ``id``.
@@ -659,6 +660,13 @@ def connected_components(
     dup-graphs (near-clique clusters from pair generators) have tiny
     diameters, so a handful of iterations suffice at any scale.
     ``localCheckpoint`` truncates the iterative plan lineage each round.
+
+    ``check_convergence=False`` runs exactly ``max_iterations`` rounds
+    with NO per-round changed-label count — one fewer Spark job per
+    round. Use it when the graph's diameter is known shallow (near-dup
+    clusters are near-cliques: diameter ≲ 4) and set ``max_iterations``
+    to that bound; labels are correct as long as max_iterations >=
+    ceil(log2(diameter)) + 1 rounds have run.
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.unionByName(
@@ -692,15 +700,18 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if check_convergence:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels
 
 

@@ -801,6 +801,7 @@ def gopher_repetition(
     *,
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    coverage: str = "positions",
 ) -> DataFrame:
     """The duplicate-n-gram half of the Gopher rules (Rae et al. 2021
     Appendix A): per document,
@@ -825,10 +826,17 @@ def gopher_repetition(
     (doc, n, gram) counting shuffle for every n at once; coverage
     re-explodes only DUPLICATED occurrences (<= n rows per occurrence —
     linear with a small constant, because duplicated grams are the
-    minority in clean corpora; for pathological corpora the
-    gaps-and-islands interval union in pipeline/substrings.py is the
-    drop-in replacement). The token table is localCheckpoint'd: five
-    consumers would otherwise re-run the corpus scan per branch."""
+    minority in clean corpora). The token table is localCheckpoint'd:
+    five consumers would otherwise re-run the corpus scan per branch.
+
+    ``coverage="islands"`` swaps the per-position explode for a
+    gaps-and-islands interval union: duplicated occurrence intervals
+    merge via a running-max window, and covered CHARS come from a
+    per-doc prefix-sum of token lengths probed at island endpoints (two
+    (doc, pos) equi-joins — no explode, no range join, no distinct over
+    positions). Identical output (property-tested); choose it for
+    PATHOLOGICAL corpora where most grams are duplicated and the
+    position explode would multiply the token table by ~n."""
     toks = (
         df.select(
             F.col(id_col),
@@ -907,28 +915,81 @@ def gopher_repetition(
         )
     )
     # duplicated-gram position coverage for large n
-    dup_occ = (
-        grams.where(F.col("n").isin(*dup_ns))
-        .join(
-            counts.where(F.col("_c") >= 2).select(id_col, "n", "gram"),
-            [id_col, "n", "gram"],
-        )
-        .select(
-            F.col(id_col), "n",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
-            ).alias("_q"),
-        )
-        .distinct()
+    if coverage not in ("positions", "islands"):
+        raise ValueError(f"coverage must be positions|islands: {coverage}")
+    occ = grams.where(F.col("n").isin(*dup_ns)).join(
+        counts.where(F.col("_c") >= 2).select(id_col, "n", "gram"),
+        [id_col, "n", "gram"],
     )
-    cov = (
-        dup_occ.join(
-            toks.select(F.col(id_col), F.col("pos").alias("_q"), "wlen"),
-            [id_col, "_q"],
+    if coverage == "positions":
+        dup_occ = (
+            occ.select(
+                F.col(id_col), "n",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+                ).alias("_q"),
+            )
+            .distinct()
         )
-        .groupBy(id_col, "n")
-        .agg(F.sum("wlen").alias("_chars"))
-    )
+        cov = (
+            dup_occ.join(
+                toks.select(
+                    F.col(id_col), F.col("pos").alias("_q"), "wlen"
+                ),
+                [id_col, "_q"],
+            )
+            .groupBy(id_col, "n")
+            .agg(F.sum("wlen").alias("_chars"))
+        )
+    else:
+        # gaps-and-islands: merge overlapping occurrence intervals with
+        # a running-max window, then chars per island from the per-doc
+        # token-length prefix sum (probe endpoints by equality)
+        w_occ = Window.partitionBy(id_col, "n").orderBy("pos")
+        iv = occ.select(
+            F.col(id_col), "n", "pos",
+            (F.col("pos") + F.col("n") - 1).alias("_e"),
+        )
+        prev_max = F.max("_e").over(
+            w_occ.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        iv = iv.withColumn(
+            "_new",
+            F.when(
+                prev_max.isNull() | (F.col("pos") > prev_max), 1
+            ).otherwise(0),
+        ).withColumn("_grp", F.sum("_new").over(w_occ))
+        islands = iv.groupBy(id_col, "n", "_grp").agg(
+            F.min("pos").alias("_s"), F.max("_e").alias("_ie")
+        )
+        w_tok = Window.partitionBy(id_col).orderBy("pos")
+        cum = toks.select(
+            F.col(id_col), "pos",
+            F.sum("wlen").over(w_tok).alias("_cl"),
+        )
+        cov = (
+            islands.join(
+                cum.select(
+                    F.col(id_col), F.col("pos").alias("_ie"),
+                    F.col("_cl").alias("_cl_e"),
+                ),
+                [id_col, "_ie"],
+            )
+            .join(
+                cum.select(
+                    F.col(id_col), (F.col("pos") + 1).alias("_s"),
+                    F.col("_cl").alias("_cl_s"),
+                ),
+                [id_col, "_s"],
+                "left",
+            )
+            .groupBy(id_col, "n")
+            .agg(
+                F.sum(
+                    F.col("_cl_e") - F.coalesce(F.col("_cl_s"), F.lit(0))
+                ).alias("_chars")
+            )
+        )
     # one conditional aggregation instead of 9 per-metric joins
     merged = top.select(
         F.col(id_col), F.concat(F.lit("t"), F.col("n")).alias("_k"),

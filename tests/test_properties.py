@@ -1450,3 +1450,36 @@ def test_ordered_union_position_orders_by_member_class(spark, vals):
 
     want = [r.i for r in sorted(enc, key=rank)]
     assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab .\n", min_size=0, max_size=80),
+        min_size=1, max_size=5,
+    ),
+)
+def test_gopher_repetition_islands_equals_positions(spark, texts):
+    """coverage='islands' (gaps-and-islands interval union + prefix-sum
+    endpoint probes) produces byte-identical output to the per-position
+    explode mode on tie-heavy tiny-alphabet corpora — the pathological
+    case the islands mode exists for."""
+    from hbase_1_3_0_spark.pipeline import text as textops
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    cols = ["doc_id"] + [f"top_{n}gram_frac" for n in (2, 3, 4)] + [
+        f"dup_{n}gram_frac" for n in range(5, 11)
+    ]
+    pos_rows = {
+        tuple(r[c] for c in cols)
+        for r in textops.gopher_repetition(df).collect()
+    }
+    isl_rows = {
+        tuple(r[c] for c in cols)
+        for r in textops.gopher_repetition(
+            df, coverage="islands"
+        ).collect()
+    }
+    assert isl_rows == pos_rows

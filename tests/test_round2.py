@@ -564,10 +564,20 @@ def test_connected_components_chains_and_singleton_pairs(spark):
         [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
         "id_a long, id_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
     got = {
         r.id: r.component for r in dd.connected_components(pairs).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+    assert got == want
+    # fixed-rounds mode (no per-round changed-count job) converges to the
+    # same labels when max_iterations covers the diameter
+    got_fixed = {
+        r.id: r.component
+        for r in dd.connected_components(
+            pairs, max_iterations=4, check_convergence=False
+        ).collect()
+    }
+    assert got_fixed == want
 
 
 def test_dedup_by_components_keeps_canonical(spark):
