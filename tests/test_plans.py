@@ -323,3 +323,41 @@ def test_dedup_by_components_anti_join_no_forced_broadcast(spark, sf_dir):
     assert "leftHint" not in logical.split("LeftAnti")[1].split("\n")[0] \
         and "broadcast" not in logical.split("LeftAnti")[1].split("\n")[0]
     assert out.count() >= 0  # executes end-to-end
+
+
+def test_winnow_robust_zero_shuffle(spark, sf_dir):
+    """Robust winnowing's sequential tie rule is an aggregate fold over
+    the window sequence — still a pure per-row array computation: no
+    exchange, no Python eval, one corpus scan."""
+    from hbase_1_3_0_spark.pipeline import text
+
+    docs = fixtures.load_table(spark, sf_dir, "documents")
+    out = text.winnow_fingerprints(docs, robust=True)
+    assert inspect.shuffle_exchange_count(out) == 0
+    assert not inspect.has_python_eval(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_gopher_islands_no_explode_no_range_join(spark, sf_dir):
+    """coverage='islands' must not multiply the occurrence table: no
+    per-position Generate on the coverage branch beyond the shared
+    gram-building explode (3 Generates: the gram array explode once per
+    uncheckpointed consumer branch — top, occurrence, count side; the
+    token posexplode is behind the localCheckpoint), and both
+    prefix-sum probes are EQUI joins — no BroadcastNestedLoopJoin, no
+    CartesianProduct, and no sequence() position explode anywhere (the
+    positions mode's coverage explode is exactly a Generate over
+    sequence(pos, pos+n-1))."""
+    from hbase_1_3_0_spark.pipeline import text
+
+    docs = fixtures.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100
+    )
+    out = text.gopher_repetition(docs, coverage="islands")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 3
+    assert "sequence(" not in plan
+    assert not inspect.has_python_eval(out)
