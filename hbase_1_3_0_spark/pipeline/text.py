@@ -225,10 +225,19 @@ def winnow_overlap(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 50,
+    robust: bool = False,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` distinct winnowed
     fingerprint hashes — the copied-passage detector :func:`fingerprint`
-    (whole-doc) structurally cannot express. Fingerprints appearing in
+    (whole-doc) structurally cannot express. ``robust=True`` selects
+    fingerprints with the paper's robust tie rule (fewer (pos, fp) rows
+    on repetitive text — see :func:`winnow_fingerprints`). Because both
+    tie rules always select SOME occurrence of each window's minimum
+    hash, the distinct fp VALUE set per document is identical in either
+    mode, and pairing runs on distinct values — so ``robust=True``
+    changes NOTHING about the output pairs (property-tested); it only
+    shrinks the fingerprint table feeding the distinct, a pure perf
+    knob for low-entropy corpora. Fingerprints appearing in
     more than ``max_df`` documents are dropped before pairing (the
     standard hot-shingle cap: boilerplate fps pair everything with
     everything; dropping them bounds each fp's pair fan-out at
@@ -243,7 +252,7 @@ def winnow_overlap(
     corpus winnowing pass per branch (plan-audited: 18 exchanges with
     ~3 corpus passes down to one winnow pass checkpointed)."""
     fps = (
-        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w, robust=robust)
         .select(F.col(id_col).alias("_id"), "fp")
         .distinct()
         .localCheckpoint()

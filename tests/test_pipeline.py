@@ -1444,6 +1444,46 @@ def test_winnow_overlap_detects_insertion(spark):
     assert df.select(text.fingerprint(F.col("text"))).distinct().count() == 3
 
 
+def test_winnow_overlap_robust_identical_pairs(spark):
+    """robust=True must not change winnow_overlap's output: both tie
+    rules select SOME occurrence of each window's minimum hash, so the
+    distinct fp VALUE set per doc is identical and value-level pairing
+    is unchanged. On repetitive text the robust fp table is strictly
+    smaller — the knob is perf-only."""
+    rep = "abab" * 30  # low-entropy: equal gram hashes abound
+    base = (
+        "winnowing selects the rightmost minimum hash of each window "
+        "so local matches survive global edits " + rep
+    )
+    edited = base.replace("rightmost minimum", "previous minimal") + rep
+    other = "entirely different vocabulary with no shared passages here"
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id: long, text: string"
+    )
+    std = {
+        (r.a, r.b, r.shared)
+        for r in text.winnow_overlap(df, min_shared=1, max_df=10).collect()
+    }
+    rob = {
+        (r.a, r.b, r.shared)
+        for r in text.winnow_overlap(
+            df, min_shared=1, max_df=10, robust=True
+        ).collect()
+    }
+    assert std == rob and (1, 2) in {(a, b) for a, b, _ in std}
+    # the (pos, fp) table itself IS smaller under the robust rule
+    n_std = text.winnow_fingerprints(df).count()
+    n_rob = text.winnow_fingerprints(df, robust=True).count()
+    assert n_rob < n_std
+    # ... but the distinct VALUE sets coincide doc-by-doc
+    vals = lambda d: {
+        (r[0], r.fp) for r in d.select("doc_id", "fp").distinct().collect()
+    }
+    assert vals(text.winnow_fingerprints(df)) == vals(
+        text.winnow_fingerprints(df, robust=True)
+    )
+
+
 def test_winnow_overlap_hot_fp_cap(spark):
     """A fingerprint present in every doc is dropped by max_df before
     pairing — the bound that keeps boilerplate from pairing the corpus
