@@ -2001,6 +2001,55 @@ def q_ordered_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field DESCENDING order in a Struct composite key (Order.java:43
+    Order.DESCENDING byte complement + types/StructBuilder.java
+    add(field, Order.DESCENDING)) — the 'entity, time DESC' row-key
+    idiom: key = (status ASC, cents DESC numeric, order date DESC
+    string). The check is the order contract: rank rows by the flat
+    encoded binary; the oracle ranks by (status ASC NULLS FIRST, cents
+    DESC NULLS LAST, date DESC, key). The desc date segment also
+    round-trips through decode. Same test-scale-window caveat as
+    ordered_numeric: the codec itself is a zero-shuffle projection."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    cents_raw = (F.col("o_orderkey") * 37) % 2000001 - 1000000
+    d = orders.where(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(cents_raw)
+        .cast("long")
+        .alias("cents_in"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("od"),
+    )
+    val = F.col("cents_in").cast("decimal(20,2)") / 100
+    # one projection to MATERIALIZE key + desc segment, decode after —
+    # composed decode(encode(...)) trees blow up plain-driver codegen
+    keyed = d.select(
+        "o_orderkey",
+        "cents_in",
+        codecs.ordered_struct(
+            codecs.ordered_string_segment(F.col("o_orderstatus")),
+            codecs.ordered_numeric_segment(val, descending=True),
+            codecs.ordered_string_segment(F.col("od"), descending=True),
+        ).alias("k"),
+        codecs.ordered_string_segment(F.col("od"), descending=True).alias(
+            "sd"
+        ),
+    )
+    w = Window.orderBy(F.col("k"), F.col("o_orderkey"))
+    return keyed.select(
+        F.row_number().over(w).alias("desc_rank"),
+        "o_orderkey",
+        F.col("cents_in").alias("cents"),
+        codecs.decode_ordered_string(F.col("sd"), descending=True).alias(
+            "od"
+        ),
+    )
+
+
 def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BitComparator with a mask LONGER than 8 bytes + the length-equality
     rule (BitComparator.java:112-118): only values exactly as long as the
@@ -2905,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "increment_timerange": q_increment_timerange,
         "cf_time_range": q_cf_time_range,
         "ordered_signed": q_ordered_signed,
+        "ordered_desc": q_ordered_desc,
         "binary_prefix": q_binary_prefix,
         "null_comparator": q_null_comparator,
         "bit_comparator": q_bit_comparator,
@@ -3821,6 +3871,19 @@ def oracle_sql() -> dict[str, str]:
             "  (ORDER BY cents NULLS FIRST, o_orderstatus NULLS FIRST, "
             "   o_orderkey) AS struct_rank, "
             "o_orderkey, cents FROM base"
+        ),
+        "ordered_desc": (
+            "WITH base AS ("
+            "  SELECT o_orderkey, o_orderstatus,"
+            "         CASE WHEN o_orderkey % 97 = 0 THEN NULL"
+            "              ELSE (o_orderkey*37) % 2000001 - 1000000 END"
+            "         AS cents,"
+            "         strftime(o_orderdate, '%Y-%m-%d') AS od"
+            "  FROM orders WHERE o_orderkey % 7 = 3) "
+            "SELECT row_number() OVER "
+            "  (ORDER BY o_orderstatus NULLS FIRST, cents DESC NULLS LAST, "
+            "   od DESC, o_orderkey) AS desc_rank, "
+            "o_orderkey, cents, od FROM base"
         ),
         "bit_comparator_wide": (
             "SELECT c_custkey, c_mktsegment AS seg FROM customer "

@@ -382,28 +382,78 @@ def decode_ordered_numeric(
     return out.try_cast(dt)
 
 
-def ordered_string_segment(col: Column) -> Column:
+# DESCENDING string/blob machinery. The reference's Order.DESCENDING is a
+# bitwise complement of every encoded byte (Order.java:43 apply(byte[]));
+# raw byte complement would leave the printable-string domain, so the desc
+# forms hex-expand the content first (hex digits are ASCII-ordered, so byte
+# order survives verbatim) and complement per CHARACTER with the involution
+# 0<->F, 1<->E, ... — order-reversing over the hex alphabet and its own
+# inverse, exactly the role 0xFF-XOR plays on raw bytes. Desc headers sit
+# BELOW the desc-numeric header range ('#' blob < '$' string < 'A'..'F'
+# numeric values) so a descending union position reverses the ascending
+# family order (numerics < strings < blobs becomes blobs < strings <
+# numerics); the shared NULL class complements to 'G' and sorts LAST, the
+# reference's DESCENDING-null behavior. The high terminator '~' makes a
+# prefix sort last, reversing the ascending prefix rule.
+_HEX_SRC = "0123456789ABCDEF"
+_HEX_DST = "FEDCBA9876543210"
+_DESC_NULL = "G"
+_DESC_STR_HDR = "$"
+_DESC_BLOB_HDR = "#"
+_DESC_TERM = "~"
+
+
+def ordered_string_segment(col: Column, *, descending: bool = False) -> Column:
     """String column -> order-preserving prefix-free segment for
     :func:`ordered_struct`: NULL sorts first; a string that is a prefix
     of another sorts first (terminator 0x01 is below any content byte).
     Content must not contain codepoints below U+0002 (the reference's
     encodeString imposes the same kind of exclusion for its 0x00
-    terminator, OrderedBytes.java:661)."""
+    terminator, OrderedBytes.java:661).
+
+    ``descending=True`` reverses the order contract (Order.DESCENDING,
+    Order.java:43): strings sort in reverse UTF-8 byte order, a prefix
+    sorts LAST, NULL sorts LAST; content is hex-expanded then
+    char-complemented, so the U+0002 exclusion does not apply — any
+    string encodes."""
+    if descending:
+        return F.when(col.isNull(), F.lit(_DESC_NULL)).otherwise(
+            F.concat(
+                F.lit(_DESC_STR_HDR),
+                F.translate(F.hex(F.encode(col, "UTF-8")), _HEX_SRC, _HEX_DST),
+                F.lit(_DESC_TERM),
+            )
+        )
     return F.when(col.isNull(), F.lit(_NUM_NULL)).otherwise(
         F.concat(F.lit("T"), col, F.lit("\x01"))
     )
 
 
-def decode_ordered_string(col: Column) -> Column:
+def decode_ordered_string(col: Column, *, descending: bool = False) -> Column:
     """Inverse of :func:`ordered_string_segment` (SQL NULL for the NULL
     class)."""
     s = col.cast(T.StringType())
+    if descending:
+        return F.when(
+            s == _DESC_NULL, F.lit(None).cast(T.StringType())
+        ).otherwise(
+            F.decode(
+                F.unhex(
+                    F.translate(
+                        F.substring(s, F.lit(2), F.length(s) - 2),
+                        _HEX_DST,
+                        _HEX_SRC,
+                    )
+                ),
+                "UTF-8",
+            )
+        )
     return F.when(s == _NUM_NULL, F.lit(None).cast(T.StringType())).otherwise(
         F.substring(s, F.lit(2), F.length(s) - 2)
     )
 
 
-def ordered_blob_segment(col: Column) -> Column:
+def ordered_blob_segment(col: Column, *, descending: bool = False) -> Column:
     """Binary column -> order-preserving prefix-free segment — the
     OrderedBlobVar analog (OrderedBytes.java:402 encodeBlobVar): unlike
     the string segment, content may hold ANY byte (0x00 and 0x01
@@ -412,16 +462,40 @@ def ordered_blob_segment(col: Column) -> Column:
     hex digits are ASCII-ordered, so byte order is preserved verbatim)
     and keeps the same low terminator, trading a denser wire form for
     an encoding Catalyst evaluates as two codegen'd intrinsics. NULL
-    sorts first; a blob that is a prefix of another sorts first."""
+    sorts first; a blob that is a prefix of another sorts first.
+
+    ``descending=True`` complements the hex content per character
+    (the printable analog of the reference's 0xFF-XOR), reversing byte
+    order; a prefix sorts LAST, NULL sorts LAST."""
+    if descending:
+        return F.when(col.isNull(), F.lit(_DESC_NULL)).otherwise(
+            F.concat(
+                F.lit(_DESC_BLOB_HDR),
+                F.translate(F.hex(col), _HEX_SRC, _HEX_DST),
+                F.lit(_DESC_TERM),
+            )
+        )
     return F.when(col.isNull(), F.lit(_NUM_NULL)).otherwise(
         F.concat(F.lit("V"), F.hex(col), F.lit("\x01"))
     )
 
 
-def decode_ordered_blob(col: Column) -> Column:
+def decode_ordered_blob(col: Column, *, descending: bool = False) -> Column:
     """Inverse of :func:`ordered_blob_segment` (SQL NULL for the NULL
     class)."""
     s = col.cast(T.StringType())
+    if descending:
+        return F.when(
+            s == _DESC_NULL, F.lit(None).cast(T.BinaryType())
+        ).otherwise(
+            F.unhex(
+                F.translate(
+                    F.substring(s, F.lit(2), F.length(s) - 2),
+                    _HEX_DST,
+                    _HEX_SRC,
+                )
+            )
+        )
     return F.when(s == _NUM_NULL, F.lit(None).cast(T.BinaryType())).otherwise(
         F.unhex(F.substring(s, F.lit(2), F.length(s) - 2))
     )

@@ -1452,6 +1452,227 @@ def test_ordered_union_position_orders_by_member_class(spark, vals):
     assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
 
 
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+                max_size=8,
+            ),
+        ),
+        min_size=2, max_size=20,
+    )
+)
+def test_ordered_string_descending_reverses_and_roundtrips(spark, vals):
+    """ordered_string_segment(descending=True) — the Order.DESCENDING
+    analog (Order.java:43 byte complement): segment byte order equals
+    REVERSE UTF-8 byte order of the strings, a prefix sorts LAST, NULL
+    sorts LAST; decode inverts exactly. Unlike the ascending form, any
+    codepoint (U+0000/U+0001 included) is encodable — content is
+    hex-expanded before complementing."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    uniq = list(dict.fromkeys(vals))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(uniq)], "i: int, s: string"
+    )
+    enc = df.select(
+        "i", "s",
+        codecs.ordered_struct(
+            codecs.ordered_string_segment(F.col("s"), descending=True)
+        ).alias("k"),
+        codecs.decode_ordered_string(
+            codecs.ordered_string_segment(F.col("s"), descending=True),
+            descending=True,
+        ).alias("back"),
+    ).collect()
+    # descending: non-null in reverse utf-8 byte order, then NULL
+    none_last_desc = lambda r: (  # noqa: E731
+        r.s is None,
+        _neg_bytes((r.s or "").encode("utf-8")),
+    )
+    want = [r.i for r in sorted(enc, key=none_last_desc)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+    for r in enc:
+        assert r.back == r.s
+
+
+def _neg_bytes(b):
+    """Sort key inverting unsigned byte order: complemented bytes padded
+    with a high sentinel so a PREFIX sorts after its extensions (the
+    descending prefix rule)."""
+    return bytes(255 - x for x in b) + b"\xff"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    blobs=st.lists(
+        st.one_of(st.none(), st.binary(max_size=12)),
+        min_size=2, max_size=20,
+    )
+)
+def test_ordered_blob_descending_reverses_and_roundtrips(spark, blobs):
+    """ordered_blob_segment(descending=True): reverse unsigned byte
+    order, prefixes last, NULL last, exact round-trip."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    uniq = list(dict.fromkeys(blobs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(uniq)], "i: int, v: binary"
+    )
+    enc = df.select(
+        "i", "v",
+        codecs.ordered_struct(
+            codecs.ordered_blob_segment(F.col("v"), descending=True)
+        ).alias("k"),
+        codecs.decode_ordered_blob(
+            codecs.ordered_blob_segment(F.col("v"), descending=True),
+            descending=True,
+        ).alias("back"),
+    ).collect()
+    none_last_desc = lambda r: (  # noqa: E731
+        r.v is None,
+        _neg_bytes(bytes(r.v) if r.v is not None else b""),
+    )
+    want = [r.i for r in sorted(enc, key=none_last_desc)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+    for r in enc:
+        if r.v is None:
+            assert r.back is None
+        else:
+            assert bytes(r.back) == bytes(r.v)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), _decimal_st),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=2, max_codepoint=0x2FF
+                    ),
+                    max_size=8,
+                ),
+            ),
+        ),
+        min_size=2, max_size=20,
+    )
+)
+def test_ordered_struct_mixed_asc_desc_fields(spark, pairs):
+    """Composite key with per-field order — (numeric ASC, string DESC),
+    the 'entity, time DESC' row-key idiom: flat byte comparison equals
+    field-wise comparison with the second field REVERSED and its NULLs
+    last. Exactly the reference's per-field Order in Struct
+    (types/StructBuilder.java add(field, Order.DESCENDING))."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    uniq = list(dict.fromkeys(pairs))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(uniq)],
+        "i: int, a: decimal(38,18), b: string",
+    )
+    enc = df.select(
+        "i", "a", "b",
+        codecs.ordered_struct(
+            codecs.ordered_numeric_segment(F.col("a")),
+            codecs.ordered_string_segment(F.col("b"), descending=True),
+        ).alias("k"),
+    ).collect()
+
+    def tup(r):
+        return (
+            (r.a is not None, r.a),
+            (r.b is None, _neg_bytes((r.b or "").encode("utf-8"))),
+        )
+
+    want = [r.i for r in sorted(enc, key=tup)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(min_value=-(10**6), max_value=10**6,
+                        allow_nan=False, allow_infinity=False, places=3),
+            st.text(
+                alphabet=st.characters(min_codepoint=2, max_codepoint=0x7E),
+                max_size=6,
+            ),
+            st.binary(max_size=6),
+        ),
+        min_size=2, max_size=20,
+    )
+)
+def test_ordered_union_descending_reverses_class_order(spark, vals):
+    """A DESCENDING union position reverses the ascending family order:
+    blobs < strings < numerics (each family internally reversed), NULL
+    class last — the complement of the ascending union contract."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.functions import codecs
+
+    uniq = list(dict.fromkeys(vals))
+    rows = [
+        (i,
+         v if isinstance(v, Decimal) else None,
+         v if isinstance(v, str) else None,
+         v if isinstance(v, bytes) else None)
+        for i, v in enumerate(uniq)
+    ]
+    df = spark.createDataFrame(
+        rows, "i: int, num: decimal(12,3), s: string, v: binary"
+    )
+    enc = df.select(
+        "i", "num", "s", "v",
+        codecs.ordered_struct(
+            F.when(
+                F.col("v").isNotNull(),
+                codecs.ordered_blob_segment(F.col("v"), descending=True),
+            )
+            .when(
+                F.col("s").isNotNull(),
+                codecs.ordered_string_segment(F.col("s"), descending=True),
+            )
+            .otherwise(
+                codecs.ordered_numeric_segment(
+                    F.col("num"), descending=True
+                )
+            )
+        ).alias("k"),
+    ).collect()
+
+    def rank(r):
+        if r.v is not None:
+            return (0, _neg_bytes(bytes(r.v)), "")
+        if r.s is not None:
+            return (1, _neg_bytes(r.s.encode("utf-8")), "")
+        if r.num is not None:
+            return (2, b"", -r.num)
+        return (3, b"", 0)
+
+    want = [r.i for r in sorted(enc, key=rank)]
+    assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
