@@ -288,7 +288,7 @@ def main() -> None:
             glob.glob(f"{scratch}/part-*.parquet")[0], f"{nd_src}/b{i}.parquet"
         )
 
-    def bench_neardup():
+    def bench_neardup(with_band_store=True):
         run_dir = tempfile.mkdtemp(prefix="bench_nd_run_", dir=SCRATCH)
         try:
             q = walmod.neardup_ingest_stream(
@@ -300,13 +300,22 @@ def main() -> None:
                 schema="doc_id bigint, text string, source string",
                 threshold=0.8,
                 max_files_per_trigger=1,
-                band_store_dir=f"{run_dir}/bands",
+                band_store_dir=(
+                    f"{run_dir}/bands" if with_band_store else None
+                ),
             )
             q.awaitTermination()
         finally:
             shutil.rmtree(run_dir, ignore_errors=True)
 
     run("b-neardup", bench_neardup)
+    # twin WITHOUT the persisted band store: history is re-banded from
+    # raw signatures on every micro-batch probe. The pair shows the
+    # band store's crossover in-artifact — its advantage grows with
+    # accepted-history size (O(history) re-banding per batch vs a
+    # 3-column columnar scan), so the gap widens with sf and with
+    # batch count even if the 3-batch small-sf delta is modest.
+    run("b-neardup-nostore", lambda: bench_neardup(with_band_store=False))
 
     # b-topk: brute-force cosine top-10 for 100 query vectors (broadcast
     # queries, corpus never shuffled)
