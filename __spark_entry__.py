@@ -2715,6 +2715,17 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.perplexity_proxy(docs, vocab_size=500)
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek 2020 §4.3):
+    rank docs by unigram bits-per-word within each lang, split into
+    head/middle/tail by exact ntile; zero-token docs keep a NULL-bucket
+    row (the explicit discard set). The approximate=True twin (sketch
+    cutoffs, no per-stratum sort) is the 100 TB path
+    (pipeline/lm.py perplexity_buckets)."""
+    docs = _load(spark, sf_dir, "documents")
+    return lm.perplexity_buckets(docs, vocab_size=500)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2928,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "events_window": q_events_window,
         "lm_perplexity": q_lm_perplexity,
+        "perplexity_buckets": q_perplexity_buckets,
         "lm_bigram": q_lm_bigram,
         "vocab_topk": q_vocab_topk,
         # no-oracle-by-design with an existing rows-only driver row (r04)
@@ -4367,6 +4379,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, "
             "p.oov_rate, p.bits_per_word "
             "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+        ),
+        "perplexity_buckets": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS word "
+            "FROM documents), "
+            "vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word "
+            "ORDER BY c DESC, word LIMIT 500), "
+            "tot AS (SELECT (SELECT count(*) FROM toks) AS n, "
+            "(SELECT count(*) FROM vocab) AS v), "
+            "per_doc AS (SELECT doc_id, count(*) AS n_words, "
+            "round(avg(CASE WHEN vocab.c IS NULL THEN 1.0 ELSE 0.0 END), 6) "
+            "AS oov_rate, "
+            "round(avg(-log2((coalesce(vocab.c, 0) + 1) * 1.0 / (n + v))), 6) "
+            "AS bits_per_word "
+            "FROM toks LEFT JOIN vocab USING (word) CROSS JOIN tot "
+            "GROUP BY doc_id), "
+            "base AS (SELECT d.doc_id, d.lang, "
+            "coalesce(p.n_words, 0) AS n_words, p.oov_rate, p.bits_per_word "
+            "FROM documents d LEFT JOIN per_doc p USING (doc_id)), "
+            "nn AS (SELECT doc_id, ntile(3) OVER "
+            "(PARTITION BY lang ORDER BY bits_per_word, doc_id) AS bucket "
+            "FROM base WHERE bits_per_word IS NOT NULL) "
+            "SELECT b.doc_id, b.lang, b.n_words, b.oov_rate, "
+            "b.bits_per_word, nn.bucket::INTEGER AS bucket, "
+            "CASE nn.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+            "WHEN 3 THEN 'tail' END AS bucket_label "
+            "FROM base b LEFT JOIN nn USING (doc_id)"
         ),
         # minhash_pairs / simhash_pairs / lsh_topk / ivf_topk: seeded-hash
         # operators, not SQL-expressible -> rows-only checks.

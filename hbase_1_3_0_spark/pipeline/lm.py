@@ -432,3 +432,101 @@ def trigram_perplexity(
         F.round(F.avg("_bits"), 6).alias("bits_per_word"),
     )
     return _reattach_empty_docs(df, per_doc, id_col)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str | None = "lang",
+    n_buckets: int = 3,
+    vocab_size: int | None = None,
+    approximate: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek 2020 §4.3): within each
+    stratum (per language in CCNet), rank documents by
+    :func:`perplexity_proxy` bits-per-word and split into ``n_buckets``
+    equal-count buckets — head (most corpus-like), middle, tail (the
+    drop/deprioritize candidates). Zero-token documents keep a row with
+    NULL bucket (they are the explicit discard set, never silently
+    missing).
+
+    Output: (id, stratum, n_words, oov_rate, bits_per_word, bucket,
+    bucket_label) — bucket 1-based; labels head/middle/tail when
+    ``n_buckets == 3``, else ``b<k>``.
+
+    Two physical strategies:
+
+    - exact (default): ``ntile`` over a per-stratum window ordered by
+      (bits_per_word, id) — deterministic and SQL-oracle-checkable, but
+      a per-stratum SORT of the full corpus. Test-scale / per-language
+      shard-scale machinery.
+    - ``approximate=True`` — the 100 TB path: per-stratum
+      ``percentile_approx`` cutoffs (ONE mergeable-sketch aggregation,
+      KB-size result) broadcast back and applied as comparisons — no
+      global or per-stratum sort anywhere, the same
+      sketch-instead-of-sort trade as aggregations.approximate median.
+      Bucket boundaries can differ from exact ntile by sketch error;
+      boundary ties fall to the lower bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scored = perplexity_proxy(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        vocab_size=vocab_size,
+        checkpoint=checkpoint,
+    )
+    part = [stratum_col] if stratum_col else []
+    if part:
+        scored = scored.join(df.select(id_col, stratum_col), id_col)
+    nonnull = scored.where(F.col("bits_per_word").isNotNull())
+    if approximate:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = nonnull.groupBy(*part).agg(
+            F.percentile_approx("bits_per_word", qs, 10000).alias("_cuts")
+        )
+        joined = (
+            nonnull.join(F.broadcast(cuts), part)
+            if part
+            else nonnull.crossJoin(F.broadcast(cuts))
+        )
+        bucketed = joined.withColumn(
+            "bucket",
+            (
+                F.size(
+                    F.filter(
+                        F.col("_cuts"),
+                        lambda c: F.col("bits_per_word") > c,
+                    )
+                )
+                + 1
+            ).cast("int"),
+        ).drop("_cuts")
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*part).orderBy("bits_per_word", id_col)
+        bucketed = nonnull.withColumn("bucket", F.ntile(n_buckets).over(w))
+    labels = (
+        F.when(F.col("bucket").isNull(), F.lit(None).cast("string"))
+        .when(F.lit(n_buckets == 3) & (F.col("bucket") == 1), "head")
+        .when(F.lit(n_buckets == 3) & (F.col("bucket") == 2), "middle")
+        .when(F.lit(n_buckets == 3) & (F.col("bucket") == 3), "tail")
+        .otherwise(F.concat(F.lit("b"), F.col("bucket")))
+    )
+    out = scored.join(
+        bucketed.select(id_col, "bucket"), id_col, "left"
+    ).withColumn("bucket_label", labels)
+    return out.select(
+        id_col,
+        *part,
+        "n_words",
+        "oov_rate",
+        "bits_per_word",
+        "bucket",
+        "bucket_label",
+    )

@@ -752,6 +752,57 @@ def test_perplexity_zero_token_docs_get_rows(spark):
     assert bi[2].n_words == 0 and bi[2].bits_per_word is None
 
 
+def test_perplexity_buckets_ccnet_split(spark):
+    """CCNet head/middle/tail: per-stratum equal-count buckets ordered
+    by bits-per-word (head = most corpus-like), zero-token docs get a
+    NULL bucket (the explicit discard set), and the approximate path
+    (sketch cutoffs, no per-stratum sort) agrees with exact ntile away
+    from bucket boundaries."""
+    from hbase_1_3_0_spark.pipeline import lm
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common + f" extra{i % 2}", "en") for i in range(9)]
+    rows += [(100 + i, f"zzqx{i} vbnm{i} qqww{i} xkcd{i}", "en")
+             for i in range(9)]  # gibberish -> tail-ish
+    rows += [(200 + i, common, "de") for i in range(6)]
+    rows += [(300, "", "en"), (301, None, "de")]  # zero-token
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    out = {r.doc_id: r for r in lm.perplexity_buckets(df).collect()}
+    assert set(out) == {r[0] for r in rows}
+    # zero-token docs: explicit NULL bucket, never missing
+    assert out[300].bucket is None and out[300].bucket_label is None
+    assert out[301].bucket is None
+    # per-stratum equal counts: en has 18 scored docs -> 6/6/6
+    en = [r for r in out.values() if r.lang == "en" and r.bucket]
+    from collections import Counter
+    assert Counter(r.bucket for r in en) == {1: 6, 2: 6, 3: 6}
+    de = [r for r in out.values() if r.lang == "de" and r.bucket]
+    assert Counter(r.bucket for r in de) == {1: 2, 2: 2, 3: 2}
+    # ordering: every head doc scores <= every tail doc within a stratum
+    en_head = max(r.bits_per_word for r in en if r.bucket == 1)
+    en_tail = min(r.bits_per_word for r in en if r.bucket == 3)
+    assert en_head <= en_tail
+    # the common-text docs are more corpus-like than the gibberish:
+    # 9 common + 9 gibberish into 6/6/6 -> head all common, tail all
+    # gibberish, middle the 3+3 boundary
+    assert all(out[i].bucket <= 2 for i in range(9))
+    assert all(out[100 + i].bucket >= 2 for i in range(9))
+    assert {
+        d for d, r in out.items() if r.lang == "en" and r.bucket == 3
+    } <= {100 + i for i in range(9)}
+    labels = {r.bucket: r.bucket_label for r in en}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
+    # approximate twin: cutoffs separate the two clusters by a wide
+    # margin, so no gibberish reaches head and no common doc the tail
+    approx = {
+        r.doc_id: r
+        for r in lm.perplexity_buckets(df, approximate=True).collect()
+    }
+    assert all(approx[100 + i].bucket >= 2 for i in range(9))
+    assert all(approx[i].bucket <= 2 for i in range(9))
+    assert approx[300].bucket is None
+
+
 def test_tokenizer_stats_fertility(spark):
     df = spark.createDataFrame(
         [(1, "hello world 123!"), (2, ""), (3, "héllo")],
