@@ -1494,6 +1494,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(embs, threshold=0.3)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023): semantic dedup — per-cluster centroid-sim
+    ranking, drop on cosine >= threshold with any earlier-ranked point
+    (pipeline/dedup.py semdedup). Seeded untrained centroids keep it
+    deterministic; rows-only at the driver, exact pure-Python model
+    oracle locally (tools/pymodels.py semdedup_model)."""
+    embs = _load(spark, sf_dir, "embeddings")
+    return dedup.semdedup(embs, threshold=0.9)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _load(spark, sf_dir, "embeddings")
     queries = embs.where(F.col("vec_id") < 5).select(
@@ -2897,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
+        "semdedup": q_semdedup,
         "repetition_stats": q_repetition_stats,
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,

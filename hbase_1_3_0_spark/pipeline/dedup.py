@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, each scale-shaped differently:
+Six strategies, each scale-shaped differently:
 
 - **exact**: hash-groupBy on content (or md5 fingerprint) — one shuffle,
   map-side combined. The 100 TB default.
@@ -16,6 +16,11 @@ Five strategies, each scale-shaped differently:
   4x16-bit band exact-match (any pair within distance 3 shares a band).
 - **embedding cosine**: see pipeline/similarity.py (near-dup = cosine above
   a threshold).
+- **SemDeDup** (semantic): k-means-cluster the embeddings, screen each
+  cluster's upper triangle for cosine-near-identical points, keep the
+  low-centroid-similarity representative — paraphrase-level dedup the
+  surface-form strategies cannot see; the quadratic is confined within
+  clusters.
 
 All shingling/hashing is JVM-side (higher-order array exprs, xxhash64);
 no Python UDFs.
@@ -776,3 +781,113 @@ def incremental_dedup(
         else seen_fingerprints.unionByName(new_fps)
     )
     return survivors, updated
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_clusters: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+    train: bool = False,
+    kmeans_iters: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas 2023, arXiv:2303.09540): SEMANTIC deduplication —
+    remove documents whose embeddings are near-identical to a kept
+    document in the same k-means cluster. Catches paraphrases/
+    re-renderings that exact and MinHash dedup (surface-form) miss.
+
+    The paper's screening rule, exactly: within each cluster, order
+    points by cosine similarity TO THE CLUSTER CENTROID ascending (the
+    paper keeps the LOW-similarity extreme — the most diverse
+    representative of each duplicate group; ties here break by id), and
+    drop a point iff it has cosine >= ``threshold`` with ANY
+    earlier-ranked point in its cluster — one pairwise pass over the
+    upper triangle per cluster, no sequential greedy dependency, so the
+    loser set is a single self-join + distinct.
+
+    ``centroids``/``train``: by default clusters come from seeded
+    random unit hyperplane centroids (deterministic, no training pass —
+    the oracle-checkable configuration, mirrored by the pure-Python
+    model in tools/pymodels.py); pass ``train=True`` for Lloyd-trained
+    spherical k-means (:func:`similarity.kmeans_centroids` — better
+    cluster purity, float-model determinism caveats), or supply
+    ``centroids`` from a previous training run.
+
+    Output: one row per input vector — (id, cluster, cent_sim, kept).
+    Anti-join ``kept = false`` ids against the documents table to
+    apply the dedup.
+
+    Scale shape (the paper's own): the quadratic is confined WITHIN
+    clusters — cost ~ Σ cluster_size², so ``num_clusters`` scales with
+    the corpus (the paper uses ~100k clusters for billions of points;
+    cluster size, not corpus size, bounds each task). Assignment is a
+    zero-shuffle codegen'd argmax over literal centroids; ranking is
+    one per-cluster window; the pair pass is ONE self-join keyed on the
+    cluster id. The ranked table has two join consumers and is
+    localCheckpoint'd (multi-consumer window prefix would re-run the
+    assignment per branch)."""
+    from hbase_1_3_0_spark.pipeline.similarity import (
+        _lit_matrix,
+        _norm,
+        _random_unit_vectors,
+        cosine,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = (
+            kmeans_centroids(
+                df, k=num_clusters, dim=dim, vec_col=vec_col,
+                iters=kmeans_iters, seed=seed,
+            )
+            if train
+            else _random_unit_vectors(num_clusters, dim, seed)
+        )
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        num_lists=num_clusters,
+        dim=dim,
+        vec_col="_v",
+        centroids=centroids,
+    ).withColumnRenamed("ivf_list", "cluster")
+    # centroids are unit vectors, so cent_sim = dot / |v|
+    cent = F.get(_lit_matrix(centroids), F.col("cluster"))
+    from hbase_1_3_0_spark.pipeline.similarity import _dot
+
+    ranked = (
+        assigned.withColumn("cent_sim", _dot(F.col("_v"), cent) / _norm(F.col("_v")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy("cent_sim", "_id")
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    losers = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "cluster")
+        .where(F.col("a.rnk") < F.col("b.rnk"))
+        .where(cosine(F.col("a._v"), F.col("b._v")) >= threshold)
+        .select(F.col("b._id").alias("_loser"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            losers, ranked["_id"] == losers["_loser"], "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.round("cent_sim", 6).alias("cent_sim"),
+            F.col("_loser").isNull().alias("kept"),
+        )
+    )

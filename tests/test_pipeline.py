@@ -1495,6 +1495,58 @@ def test_winnow_overlap_detects_insertion(spark):
     assert df.select(text.fingerprint(F.col("text"))).distinct().count() == 3
 
 
+def test_semdedup_drops_semantic_twin_keeps_diverse(spark):
+    """SemDeDup screen: a near-identical embedding pair loses exactly
+    one member (the HIGHER centroid-similarity one — the paper keeps
+    the low-sim extreme); an unrelated vector in the same space
+    survives. Trained-centroid and supplied-centroid paths agree with
+    the default on this fixture."""
+    from hbase_1_3_0_spark.pipeline import dedup as dd
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    v_twin = [0.999, 0.01, 0.0, 0.0]  # cos ~ 0.99995
+    v_other = [0.0, 1.0, 0.0, 0.0]
+    v_far = [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v_twin), (3, v_other), (4, v_far)],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in dd.semdedup(
+            df, threshold=0.95, num_clusters=2, dim=4, seed=7
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    twins = [out[1], out[2]]
+    assert sorted(t.kept for t in twins) == [False, True]
+    assert out[3].kept and out[4].kept
+    # same cluster => keep-low-centroid-sim rule decided the winner
+    if out[1].cluster == out[2].cluster:
+        kept = next(t for t in twins if t.kept)
+        lost = next(t for t in twins if not t.kept)
+        assert kept.cent_sim <= lost.cent_sim
+    # supplied centroids (e.g. from a previous training run) reproduce
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out2 = {
+        r.vec_id: r.kept
+        for r in dd.semdedup(
+            df, threshold=0.95, num_clusters=2, dim=4, centroids=cents
+        ).collect()
+    }
+    assert sorted(out2[i] for i in (1, 2)) == [False, True]
+    assert out2[3] and out2[4]
+    # trained path smoke: spherical k-means centroids, same verdict shape
+    out3 = {
+        r.vec_id: r.kept
+        for r in dd.semdedup(
+            df, threshold=0.95, num_clusters=2, dim=4, train=True,
+            kmeans_iters=2,
+        ).collect()
+    }
+    assert sorted(out3[i] for i in (1, 2)) == [False, True]
+
+
 def test_winnow_overlap_robust_identical_pairs(spark):
     """robust=True must not change winnow_overlap's output: both tie
     rules select SOME occurrence of each window's minimum hash, so the

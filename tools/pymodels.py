@@ -692,6 +692,42 @@ def winnow_dedup_model(
     ]
 
 
+def semdedup_model(
+    sf_dir: str,
+    *,
+    threshold: float = 0.9,
+    num_clusters: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_semdedup: seeded random unit centroids,
+    argmax-dot cluster assignment (ties -> larger index), per-cluster
+    ranking by (centroid cosine asc, id), drop iff cosine >= threshold
+    with any earlier-ranked point in the cluster (the SemDeDup upper-
+    triangle screen). Float ops mirror the Spark fold order exactly."""
+    cents = _random_unit_vectors(num_clusters, dim, seed)
+    vecs = _load_embeddings(sf_dir)
+    clusters: dict[int, list[tuple[float, int, list[float]]]] = {}
+    for vid, v in vecs:
+        c = max(
+            range(num_clusters), key=lambda i: (_dot_seq(v, cents[i]), i)
+        )
+        cs = _dot_seq(v, cents[c]) / _norm_seq(v)
+        clusters.setdefault(c, []).append((cs, vid, v))
+    out = []
+    for c, pts in clusters.items():
+        pts.sort(key=lambda t: (t[0], t[1]))
+        for j, (cs, vid, v) in enumerate(pts):
+            dup = False
+            for _, _vid2, v2 in pts[:j]:
+                sim = _dot_seq(v, v2) / (_norm_seq(v) * _norm_seq(v2))
+                if sim >= threshold:
+                    dup = True
+                    break
+            out.append((vid, c, _round6(cs), not dup))
+    return ["vec_id", "cluster", "cent_sim", "kept"], out
+
+
 def winnow_robust_model(
     sf_dir: str, *, k: int = 8, w: int = 4, max_id: int = 50
 ) -> tuple[list[str], list[tuple]]:
@@ -732,6 +768,7 @@ def winnow_robust_model(
 
 
 PY_MODELS = {
+    "semdedup": semdedup_model,
     "winnow_dedup": winnow_dedup_model,
     "winnow_robust": winnow_robust_model,
     "pack_bins": pack_bins_model,
