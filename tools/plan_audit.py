@@ -52,6 +52,8 @@ AUDIT = [
     "gopher_repetition",  # one counting shuffle for all n
     "c4_clean",         # shuffle-free line/page filter projection
     "pack_bins",        # grouped applyInPandas (justified Python tier)
+    "semdedup",         # cluster-confined quadratic: one cluster-keyed self-join
+    "perplexity_buckets",  # per-stratum ntile window + broadcast model joins
 ]
 
 RED_FLAGS = {
@@ -98,6 +100,11 @@ WAIVERS = {
         "shuffles. Brute-force is the oracle-checkable baseline; the "
         "docstring routes non-broadcastable probe sets to the LSH/IVF "
         "paths (same posture as the cosine_topk waiver)"
+    ),
+    ("perplexity_buckets", "nested-loop join"): (
+        "inherits perplexity_proxy's ONE-ROW corpus-total broadcast "
+        "crossJoin (the lm_bigram grand-total waiver); the bucket "
+        "assignment itself is a per-stratum window, no loop join"
     ),
 }
 
