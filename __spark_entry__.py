@@ -2791,7 +2791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- client read/write representatives (previously green r01+r02) --
         "scan_range": q_scan_range,
         "filter_scvf": q_filter_scvf,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- new in r05: Arrow IPC corpus source --
         "arrow_roundtrip": q_arrow_roundtrip,
         # -- new in r06: CSV source roundtrip (quoted/multiline) --
@@ -2878,15 +2877,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counters": q_streaming_counters,
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
         "dedup_ingest": q_dedup_ingest,
-        "events_sessionize": q_events_sessionize,
         # -- LLM training-data pipeline --
         "incremental_dedup": q_incremental_dedup,
         "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
-        # -- new in r04: CAS-guarded RowMutations --
-        "check_and_mutate_row": q_check_and_mutate_row,
+        # -- late r07: the three queries added after the r07 window was
+        # first laid out (no driver row yet): SemDeDup semantic dedup
+        # (rows-only, py-model oracle), CCNet perplexity bucketing, and
+        # descending OrderedBytes composite keys --
+        "semdedup": q_semdedup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "ordered_desc": q_ordered_desc,
         # ---- end of driver-checked window (50) ----
+        # rotated out late r07 to admit semdedup/perplexity_buckets/
+        # ordered_desc: jsonl_roundtrip, events_sessionize,
+        # check_and_mutate_row (each driver-green 3 rounds r04-r06;
+        # sources stay repped by arrow/csv roundtrips, streaming by
+        # streaming_counters/dedup_ingest/stateful_ttl_event/
+        # neardup_ingest, CAS mutations by the r01-r05 rows)
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "events_sessionize": q_events_sessionize,
+        "check_and_mutate_row": q_check_and_mutate_row,
         # rotated out r06 to admit csv_roundtrip + dedup_ingest (new)
         # and jpeg_probe/domain_cap/substring_dedup (the only 3 queries
         # with no driver row after r05). All five rotated-out keys have
@@ -2907,7 +2919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
-        "semdedup": q_semdedup,
         "repetition_stats": q_repetition_stats,
         "train_eval_split": q_train_eval_split,
         "stratified_sample": q_stratified_sample,
@@ -2950,7 +2961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "events_window": q_events_window,
         "lm_perplexity": q_lm_perplexity,
-        "perplexity_buckets": q_perplexity_buckets,
         "lm_bigram": q_lm_bigram,
         "vocab_topk": q_vocab_topk,
         # no-oracle-by-design with an existing rows-only driver row (r04)
@@ -2977,7 +2987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "increment_timerange": q_increment_timerange,
         "cf_time_range": q_cf_time_range,
         "ordered_signed": q_ordered_signed,
-        "ordered_desc": q_ordered_desc,
         "binary_prefix": q_binary_prefix,
         "null_comparator": q_null_comparator,
         "bit_comparator": q_bit_comparator,
