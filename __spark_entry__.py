@@ -39,6 +39,13 @@ from hbase_1_3_0_spark.sources import fixtures
 from hbase_1_3_0_spark.sources.kv_encoder import cells_to_table, table_to_cells
 from hbase_1_3_0_spark.table import Scan, Table
 
+from hbase_1_3_0_spark.operators import bloom as _bloom_mod
+
+# Fixed-point bloom sizing constants shared between q_bloom_probe and
+# its oracle SQL (single source: operators/bloom.py).
+_BLOOM_FACTOR = _bloom_mod.sizing_factor_micro(0.01)
+_BLOOM_LN2 = _bloom_mod.hash_factor_micro()
+
 # Fixed timestamps so every run is deterministic (fixture puts are at
 # kv_encoder.DEFAULT_TS = 1_000_000).
 V2_TS = 2_000_000
@@ -2060,6 +2067,110 @@ def q_ordered_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW Bloom filters per region (ByteBloomFilter.java:372 double
+    hashing, :157 computeBitSize, :250 optimalFunctionCount;
+    CompoundBloomFilter per-chunk sizing): build a bloom per region of
+    the customer key space (8 ntile ranges), then probe a multi-get
+    batch of 10 present + 10 absent keys against every region's bloom.
+    Output = the (probe, region) pairs the blooms can NOT rule out —
+    the reads a Get actually schedules — plus whether the key truly
+    lives there. No false negatives by construction; the md5
+    double-hash scheme replays exactly in the oracle."""
+    from pyspark.sql import Window
+
+    from hbase_1_3_0_spark.operators import bloom
+
+    cust = _load(spark, sf_dir, "customer")
+    keys = cust.select(
+        F.col("c_custkey"),
+        F.hex(
+            F.encode(F.lpad(F.col("c_custkey").cast("string"), 19, "0"), "UTF-8")
+        ).alias("bkey"),
+    )
+    reg = keys.select(
+        "c_custkey",
+        "bkey",
+        (F.ntile(8).over(Window.orderBy("c_custkey")) - 1)
+        .cast("long")
+        .alias("region"),
+    )
+    sizing = bloom.bloom_sizing(
+        reg.groupBy("region").agg(F.count(F.lit(1)).alias("n_keys")),
+        error_rate=0.01,
+    )
+    bits = bloom.build_bloom(reg.select("region", "bkey"), sizing)
+    probe_keys = list(range(1, 11)) + list(range(10_000_001, 10_000_011))
+    probes = spark.createDataFrame(
+        [(k,) for k in probe_keys], "probe_id bigint"
+    ).select(
+        "probe_id",
+        F.hex(
+            F.encode(F.lpad(F.col("probe_id").cast("string"), 19, "0"), "UTF-8")
+        ).alias("bkey"),
+    )
+    maybe = bloom.bloom_probe(bits, sizing, probes)
+    truth = reg.select(F.col("c_custkey").alias("probe_id"), "region").withColumn(
+        "present", F.lit(True)
+    )
+    return (
+        maybe.join(truth, ["probe_id", "region"], "left")
+        .select(
+            F.col("probe_id").alias("probe_key"),
+            "region",
+            F.coalesce(F.col("present"), F.lit(False)).alias("present"),
+        )
+    )
+
+
+def q_region_normalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleRegionNormalizer.computePlanForTable
+    (SimpleRegionNormalizer.java:104): greedy split/merge planning over
+    per-table region sizes — split when a region is > 2x the table avg
+    (:162), merge a region with its right neighbor when they sum to
+    under avg (:172, the neighbor is consumed), splits-first stable
+    plan order (:79). Regions here are the digit-count key ranges of
+    o_orderkey per o_orderstatus 'table' (1-9, 10-99, ... — contiguous
+    ranges with exponentially skewed sizes, so both plan kinds fire);
+    size = row count. One pass of window functions, no driver loop."""
+    from hbase_1_3_0_spark.operators import normalizer
+
+    orders = _load(spark, sf_dir, "orders")
+    region_sizes = orders.groupBy(
+        F.col("o_orderstatus").alias("table_name"),
+        F.length(F.col("o_orderkey").cast("string")).cast("long").alias("region"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("size_mb"))
+    return normalizer.normalization_plan(region_sizes)
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie 2023, pipeline/dsir.py): hashed
+    unigram+bigram features (4096 buckets), add-1-smoothed bucket
+    models for target (lang='en' docs) vs raw (all docs), per-doc log
+    importance weights, Gumbel top-50 resample with salted-md5 noise.
+    The raw corpus is scanned once; both models broadcast; top-k plans
+    TakeOrderedAndProject. Weights and scores round to 6dp (sum-order
+    float tolerance, the lm_* convention)."""
+    from hbase_1_3_0_spark.pipeline import dsir
+
+    docs = _load(spark, sf_dir, "documents")
+    raw_feats = dsir.hashed_ngram_counts(docs, buckets=4096)
+    target_feats = dsir.hashed_ngram_counts(
+        docs.where(F.col("lang") == "en"), buckets=4096
+    )
+    target_model = dsir.bucket_model(target_feats, buckets=4096)
+    raw_model = dsir.bucket_model(raw_feats, buckets=4096)
+    weights = dsir.dsir_log_weights(
+        raw_feats, target_model, raw_model, buckets=4096
+    )
+    picked = dsir.dsir_resample(weights, k=50, seed="dsir1")
+    return picked.select(
+        "doc_id",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BitComparator with a mask LONGER than 8 bytes + the length-equality
     rule (BitComparator.java:112-118): only values exactly as long as the
@@ -2800,7 +2911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- mutations / jobs --
         "scan_batched": q_scan_batched,
         # -- new in r04: URL/domain web-curation ops + LM perplexity --
-        "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
         # -- new in r05: malformed-URL quarantine policy --
         "url_quarantine": q_url_quarantine,
@@ -2870,9 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         # -- security tags --
         "visibility_labels": q_visibility_labels,
-        "cell_acl": q_cell_acl,
         # -- coprocessors + streaming --
-        "endpoint_agg": q_endpoint_agg,
         "observer_redact": q_observer_redact,
         "streaming_counters": q_streaming_counters,
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
@@ -2889,7 +2997,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "perplexity_buckets": q_perplexity_buckets,
         "ordered_desc": q_ordered_desc,
+        # -- new late r07: HBase bloom filters (ROW, per-region sizing +
+        # double hashing), SimpleRegionNormalizer split/merge planning,
+        # and DSIR importance resampling --
+        "bloom_probe": q_bloom_probe,
+        "region_normalizer": q_region_normalizer,
+        "dsir_sample": q_dsir_sample,
         # ---- end of driver-checked window (50) ----
+        # rotated out late r07 to admit bloom_probe/region_normalizer/
+        # dsir_sample: url_dedup (green r4-r6; web stays repped by
+        # domain_filter/url_quarantine/domain_cap), cell_acl (green
+        # r3-r6; security repped by visibility_labels), endpoint_agg
+        # (green r3-r6; coprocessors repped by observer_redact)
+        "url_dedup": q_url_dedup,
+        "cell_acl": q_cell_acl,
+        "endpoint_agg": q_endpoint_agg,
         # rotated out late r07 to admit semdedup/perplexity_buckets/
         # ordered_desc: jsonl_roundtrip, events_sessionize,
         # check_and_mutate_row (each driver-green 3 rounds r04-r06;
@@ -3916,6 +4038,154 @@ def oracle_sql() -> dict[str, str]:
             "  (ORDER BY o_orderstatus NULLS FIRST, cents DESC NULLS LAST, "
             "   od DESC, o_orderkey) AS desc_rank, "
             "o_orderkey, cents, od FROM base"
+        ),
+        "bloom_probe": (
+            # ByteBloomFilter double hashing replayed in SQL: factor/ln2
+            # constants are the fixed-point sizing units shared with
+            # operators/bloom.py (single source: injected below)
+            "WITH reg AS ("
+            "  SELECT c_custkey,"
+            "         hex(lpad(c_custkey::VARCHAR, 19, '0')::BLOB) AS bkey,"
+            "         (ntile(8) OVER (ORDER BY c_custkey) - 1)::BIGINT"
+            "         AS region FROM customer), "
+            "meta AS ("
+            "  SELECT region, count(*)::BIGINT AS n_keys,"
+            f"         (count(*)::BIGINT * {_BLOOM_FACTOR} + 999999)"
+            "          // 1000000 AS n_bits"
+            "  FROM reg GROUP BY region), "
+            "meta2 AS ("
+            f"  SELECT *, (n_bits * {_BLOOM_LN2} + n_keys * 1000000 - 1)"
+            "          // (n_keys * 1000000) AS n_hash FROM meta), "
+            "bits AS ("
+            "  SELECT DISTINCT r.region,"
+            "    ((('0x' || substr(md5(r.bkey || '#b1'), 1, 8))::BIGINT"
+            "      + i.i * ('0x' || substr(md5(r.bkey || '#b2'), 1, 8))"
+            "      ::BIGINT) % m.n_bits) AS bit"
+            "  FROM reg r JOIN meta2 m USING (region)"
+            "  CROSS JOIN (SELECT unnest(range(32)) AS i) i"
+            "  WHERE i.i < m.n_hash), "
+            "probes AS ("
+            "  SELECT probe_id,"
+            "         hex(lpad(probe_id::VARCHAR, 19, '0')::BLOB) AS bkey"
+            "  FROM (SELECT unnest([1,2,3,4,5,6,7,8,9,10,"
+            "        10000001,10000002,10000003,10000004,10000005,"
+            "        10000006,10000007,10000008,10000009,10000010]"
+            "        )::BIGINT AS probe_id)), "
+            "ppos AS ("
+            "  SELECT p.probe_id, m.region, m.n_hash,"
+            "    ((('0x' || substr(md5(p.bkey || '#b1'), 1, 8))::BIGINT"
+            "      + i.i * ('0x' || substr(md5(p.bkey || '#b2'), 1, 8))"
+            "      ::BIGINT) % m.n_bits) AS bit"
+            "  FROM probes p CROSS JOIN meta2 m"
+            "  CROSS JOIN (SELECT unnest(range(32)) AS i) i"
+            "  WHERE i.i < m.n_hash), "
+            "hits AS ("
+            "  SELECT pp.probe_id, pp.region, pp.n_hash, count(*) AS s"
+            "  FROM ppos pp JOIN bits b"
+            "    ON pp.region = b.region AND pp.bit = b.bit"
+            "  GROUP BY pp.probe_id, pp.region, pp.n_hash) "
+            "SELECT h.probe_id AS probe_key, h.region, "
+            "(t.c_custkey IS NOT NULL) AS present "
+            "FROM hits h LEFT JOIN reg t "
+            "ON t.c_custkey = h.probe_id AND t.region = h.region "
+            "WHERE h.s = h.n_hash"
+        ),
+        "region_normalizer": (
+            # SimpleRegionNormalizer greedy walk as gaps-and-islands:
+            # merge starts are the odd ranks within each run of
+            # consecutive merge-eligible regions
+            "WITH rs AS ("
+            "  SELECT o_orderstatus AS table_name,"
+            "         length(o_orderkey::VARCHAR)::BIGINT AS region,"
+            "         count(*)::DOUBLE AS size"
+            "  FROM orders GROUP BY 1, 2), "
+            "b AS ("
+            "  SELECT *,"
+            "    count(*) OVER (PARTITION BY table_name) AS n,"
+            "    avg(size) OVER (PARTITION BY table_name) AS avg_s,"
+            "    lead(size) OVER (PARTITION BY table_name ORDER BY region)"
+            "      AS next_size,"
+            "    lead(region) OVER (PARTITION BY table_name ORDER BY region)"
+            "      AS next_region,"
+            "    row_number() OVER (PARTITION BY table_name ORDER BY region)"
+            "      AS idx"
+            "  FROM rs), "
+            "f AS ("
+            "  SELECT *, (size > 2 * avg_s) AS is_split,"
+            "    (NOT (size > 2 * avg_s) AND next_size IS NOT NULL"
+            "     AND size + next_size < avg_s) AS elig"
+            "  FROM b WHERE n >= 3), "
+            "m0 AS (SELECT *, idx - row_number() OVER"
+            "  (PARTITION BY table_name ORDER BY idx) AS isl"
+            "  FROM f WHERE elig), "
+            "m1 AS (SELECT *, row_number() OVER"
+            "  (PARTITION BY table_name, isl ORDER BY idx) AS rk FROM m0), "
+            "plans AS ("
+            "  SELECT table_name, 'SPLIT' AS plan_type, region AS region_a,"
+            "    NULL::BIGINT AS region_b, size AS size_a,"
+            "    NULL::DOUBLE AS size_b, idx AS ord, 0 AS prio"
+            "  FROM f WHERE is_split"
+            "  UNION ALL"
+            "  SELECT table_name, 'MERGE', region, next_region, size,"
+            "    next_size, idx, 1 FROM m1 WHERE rk % 2 = 1) "
+            "SELECT table_name, row_number() OVER"
+            "  (PARTITION BY table_name ORDER BY prio, ord) AS plan_seq, "
+            "plan_type, region_a, region_b, size_a, size_b FROM plans"
+        ),
+        "dsir_sample": (
+            # DSIR (Xie 2023): hashed unigram+bigram features, add-1
+            # bucket models, Gumbel top-k — md5 hashing end to end so
+            # the draw replays exactly
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(ws) AS word,"
+            "         generate_subscripts(ws, 1) AS pos"
+            "  FROM (SELECT doc_id,"
+            "        regexp_extract_all(lower(text), '[a-z0-9'']+') AS ws"
+            "        FROM documents)), "
+            "grams AS ("
+            "  SELECT doc_id, word AS gram FROM toks"
+            "  UNION ALL"
+            "  SELECT doc_id, prev || ' ' || word FROM ("
+            "    SELECT doc_id, word, lag(word) OVER"
+            "      (PARTITION BY doc_id ORDER BY pos) AS prev FROM toks)"
+            "  WHERE prev IS NOT NULL), "
+            "feats AS ("
+            "  SELECT doc_id,"
+            "    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket,"
+            "    count(*)::BIGINT AS cnt"
+            "  FROM grams GROUP BY 1, 2), "
+            "en AS (SELECT doc_id FROM documents WHERE lang = 'en'), "
+            "tmc AS (SELECT bucket, sum(cnt) AS c FROM feats"
+            "  JOIN en USING (doc_id) GROUP BY bucket), "
+            "tmt AS (SELECT sum(c) AS t FROM tmc), "
+            "tm AS (SELECT bucket, ln((c + 1.0) / (t + 4096.0)) AS lp"
+            "  FROM tmc CROSS JOIN tmt), "
+            "rmc AS (SELECT bucket, sum(cnt) AS c FROM feats"
+            "  GROUP BY bucket), "
+            "rmt AS (SELECT sum(c) AS t FROM rmc), "
+            "rm AS (SELECT bucket, ln((c + 1.0) / (t + 4096.0)) AS lp"
+            "  FROM rmc CROSS JOIN rmt), "
+            "fl AS (SELECT ln(1.0 / (tmt.t + 4096.0)) AS fl_t,"
+            "  ln(1.0 / (rmt.t + 4096.0)) AS fl_q"
+            "  FROM tmt CROSS JOIN rmt), "
+            "w AS ("
+            "  SELECT f.doc_id,"
+            "    sum(f.cnt * (coalesce(tm.lp, fl.fl_t)"
+            "        - coalesce(rm.lp, fl.fl_q))) AS log_w"
+            "  FROM feats f"
+            "  LEFT JOIN tm USING (bucket)"
+            "  LEFT JOIN rm USING (bucket)"
+            "  CROSS JOIN fl"
+            "  GROUP BY f.doc_id), "
+            "sc AS ("
+            "  SELECT doc_id, log_w,"
+            "    log_w + (-ln(-ln((('0x' || substr("
+            "      md5('dsir1' || doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)"
+            "      / 4294967296.0))) AS score"
+            "  FROM w) "
+            "SELECT doc_id, round(log_w, 6) AS log_w, "
+            "round(score, 6) AS score "
+            "FROM sc ORDER BY score DESC, doc_id LIMIT 50"
         ),
         "bit_comparator_wide": (
             "SELECT c_custkey, c_mktsegment AS seg FROM customer "

@@ -1,0 +1,201 @@
+"""HBase-style Bloom filters (ROW / ROWCOL) as DataFrame-native indexes.
+
+Reference semantics (hbase-1.3.0):
+- ``ByteBloomFilter.java:157`` ``computeBitSize``: bits =
+  ceil(maxKeys * -ln(err) / ln(2)^2); ``:250`` ``optimalFunctionCount``:
+  k = ceil(ln(2) * bits / maxKeys).
+- ``ByteBloomFilter.java:372`` ``add``: Kirsch–Mitzenmacher double
+  hashing — h1 = hash(key, 0), h2 = hash(key, h1), bit_i =
+  (h1 + i*h2) mod bits for i in 0..k-1 (the combinatorial-generation
+  trick the reference cites from Kirsch & Mitzenmacher, ESA'06).
+- ``CompoundBloomFilterWriter.java``: blooms are built per HFile chunk,
+  each chunk sized for ITS key count — mirrored here by building one
+  bloom per region with per-region sizing.
+- BloomType ROW keys on the row key; ROWCOL on row+family+qualifier
+  (``StoreFile.java`` bloom-key assembly).
+
+Spark-first shape: the bloom is a DataFrame of set bit positions
+``(region, bit)`` — ~k bits per key, deduped, tiny next to the cell
+log (a 1B-key region at err=1% is ~1.2 GB of bits as a parquet table
+of longs; per-region tables stay in the tens of MB). Building is ONE
+projection (explode k positions) + ONE distinct per region; probing
+broadcasts the probe positions against the bit table and needs a key
+to hit ALL k of its positions (``count = k``) to schedule a region
+read — the same read-path pruning HBase gets from
+``StoreFile.passesBloomFilter``.
+
+Engine-neutral hashing so a SQL oracle can replay it exactly: h1/h2
+come from md5 hex prefixes (32-bit) rather than the reference's
+Murmur (seeded-int Murmur is not reproducible across engines; the
+double-hash SCHEME and the sizing math are the contract). Sizing is
+fixed-point integer arithmetic (micro-units) so ceil() never straddles
+a float ulp between engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sizing_factor_micro",
+    "hash_factor_micro",
+    "bloom_sizing",
+    "bloom_key",
+    "build_bloom",
+    "bloom_probe",
+]
+
+#: ln(2)^2 — ByteBloomFilter.LOG2_SQUARED (~0.480453).
+_LOG2_SQUARED = math.log(2.0) * math.log(2.0)
+#: ln(2) in micro-units, for the fixed-point optimal-k formula.
+_LN2_MICRO = round(math.log(2.0) * 1_000_000)
+
+
+def sizing_factor_micro(error_rate: float) -> int:
+    """-ln(err)/ln(2)^2 in micro-units: the per-key bit cost of
+    ``computeBitSize`` (ByteBloomFilter.java:157), frozen to an integer
+    so both engines compute bit sizes with exact bigint arithmetic."""
+    if not 0.0 < error_rate < 1.0:
+        raise ValueError("error_rate must be in (0, 1)")
+    return round(-math.log(error_rate) / _LOG2_SQUARED * 1_000_000)
+
+
+def hash_factor_micro() -> int:
+    return _LN2_MICRO
+
+
+def bloom_sizing(keys_per_region: DataFrame, error_rate: float = 0.01) -> DataFrame:
+    """Per-region bloom metadata from per-region key counts.
+
+    Input: ``(region, n_keys)``. Output adds ``n_bits`` (fixed-point
+    ``computeBitSize``) and ``n_hash`` (fixed-point
+    ``optimalFunctionCount`` — ceil(ln2 * bits / keys)). Ceil division
+    is ``-(-a div b)`` so the arithmetic is pure bigint end to end.
+    """
+    factor = sizing_factor_micro(error_rate)
+    # integer ceil-div `(a + b - 1) div b` throughout — `div` (not `/`)
+    # keeps the arithmetic in bigint; float division would round the
+    # ceil boundary differently per engine once counts get large
+    sized = keys_per_region.select(
+        "region",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.expr(
+            f"(cast(n_keys as bigint) * {factor} + 999999) div 1000000"
+        ).alias("n_bits"),
+    )
+    return sized.select(
+        "region",
+        "n_keys",
+        "n_bits",
+        F.expr(
+            f"(n_bits * {_LN2_MICRO} + n_keys * 1000000 - 1) "
+            "div (n_keys * 1000000)"
+        ).alias("n_hash"),
+    )
+
+
+def bloom_key(
+    row: Column, family: Column | None = None, qualifier: Column | None = None
+) -> Column:
+    """The hashed bloom key: ROW keys on the row key alone; ROWCOL on
+    row+family+qualifier (StoreFile.java bloom-key assembly). Binary
+    columns enter as hex so the key is a deterministic string."""
+    parts = [F.hex(row)]
+    if family is not None:
+        parts += [F.lit("|"), F.hex(family)]
+    if qualifier is not None:
+        parts += [F.lit("|"), F.hex(qualifier)]
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def _h32(key: Column, salt: str) -> Column:
+    """32-bit uniform hash: first 8 md5 hex digits as a long."""
+    return F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def _positions(key: Column, n_bits: Column, n_hash: Column) -> Column:
+    """The k double-hashed bit positions of ``key`` —
+    ByteBloomFilter.java:381 ``(h1 + i*h2) mod bits`` with non-negative
+    32-bit h1/h2 (no abs() needed)."""
+    h1 = _h32(key, "#b1")
+    h2 = _h32(key, "#b2")
+    return F.transform(
+        F.sequence(F.lit(0), (n_hash - 1).cast("int")),
+        lambda i: (h1 + i.cast("long") * h2) % n_bits,
+    )
+
+
+def build_bloom(
+    keyed: DataFrame,
+    sizing: DataFrame,
+    *,
+    region_col: str = "region",
+    key_col: str = "bkey",
+) -> DataFrame:
+    """Build per-region blooms: ``(region, bit)`` distinct set bits.
+
+    ``keyed`` is ``(region, bkey)`` — one row per DISTINCT bloom key per
+    region (callers dedup; ROW blooms add each row key once no matter
+    how many cells it has — ByteBloomFilter.add is called per unique
+    key by the store writer). ``sizing`` is :func:`bloom_sizing`'s
+    output, joined in by region (a broadcast — region metadata is tiny).
+
+    One explode + one distinct; the shuffle key is (region, bit), and
+    partial aggregation dedups map-side.
+    """
+    pos = (
+        keyed.join(F.broadcast(sizing), region_col)
+        .select(
+            region_col,
+            F.explode(
+                _positions(F.col(key_col), F.col("n_bits"), F.col("n_hash"))
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    return pos
+
+
+def bloom_probe(
+    bloom_bits: DataFrame,
+    sizing: DataFrame,
+    probes: DataFrame,
+    *,
+    key_col: str = "bkey",
+) -> DataFrame:
+    """Which regions might contain each probe key?
+
+    ``probes`` is ``(probe_id, bkey)``. Every probe is tested against
+    every region's bloom (a get without a known region consults each
+    store's bloom — StoreFile.passesBloomFilter per store). Returns
+    ``(probe_id, region)`` pairs the bloom canNOT rule out — the regions
+    a Get must actually read. No false negatives by construction; false
+    positives bounded by the sizing error rate.
+
+    Plan shape: probes × regions is |probes|·|regions| rows of
+    positions — probe sets are small (a multi-get batch), so the probe
+    side broadcasts into a hash join against the bit table; the bit
+    table itself is never shuffled.
+    """
+    probe_pos = probes.crossJoin(F.broadcast(sizing)).select(
+        "probe_id",
+        "region",
+        F.col("n_hash"),
+        F.explode(
+            _positions(F.col(key_col), F.col("n_bits"), F.col("n_hash"))
+        ).alias("bit"),
+    )
+    # the PROBE side is the small one (a multi-get batch × regions × k);
+    # the bit table stays put and is hash-probed in place
+    hits = bloom_bits.join(F.broadcast(probe_pos), ["region", "bit"])
+    return (
+        hits.groupBy("probe_id", "region", "n_hash")
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .where(F.col("_set") == F.col("n_hash"))
+        .select("probe_id", "region")
+    )

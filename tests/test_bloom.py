@@ -1,0 +1,148 @@
+"""Bloom filters (operators/bloom.py) vs a pure-Python model.
+
+The model transliterates the engine-neutral scheme directly (md5
+double hashing, fixed-point sizing) so Spark, DuckDB (the oracle), and
+Python all agree bit-for-bit; plus the reference's sizing-formula
+contract (ByteBloomFilter.java:157,250) and the no-false-negative
+property every bloom must satisfy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.operators import bloom
+
+
+def _h32(key: str, salt: str) -> int:
+    return int(hashlib.md5((key + salt).encode()).hexdigest()[:8], 16)
+
+
+def _py_sizing(n_keys: int, error_rate: float) -> tuple[int, int]:
+    factor = bloom.sizing_factor_micro(error_rate)
+    n_bits = (n_keys * factor + 999_999) // 1_000_000
+    n_hash = (n_bits * 693_147 + n_keys * 1_000_000 - 1) // (n_keys * 1_000_000)
+    return n_bits, n_hash
+
+
+def _py_positions(key: str, n_bits: int, n_hash: int) -> list[int]:
+    h1, h2 = _h32(key, "#b1"), _h32(key, "#b2")
+    return [(h1 + i * h2) % n_bits for i in range(n_hash)]
+
+
+def _py_bloom(keys: list[str], n_bits: int, n_hash: int) -> set[int]:
+    bits: set[int] = set()
+    for k in keys:
+        bits.update(_py_positions(k, n_bits, n_hash))
+    return bits
+
+
+def test_sizing_matches_reference_formulas():
+    # fixed-point sizing must agree with the float formulas of
+    # ByteBloomFilter.computeBitSize / optimalFunctionCount (off-by-one
+    # at most at exact ceil boundaries, which these counts never hit)
+    log2sq = math.log(2) ** 2
+    for n in (10, 188, 1000, 12345, 10**6):
+        for err in (0.01, 0.03, 0.001):
+            bits, k = _py_sizing(n, err)
+            ref_bits = math.ceil(n * -math.log(err) / log2sq)
+            ref_k = math.ceil(math.log(2) * ref_bits / n)
+            assert abs(bits - ref_bits) <= 1
+            assert abs(k - ref_k) <= 1
+            assert k >= 1
+
+
+def test_build_and_probe_match_python_model(spark):
+    keys = [f"K{i:04d}" for i in range(200)]
+    regions = {r: [k for i, k in enumerate(keys) if i % 4 == r] for r in range(4)}
+    keyed = spark.createDataFrame(
+        [(r, k) for r, ks in regions.items() for k in ks], "region long, bkey string"
+    )
+    sizing = bloom.bloom_sizing(
+        keyed.groupBy("region").agg(F.count(F.lit(1)).alias("n_keys")),
+        error_rate=0.01,
+    )
+    sz = {r.region: (r.n_bits, r.n_hash) for r in sizing.collect()}
+    for r, ks in regions.items():
+        assert sz[r] == _py_sizing(len(ks), 0.01)
+
+    bits = bloom.build_bloom(keyed, sizing)
+    got = {}
+    for row in bits.collect():
+        got.setdefault(row.region, set()).add(row.bit)
+    for r, ks in regions.items():
+        assert got[r] == _py_bloom(ks, *sz[r])
+
+    probes = spark.createDataFrame(
+        [(i, f"K{i:04d}") for i in range(0, 300, 7)], "probe_id long, bkey string"
+    )
+    maybe = {
+        (r.probe_id, r.region)
+        for r in bloom.bloom_probe(bits, sizing, probes).collect()
+    }
+    # python-model probe verdicts
+    expect = set()
+    for i in range(0, 300, 7):
+        pk = f"K{i:04d}"
+        for r in regions:
+            n_bits, n_hash = sz[r]
+            if all(p in got[r] for p in _py_positions(pk, n_bits, n_hash)):
+                expect.add((i, r))
+    assert maybe == expect
+
+
+def test_no_false_negatives_and_bounded_false_positives(spark):
+    keys = [f"row-{i}" for i in range(500)]
+    keyed = spark.createDataFrame(
+        [(i % 2, k) for i, k in enumerate(keys)], "region long, bkey string"
+    )
+    sizing = bloom.bloom_sizing(
+        keyed.groupBy("region").agg(F.count(F.lit(1)).alias("n_keys")),
+        error_rate=0.01,
+    )
+    bits = bloom.build_bloom(keyed, sizing)
+    present = spark.createDataFrame(
+        [(i, f"row-{i}") for i in range(0, 500, 11)], "probe_id long, bkey string"
+    )
+    maybe = {
+        (r.probe_id, r.region)
+        for r in bloom.bloom_probe(bits, sizing, present).collect()
+    }
+    for i in range(0, 500, 11):
+        assert (i, i % 2) in maybe, "bloom false negative"
+
+    absent = spark.createDataFrame(
+        [(i, f"row-{i}") for i in range(10_000, 10_400)],
+        "probe_id long, bkey string",
+    )
+    fp = bloom.bloom_probe(bits, sizing, absent).count()
+    # 400 absent probes x 2 regions at 1% nominal error: expect ~8,
+    # allow generous slack for the md5-hash variance
+    assert fp <= 40
+
+
+def test_rowcol_key_distinguishes_columns(spark):
+    df = spark.createDataFrame(
+        [("r1", "d", "qa"), ("r1", "d", "qb")], "row string, fam string, qual string"
+    )
+    out = df.select(
+        bloom.bloom_key(
+            F.encode("row", "UTF-8"),
+            F.encode("fam", "UTF-8"),
+            F.encode("qual", "UTF-8"),
+        ).alias("rc"),
+        bloom.bloom_key(F.encode("row", "UTF-8")).alias("r"),
+    ).collect()
+    assert out[0].rc != out[1].rc  # ROWCOL: different columns differ
+    assert out[0].r == out[1].r  # ROW: same row key collapses
+
+
+def test_sizing_rejects_bad_error_rate():
+    with pytest.raises(ValueError):
+        bloom.sizing_factor_micro(0.0)
+    with pytest.raises(ValueError):
+        bloom.sizing_factor_micro(1.5)

@@ -54,6 +54,9 @@ AUDIT = [
     "pack_bins",        # grouped applyInPandas (justified Python tier)
     "semdedup",         # cluster-confined quadratic: one cluster-keyed self-join
     "perplexity_buckets",  # per-stratum ntile window + broadcast model joins
+    "bloom_probe",      # bloom build: one (region,bit) distinct; probe broadcast
+    "region_normalizer",  # per-table windows: one metadata shuffle
+    "dsir_sample",      # one (doc,bucket) shuffle; broadcast models; top-k
 ]
 
 RED_FLAGS = {
@@ -105,6 +108,19 @@ WAIVERS = {
         "inherits perplexity_proxy's ONE-ROW corpus-total broadcast "
         "crossJoin (the lm_bigram grand-total waiver); the bucket "
         "assignment itself is a per-stratum window, no loop join"
+    ),
+    ("bloom_probe", "nested-loop join"): (
+        "crossJoin(broadcast(sizing)) fans the PROBE BATCH (a multi-get "
+        "key set, small by definition) out to the per-region bloom "
+        "metadata (#regions rows) — probes x regions x k positions is "
+        "the work a region-blind multi-get must do; the bit table and "
+        "the cell log never shuffle (operators/bloom.py bloom_probe)"
+    ),
+    ("dsir_sample", "nested-loop join"): (
+        "two ONE-ROW smoothing-floor scalars attach to the feature "
+        "stream by broadcast crossJoin (the lm_bigram grand-total "
+        "waiver); model joins are broadcast hash joins, top-k is "
+        "TakeOrderedAndProject (pipeline/dsir.py)"
     ),
 }
 
