@@ -2171,6 +2171,26 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier (Brown 2020 §A quality filter,
+    Joulin 2016 features; pipeline/classifier.py): full-batch logistic
+    GD over hashed unigram+bigram buckets, positive = lang='en' docs,
+    negative = the rest, 5 iterations, then score EVERY document.
+    Training state is the (bucket, w) table only — KB-scale, broadcast
+    at every join. Rows-only at the driver (trained float model, the
+    PQ/BPE ceiling); exact pure-Python trainer oracle locally
+    (tools/pymodels.py quality_classifier_model)."""
+    from hbase_1_3_0_spark.pipeline import classifier
+
+    docs = _load(spark, sf_dir, "documents")
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.coalesce(F.col("lang"), F.lit("")) != "en")
+    w = classifier.train_quality_classifier(
+        pos, neg, buckets=1024, iterations=5
+    )
+    return classifier.score_quality(docs, w, buckets=1024)
+
+
 def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BitComparator with a mask LONGER than 8 bytes + the length-equality
     rule (BitComparator.java:112-118): only values exactly as long as the
@@ -2982,7 +3002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visibility_labels": q_visibility_labels,
         # -- coprocessors + streaming --
         "observer_redact": q_observer_redact,
-        "streaming_counters": q_streaming_counters,
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
         "dedup_ingest": q_dedup_ingest,
         # -- LLM training-data pipeline --
@@ -3003,15 +3022,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "region_normalizer": q_region_normalizer,
         "dsir_sample": q_dsir_sample,
+        # -- new late r07: fastText-style quality classifier (rows-only
+        # + pure-Python trainer oracle) --
+        "quality_classifier": q_quality_classifier,
         # ---- end of driver-checked window (50) ----
         # rotated out late r07 to admit bloom_probe/region_normalizer/
-        # dsir_sample: url_dedup (green r4-r6; web stays repped by
-        # domain_filter/url_quarantine/domain_cap), cell_acl (green
-        # r3-r6; security repped by visibility_labels), endpoint_agg
-        # (green r3-r6; coprocessors repped by observer_redact)
+        # dsir_sample/quality_classifier: url_dedup (green r4-r6; web
+        # stays repped by domain_filter/url_quarantine/domain_cap),
+        # cell_acl (green r3-r6; security repped by visibility_labels),
+        # endpoint_agg (green r3-r6; coprocessors repped by
+        # observer_redact), streaming_counters (green r3-r6; streaming
+        # repped by dedup_ingest/stateful_ttl_event/neardup_ingest)
         "url_dedup": q_url_dedup,
         "cell_acl": q_cell_acl,
         "endpoint_agg": q_endpoint_agg,
+        "streaming_counters": q_streaming_counters,
         # rotated out late r07 to admit semdedup/perplexity_buckets/
         # ordered_desc: jsonl_roundtrip, events_sessionize,
         # check_and_mutate_row (each driver-green 3 rounds r04-r06;

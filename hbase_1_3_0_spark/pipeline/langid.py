@@ -136,16 +136,17 @@ def classify(
             F.col("dist").cast("long").alias("dist"),
         )
     )
-    # gram-less docs (normalized text shorter than n) never reach the
-    # scorer — left-join back onto the input ids and verdict them 'und'
-    return (
-        df.select(id_col)
-        .join(winners, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("predicted"), F.lit("und")).alias(
-                "predicted"
-            ),
-            F.col("dist"),
-        )
+    # gram-less docs (normalized text shorter than n — exactly the
+    # docs char_ngrams returns nothing for) never reach the scorer.
+    # "Gram-less" is a ROW-LOCAL predicate, so the 'und' completion is
+    # a union of a second filtered projection of df — NOT a join back
+    # onto the ids (a corpus x corpus outer join would sort-merge at
+    # scale). coalesce(.., 0) keeps NULL-text docs in the und branch.
+    und = df.where(
+        F.coalesce(F.length(_norm(F.col(text_col))), F.lit(0)) < n
+    ).select(
+        F.col(id_col),
+        F.lit("und").alias("predicted"),
+        F.lit(None).cast("long").alias("dist"),
     )
+    return winners.unionByName(und)

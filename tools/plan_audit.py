@@ -57,6 +57,7 @@ AUDIT = [
     "bloom_probe",      # bloom build: one (region,bit) distinct; probe broadcast
     "region_normalizer",  # per-table windows: one metadata shuffle
     "dsir_sample",      # one (doc,bucket) shuffle; broadcast models; top-k
+    "quality_classifier",  # GD iters: broadcast weight joins, keyed aggs
 ]
 
 RED_FLAGS = {
@@ -121,6 +122,12 @@ WAIVERS = {
         "stream by broadcast crossJoin (the lm_bigram grand-total "
         "waiver); model joins are broadcast hash joins, top-k is "
         "TakeOrderedAndProject (pipeline/dsir.py)"
+    ),
+    ("quality_classifier", "nested-loop join"): (
+        "the ONE-ROW bias scalar attaches to the scored docs by "
+        "broadcast crossJoin (grand-total waiver); weight joins are "
+        "broadcast hash joins on the <=buckets+1-row model "
+        "(pipeline/classifier.py score_quality)"
     ),
 }
 

@@ -767,7 +767,78 @@ def winnow_robust_model(
     return ["doc_id", "pos", "fp"], rows
 
 
+def quality_classifier_model(
+    sf_dir: str,
+    *,
+    buckets: int = 1024,
+    iterations: int = 5,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> tuple[list[str], list[tuple]]:
+    """Expected output of q_quality_classifier: full-batch logistic GD
+    over hashed unigram+bigram features, positive = lang='en' docs,
+    then score EVERY doc. Pure-Python mirror of
+    pipeline/classifier.py (bias = bucket -1; mean-normalized bags;
+    intercept unregularized). Scores round to 6dp on both sides."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    def feats(text: str) -> dict[int, float]:
+        t = re.findall(r"[a-z0-9']+", (text or "").lower())
+        grams = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        if not grams:
+            return {}
+        c: dict[int, float] = {}
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+            c[b] = c.get(b, 0.0) + 1.0
+        n = sum(c.values())
+        out = {b: v / n for b, v in c.items()}
+        out[-1] = 1.0  # bias feature
+        return out
+
+    train = []  # (features, y)
+    score_docs = []  # (doc_id, features)
+    for doc_id, text, lang in rows:
+        f = feats(text)
+        score_docs.append((int(doc_id), f))
+        if f:
+            train.append((f, 1.0 if lang == "en" else 0.0))
+
+    w: dict[int, float] = {}
+    n_docs = len(train)
+    for _ in range(iterations):
+        grad: dict[int, float] = {}
+        for f, y in train:
+            m = sum(x * w.get(b, 0.0) for b, x in f.items())
+            p = 1.0 / (1.0 + math.exp(-m))
+            for b, x in f.items():
+                grad[b] = grad.get(b, 0.0) + (p - y) * x
+        for b in set(grad) | set(w):
+            g = grad.get(b, 0.0) / n_docs
+            reg = 0.0 if b == -1 else l2 * w.get(b, 0.0)
+            w[b] = w.get(b, 0.0) - lr * (g + reg)
+
+    bias = w.get(-1, 0.0)
+    out = []
+    for doc_id, f in score_docs:
+        m = sum(x * w.get(b, 0.0) for b, x in f.items()) if f else bias
+        out.append((doc_id, 1.0 / (1.0 + math.exp(-m))))
+    return ["doc_id", "score"], out
+
+
 PY_MODELS = {
+    "quality_classifier": quality_classifier_model,
     "semdedup": semdedup_model,
     "winnow_dedup": winnow_dedup_model,
     "winnow_robust": winnow_robust_model,
