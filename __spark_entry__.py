@@ -2155,9 +2155,11 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     raw_feats = dsir.hashed_ngram_counts(docs, buckets=4096)
-    target_feats = dsir.hashed_ngram_counts(
-        docs.where(F.col("lang") == "en"), buckets=4096
-    )
+    # the target is a subset of the corpus here, so its features are a
+    # semi-join of the RAW featurize (one tokenize pass, not two; the
+    # target id set is small by definition and broadcasts)
+    en_ids = docs.where(F.col("lang") == "en").select("doc_id")
+    target_feats = raw_feats.join(F.broadcast(en_ids), "doc_id")
     target_model = dsir.bucket_model(target_feats, buckets=4096)
     raw_model = dsir.bucket_model(raw_feats, buckets=4096)
     weights = dsir.dsir_log_weights(
