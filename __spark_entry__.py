@@ -2193,6 +2193,76 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.score_quality(docs, w, buckets=1024)
 
 
+def q_region_chain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hbck region-chain integrity (HBaseFsck.java:2972 checkRegionChain
+    over RegionSplitCalculator coverage; operators/hbck.py): five
+    synthetic 'tables' built from the FIXED 25-row nation table (5
+    regions each, rank-within-regionkey ranges), each with one injected
+    corruption — a dropped region (hole), a duplicated start key, an
+    extended end (overlap), a degenerate region, and a broken
+    first/last boundary. The checker sweeps coverage counts (linear)
+    and pairs regions only at problem keys. Fully DuckDB-oracled."""
+    from pyspark.sql import Window
+
+    from hbase_1_3_0_spark.operators import hbck
+
+    nation = _load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    base = nation.select(
+        F.concat(F.lit("T"), F.col("n_regionkey").cast("string")).alias(
+            "table_name"
+        ),
+        (F.row_number().over(w) - 1).alias("i"),
+    )
+    lp = lambda c: F.lpad((c).cast("string"), 6, "0")  # noqa: E731
+    regions = base.select(
+        "table_name",
+        "i",
+        F.when(F.col("i") == 0, F.lit("")).otherwise(lp(F.col("i") * 100)).alias(
+            "start_key"
+        ),
+        F.when(F.col("i") == 4, F.lit(""))
+        .otherwise(lp((F.col("i") + 1) * 100))
+        .alias("end_key"),
+    )
+    mutated = (
+        regions
+        # T0: drop region i=2 -> HOLE at 000200 (next split 000300)
+        .where(~((F.col("table_name") == "T0") & (F.col("i") == 2)))
+        .select(
+            "table_name",
+            # T1: region i=3 duplicates i=2's start -> DUPE_STARTKEYS
+            F.when(
+                (F.col("table_name") == "T1") & (F.col("i") == 3), lp(F.lit(200))
+            )
+            # T4: first region starts non-empty -> FIRST_..._NOT_EMPTY
+            .when(
+                (F.col("table_name") == "T4") & (F.col("i") == 0), lp(F.lit(5))
+            )
+            .otherwise(F.col("start_key"))
+            .alias("start_key"),
+            # T2: region i=1 end extended over i=2 -> OVERLAP
+            F.when(
+                (F.col("table_name") == "T2") & (F.col("i") == 1), lp(F.lit(250))
+            )
+            # T4: last region ends non-empty -> LAST_..._NOT_EMPTY
+            .when(
+                (F.col("table_name") == "T4") & (F.col("i") == 4), lp(F.lit(600))
+            )
+            .otherwise(F.col("end_key"))
+            .alias("end_key"),
+        )
+        # T3: extra degenerate region [000150, 000150)
+        .unionByName(
+            spark.createDataFrame(
+                [("T3", "000150", "000150")],
+                "table_name string, start_key string, end_key string",
+            )
+        )
+    )
+    return hbck.region_chain_check(mutated)
+
+
 def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BitComparator with a mask LONGER than 8 bytes + the length-equality
     rule (BitComparator.java:112-118): only values exactly as long as the
@@ -3008,7 +3078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest": q_dedup_ingest,
         # -- LLM training-data pipeline --
         "incremental_dedup": q_incremental_dedup,
-        "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         # -- late r07: the three queries added after the r07 window was
@@ -3025,20 +3094,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_normalizer": q_region_normalizer,
         "dsir_sample": q_dsir_sample,
         # -- new late r07: fastText-style quality classifier (rows-only
-        # + pure-Python trainer oracle) --
+        # + pure-Python trainer oracle) and hbck region-chain checks --
         "quality_classifier": q_quality_classifier,
+        "region_chain_check": q_region_chain_check,
         # ---- end of driver-checked window (50) ----
         # rotated out late r07 to admit bloom_probe/region_normalizer/
-        # dsir_sample/quality_classifier: url_dedup (green r4-r6; web
-        # stays repped by domain_filter/url_quarantine/domain_cap),
-        # cell_acl (green r3-r6; security repped by visibility_labels),
-        # endpoint_agg (green r3-r6; coprocessors repped by
-        # observer_redact), streaming_counters (green r3-r6; streaming
-        # repped by dedup_ingest/stateful_ttl_event/neardup_ingest)
+        # dsir_sample/quality_classifier/region_chain_check: url_dedup
+        # (green r4-r6; web stays repped by domain_filter/
+        # url_quarantine/domain_cap), cell_acl (green r3-r6; security
+        # repped by visibility_labels), endpoint_agg (green r3-r6;
+        # coprocessors repped by observer_redact), streaming_counters
+        # (green r3-r6; streaming repped by dedup_ingest/
+        # stateful_ttl_event/neardup_ingest), dedup_clusters (green
+        # r3-r6; dedup repped by dedup_ingest/incremental_dedup/
+        # semdedup/winnow_dedup/substring_dedup)
         "url_dedup": q_url_dedup,
         "cell_acl": q_cell_acl,
         "endpoint_agg": q_endpoint_agg,
         "streaming_counters": q_streaming_counters,
+        "dedup_clusters": q_dedup_clusters,
         # rotated out late r07 to admit semdedup/perplexity_buckets/
         # ordered_desc: jsonl_roundtrip, events_sessionize,
         # check_and_mutate_row (each driver-green 3 rounds r04-r06;
@@ -4213,6 +4287,91 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(log_w, 6) AS log_w, "
             "round(score, 6) AS score "
             "FROM sc ORDER BY score DESC, doc_id LIMIT 50"
+        ),
+        "region_chain_check": (
+            # hbck checkRegionChain mirrored: sweep coverage counts,
+            # pair regions only at problem keys (operators/hbck.py)
+            "WITH rk AS ("
+            "  SELECT 'T' || n_regionkey::VARCHAR AS t,"
+            "    row_number() OVER (PARTITION BY n_regionkey"
+            "      ORDER BY n_nationkey) - 1 AS i FROM nation), "
+            "reg0 AS ("
+            "  SELECT t, i,"
+            "    CASE WHEN i = 0 THEN '' ELSE lpad((i*100)::VARCHAR, 6, '0')"
+            "      END AS s,"
+            "    CASE WHEN i = 4 THEN ''"
+            "      ELSE lpad(((i+1)*100)::VARCHAR, 6, '0') END AS e"
+            "  FROM rk), "
+            "reg1 AS ("
+            "  SELECT t,"
+            "    CASE WHEN t='T1' AND i=3 THEN '000200'"
+            "         WHEN t='T4' AND i=0 THEN '000005' ELSE s END AS s,"
+            "    CASE WHEN t='T2' AND i=1 THEN '000250'"
+            "         WHEN t='T4' AND i=4 THEN '000600' ELSE e END AS e"
+            "  FROM reg0 WHERE NOT (t='T0' AND i=2)"
+            "  UNION ALL SELECT 'T3', '000150', '000150'), "
+            "r AS ("
+            "  SELECT t, s, e, s || '|' || e AS rg,"
+            "    (e <> '' AND s = e) AS degen"
+            "  FROM reg1 WHERE e = '' OR s <= e), "
+            "evi AS (SELECT t, s AS k, count(*) AS n_in FROM r"
+            "  GROUP BY 1, 2), "
+            "evo AS (SELECT t, e AS k, count(*) AS n_out FROM r"
+            "  WHERE e <> '' AND NOT degen GROUP BY 1, 2), "
+            "evd AS (SELECT t, e AS k, count(*) AS n_outd FROM r"
+            "  WHERE degen GROUP BY 1, 2), "
+            "ev AS ("
+            "  SELECT coalesce(evi.t, evo.t, evd.t) AS t,"
+            "    coalesce(evi.k, evo.k, evd.k) AS k,"
+            "    coalesce(n_in, 0) AS n_in, coalesce(n_out, 0) AS n_out,"
+            "    coalesce(n_outd, 0) AS n_outd"
+            "  FROM evi FULL JOIN evo ON evi.t = evo.t AND evi.k = evo.k"
+            "  FULL JOIN evd ON coalesce(evi.t, evo.t) = evd.t"
+            "    AND coalesce(evi.k, evo.k) = evd.k), "
+            "cover AS ("
+            "  SELECT t, k,"
+            "    sum(n_in) OVER w - sum(n_out) OVER w"
+            "      - (sum(n_outd) OVER w - n_outd) AS cnt,"
+            "    lead(k) OVER (PARTITION BY t ORDER BY k) AS nxt,"
+            "    row_number() OVER (PARTITION BY t ORDER BY k) AS idx"
+            "  FROM ev WINDOW w AS (PARTITION BY t ORDER BY k"
+            "    ROWS UNBOUNDED PRECEDING)), "
+            "firstk AS (SELECT t, k AS mn FROM cover WHERE idx = 1), "
+            "prob AS (SELECT t, k FROM cover WHERE cnt >= 2), "
+            "rdist AS (SELECT t, s, e, rg, count(*) AS mult FROM r"
+            "  GROUP BY 1, 2, 3, 4), "
+            "pcov AS ("
+            "  SELECT p.t, p.k, r.s, r.rg, r.mult FROM prob p"
+            "  JOIN rdist r ON p.t = r.t"
+            "  WHERE r.s = p.k OR (r.s <= p.k AND (r.e = '' OR p.k < r.e))), "
+            "pairs AS ("
+            "  SELECT a.t, a.k, a.s AS sa, a.rg AS ra, b.s AS sb,"
+            "    b.rg AS rb"
+            "  FROM pcov a JOIN pcov b ON a.t = b.t AND a.k = b.k"
+            "  WHERE a.rg < b.rg OR (a.rg = b.rg AND a.mult >= 2)), "
+            "allerr AS ("
+            "  SELECT r.t, 'FIRST_REGION_STARTKEY_NOT_EMPTY' AS error_code,"
+            "    r.s AS split_key, r.rg AS region_a,"
+            "    NULL::VARCHAR AS region_b"
+            "  FROM r JOIN firstk ON r.t = firstk.t AND r.s = firstk.mn"
+            "  WHERE firstk.mn <> ''"
+            "  UNION ALL"
+            "  SELECT t, 'LAST_REGION_ENDKEY_NOT_EMPTY',"
+            "    greatest(max(s), max(e)), NULL, NULL FROM r GROUP BY t"
+            "  HAVING max(CASE WHEN e = '' THEN 1 ELSE 0 END) = 0"
+            "  UNION ALL"
+            "  SELECT t, 'DEGENERATE_REGION', s, rg, NULL FROM r WHERE degen"
+            "  UNION ALL"
+            "  SELECT t, 'HOLE_IN_REGION_CHAIN', k, NULL, NULL FROM cover"
+            "  WHERE cnt = 0 AND nxt IS NOT NULL"
+            "  UNION ALL"
+            "  SELECT t, 'DUPE_STARTKEYS', k, ra, rb FROM pairs"
+            "  WHERE sa = sb"
+            "  UNION ALL"
+            "  SELECT t, 'OVERLAP_IN_REGION_CHAIN', k, ra, rb FROM pairs"
+            "  WHERE sa <> sb) "
+            "SELECT DISTINCT t AS table_name, error_code, split_key, "
+            "region_a, region_b FROM allerr"
         ),
         "bit_comparator_wide": (
             "SELECT c_custkey, c_mktsegment AS seg FROM customer "

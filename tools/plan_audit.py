@@ -58,6 +58,7 @@ AUDIT = [
     "region_normalizer",  # per-table windows: one metadata shuffle
     "dsir_sample",      # one (doc,bucket) shuffle; broadcast models; top-k
     "quality_classifier",  # GD iters: broadcast weight joins, keyed aggs
+    "region_chain_check",  # sweep windows; pairs only at problem keys
 ]
 
 RED_FLAGS = {
