@@ -399,6 +399,47 @@ def main() -> None:
     bk_src, bk_tgt = spark.table("bench_sync_src"), spark.table("bench_sync_tgt")
     run("b-sync-bucketed", lambda: _sink(jobs.sync_table(bk_src, bk_tgt)))
 
+    # b-bloom: build per-region ROW blooms for the pre-split orders log
+    # + serve a 1000-key multi-get batch through bloom_probe (the bloom
+    # build is the timed dominant term — one scan + one (region,bit)
+    # distinct; the probe is a broadcast). PE randomRead with the bloom
+    # consulted, the read-path index cost at ingest time.
+    from hbase_1_3_0_spark.operators import bloom as bloom_mod
+
+    # setup (untimed): a pre-split copy of the orders log — 16 region
+    # directories over the lpad-19 numeric key space
+    bloom_splits = [_k(i * 40_000) for i in range(1, 16)]
+    writer.write_cells(
+        orders_cells, f"{bench_root}/orders_presplit", split_points=bloom_splits
+    )
+    probe_df = spark.createDataFrame(
+        [(i, _k(37 * i % 300_000)) for i in range(1000)],
+        "probe_id long, row binary",
+    ).select("probe_id", bloom_mod.bloom_key(F.col("row")).alias("bkey"))
+
+    def bench_bloom():
+        bits, sz = bloom_mod.bloom_for_presplit_table(
+            spark, f"{bench_root}/orders_presplit"
+        )
+        _sink(bloom_mod.bloom_probe(bits, sz, probe_df))
+
+    run("b-bloom", bench_bloom)
+
+    # b-dsir: DSIR featurize + two bucket models + weights + Gumbel
+    # top-k over the documents table (one tokenize pass, broadcast
+    # models — the data-selection scoring cost per corpus scan)
+    from hbase_1_3_0_spark.pipeline import dsir as dsir_mod
+
+    def bench_dsir():
+        feats = dsir_mod.hashed_ngram_counts(docs, buckets=4096)
+        en = docs.where(F.col("lang") == "en").select("doc_id")
+        tm = dsir_mod.bucket_model(feats.join(F.broadcast(en), "doc_id"))
+        rm = dsir_mod.bucket_model(feats)
+        w = dsir_mod.dsir_log_weights(feats, tm, rm)
+        _sink(dsir_mod.dsir_resample(w, k=100))
+
+    run("b-dsir", bench_dsir)
+
     # ---- execute: interleaved sample rounds over every workload ----
     samples: dict[str, list[float]] = {name: [] for name, _ in workloads}
     for rnd in range(n_runs):
