@@ -48,6 +48,9 @@ __all__ = [
     "bloom_probe",
     "bloom_for_presplit_table",
     "pruned_point_reads",
+    "bloom_ingest_update",
+    "bloom_store_probe",
+    "rebuild_bloom_base",
 ]
 
 #: ln(2)^2 — ByteBloomFilter.LOG2_SQUARED (~0.480453).
@@ -272,3 +275,143 @@ def pruned_point_reads(
         (pruned["region"] == F.col("_r")) & (pruned["row"] == F.col("_row")),
         "left_semi",
     )
+
+
+def bloom_ingest_update(
+    spark,
+    batch_cells: DataFrame,
+    batch_id: int,
+    *,
+    bloom_dir: str,
+    region_col: str = "region",
+    error_rate: float = 0.01,
+) -> None:
+    """Streaming bloom maintenance: write THIS batch's bloom chunk.
+
+    The reference writes one bloom chunk per HFile at memstore flush
+    (CompoundBloomFilterWriter) and point reads consult every file's
+    chunk; the streaming analog is one chunk per MICRO-BATCH, sized
+    for the batch's own keys. Layout: ``{bloom_dir}/bits`` holds
+    ``(region, bit)`` and ``{bloom_dir}/sizing`` holds the per-region
+    chunk metadata, both partitioned by ``batch_id`` and written with
+    dynamic partition overwrite — a re-delivered batch rewrites ITS
+    OWN partitions in place, the ingest-sink idempotence mechanism
+    (streaming/wal.py dedup_ingest_stream precedent).
+
+    ``batch_cells`` needs (region, row); keys dedup per region before
+    sizing (ByteBloomFilter.add is per unique key).
+    """
+    keys = (
+        batch_cells.select(
+            F.col(region_col).cast("long").alias("region"), "row"
+        )
+        .distinct()
+        .select("region", bloom_key(F.col("row")).alias("bkey"))
+    )
+    sizing = bloom_sizing(
+        keys.groupBy("region").agg(F.count(F.lit(1)).alias("n_keys")),
+        error_rate=error_rate,
+    ).localCheckpoint()
+    bits = build_bloom(keys, sizing)
+    (
+        bits.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{bloom_dir}/bits")
+    )
+    (
+        sizing.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{bloom_dir}/sizing")
+    )
+
+
+def bloom_store_probe(spark, bloom_dir: str, probes: DataFrame) -> DataFrame:
+    """Probe every chunk of a streaming bloom store: a key is a
+    candidate for a region if ANY chunk's bloom passes — exactly the
+    CompoundBloomFilter read rule (a union over HFile chunks), so keys
+    ingested in any batch are never false-negatived.
+
+    ``probes`` is ``(probe_id, bkey)``. The per-chunk double-hash
+    positions depend on that chunk's n_bits, so the probe fans out to
+    (probe x batch x region) — still a broadcast-scale frame for
+    multi-get batches; the bit store is scanned once, never shuffled.
+    Returns distinct ``(probe_id, region)``.
+    """
+    sizing = spark.read.parquet(f"{bloom_dir}/sizing")
+    bits = spark.read.parquet(f"{bloom_dir}/bits")
+    probe_pos = probes.crossJoin(F.broadcast(sizing)).select(
+        "probe_id",
+        "batch_id",
+        "region",
+        F.col("n_hash"),
+        F.explode(
+            _positions(F.col("bkey"), F.col("n_bits"), F.col("n_hash"))
+        ).alias("bit"),
+    )
+    hits = bits.join(F.broadcast(probe_pos), ["batch_id", "region", "bit"])
+    return (
+        hits.groupBy("probe_id", "batch_id", "region", "n_hash")
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .where(F.col("_set") == F.col("n_hash"))
+        .select("probe_id", "region")
+        .distinct()
+    )
+
+
+def rebuild_bloom_base(
+    spark,
+    cells: DataFrame,
+    bloom_dir: str,
+    *,
+    up_to_batch: int,
+    region_col: str = "region",
+    error_rate: float = 0.01,
+) -> None:
+    """Compact the streaming bloom store: rebuild ONE base chunk
+    (``batch_id=-1``) from the CURRENT table cells and drop the folded
+    per-batch chunks. Blooms cannot be merged bit-wise (each chunk has
+    its own n_bits), so compaction rebuilds from data — exactly what
+    the reference does when a store-file compaction rewrites its bloom.
+    Same crash posture as compact_ingest_store: base written first
+    (dynamic overwrite of batch_id=-1 only), folded partitions deleted
+    after; a crash between the two leaves redundant chunks, which only
+    cost extra probe work, never false negatives.
+
+    ``up_to_batch`` must stay strictly below any batch the stream could
+    replay (the ingest-store frontier rule).
+    """
+    import shutil
+    from pathlib import Path as _P
+
+    bloom_dir = str(bloom_dir)
+    if "://" in bloom_dir:
+        raise ValueError(
+            "rebuild_bloom_base deletes folded partitions with local "
+            "filesystem APIs; run it against a local/shared-fs path"
+        )
+    keys = (
+        cells.select(F.col(region_col).cast("long").alias("region"), "row")
+        .distinct()
+        .select("region", bloom_key(F.col("row")).alias("bkey"))
+    )
+    sizing = bloom_sizing(
+        keys.groupBy("region").agg(F.count(F.lit(1)).alias("n_keys")),
+        error_rate=error_rate,
+    ).localCheckpoint()
+    bits = build_bloom(keys, sizing)
+    for name, df in (("bits", bits), ("sizing", sizing)):
+        (
+            df.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{bloom_dir}/{name}")
+        )
+        for p in _P(f"{bloom_dir}/{name}").glob("batch_id=*"):
+            bid = int(p.name.split("=")[1])
+            if -1 < bid <= up_to_batch:
+                shutil.rmtree(p)

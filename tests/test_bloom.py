@@ -212,3 +212,78 @@ def test_pruned_point_reads_no_candidates(spark, tmp_path):
     ).select("probe_id", F.encode("k", "UTF-8").alias("row"))
     out = bloom.pruned_point_reads(spark, path, absent, bits, sizing)
     assert out.count() == 0 or out.count() <= 2  # false positive tolerated
+
+
+def _chunk_cells(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i % 4, f"row-{i:06d}".encode()) for i in range(lo, hi)],
+        "region long, row binary",
+    )
+
+
+def test_streaming_bloom_store_multi_batch(spark, tmp_path):
+    """One bloom chunk per micro-batch (the flush-time
+    CompoundBloomFilter analog): keys from EVERY batch stay probe-able
+    (union over chunks, no false negatives), re-delivered batches
+    rewrite their own partitions idempotently, and the rebuild
+    compaction folds chunks into a batch_id=-1 base with identical
+    verdicts."""
+    bloom_dir = str(tmp_path / "bloom_store")
+    bloom.bloom_ingest_update(spark, _chunk_cells(spark, 0, 200), 0, bloom_dir=bloom_dir)
+    bloom.bloom_ingest_update(spark, _chunk_cells(spark, 200, 350), 1, bloom_dir=bloom_dir)
+    bloom.bloom_ingest_update(spark, _chunk_cells(spark, 350, 500), 2, bloom_dir=bloom_dir)
+
+    def probe_df(ids):
+        return spark.createDataFrame(
+            [(i, f"row-{i:06d}".encode()) for i in ids],
+            "probe_id long, row binary",
+        ).select("probe_id", bloom.bloom_key(F.col("row")).alias("bkey"))
+
+    present = list(range(0, 500, 37))
+    got = {
+        (r.probe_id, r.region)
+        for r in bloom.bloom_store_probe(spark, bloom_dir, probe_df(present)).collect()
+    }
+    for i in present:
+        assert (i, i % 4) in got, f"false negative for key from batch {i // 200}"
+
+    # replay idempotence: rewriting batch 1 leaves identical verdicts
+    bloom.bloom_ingest_update(spark, _chunk_cells(spark, 200, 350), 1, bloom_dir=bloom_dir)
+    got2 = {
+        (r.probe_id, r.region)
+        for r in bloom.bloom_store_probe(spark, bloom_dir, probe_df(present)).collect()
+    }
+    assert got2 == got
+
+    # compaction: rebuild the base from the full key set, fold 0..1
+    all_cells = _chunk_cells(spark, 0, 500)
+    bloom.rebuild_bloom_base(spark, all_cells, bloom_dir, up_to_batch=1)
+    import pathlib
+
+    bids = {
+        p.name
+        for p in pathlib.Path(bloom_dir, "bits").glob("batch_id=*")
+    }
+    assert bids == {"batch_id=-1", "batch_id=2"}
+    got3 = {
+        (r.probe_id, r.region)
+        for r in bloom.bloom_store_probe(spark, bloom_dir, probe_df(present)).collect()
+    }
+    for i in present:
+        assert (i, i % 4) in got3  # still no false negatives post-fold
+
+    absent = probe_df(list(range(10_000, 10_200)))
+    fp = bloom.bloom_store_probe(spark, bloom_dir, absent).count()
+    assert fp <= 60  # 200 probes x 4 regions x 2 chunks at ~1%
+
+
+def test_rebuild_bloom_base_rejects_remote_uri(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom.rebuild_bloom_base(
+            spark,
+            spark.createDataFrame([], "region long, row binary"),
+            "s3://bucket/blooms",
+            up_to_batch=0,
+        )
