@@ -1503,10 +1503,13 @@ def test_ordered_string_descending_reverses_and_roundtrips(spark, vals):
 
 
 def _neg_bytes(b):
-    """Sort key inverting unsigned byte order: complemented bytes padded
-    with a high sentinel so a PREFIX sorts after its extensions (the
-    descending prefix rule)."""
-    return bytes(255 - x for x in b) + b"\xff"
+    """Sort key inverting unsigned byte order: complemented bytes as a
+    tuple, closed by a sentinel STRICTLY above any byte value (256) so
+    a PREFIX always sorts after its extensions (the descending prefix
+    rule). A one-byte 0xFF sentinel is NOT enough: an extension whose
+    next byte is 0x00 complements to 0xFF and ties with the sentinel,
+    flipping the order — hypothesis found ['', '\\x00']."""
+    return tuple(255 - x for x in b) + (256,)
 
 
 @settings(max_examples=15, deadline=None,
