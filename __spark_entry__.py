@@ -2263,6 +2263,21 @@ def q_region_chain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hbck.region_chain_check(mutated)
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (pipeline/shards.py): pack the documents
+    table (capacity 512, per-source tapes), group windows into shards
+    of 4, and emit the per-shard audit row — doc count, token sum,
+    window count, and an order-independent bit_xor md5 doc digest (the
+    HashTable bucket-digest convention). One window pass + one shard
+    groupBy; the digest makes shard content verifiable without reading
+    data. Fully DuckDB-oracled."""
+    from hbase_1_3_0_spark.pipeline import shards
+
+    docs = _load(spark, sf_dir, "documents")
+    placed = shards.shard_placements(docs, capacity=512, bins_per_shard=4)
+    return shards.shard_manifest(placed)
+
+
 def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BitComparator with a mask LONGER than 8 bytes + the length-equality
     rule (BitComparator.java:112-118): only values exactly as long as the
@@ -3078,7 +3093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest": q_dedup_ingest,
         # -- LLM training-data pipeline --
         "incremental_dedup": q_incremental_dedup,
-        "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         # -- late r07: the three queries added after the r07 window was
         # first laid out (no driver row yet): SemDeDup semantic dedup
@@ -3097,6 +3111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + pure-Python trainer oracle) and hbck region-chain checks --
         "quality_classifier": q_quality_classifier,
         "region_chain_check": q_region_chain_check,
+        # -- new late r07: training-shard manifest (the pipeline's
+        # last mile; rotated in over pii_redact, green r3-r6, text
+        # quality repped by gopher_quality/c4_clean/text_normalize) --
+        "shard_manifest": q_shard_manifest,
         # ---- end of driver-checked window (50) ----
         # rotated out late r07 to admit bloom_probe/region_normalizer/
         # dsir_sample/quality_classifier/region_chain_check: url_dedup
@@ -3113,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "endpoint_agg": q_endpoint_agg,
         "streaming_counters": q_streaming_counters,
         "dedup_clusters": q_dedup_clusters,
+        "pii_redact": q_pii_redact,
         # rotated out late r07 to admit semdedup/perplexity_buckets/
         # ordered_desc: jsonl_roundtrip, events_sessionize,
         # check_and_mutate_row (each driver-green 3 rounds r04-r06;
@@ -4287,6 +4306,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(log_w, 6) AS log_w, "
             "round(score, 6) AS score "
             "FROM sc ORDER BY score DESC, doc_id LIMIT 50"
+        ),
+        "shard_manifest": (
+            # pack_sequences oracle CTE + shard grouping; doc_digest =
+            # bit_xor of 60-bit md5 longs (hash_table convention)
+            "WITH t AS (SELECT source, doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT source, doc_id, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS s FROM t), "
+            "p AS (SELECT source, doc_id, n_tokens, "
+            "CAST(floor(s / 512.0) AS BIGINT) AS bin_id FROM c) "
+            "SELECT source, bin_id // 4 AS shard_id, "
+            "count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens, "
+            "count(DISTINCT bin_id)::BIGINT AS n_bins, "
+            "bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) "
+            "AS doc_digest "
+            "FROM p GROUP BY 1, 2"
         ),
         "region_chain_check": (
             # hbck checkRegionChain mirrored: sweep coverage counts,

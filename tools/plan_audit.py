@@ -59,6 +59,7 @@ AUDIT = [
     "dsir_sample",      # one (doc,bucket) shuffle; broadcast models; top-k
     "quality_classifier",  # GD iters: broadcast weight joins, keyed aggs
     "region_chain_check",  # sweep windows; pairs only at problem keys
+    "shard_manifest",   # pack window + one shard groupBy, no joins
 ]
 
 RED_FLAGS = {
