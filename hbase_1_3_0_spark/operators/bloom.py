@@ -260,9 +260,18 @@ def pruned_point_reads(
         "probe_id", "row", bloom_key(F.col("row")).alias("bkey")
     )
     maybe = bloom_probe(bloom_bits, sizing, keyed.select("probe_id", "bkey"))
-    cand = maybe.join(keyed, "probe_id").select("region", "row").distinct()
-    pairs = cand.collect()  # bounded: probe batch x surviving regions
-    regions = sorted({r.region for r in pairs})
+    # bounded: probe batch x surviving regions; materialized once so
+    # the region-list read and the semi-join don't re-probe the blooms
+    cand = (
+        maybe.join(keyed, "probe_id")
+        .select("region", "row")
+        .distinct()
+        .localCheckpoint()
+    )
+    # only the REGION LIST reaches the driver (bounded by region count)
+    regions = sorted(
+        r.region for r in cand.select("region").distinct().collect()
+    )
     cells = spark.read.parquet(str(path))
     if not regions:
         return cells.where(F.lit(False))
