@@ -51,6 +51,8 @@ __all__ = [
     "bloom_ingest_update",
     "bloom_store_probe",
     "rebuild_bloom_base",
+    "bloom_per_file",
+    "pruned_file_reads",
 ]
 
 #: ln(2)^2 — ByteBloomFilter.LOG2_SQUARED (~0.480453).
@@ -424,3 +426,65 @@ def rebuild_bloom_base(
             bid = int(p.name.split("=")[1])
             if -1 < bid <= up_to_batch:
                 shutil.rmtree(p)
+
+
+def bloom_per_file(spark, path, *, error_rate: float = 0.01):
+    """Per-FILE ROW blooms for ANY cell-log layout — the exact
+    granularity of the reference (one bloom per HFile,
+    CompoundBloomFilterWriter): chunk identity is the parquet file
+    path via ``input_file_name()``, so no region partition column is
+    required. Returns ``(bloom_bits, sizing)`` with the file path in
+    the ``region`` column (the bloom machinery is generic over chunk
+    identity — it only groups and joins on it).
+    """
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA
+
+    cells = spark.read.schema(CELL_SCHEMA).parquet(str(path))
+    keys = (
+        cells.select(F.input_file_name().alias("region"), "row")
+        .distinct()
+        .select("region", bloom_key(F.col("row")).alias("bkey"))
+    )
+    sizing = bloom_sizing(
+        keys.groupBy("region").agg(F.count(F.lit(1)).alias("n_keys")),
+        error_rate=error_rate,
+    )
+    return build_bloom(keys, sizing), sizing
+
+
+def pruned_file_reads(
+    spark, probes: DataFrame, bloom_bits: DataFrame, sizing: DataFrame
+) -> DataFrame:
+    """Multi-get through per-file blooms: open ONLY the parquet files
+    whose blooms pass — StoreFile.passesBloomFilter at its native
+    granularity. Candidate file paths are collected (bounded by the
+    file count, and typically ~1 file per present key) and handed to
+    the reader as an explicit path list, so non-candidate files are
+    never opened at all; the row-key semi-join then exacts the match.
+
+    ``probes`` is ``(probe_id, row)`` binary rows. Returns matching
+    cells. An empty candidate set returns an empty frame with the cell
+    schema.
+    """
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA
+
+    keyed = probes.select(
+        "probe_id", "row", bloom_key(F.col("row")).alias("bkey")
+    )
+    maybe = bloom_probe(bloom_bits, sizing, keyed.select("probe_id", "bkey"))
+    cand = (
+        maybe.join(keyed, "probe_id")
+        .select("region", "row")
+        .distinct()
+        .localCheckpoint()
+    )
+    files = sorted(
+        r.region for r in cand.select("region").distinct().collect()
+    )
+    if not files:
+        return spark.createDataFrame([], CELL_SCHEMA)
+    cells = spark.read.schema(CELL_SCHEMA).parquet(*files)
+    rows = cand.select(F.col("row").alias("_row")).distinct()
+    return cells.join(
+        F.broadcast(rows), cells["row"] == F.col("_row"), "left_semi"
+    )

@@ -287,3 +287,48 @@ def test_rebuild_bloom_base_rejects_remote_uri(spark):
             "s3://bucket/blooms",
             up_to_batch=0,
         )
+
+
+def test_per_file_blooms_prune_file_opens(spark, tmp_path):
+    """Per-HFile-granularity blooms on the default (no region column)
+    layout: build per-parquet-file blooms via input_file_name, probe a
+    multi-get batch, and read ONLY candidate files — inputFiles() on
+    the result shows non-candidate files never open."""
+    from hbase_1_3_0_spark.sources import writer
+    from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+    df = spark.range(0, 600).select(
+        F.lpad(F.col("id").cast("string"), 8, "0").alias("k"),
+        (F.col("id") + 7).alias("v"),
+    )
+    path = tmp_path / "flat"
+    writer.write_cells(table_to_cells(df, ["k"], ["v"]), path, num_partitions=6)
+
+    bits, sizing = bloom.bloom_per_file(spark, path)
+    n_files = sizing.count()
+    assert n_files == 6
+
+    probes = spark.createDataFrame(
+        [(i, f"{i:08d}".encode()) for i in (3, 250, 599, 70_000)],
+        "probe_id long, row binary",
+    )
+    got = bloom.pruned_file_reads(spark, probes, bits, sizing)
+    rows = got.collect()
+    assert {bytes(r.row).decode() for r in rows} == {
+        "00000003",
+        "00000250",
+        "00000599",
+    }
+    # 3 present keys live in at most 3 distinct files; absent key adds
+    # none (modulo rare false positives)
+    assert len(set(got.inputFiles())) <= 4 < n_files
+
+    none = bloom.pruned_file_reads(
+        spark,
+        spark.createDataFrame(
+            [(1, b"zzzzzzzz")], "probe_id long, row binary"
+        ),
+        bits,
+        sizing,
+    )
+    assert none.count() <= 1  # empty, or one rare false positive key
