@@ -2278,6 +2278,25 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.shard_manifest(placed)
 
 
+def q_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary region-read health probe (Canary.java:193 RegionTask.read;
+    operators/jobs.py canary_read_probe): one FirstKeyOnly read per
+    region x column family — 8 ntile regions of the customer KV log,
+    each reporting its first row's first cell and an ok flag. Output
+    decodes probe_row/qualifier to strings for the oracle."""
+    from hbase_1_3_0_spark.sources import fixtures as fx
+
+    cells = fx.kv_cells(spark, sf_dir, "customer")
+    out = jobs.canary_read_probe(cells, num_regions=8)
+    return out.select(
+        "region",
+        "family",
+        F.decode(F.col("probe_row"), "UTF-8").alias("probe_row"),
+        F.decode(F.col("first_qualifier"), "UTF-8").alias("first_qualifier"),
+        "ok",
+    )
+
+
 def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BitComparator with a mask LONGER than 8 bytes + the length-equality
     rule (BitComparator.java:112-118): only values exactly as long as the
@@ -3093,7 +3112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest": q_dedup_ingest,
         # -- LLM training-data pipeline --
         "incremental_dedup": q_incremental_dedup,
-        "decontaminate": q_decontaminate,
         # -- late r07: the three queries added after the r07 window was
         # first laid out (no driver row yet): SemDeDup semantic dedup
         # (rows-only, py-model oracle), CCNet perplexity bucketing, and
@@ -3113,8 +3131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_chain_check": q_region_chain_check,
         # -- new late r07: training-shard manifest (the pipeline's
         # last mile; rotated in over pii_redact, green r3-r6, text
-        # quality repped by gopher_quality/c4_clean/text_normalize) --
+        # quality repped by gopher_quality/c4_clean/text_normalize)
+        # and the Canary region-read probe (rotated in over
+        # decontaminate, green r3-r6, decontamination repped by
+        # embedding_decontaminate) --
         "shard_manifest": q_shard_manifest,
+        "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out late r07 to admit bloom_probe/region_normalizer/
         # dsir_sample/quality_classifier/region_chain_check: url_dedup
@@ -3132,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counters": q_streaming_counters,
         "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
         # rotated out late r07 to admit semdedup/perplexity_buckets/
         # ordered_desc: jsonl_roundtrip, events_sessionize,
         # check_and_mutate_row (each driver-green 3 rounds r04-r06;
@@ -4306,6 +4329,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(log_w, 6) AS log_w, "
             "round(score, 6) AS score "
             "FROM sc ORDER BY score DESC, doc_id LIMIT 50"
+        ),
+        "canary": (
+            # Canary RegionTask.read mirrored: ntile regions over the
+            # distinct rowkey space, min rowkey per region, first cell
+            # = min qualifier of the customer column set
+            "WITH r AS (SELECT lpad(c_custkey::VARCHAR, 19, '0') AS rk,"
+            "  (ntile(8) OVER (ORDER BY lpad(c_custkey::VARCHAR, 19, '0'))"
+            "   - 1)::BIGINT AS region FROM customer), "
+            "f AS (SELECT region, min(rk) AS probe_row FROM r"
+            "  GROUP BY region) "
+            "SELECT region, 'd' AS family, probe_row, "
+            "(SELECT min(q) FROM (VALUES ('c_custkey'), ('c_name'),"
+            " ('c_nationkey'), ('c_acctbal'), ('c_mktsegment')) v(q)) "
+            "AS first_qualifier, TRUE AS ok FROM f"
         ),
         "shard_manifest": (
             # pack_sequences oracle CTE + shard grouping; doc_digest =

@@ -552,3 +552,56 @@ def multi_table_write(
         batch = mutations.where(F.col("table") == name).drop("table")
         out[name] = cells.unionByName(batch.select(*cells.columns))
     return out
+
+
+def canary_read_probe(
+    cells: DataFrame, *, num_regions: int = 8
+) -> DataFrame:
+    """Canary region-read health probe (hbase-server/.../tool/
+    Canary.java:193 RegionTask.read): for every region x column
+    family, read ONE first cell with a FirstKeyOnlyFilter — a Get at
+    the region start key, or the scan-of-first-element for the empty
+    start key (:224-238). Success per (region, family) is the health
+    signal the Canary sink publishes.
+
+    The analog derives regions as ``num_regions`` ntile ranges of the
+    row-key space (the fixture tables carry no region column; a
+    pre-split log's own ``region`` ids slot in the same way), then
+    reads each region's first row's first cell per family. Output:
+    (region, family, probe_row, first_qualifier, ok).
+
+    Scale note: the region assignment here uses one global ntile
+    window (fine for a health tool reading one cell per region); on a
+    pre-split layout pass the log's own region column instead and the
+    window disappears.
+    """
+    from pyspark.sql import Window
+
+    rows = (
+        cells.select("row")
+        .distinct()
+        .select(
+            "row",
+            (F.ntile(num_regions).over(Window.orderBy("row")) - 1)
+            .cast("long")
+            .alias("region"),
+        )
+    )
+    first_rows = rows.groupBy("region").agg(F.min("row").alias("row"))
+    probed = cells.join(F.broadcast(first_rows), "row")
+    # FirstKeyOnlyFilter: the row's first cell in qualifier order
+    return (
+        probed.groupBy("region", "family")
+        .agg(
+            F.min("row").alias("probe_row"),
+            F.min("qualifier").alias("first_qualifier"),
+            F.count(F.lit(1)).alias("_cells"),
+        )
+        .select(
+            "region",
+            "family",
+            "probe_row",
+            "first_qualifier",
+            (F.col("_cells") > 0).alias("ok"),
+        )
+    )

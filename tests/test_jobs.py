@@ -641,3 +641,30 @@ def test_write_side_compression_matrix(spark, tmp_path, fmt, codec):
             p.stat().st_size for p in d.iterdir() if p.name.startswith("part-")
         )
         assert size(tmp_path / "out") < size(raw_dir)
+
+
+def test_canary_read_probe(spark):
+    """Canary: one FirstKeyOnly probe per region x family — every
+    region reports ok with its first row's first qualifier."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.operators import jobs as jobs_mod
+    from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+    df = spark.range(0, 120).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") * 2).alias("w"),
+    )
+    cells = table_to_cells(df, ["k"], ["v", "w"])
+    out = jobs_mod.canary_read_probe(cells, num_regions=4).collect()
+    assert len(out) == 4  # one family, 4 regions
+    assert all(r.ok for r in out)
+    # region 0's probe is the global first row; first qualifier is the
+    # alphabetically-first column
+    by_region = {r.region: r for r in out}
+    assert bytes(by_region[0].probe_row) == b"000000"
+    assert all(bytes(r.first_qualifier) == b"v" for r in out)
+    # probes ascend with region ordinals (ntile ranges are ordered)
+    probes = [bytes(by_region[i].probe_row) for i in range(4)]
+    assert probes == sorted(probes)
