@@ -2818,21 +2818,29 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length accounting of the repeated-substring surgery: per doc,
-    the rebuilt clean text's LENGTH and the chars cut — integers only,
-    so the oracle can state clean_len = len(text) - cut without
-    rebuilding text in SQL (engine-neutral). If the Spark-side
-    higher-order rebuild dropped or duplicated a segment,
-    length(clean_text) would diverge from len - cut and this row
-    hash-mismatches."""
+    """Length accounting of the repeated-substring surgery, fully
+    TEXT-FREE on the oracle side (the r07 red was the oracle's lone
+    `len(d.text)` term drifting on the driver's DuckDB build — the
+    same engine-sensitivity class as the r06 substring_dedup red).
+    Contract now: n_cut_chars comes from span arithmetic (both
+    engines), and the length-conservation check that clean_len used
+    to provide is a SPARK-SIDE boolean —
+    rebuild_consistent = (length(clean_text) == orig_len - n_cut_chars)
+    — which the oracle states as literal TRUE. If the higher-order
+    rebuild ever drops or duplicates a segment the boolean goes
+    false and the hash mismatches, so the assertion is preserved
+    while the engine-sensitive term is gone."""
     from hbase_1_3_0_spark.pipeline import substrings
 
     docs = _load(spark, sf_dir, "documents")
     out = substrings.remove_repeated_spans(docs, k=40)
     return out.select(
         "doc_id",
-        F.length("clean_text").cast("long").alias("clean_len"),
         "n_cut_chars",
+        (
+            F.length("clean_text").cast("long")
+            == F.col("orig_len") - F.col("n_cut_chars")
+        ).alias("rebuild_consistent"),
     )
 
 
@@ -4621,10 +4629,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM g GROUP BY doc_id, grp"
         ),
         "substring_clean": (
-            # length accounting of the surgery: clean_len stated as
-            # len(text) - total_cut (no text rebuild in SQL — that is
-            # the engine-sensitive part the Spark side exact-tests in
-            # pytest). Spans CTE chain identical to substring_dedup.
+            # length accounting of the surgery — TEXT-FREE final
+            # select (r07 driver red: `len(d.text)` drifted on the
+            # driver's DuckDB). n_cut_chars is pure span arithmetic;
+            # the length-conservation assertion lives Spark-side as
+            # the rebuild_consistent boolean (oracle states TRUE).
+            # Spans CTE chain identical to substring_dedup (driver-
+            # green r07, so the chain itself is proven engine-safe).
             "WITH w AS (SELECT doc_id, i AS pos, "
             "md5(substr(text, i, 40)) AS digest "
             "FROM (SELECT doc_id, text, "
@@ -4648,8 +4659,8 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT doc_id, sum(en - st) AS cut_chars "
             "FROM spans GROUP BY doc_id) "
             "SELECT d.doc_id, "
-            "len(d.text) - coalesce(a.cut_chars, 0) AS clean_len, "
-            "coalesce(a.cut_chars, 0) AS n_cut_chars "
+            "coalesce(a.cut_chars, 0) AS n_cut_chars, "
+            "TRUE AS rebuild_consistent "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "jpeg_probe": (

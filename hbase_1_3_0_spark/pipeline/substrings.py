@@ -160,7 +160,10 @@ def remove_repeated_spans(
 ) -> DataFrame:
     """The surgery: every doc keeps its text minus its repeated spans
     (first occurrences corpus-wide are retained). Output:
-    (id, clean_text, n_cut_chars) — every input doc gets a row.
+    (id, clean_text, n_cut_chars, orig_len) — every input doc gets a
+    row; orig_len is the pre-surgery character length, carried so
+    callers can assert length conservation without a second corpus
+    scan.
 
     The rebuild consumes the (tiny) span table ONCE: spans aggregate to
     one sorted array per affected doc, left-join onto the corpus, and
@@ -209,5 +212,6 @@ def remove_repeated_spans(
             F.when(sp.isNull(), F.lit(0).cast("long"))
             .otherwise(cut)
             .alias("n_cut_chars"),
+            F.length(t).cast("long").alias("orig_len"),
         )
     )
