@@ -4205,8 +4205,8 @@ def oracle_sql() -> dict[str, str]:
             "          // 1000000 AS n_bits"
             "  FROM reg GROUP BY region), "
             "meta2 AS ("
-            f"  SELECT *, (n_bits * {_BLOOM_LN2} + n_keys * 1000000 - 1)"
-            "          // (n_keys * 1000000) AS n_hash FROM meta), "
+            f"  SELECT *, ((n_bits // n_keys) * {_BLOOM_LN2} + 999999)"
+            "          // 1000000 AS n_hash FROM meta), "
             "bits AS ("
             "  SELECT DISTINCT r.region,"
             "    ((('0x' || substr(md5(r.bkey || '#b1'), 1, 8))::BIGINT"

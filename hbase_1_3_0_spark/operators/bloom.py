@@ -79,8 +79,11 @@ def bloom_sizing(keys_per_region: DataFrame, error_rate: float = 0.01) -> DataFr
 
     Input: ``(region, n_keys)``. Output adds ``n_bits`` (fixed-point
     ``computeBitSize``) and ``n_hash`` (fixed-point
-    ``optimalFunctionCount`` — ceil(ln2 * bits / keys)). Ceil division
-    is ``-(-a div b)`` so the arithmetic is pure bigint end to end.
+    ``optimalFunctionCount`` — ceil(ln2 * floor(bits / keys)), the
+    INNER integer division first, exactly as
+    ByteBloomFilter.java:250's ``(int)(bitSize / maxKeys)`` truncates
+    before the multiply). Ceil division is ``(a + b - 1) div b`` so
+    the arithmetic is pure bigint end to end.
     """
     factor = sizing_factor_micro(error_rate)
     # integer ceil-div `(a + b - 1) div b` throughout — `div` (not `/`)
@@ -98,8 +101,7 @@ def bloom_sizing(keys_per_region: DataFrame, error_rate: float = 0.01) -> DataFr
         "n_keys",
         "n_bits",
         F.expr(
-            f"(n_bits * {_LN2_MICRO} + n_keys * 1000000 - 1) "
-            "div (n_keys * 1000000)"
+            f"((n_bits div n_keys) * {_LN2_MICRO} + 999999) div 1000000"
         ).alias("n_hash"),
     )
 
@@ -387,10 +389,15 @@ def rebuild_bloom_base(
     per-batch chunks. Blooms cannot be merged bit-wise (each chunk has
     its own n_bits), so compaction rebuilds from data — exactly what
     the reference does when a store-file compaction rewrites its bloom.
-    Same crash posture as compact_ingest_store: base written first
-    (dynamic overwrite of batch_id=-1 only), folded partitions deleted
-    after; a crash between the two leaves redundant chunks, which only
-    cost extra probe work, never false negatives.
+    Same crash posture as compact_ingest_store: BOTH base partitions
+    are written first — sizing before bits, so an orphaned bits chunk
+    is at worst extra probe work — and only then are the folded
+    partitions of BOTH tables deleted. (Ordering matters: deleting a
+    table's folded partitions before the OTHER table's base is written
+    would, on a crash in between, leave sizing rows pointing at
+    deleted bits chunks — permanent false negatives. With write-all-
+    then-delete-all, a crash anywhere leaves redundant or orphaned
+    chunks, which only cost extra probe work, never false negatives.)
 
     ``up_to_batch`` must stay strictly below any batch the stream could
     replay (the ingest-store frontier rule).
@@ -414,7 +421,11 @@ def rebuild_bloom_base(
         error_rate=error_rate,
     ).localCheckpoint()
     bits = build_bloom(keys, sizing)
-    for name, df in (("bits", bits), ("sizing", sizing)):
+    # phase 1: write both bases; with deletion deferred, a crash here
+    # leaves an orphan base chunk (sizing without bits probes as a
+    # miss on that chunk, bits without sizing is never probed) while
+    # every folded chunk is still intact — no key can be lost
+    for name, df in (("sizing", sizing), ("bits", bits)):
         (
             df.withColumn("batch_id", F.lit(-1))
             .write.mode("overwrite")
@@ -422,6 +433,8 @@ def rebuild_bloom_base(
             .partitionBy("batch_id")
             .parquet(f"{bloom_dir}/{name}")
         )
+    # phase 2: only now fold away the superseded batch partitions
+    for name in ("bits", "sizing"):
         for p in _P(f"{bloom_dir}/{name}").glob("batch_id=*"):
             bid = int(p.name.split("=")[1])
             if -1 < bid <= up_to_batch:

@@ -668,10 +668,14 @@ def connected_components(
 
     ``check_convergence=False`` runs exactly ``max_iterations`` rounds
     with NO per-round changed-label count — one fewer Spark job per
-    round. Use it when the graph's diameter is known shallow (near-dup
-    clusters are near-cliques: diameter ≲ 4) and set ``max_iterations``
-    to that bound; labels are correct as long as max_iterations >=
-    ceil(log2(diameter)) + 1 rounds have run.
+    round. Use it ONLY when the graph's diameter is known shallow
+    (near-dup clusters are near-cliques: diameter ≲ 4) and set
+    ``max_iterations >= diameter``: plain hash-min propagation moves
+    the minimum label ONE hop per round, so the requirement is linear
+    in the diameter, not logarithmic (log2 bounds apply only to
+    pointer-doubling variants like large-star/small-star, which this
+    is not). When in doubt keep ``check_convergence=True`` — it stops
+    exactly at fixpoint.
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.unionByName(

@@ -90,6 +90,17 @@ def shard_manifest(
     )
 
 
+def _rm_dir(path: str) -> None:
+    """Best-effort recursive delete of a (possibly absent) local dir.
+    Remote URI schemes are left to the writer's own overwrite — the
+    pre-delete is a local-fs hardening of the manifest contract."""
+    if "://" in path:
+        return
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str | Path,
@@ -106,11 +117,19 @@ def write_training_shards(
     Layout: ``{path}/data`` partitioned by (stratum, shard_id) — one
     independently-loadable directory per shard, written in ONE job
     through Spark's atomic committer; ``{path}/manifest`` is the
-    KB-scale audit table. The manifest is written AFTER the data
-    commits, so a manifest's presence certifies its shards (readers
-    that start from the manifest never see a half-written run).
+    KB-scale audit table. Write ordering makes the manifest the
+    certificate for its shards in BOTH directions: on a re-run any
+    previous manifest is removed BEFORE the data rewrite starts (a
+    reader starting mid-rerun finds no manifest, not a stale one over
+    half-rewritten data), and the new manifest is written only AFTER
+    the data commits — so a present manifest always describes fully
+    committed shards.
     """
     path = str(path)
+    if mode == "overwrite":
+        # retract the certificate before touching data: a stale
+        # manifest over a mid-rewrite data dir would falsely certify
+        _rm_dir(f"{path}/manifest")
     placed = shard_placements(
         df,
         capacity=capacity,

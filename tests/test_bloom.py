@@ -25,7 +25,8 @@ def _h32(key: str, salt: str) -> int:
 def _py_sizing(n_keys: int, error_rate: float) -> tuple[int, int]:
     factor = bloom.sizing_factor_micro(error_rate)
     n_bits = (n_keys * factor + 999_999) // 1_000_000
-    n_hash = (n_bits * 693_147 + n_keys * 1_000_000 - 1) // (n_keys * 1_000_000)
+    # reference optimalFunctionCount: inner integer division FIRST
+    n_hash = ((n_bits // n_keys) * 693_147 + 999_999) // 1_000_000
     return n_bits, n_hash
 
 
