@@ -281,14 +281,35 @@ class Engine:
             "cells",
         )
 
-    def split_table(self, table: Table, num_partitions: int) -> Table:
+    def split_table(
+        self, table: Table, num_partitions: int, *, algo: str | None = None
+    ) -> Table:
         """Admin.split analog (Admin.java:1548): re-save the log with a new
         range-partition count — the bulk region split/merge. The rewrite IS
         the split: repartitionByRange gives total-order boundaries, exactly
-        HBase's split-point semantics."""
+        HBase's split-point semantics.
+
+        ``algo`` selects a RegionSplitter pre-split algorithm
+        (RegionSplitter.java:887,1040) instead of data-sampled
+        boundaries: ``"hex"`` (HexStringSplit — ASCII-hex row keys) or
+        ``"uniform"`` (UniformSplit — uniformly random byte keys) pins
+        ``split_points`` to the algorithm's computed boundaries, the
+        reference's pre-split-before-bulk-load idiom."""
         from dataclasses import replace as _replace
 
-        meta = _replace(table.meta, range_partitions=num_partitions)
+        points: tuple[bytes, ...] | None = table.meta.split_points
+        if algo is not None:
+            from hbase_1_3_0_spark.operators import region_splitter as rs
+
+            if algo == "hex":
+                points = tuple(rs.hex_string_split(num_partitions))
+            elif algo == "uniform":
+                points = tuple(rs.uniform_split(num_partitions))
+            else:
+                raise ValueError(f"unknown split algorithm: {algo}")
+        meta = _replace(
+            table.meta, range_partitions=num_partitions, split_points=points
+        )
         self.catalog.alter_table(meta)
         return self.save(Table(meta, table.cells, self._now_ms))
 

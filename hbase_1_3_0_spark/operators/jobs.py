@@ -50,6 +50,21 @@ def cell_counter(cells: DataFrame) -> DataFrame:
     )
 
 
+def export_filter(criteria: str):
+    """Export's CLI filter dispatch (Export.java getExportFilter, :133):
+    ``^pattern`` builds RowFilter(EQUAL, RegexStringComparator), any
+    other string is a row-key PrefixFilter — byte-for-byte the
+    reference's two cases."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    if criteria.startswith("^"):
+        return fast.RowFilter(
+            op=fast.CompareOp.EQUAL,
+            comparator=fast.RegexStringComparator(criteria[1:]),
+        )
+    return fast.PrefixFilter(prefix=criteria.encode("utf-8"))
+
+
 def export_table(
     cells: DataFrame,
     path: str | Path,
@@ -57,10 +72,24 @@ def export_table(
     max_versions: int = 1,
     time_range: tuple[int, int] | None = None,
     raw: bool = False,
+    filter=None,
 ) -> None:
     """Export (Export.java:52): dump visible cells (versions/timerange args)
-    as range-partitioned parquet."""
+    as range-partitioned parquet.
+
+    ``filter`` mirrors Export's optional scan filter (Export.java:117
+    ``s.setFilter(exportFilter)``): a filter AST node, a ParseFilter
+    DSL string, or an Export CLI criteria string via
+    :func:`export_filter`. Applied after the read view, the same
+    scan-side order Table.getScanner uses (table.py:184,207)."""
     out = read_view(cells, max_versions=max_versions, time_range=time_range, raw=raw)
+    if filter is not None:
+        from hbase_1_3_0_spark.filters.compiler import apply_filter
+        from hbase_1_3_0_spark.filters.parser import parse_filter
+
+        if isinstance(filter, str):
+            filter = parse_filter(filter)
+        out = apply_filter(out, filter)
     writer.write_cells(out, path)
 
 

@@ -494,6 +494,15 @@ class Table:
             mut.mutate_row(self.cells, mutations, now_ms=self._now())
         )
 
+    def mutate_rows(self, mutations: DataFrame, regions: DataFrame):
+        """MultiRowMutationEndpoint.mutateRows analog
+        (MultiRowMutationEndpoint.java:84): atomic multi-ROW groups,
+        each valid only if confined to one region of ``regions``."""
+        new_cells, verdicts = mut.mutate_rows(
+            self.cells, mutations, regions, now_ms=self._now()
+        )
+        return self._with(new_cells), verdicts
+
     def batch(self, mutations: DataFrame, codec: str = "be8") -> "Table":
         return self._with(
             mut.apply_mutation_batch(

@@ -668,3 +668,37 @@ def test_canary_read_probe(spark):
     # probes ascend with region ordinals (ntile ranges are ordered)
     probes = [bytes(by_region[i].probe_row) for i in range(4)]
     assert probes == sorted(probes)
+
+
+def test_export_with_filter(orders_cells, tmp_path, spark):
+    """Export.java:117 threads a scan filter into the dump: prefix
+    criteria and ^regex criteria per getExportFilter (:133)."""
+    cells, _ = orders_cells
+    rows = [bytes(r.row) for r in cells.select("row").distinct().collect()]
+    prefix = rows[0][:2].decode("latin-1")
+    expected = [r for r in rows if r.startswith(prefix.encode("latin-1"))]
+
+    jobs.export_table(
+        cells, tmp_path / "expf", filter=jobs.export_filter(prefix)
+    )
+    back = jobs.import_table(spark, tmp_path / "expf")
+    got = {bytes(r.row) for r in back.select("row").distinct().collect()}
+    assert got == set(expected)
+
+    # ^regex criteria -> RowFilter(EQUAL, RegexStringComparator)
+    jobs.export_table(
+        cells, tmp_path / "expr", filter=jobs.export_filter("^.*" )
+    )
+    allback = jobs.import_table(spark, tmp_path / "expr")
+    assert {bytes(r.row) for r in allback.select("row").distinct().collect()} == set(rows)
+
+
+def test_export_with_dsl_filter_string(orders_cells, tmp_path, spark):
+    """A ParseFilter DSL string is accepted directly."""
+    cells, _ = orders_cells
+    jobs.export_table(
+        cells, tmp_path / "expd", filter="FirstKeyOnlyFilter()"
+    )
+    back = jobs.import_table(spark, tmp_path / "expd")
+    per_row = back.groupBy("row").count().select("count").distinct().collect()
+    assert [r[0] for r in per_row] == [1]

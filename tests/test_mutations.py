@@ -303,3 +303,93 @@ def test_check_and_mutate_row_null_check_means_absent(spark):
     got = cellmap(t2.scan())
     assert (b"r1", "d", b"N") not in got
     assert got[(b"r2", "d", b"N")][0] == b"x"
+
+
+# -- MultiRowMutationEndpoint analog ---------------------------------------
+
+REGION_SCHEMA = "region long, start_key binary, end_key binary"
+
+
+def _two_regions(spark):
+    # [*, m) and [m, *) — the classic two-region layout
+    return spark.createDataFrame(
+        [(0, None, b"m"), (1, b"m", None)], REGION_SCHEMA
+    )
+
+
+def test_mutate_rows_secondary_index_commits_together(spark):
+    """MultiRowMutationEndpoint.java:60-76 example: data row + index row
+    in one group commit atomically when both land in one region."""
+    t = fresh_table(spark, [(b"a1", "d", b"q", 100, TYPE_PUT, b"old", 0)])
+    muts = spark.createDataFrame(
+        [
+            ("g1", "put", b"a1", "d", b"q", None, b"new", 0),
+            ("g1", "put", b"idx_new", "d", b"ref", None, b"a1", 1),
+            ("g1", "delete_column", b"idx_old", "d", b"ref", None, None, 2),
+        ],
+        GMUT_SCHEMA,
+    )
+    t2, verdicts = t.mutate_rows(muts, _two_regions(spark))
+    assert [(r.group_id, r.applied, r.reason) for r in verdicts.collect()] == [
+        ("g1", True, "ok")
+    ]
+    got = cellmap(t2.scan())
+    assert got[(b"a1", "d", b"q")][0] == b"new"
+    assert got[(b"idx_new", "d", b"ref")][0] == b"a1"
+
+
+def test_mutate_rows_region_split_group_applies_nothing(spark):
+    """Rows split between regions -> the reference's DoNotRetryIOException
+    (:105-108); the whole group must be suppressed, no partial commit."""
+    t = fresh_table(spark, [(b"a1", "d", b"q", 100, TYPE_PUT, b"old", 0)])
+    muts = spark.createDataFrame(
+        [
+            ("g1", "put", b"a1", "d", b"q", None, b"new", 0),
+            ("g1", "put", b"z9", "d", b"q", None, b"cross", 1),
+            ("g2", "put", b"z1", "d", b"q", None, b"solo", 0),
+        ],
+        GMUT_SCHEMA,
+    )
+    t2, verdicts = t.mutate_rows(muts, _two_regions(spark))
+    v = {r.group_id: (r.applied, r.reason) for r in verdicts.collect()}
+    assert v == {"g1": (False, "region_split"), "g2": (True, "ok")}
+    got = cellmap(t2.scan())
+    # g1 fully suppressed: no partial index write, data row unchanged
+    assert got[(b"a1", "d", b"q")][0] == b"old"
+    assert (b"z9", "d", b"q") not in got
+    assert got[(b"z1", "d", b"q")][0] == b"solo"
+
+
+def test_mutate_rows_wrong_region(spark):
+    """A row covered by NO region -> wrong_region (the retryable
+    WrongRegionException case, :101-104)."""
+    t = fresh_table(spark, [(b"a1", "d", b"q", 100, TYPE_PUT, b"old", 0)])
+    bounded = spark.createDataFrame([(0, b"a", b"m")], REGION_SCHEMA)
+    muts = spark.createDataFrame(
+        [
+            ("g1", "put", b"zz", "d", b"q", None, b"v", 0),
+            ("g2", "put", b"ab", "d", b"q", None, b"v2", 0),
+        ],
+        GMUT_SCHEMA,
+    )
+    t2, verdicts = t.mutate_rows(muts, bounded)
+    v = {r.group_id: (r.applied, r.reason) for r in verdicts.collect()}
+    assert v == {"g1": (False, "wrong_region"), "g2": (True, "ok")}
+
+
+def test_mutate_rows_boundary_semantics(spark):
+    """rowIsInRange: start inclusive, end exclusive — a row AT the end
+    key belongs to the next region; a group touching both sides of a
+    boundary is split."""
+    t = fresh_table(spark, [(b"a0", "d", b"q", 100, TYPE_PUT, b"x", 0)])
+    muts = spark.createDataFrame(
+        [
+            ("edge", "put", b"m", "d", b"q", None, b"v", 0),   # region 1
+            ("edge", "put", b"lzz", "d", b"q", None, b"v", 1),  # region 0
+        ],
+        GMUT_SCHEMA,
+    )
+    _, verdicts = t.mutate_rows(muts, _two_regions(spark))
+    assert [(r.applied, r.reason) for r in verdicts.collect()] == [
+        (False, "region_split")
+    ]
