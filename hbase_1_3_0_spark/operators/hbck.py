@@ -97,6 +97,10 @@ def region_chain_check(
         F.concat(F.col("s"), F.lit("|"), F.col("e")).alias("rg"),
         ((F.col("e") != "") & (F.col("s") == F.col("e"))).alias("degen"),
     )
+    # the six error branches below each re-derive this region table;
+    # materialize it ONCE (metadata-scale) so the plan carries ~20
+    # exchanges instead of ~110 re-computed subtree copies
+    r = r.localCheckpoint()
 
     # ---- sweep: coverage count at every split key ----
     # per-key event tallies; the +inf sentinel stays implicit

@@ -584,7 +584,11 @@ def multi_table_write(
 
 
 def canary_read_probe(
-    cells: DataFrame, *, num_regions: int = 8
+    cells: DataFrame,
+    *,
+    num_regions: int = 8,
+    region_col: str | None = None,
+    split_points: list[bytes] | None = None,
 ) -> DataFrame:
     """Canary region-read health probe (hbase-server/.../tool/
     Canary.java:193 RegionTask.read): for every region x column
@@ -593,31 +597,90 @@ def canary_read_probe(
     start key (:224-238). Success per (region, family) is the health
     signal the Canary sink publishes.
 
-    The analog derives regions as ``num_regions`` ntile ranges of the
-    row-key space (the fixture tables carry no region column; a
-    pre-split log's own ``region`` ids slot in the same way), then
-    reads each region's first row's first cell per family. Output:
-    (region, family, probe_row, first_qualifier, ok).
+    Region derivation, in priority order:
 
-    Scale note: the region assignment here uses one global ntile
-    window (fine for a health tool reading one cell per region); on a
-    pre-split layout pass the log's own region column instead and the
-    window disappears.
+    - ``region_col``: a pre-split log's own region id column — zero
+      extra work, the PRIMARY path for real layouts.
+    - ``split_points``: explicit boundary list (RegionSplitter
+      output) — a broadcast literal-array fold assigns regions, no
+      shuffle beyond the probe's own aggregation.
+    - default: ``num_regions`` ntile ranges of the distinct row-key
+      space. The ntile BUCKETING is kept (first ``N mod k`` buckets
+      get the extra row — the contract the oracle mirrors) but the
+      global rank behind it is computed DISTRIBUTEDLY: range
+      repartition + per-partition row_number + driver-side partition
+      offsets (the sorted zipWithIndex idiom, same trick as the
+      weighted-median walk, aggregations.py:133). No single-partition
+      window anywhere — the old ``ntile().over(Window.orderBy())``
+      funneled every distinct row key through ONE task, a
+      scale-killer for the one tool whose job is to be cheap.
+
+    Output: (region, family, probe_row, first_qualifier, ok).
     """
     from pyspark.sql import Window
 
-    rows = (
-        cells.select("row")
-        .distinct()
-        .select(
-            "row",
-            (F.ntile(num_regions).over(Window.orderBy("row")) - 1)
-            .cast("long")
-            .alias("region"),
+    if region_col is not None:
+        rows = cells.select(
+            "row", F.col(region_col).cast("long").alias("region")
+        ).distinct()
+    elif split_points is not None:
+        bounds = F.array(*[F.lit(b) for b in sorted(split_points)])
+        bucket = F.aggregate(
+            bounds,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col("row") >= b, 1).otherwise(0).cast("long"),
         )
-    )
+        rows = cells.select("row").distinct().select(
+            "row", bucket.alias("region")
+        )
+    else:
+        parted = (
+            cells.select("row")
+            .distinct()
+            .repartitionByRange("row")
+            .sortWithinPartitions("row")
+            .select("row", F.spark_partition_id().alias("_pid"))
+            .localCheckpoint()  # pin partitioning: counts + ranks must
+            # see the SAME placement
+        )
+        counts = sorted(
+            (r._pid, r["count"])
+            for r in parted.groupBy("_pid").count().collect()
+        )
+        total = sum(c for _, c in counts)
+        offsets, acc = [], 0
+        for pid, c in counts:
+            offsets.append((pid, acc))
+            acc += c
+        off = F.broadcast(
+            cells.sparkSession.createDataFrame(
+                offsets or [(0, 0)], "_pid int, _off long"
+            )
+        )
+        local_rank = F.row_number().over(
+            Window.partitionBy("_pid").orderBy("row")
+        )
+        ranked = parted.join(off, "_pid").select(
+            "row", (local_rank - 1 + F.col("_off")).alias("_rank")
+        )
+        # exact ntile arithmetic over the global rank: with N rows and
+        # k buckets, the first N mod k buckets hold N div k + 1 rows.
+        # `div` keeps it in bigint — float division would wobble past
+        # 2^53 ranks
+        q, rem = divmod(total, num_regions)
+        cut = rem * (q + 1)
+        region = F.expr(
+            f"CASE WHEN _rank < {cut} THEN _rank div {q + 1} "
+            f"ELSE {rem} + (_rank - {cut}) div {max(q, 1)} END"
+        ).cast("long")
+        rows = ranked.select("row", region.alias("region"))
     first_rows = rows.groupBy("region").agg(F.min("row").alias("row"))
-    probed = cells.join(F.broadcast(first_rows), "row")
+    # prune to the probe's columns (also avoids colliding with a
+    # pre-split log's own region column)
+    probed = cells.select("row", "family", "qualifier").join(
+        F.broadcast(first_rows), "row"
+    )
     # FirstKeyOnlyFilter: the row's first cell in qualifier order
     return (
         probed.groupBy("region", "family")

@@ -670,6 +670,53 @@ def test_canary_read_probe(spark):
     assert probes == sorted(probes)
 
 
+def test_canary_exact_ntile_buckets(spark):
+    """The distributed rank derivation must reproduce EXACT ntile
+    bucketing: 10 rows into 4 regions -> sizes 3,3,2,2, so the region
+    min rows sit at ranks 0,3,6,8."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.operators import jobs as jobs_mod
+    from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+    df = spark.range(0, 10).select(
+        F.lpad(F.col("id").cast("string"), 3, "0").alias("k"),
+        F.col("id").alias("v"),
+    )
+    cells = table_to_cells(df, ["k"], ["v"])
+    out = jobs_mod.canary_read_probe(cells, num_regions=4).collect()
+    got = {r.region: bytes(r.probe_row) for r in out}
+    assert got == {0: b"000", 1: b"003", 2: b"006", 3: b"008"}
+
+
+def test_canary_region_col_and_split_points_paths(spark):
+    """The two scale-primary derivations: a pre-split log's own region
+    column, and an explicit RegionSplitter boundary list."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.operators import jobs as jobs_mod
+    from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells
+
+    df = spark.range(0, 40).select(
+        F.lpad(F.col("id").cast("string"), 3, "0").alias("k"),
+        F.col("id").alias("v"),
+    )
+    cells = table_to_cells(df, ["k"], ["v"])
+
+    with_region = cells.withColumn(
+        "region", (F.decode("row", "UTF-8").cast("long") / 10).cast("long")
+    )
+    out = jobs_mod.canary_read_probe(with_region, region_col="region")
+    got = {r.region: bytes(r.probe_row) for r in out.collect()}
+    assert got == {0: b"000", 1: b"010", 2: b"020", 3: b"030"}
+
+    out2 = jobs_mod.canary_read_probe(
+        cells, split_points=[b"010", b"020", b"030"]
+    )
+    got2 = {r.region: bytes(r.probe_row) for r in out2.collect()}
+    assert got2 == got
+
+
 def test_export_with_filter(orders_cells, tmp_path, spark):
     """Export.java:117 threads a scan filter into the dump: prefix
     criteria and ^regex criteria per getExportFilter (:133)."""
