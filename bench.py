@@ -317,6 +317,57 @@ def main() -> None:
     # batch count even if the 3-batch small-sf delta is modest.
     run("b-neardup-nostore", lambda: bench_neardup(with_band_store=False))
 
+    # b-neardup-hist / b-neardup-hist-reband: the band store's ACTUAL
+    # regime — one micro-batch probed against a LARGE accepted history
+    # (400k synthetic signatures as a batch_id=-1 compacted base; built
+    # once, untimed). The 3-batch b-neardup pair above measures the
+    # streaming machinery at a tiny accepted-set size where the store's
+    # extra write+read is pure overhead; THIS pair isolates the
+    # per-batch probe at history size, where re-banding history
+    # (posexplode + 16 slice hashes x 400k sigs, every batch, forever)
+    # races a 3-long-column scan of the persisted band table. Samples
+    # are idempotent: the probed batch commits at batch_id=1 under
+    # dynamic partition overwrite, so each sample overwrites the last.
+    hist_base = tempfile.mkdtemp(prefix="bench_ndhist_", dir=SCRATCH)
+    n_hist = 400_000
+    hist_sigs = spark.range(n_hist).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.xxhash64(F.col("id"), i),
+        ).alias("sig"),
+        F.lit(-1).alias("batch_id"),
+    )
+    for variant in ("store", "reband"):
+        (
+            hist_sigs.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{hist_base}/{variant}/store")
+        )
+    walmod.backfill_neardup_band_store(
+        spark, f"{hist_base}/store/store", f"{hist_base}/store/bands"
+    )
+
+    def bench_neardup_hist(with_band_store=True):
+        variant = "store" if with_band_store else "reband"
+        walmod._neardup_commit_batch(
+            spark,
+            nd_docs,
+            1,
+            out_dir=f"{hist_base}/{variant}/out",
+            store_dir=f"{hist_base}/{variant}/store",
+            threshold=0.8,
+            band_store_dir=(
+                f"{hist_base}/{variant}/bands" if with_band_store else None
+            ),
+        )
+
+    run("b-neardup-hist", bench_neardup_hist)
+    run(
+        "b-neardup-hist-reband",
+        lambda: bench_neardup_hist(with_band_store=False),
+    )
+
     # b-topk: brute-force cosine top-10 for 100 query vectors (broadcast
     # queries, corpus never shuffled)
     topk_queries = embs.where(F.col("vec_id") < 100).select(
