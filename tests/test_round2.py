@@ -668,3 +668,76 @@ def test_visibility_scan_parens_not_and_precedence(spark):
     # r4: (a|x)&missing -> F (OR-over-AND would wrongly say T).
     # r5: parens but NOT a declared policy -> fail closed.
     assert got == [b"r1", b"r3"]
+
+
+@pytest.mark.parametrize(
+    "kdc,ttl_s,expect",
+    [
+        # FALSE: tombstone + masked cell GC'd outright
+        ("FALSE", None, {(999_000, TYPE_PUT)}),
+        # TRUE, no TTL: everything retained forever
+        (
+            "TRUE",
+            None,
+            {(100, TYPE_PUT), (150, TYPE_DELETE_COLUMN), (999_000, TYPE_PUT)},
+        ),
+        # TTL, no TTL configured: marker never expires -> same as TRUE
+        (
+            "TTL",
+            None,
+            {(100, TYPE_PUT), (150, TYPE_DELETE_COLUMN), (999_000, TYPE_PUT)},
+        ),
+        # TRUE + TTL: the deleted CELL expires by TTL ("removed by
+        # other means such TTL", KeepDeletedCells.java TRUE javadoc)
+        # but the MARKER is retained forever
+        ("TRUE", 10, {(150, TYPE_DELETE_COLUMN), (999_000, TYPE_PUT)}),
+        # TTL + TTL: the marker itself expires once ts < now - ttl
+        # (ScanQueryMatcher.java:349-350 `TTL && timestamp < ttl` makes
+        # it behave like FALSE) -> only the live put remains
+        ("TTL", 10, {(999_000, TYPE_PUT)}),
+    ],
+)
+def test_kdc_three_mode_decision_table(spark, kdc, ttl_s, expect):
+    """KeepDeletedCells FALSE/TRUE/TTL compaction decision table
+    (KeepDeletedCells.java enum semantics; ScanQueryMatcher.java:347-395
+    marker handling): TRUE and TTL must DIFFER exactly on whether an
+    expired delete marker survives."""
+    now = 1_000_000
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "old"),            # masked put
+        ("r1", "d", "q", 150, TYPE_DELETE_COLUMN, None),   # marker
+        ("r1", "d", "q", 999_000, TYPE_PUT, "live"),
+    ])
+    out = jobs.compact(
+        cells,
+        keep_deleted_cells=kdc,
+        ttl_seconds=ttl_s,
+        now_ms=now,
+        max_versions=2,
+    )
+    got = {(r.ts, r.type) for r in out.collect()}
+    assert got == expect
+
+
+def test_kdc_ttl_with_min_versions_keeps_floor_versions(spark):
+    """The enum's stated use case: TTL + MIN_VERSIONS keeps a minimum
+    number of versions past the TTL while still purging expired
+    markers."""
+    now = 1_000_000
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "v-ancient"),
+        ("r1", "d", "q", 200, TYPE_PUT, "v-old"),
+        ("r1", "d", "q", 150, TYPE_DELETE_COLUMN, None, 0),
+    ])
+    out = jobs.compact(
+        cells,
+        keep_deleted_cells="TTL",
+        ttl_seconds=10,
+        min_versions=1,
+        now_ms=now,
+        max_versions=2,
+    )
+    got = {(r.ts, r.type) for r in out.collect()}
+    # marker expired -> gone; min_versions=1 retains the newest expired
+    # put; the older one is TTL-GC'd
+    assert got == {(200, TYPE_PUT)}
