@@ -46,6 +46,65 @@ from hbase_1_3_0_spark.operators import bloom as _bloom_mod
 _BLOOM_FACTOR = _bloom_mod.sizing_factor_micro(0.01)
 _BLOOM_LN2 = _bloom_mod.hash_factor_micro()
 
+def _access_oracle() -> str:
+    """SQL mirror of q_access_check: same VALUES grant/membership
+    tables (single source: _ACCESS_GRANTS/_ACCESS_MEMBERS above), the
+    full implies + supersession decision procedure restated in SQL."""
+
+    def lit(v):
+        return "NULL" if v is None else f"'{v}'"
+
+    grant_rows = ", ".join(
+        f"({lit(s)}, {lit(ns)}, {lit(tb)}, {lit(fa)}, {lit(q)}, {lit(a)})"
+        for s, ns, tb, fa, q, a in _ACCESS_GRANTS
+    )
+    member_rows = ", ".join(
+        f"({lit(u)}, {lit(g)})" for u, g in _ACCESS_MEMBERS
+    )
+    return (
+        "WITH req0 AS (SELECT c_custkey AS req_id, "
+        "CASE c_custkey % 7 WHEN 0 THEN 'admin' WHEN 1 THEN 'nsuser' "
+        "WHEN 2 THEN 'tuser' WHEN 3 THEN 'famuser' WHEN 4 THEN 'quser' "
+        "WHEN 5 THEN 'gwen' ELSE 'nobody' END AS usr, "
+        "CASE WHEN c_custkey % 5 = 0 THEN 'ns2' ELSE 'ns1' END AS ns, "
+        "CASE WHEN c_custkey % 5 = 0 THEN 'ns2' ELSE 'ns1' END || ':t' || "
+        "(c_custkey % 3 + 1)::VARCHAR AS tbl, "
+        "CASE c_custkey % 4 WHEN 1 THEN 'd' WHEN 2 THEN 'e' "
+        "WHEN 3 THEN 'd' END AS fam, "
+        "CASE c_custkey % 9 WHEN 3 THEN 'q1' WHEN 6 THEN 'q2' END AS qual, "
+        "CASE WHEN c_custkey % 2 = 0 THEN 'READ' ELSE 'WRITE' END "
+        "AS action FROM customer), "
+        "req AS (SELECT req_id, usr, ns, tbl, fam, "
+        "CASE WHEN fam IS NULL THEN NULL ELSE qual END AS qual, action "
+        "FROM req0), "
+        f"g AS (SELECT * FROM (VALUES {grant_rows}) "
+        "t(subject, g_ns, g_tbl, g_fam, g_qual, g_act)), "
+        f"m AS (SELECT * FROM (VALUES {member_rows}) t(usr, grp)), "
+        "subj AS (SELECT subject AS g_user, g_ns, g_tbl, g_fam, g_qual, "
+        "g_act FROM g WHERE subject NOT LIKE '@%' "
+        "UNION ALL SELECT m.usr, g_ns, g_tbl, g_fam, g_qual, g_act "
+        "FROM g JOIN m ON g.subject = '@' || m.grp), "
+        "j AS (SELECT r.*, "
+        "CASE WHEN s.g_ns IS NULL AND s.g_tbl IS NULL "
+        "AND s.g_user IS NOT NULL THEN 1 ELSE 0 END AS is_g, "
+        "CASE WHEN s.g_ns IS NOT NULL AND s.g_tbl IS NULL "
+        "AND s.g_ns = r.ns THEN 1 ELSE 0 END AS is_n, "
+        "CASE WHEN s.g_tbl IS NOT NULL AND s.g_tbl = r.tbl "
+        "AND (s.g_fam IS NULL OR (r.fam IS NOT NULL AND s.g_fam = r.fam)) "
+        "AND (s.g_qual IS NULL OR (r.qual IS NOT NULL "
+        "AND s.g_qual = r.qual)) THEN 1 ELSE 0 END AS is_t "
+        "FROM req r LEFT JOIN subj s "
+        "ON s.g_user = r.usr AND s.g_act = r.action), "
+        "a AS (SELECT req_id, usr, action, max(is_g) AS mg, "
+        "max(is_n) AS mn, max(is_t) AS mt FROM j "
+        "GROUP BY req_id, usr, action) "
+        "SELECT req_id::BIGINT AS req_id, usr AS \"user\", action, "
+        "(mg + mn + mt) > 0 AS allowed, "
+        "CASE WHEN mg = 1 THEN 'global' WHEN mn = 1 THEN 'namespace' "
+        "WHEN mt = 1 THEN 'table' END AS level FROM a"
+    )
+
+
 def _region_splitter_oracle() -> str:
     """SQL mirror of q_region_splitter: the hex quotient (2^32 div n)
     and the uniform quotient split into 32-bit halves (2^64 div n =
@@ -2450,6 +2509,71 @@ def q_export_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACCESS_GRANTS = [
+    # (subject, namespace, table_name, family, qualifier, action)
+    ("admin", None, None, None, None, "READ"),
+    ("admin", None, None, None, None, "WRITE"),
+    ("nsuser", "ns1", None, None, None, "READ"),
+    ("tuser", None, "ns1:t1", None, None, "READ"),
+    ("famuser", None, "ns1:t1", "d", None, "READ"),
+    ("quser", None, "ns1:t1", "d", "q1", "READ"),
+    ("@ops", None, "ns1:t1", None, None, "WRITE"),
+]
+_ACCESS_MEMBERS = [("gwen", "ops"), ("admin", "unrelated")]
+
+
+def q_access_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AccessController authorizeUser over a request matrix
+    (operators/access.py; TableAuthManager.java:419-459 supersession
+    order, TablePermission.java:215-235 implies): a fixed 7-grant ACL
+    world (global / namespace / table / family / qualifier / group
+    scopes) evaluated against per-customer derived requests. The
+    oracle restates the ENTIRE decision procedure — wildcard-NULL
+    matching, the family-scoped-grant-never-matches-whole-table rule,
+    group expansion, and the global>namespace>table level pick — in
+    SQL over the same VALUES grant table."""
+    from hbase_1_3_0_spark.operators import access
+
+    grants = spark.createDataFrame(
+        _ACCESS_GRANTS,
+        "subject string, namespace string, table_name string, "
+        "family string, qualifier string, action string",
+    )
+    members = spark.createDataFrame(
+        _ACCESS_MEMBERS, "user string, group_name string"
+    )
+    k = F.col("c_custkey")
+    personas = ["admin", "nsuser", "tuser", "famuser", "quser", "gwen",
+                "nobody"]
+    user_col = F.element_at(
+        F.array(*[F.lit(p) for p in personas]), (k % 7 + 1).cast("int")
+    )
+    reqs = _load(spark, sf_dir, "customer").select(
+        k.cast("long").alias("req_id"),
+        user_col.alias("user"),
+        F.when(k % 5 == 0, "ns2").otherwise("ns1").alias("namespace"),
+        F.concat(
+            F.when(k % 5 == 0, "ns2").otherwise("ns1"),
+            F.lit(":t"),
+            (k % 3 + 1).cast("string"),
+        ).alias("table_name"),
+        F.when(k % 4 == 1, "d").when(k % 4 == 2, "e")
+        .when(k % 4 == 3, "d").alias("family"),
+        F.when(k % 9 == 3, "q1").when(k % 9 == 6, "q2").alias("qualifier"),
+        F.when(k % 2 == 0, "READ").otherwise("WRITE").alias("action"),
+    )
+    # a family-less request never carries a qualifier (the reference's
+    # map shape); null it out to keep the matrix well-formed
+    reqs = reqs.withColumn(
+        "qualifier",
+        F.when(F.col("family").isNull(), F.lit(None)).otherwise(
+            F.col("qualifier")
+        ),
+    )
+    out = access.authorize(reqs, grants, members)
+    return out.select("req_id", "user", "action", "allowed", "level")
+
+
 def q_bit_comparator_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BitComparator with a mask LONGER than 8 bytes + the length-equality
     rule (BitComparator.java:112-118): only values exactly as long as the
@@ -3272,8 +3396,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        # -- security tags --
-        "visibility_labels": q_visibility_labels,
+        # -- security: r08 rotates IN the AccessController ACL layer
+        #    (grants/groups/supersession decision procedure, the level
+        #    ABOVE cell tags) over visibility_labels (driver-green five
+        #    rounds r3-r7; cell-tag security keeps those rows plus
+        #    cell_acl r3-r6, and the security area stays repped
+        #    in-window by access_check itself) --
+        "access_check": q_access_check,
         # -- coprocessors + streaming --
         "observer_redact": q_observer_redact,
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
@@ -3307,7 +3436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r08 for region_splitter/multirow_mutation/
-        # export_filtered (see the in-window comment)
+        # export_filtered/access_check (see the in-window comments)
+        "visibility_labels": q_visibility_labels,
         "domain_filter": q_domain_filter,
         "lm_trigram": q_lm_trigram,
         "tokenizer_stats": q_tokenizer_stats,
@@ -4689,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_acctbal END "
             "AS c_acctbal FROM customer"
         ),
+        "access_check": _access_oracle(),
         "dedup_clusters": (
             # chain edges (d-1, d) for d%5!=0 -> components are the runs
             # [5k, 5k+4]; closed form: component = doc_id - doc_id%5

@@ -313,6 +313,34 @@ class Engine:
         self.catalog.alter_table(meta)
         return self.save(Table(meta, table.cells, self._now_ms))
 
+    def rolling_split(self, table: Table, *, algo: str = "uniform") -> Table:
+        """RegionSplitter rolling split (`-r`, RegionSplitter.java:436):
+        split EVERY region of a pre-split table at its algorithm
+        midpoint — region count doubles, data rewrites once through
+        the range-partitioned writer (the reference's throttled
+        per-region split+compact cycle collapses into the one
+        rewrite). Requires explicit ``split_points`` (pre-split the
+        table first via ``split_table(algo=...)``)."""
+        from dataclasses import replace as _replace
+
+        from hbase_1_3_0_spark.operators import region_splitter as rs
+
+        if not table.meta.split_points:
+            raise ValueError(
+                "rolling_split needs a pre-split table (explicit "
+                "split_points); run split_table(n, algo=...) first"
+            )
+        points = tuple(
+            rs.rolling_split_points(table.meta.split_points, algo)
+        )
+        meta = _replace(
+            table.meta,
+            split_points=points,
+            range_partitions=len(points) + 1,
+        )
+        self.catalog.alter_table(meta)
+        return self.save(Table(meta, table.cells, self._now_ms))
+
     def merge_table(self, table: Table, factor: int = 2) -> Table:
         """Admin.mergeRegions analog (Admin.java:778), bulk form: adjacent
         regions coalesce in groups of ``factor`` — the inverse of

@@ -164,6 +164,38 @@ def uniform_split_region(start: bytes, end: bytes) -> bytes:
     return _iterate_on_splits(start, end, False, 1)[0]
 
 
+def rolling_split_points(
+    points: tuple[bytes, ...] | list[bytes], algo: str
+) -> list[bytes]:
+    """RegionSplitter's rolling split (`-r`, RegionSplitter.java:436
+    rollingSplit): split EVERY region of a pre-split table at its
+    algorithm midpoint, doubling the region count. Input is the
+    table's current boundary list; output is the merged boundary list
+    (old boundaries + one midpoint per region, outermost regions
+    bounded by the algorithm's firstRow/lastRow). The reference
+    performs the same per-region `split(start, end)` calls, just
+    throttled against live regionservers — the boundary math is
+    identical and is all that exists here (adoption is the engine's
+    range-repartition rewrite)."""
+    bounds = sorted(points)
+    if algo == "hex":
+        lo, hi = _HEX_FIRST, _HEX_LAST.lower()
+        edges = [lo.encode()] + list(bounds) + [hi.encode()]
+        mids = [
+            hex_split_region(edges[i], edges[i + 1], pad=len(_HEX_LAST))
+            for i in range(len(edges) - 1)
+        ]
+    elif algo == "uniform":
+        edges = [_UNIFORM_FIRST] + list(bounds) + [_UNIFORM_LAST]
+        mids = [
+            uniform_split_region(edges[i], edges[i + 1])
+            for i in range(len(edges) - 1)
+        ]
+    else:
+        raise ValueError(f"unknown split algorithm: {algo}")
+    return sorted(set(bounds) | set(mids))
+
+
 # -- Oracle-checkable DataFrame form ---------------------------------------
 
 

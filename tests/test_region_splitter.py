@@ -144,3 +144,64 @@ def test_engine_presplit_wiring(spark, tmp_path):
     assert len(regions) == 4
     # scans unaffected by layout
     assert t.cells.count() == 256
+
+
+class TestRollingSplit:
+    def test_uniform_doubles_boundaries(self):
+        # 4 regions -> 8 via per-region midpoints. NOTE the last
+        # midpoint is 0xdfff… not 0xe000…: split(start, end) halves
+        # the EXCLUSIVE gap (Bytes.split num=1), which the reference's
+        # own test pins ("halfway between df… and ff… is ef…") — a
+        # rolling split is NOT byte-identical to a fresh 2n-way split
+        # in the last region, by design.
+        pts = rs.uniform_split(4)
+        doubled = rs.rolling_split_points(pts, "uniform")
+        e = [
+            0x2000000000000000, 0x4000000000000000, 0x6000000000000000,
+            0x8000000000000000, 0xA000000000000000, 0xC000000000000000,
+            0xDFFFFFFFFFFFFFFF,
+        ]
+        assert doubled == [v.to_bytes(8, "big") for v in e]
+
+    def test_hex_doubles_boundaries(self):
+        pts = rs.hex_string_split(4)
+        doubled = rs.rolling_split_points(pts, "hex")
+        assert doubled == [
+            b"20000000", b"40000000", b"60000000", b"80000000",
+            b"a0000000", b"c0000000", b"dfffffff",
+        ]
+
+    def test_unknown_algo(self):
+        with pytest.raises(ValueError):
+            rs.rolling_split_points([b"\x80"], "nope")
+
+
+def test_engine_rolling_split(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.engine import Engine
+
+    eng = Engine(spark, root=tmp_path / "store", now_ms=1_000)
+    rows = spark.range(256).select(
+        F.lower(F.hex(F.col("id") * 16843009)).alias("_k")
+    )
+    cells = rows.select(
+        F.encode(F.lpad("_k", 8, "0"), "utf-8").alias("row"),
+        F.lit("f").alias("family"),
+        F.lit(b"q").alias("qualifier"),
+        F.lit(1000).cast("long").alias("ts"),
+        F.lit(4).cast("int").alias("type"),
+        F.lit(b"v").alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    t = eng.create_table(TableMeta(name="roll_demo", clean_log=True), cells)
+    with pytest.raises(ValueError):
+        eng.rolling_split(t, algo="hex")  # not pre-split yet
+    t = eng.split_table(t, 4, algo="hex")
+    t = eng.rolling_split(t, algo="hex")
+    assert t.meta.split_points == tuple(
+        rs.rolling_split_points(rs.hex_string_split(4), "hex")
+    )
+    assert len({r.region for r in eng.region_boundaries(t).collect()}) == 8
+    assert t.cells.count() == 256
