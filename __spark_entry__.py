@@ -105,6 +105,111 @@ def _access_oracle() -> str:
     )
 
 
+def _balancer_oracle() -> str:
+    """SQL mirror of q_balancer_plan: the full five-phase
+    SimpleLoadBalancer linearization (see operators/balancer.py) over
+    the same folded-key server assignment, restated in DuckDB windows.
+    Phase names match the operator: q1 = phase-1 shed, u/slots/deal2 =
+    the phase-2 snake deal with the exact-zero maxToTake cutoff, shed3
+    = the phase-3 one-each second shed with its break rank, f4/f5 =
+    prefix-sum queue intervals for the MIN fill and the one-each MAX
+    leftovers."""
+    return (
+        "WITH a AS (SELECT 'r' || lpad(c_custkey::VARCHAR, 10, '0') "
+        "AS region, c_custkey::BIGINT AS region_id, "
+        "CASE WHEN ((c_custkey - 1) % 150) + 1 <= 70 THEN 's0' "
+        "WHEN ((c_custkey - 1) % 150) + 1 <= 110 THEN 's1' "
+        "WHEN ((c_custkey - 1) % 150) + 1 <= 132 THEN 's2' "
+        "WHEN ((c_custkey - 1) % 150) + 1 <= 140 THEN 's3' "
+        "WHEN ((c_custkey - 1) % 150) + 1 <= 146 THEN 's4' "
+        "WHEN ((c_custkey - 1) % 150) + 1 <= 149 THEN 's5' "
+        "ELSE 's6' END AS server FROM customer), "
+        "loads AS (SELECT server, count(*)::BIGINT AS load FROM a "
+        "GROUP BY server), "
+        "par AS (SELECT sum(load)::BIGINT AS nr, count(*)::BIGINT AS ns, "
+        "sum(load)::DOUBLE / count(*) AS avg, "
+        "floor(sum(load)::DOUBLE / count(*))::BIGINT AS mn, "
+        "ceil(sum(load)::DOUBLE / count(*))::BIGINT AS mx, "
+        "max(load) AS maxl, min(load) AS minl FROM loads), "
+        "srv AS (SELECT l.server, l.load, p.mn, p.mx, p.nr, "
+        "row_number() OVER (ORDER BY l.load ASC, l.server ASC) AS asc_rank, "
+        "row_number() OVER (ORDER BY l.load DESC, l.server DESC) "
+        "AS desc_rank, greatest(l.load - p.mx, 0) AS ntu "
+        "FROM loads l, par p WHERE p.ns >= 2 AND "
+        "(p.maxl > ceil(p.avg * 1.2) OR p.minl < floor(p.avg * 0.8))), "
+        "regions AS (SELECT a.server, a.region, a.region_id, s.ntu, "
+        "row_number() OVER (PARTITION BY a.server "
+        "ORDER BY a.region_id DESC, a.region ASC) AS rn "
+        "FROM a JOIN srv s ON s.server = a.server), "
+        "q1 AS (SELECT server, region, region_id, row_number() OVER "
+        "(ORDER BY region_id DESC, region ASC) AS q "
+        "FROM regions WHERE rn <= ntu), "
+        "u0 AS (SELECT server, load, asc_rank, "
+        "CASE WHEN mn - load > 0 THEN mn - load ELSE 1 END AS put, "
+        "nr - mn AS budget FROM srv WHERE load < mn OR load = 0), "
+        "u1 AS (SELECT *, coalesce(sum(put) OVER (ORDER BY asc_rank "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS cum_before FROM u0), "
+        "u2 AS (SELECT *, max(CASE WHEN cum_before = budget THEN 1 "
+        "ELSE 0 END) OVER (ORDER BY asc_rank ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS stop FROM u1), "
+        "u AS (SELECT *, row_number() OVER (ORDER BY asc_rank) AS i_rank "
+        "FROM u2 WHERE stop = 0), "
+        "slots AS (SELECT server, i_rank, k.k AS sweep, "
+        "row_number() OVER (ORDER BY k.k ASC, "
+        "CASE WHEN k.k % 2 = 1 THEN i_rank ELSE -i_rank END ASC) "
+        "AS slot_seq FROM u, unnest(generate_series(1, put)) AS k(k)), "
+        "deal2 AS (SELECT q1.server, q1.region, q1.region_id, q1.q, "
+        "s.server AS dest FROM q1 LEFT JOIN slots s ON s.slot_seq = q1.q), "
+        "a2 AS (SELECT region, server AS source, dest, 2 AS phase, "
+        "q AS ord FROM deal2 WHERE dest IS NOT NULL), "
+        "recv AS (SELECT dest AS server, count(*)::BIGINT AS added "
+        "FROM a2 GROUP BY dest), "
+        "t2 AS (SELECT (SELECT coalesce(sum(put), 0) FROM u) "
+        "- (SELECT count(*) FROM a2) AS needed), "
+        "cut3 AS (SELECT min(CASE WHEN ntu >= load THEN desc_rank END) "
+        "AS c FROM srv), "
+        "elig3 AS (SELECT s.server, s.ntu, row_number() OVER "
+        "(ORDER BY s.desc_rank) AS rn3 FROM srv s, t2, cut3 "
+        "WHERE t2.needed > 0 AND s.desc_rank < "
+        "coalesce(cut3.c, 2147483647)), "
+        "shed3 AS (SELECT r.server, r.region, r.region_id FROM regions r "
+        "JOIN elig3 e ON e.server = r.server AND r.rn = e.ntu + 1, t2 "
+        "WHERE e.rn3 <= t2.needed), "
+        "queue AS (SELECT *, row_number() OVER (ORDER BY region_id DESC, "
+        "region ASC) AS pos FROM ("
+        "SELECT server, region, region_id FROM deal2 WHERE dest IS NULL "
+        "UNION ALL SELECT server, region, region_id FROM shed3)), "
+        "s45 AS (SELECT s.*, coalesce(r.added, 0) AS added FROM srv s "
+        "LEFT JOIN recv r ON r.server = s.server), "
+        "cut4 AS (SELECT min(CASE WHEN load >= mn THEN asc_rank END) "
+        "AS c FROM s45), "
+        "f40 AS (SELECT server, asc_rank, mn - load - added AS take4 "
+        "FROM s45, cut4 WHERE asc_rank < coalesce(cut4.c, 2147483647) "
+        "AND load + added < mn), "
+        "f4 AS (SELECT *, coalesce(sum(take4) OVER (ORDER BY asc_rank "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo4 "
+        "FROM f40), "
+        "a4 AS (SELECT q.region, q.server AS source, f.server AS dest, "
+        "4 AS phase, q.pos AS ord FROM queue q JOIN f4 f "
+        "ON q.pos > f.lo4 AND q.pos <= f.lo4 + f.take4), "
+        "tot4 AS (SELECT coalesce(sum(take4), 0) AS t4 FROM f4), "
+        "cut5 AS (SELECT min(CASE WHEN load + added >= mx "
+        "THEN asc_rank END) AS c FROM s45), "
+        "f5 AS (SELECT server, row_number() OVER (ORDER BY asc_rank) "
+        "AS rn5 FROM s45, cut5 WHERE asc_rank < "
+        "coalesce(cut5.c, 2147483647)), "
+        "a5 AS (SELECT q.region, q.server AS source, f.server AS dest, "
+        "5 AS phase, q.pos AS ord FROM queue q, f5 f, tot4 "
+        "WHERE q.pos = tot4.t4 + f.rn5), "
+        "plans AS (SELECT * FROM a2 UNION ALL SELECT * FROM a4 "
+        "UNION ALL SELECT * FROM a5) "
+        "SELECT 'usertable' AS table_name, row_number() OVER "
+        "(ORDER BY phase ASC, ord ASC)::BIGINT AS plan_seq, "
+        "region, source, dest, phase::INT AS phase FROM plans"
+    )
+
+
 def _region_splitter_oracle() -> str:
     """SQL mirror of q_region_splitter: the hex quotient (2^32 div n)
     and the uniform quotient split into 32-bit halves (2^64 div n =
@@ -2282,6 +2387,39 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.score_quality(docs, w, buckets=1024)
 
 
+def q_balancer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleLoadBalancer region balance planning
+    (SimpleLoadBalancer.java:184 balanceCluster, BaseLoadBalancer.java
+    :1138 needsBalance; operators/balancer.py): a 7-server cluster with
+    skewed loads built from customer (folded-key ranges 70/40/22/8/6/
+    3/1 per 150 keys — chosen so at sf0.01 the phase-2 round-robin
+    deal falls ONE region short, exercising the phase-3 second shed
+    and the phase-4 fill, while at sf0.1 the shed overshoots by three,
+    exercising the phase-5 one-each leftovers). The oracle restates all five phases
+    of the linearization — shed-to-MAX ranks, the exact-zero maxToTake
+    cutoff, the (sweep, signed-rank) snake-deal slots, the phase-3
+    break rank, and the prefix-sum queue intervals — in SQL windows.
+    Randomized equivalence vs a line-for-line Java-walk model lives in
+    tests/test_balancer.py."""
+    from hbase_1_3_0_spark.operators.balancer import balance_cluster
+
+    cust = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    k1 = (k - 1) % 150 + 1
+    assign = cust.select(
+        F.lit("usertable").alias("table_name"),
+        F.concat(F.lit("r"), F.lpad(k.cast("string"), 10, "0")).alias(
+            "region"
+        ),
+        k.cast("long").alias("region_id"),
+        F.when(k1 <= 70, "s0").when(k1 <= 110, "s1")
+        .when(k1 <= 132, "s2").when(k1 <= 140, "s3")
+        .when(k1 <= 146, "s4").when(k1 <= 149, "s5")
+        .otherwise("s6").alias("server"),
+    )
+    return balance_cluster(assign)
+
+
 def q_region_chain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hbck region-chain integrity (HBaseFsck.java:2972 checkRegionChain
     over RegionSplitCalculator coverage; operators/hbck.py): five
@@ -3403,8 +3541,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    cell_acl r3-r6, and the security area stays repped
         #    in-window by access_check itself) --
         "access_check": q_access_check,
-        # -- coprocessors + streaming --
-        "observer_redact": q_observer_redact,
+        # -- r08: SimpleLoadBalancer five-phase balance planning joins
+        #    the master-chore family (normalizer/hbck/canary all
+        #    in-window) — rotated in over observer_redact (driver-green
+        #    five rounds r3-r7; coprocessors stay repped in-window by
+        #    access_check (AccessController IS a coprocessor) and
+        #    multirow_mutation (MultiRowMutationEndpoint)) --
+        "balancer_plan": q_balancer_plan,
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
         "dedup_ingest": q_dedup_ingest,
         # -- LLM training-data pipeline --
@@ -3436,8 +3579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r08 for region_splitter/multirow_mutation/
-        # export_filtered/access_check (see the in-window comments)
+        # export_filtered/access_check/balancer_plan (see the in-window
+        # comments)
         "visibility_labels": q_visibility_labels,
+        "observer_redact": q_observer_redact,
         "domain_filter": q_domain_filter,
         "lm_trigram": q_lm_trigram,
         "tokenizer_stats": q_tokenizer_stats,
@@ -4820,6 +4965,7 @@ def oracle_sql() -> dict[str, str]:
             "AS c_acctbal FROM customer"
         ),
         "access_check": _access_oracle(),
+        "balancer_plan": _balancer_oracle(),
         "dedup_clusters": (
             # chain edges (d-1, d) for d%5!=0 -> components are the runs
             # [5k, 5k+4]; closed form: component = doc_id - doc_id%5
