@@ -2387,6 +2387,32 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.score_quality(docs, w, buckets=1024)
 
 
+def q_quota_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC quota admission over the event log (RateLimiter.java:150
+    canExecute / FixedIntervalRateLimiter.java:33; operators/quota.py
+    throttle_fixed_window): at most 4 requests per user per day,
+    earliest first; throttled requests carry the getWaitInterval
+    analog — whole seconds to the next refill epoch. This is the
+    aligned-epoch batch form (divergence from the reference's
+    request-anchored refill documented in the module); the EXACT
+    sequential replay incl. AverageIntervalRateLimiter pro-rating is
+    pinned to the reference's own TestRateLimiter cases in
+    tests/test_quota.py."""
+    from hbase_1_3_0_spark.operators.quota import throttle_fixed_window
+
+    ev = _load(spark, sf_dir, "events")
+    out = throttle_fixed_window(
+        ev.select("event_id", "user_id", "ts"),
+        limit=4, window="1 day",
+        key_col="user_id", ts_col="ts", id_col="event_id",
+    )
+    return out.select(
+        F.col("req_id").alias("event_id"),
+        F.col("key").cast("long").alias("user_id"),
+        "win_start", "rn", "allowed", "wait_s",
+    )
+
+
 def q_balancer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleLoadBalancer region balance planning
     (SimpleLoadBalancer.java:184 balanceCluster, BaseLoadBalancer.java
@@ -3494,7 +3520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "text_normalize": q_text_normalize,
         "neardup_ingest": q_neardup_ingest,
-        "stateful_ttl_event": q_stateful_ttl_event,
+        # -- r08: RPC quota admission (RateLimiter/fixed-interval
+        #    throttle, aligned-epoch batch form) — rotated in over
+        #    stateful_ttl_event (driver-green four rounds r4-r7;
+        #    streaming/state stays repped in-window by dedup_ingest +
+        #    neardup_ingest) --
+        "quota_throttle": q_quota_throttle,
         # -- rotated in r04: rows-only-by-design ops (no oracle_sql; the
         #    driver records the weaker rows-only check for these) --
         "multimodal_features": q_multimodal_features,
@@ -3579,10 +3610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r08 for region_splitter/multirow_mutation/
-        # export_filtered/access_check/balancer_plan (see the in-window
-        # comments)
+        # export_filtered/access_check/balancer_plan/quota_throttle
+        # (see the in-window comments)
         "visibility_labels": q_visibility_labels,
         "observer_redact": q_observer_redact,
+        "stateful_ttl_event": q_stateful_ttl_event,
         "domain_filter": q_domain_filter,
         "lm_trigram": q_lm_trigram,
         "tokenizer_stats": q_tokenizer_stats,
@@ -4966,6 +4998,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "access_check": _access_oracle(),
         "balancer_plan": _balancer_oracle(),
+        "quota_throttle": (
+            # aligned-epoch fixed-interval throttle: rank within
+            # (user, day); wait = floor-seconds to the next epoch
+            # (Spark timestampdiff(SECOND) = complete seconds)
+            "WITH r AS (SELECT event_id, user_id, ts, "
+            "date_trunc('day', ts) AS w0, "
+            "row_number() OVER (PARTITION BY user_id, "
+            "date_trunc('day', ts) ORDER BY ts ASC, event_id ASC) AS rn "
+            "FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(w0::TIMESTAMP AS VARCHAR) AS win_start, rn::INT AS rn, "
+            "rn <= 4 AS allowed, "
+            "CASE WHEN rn <= 4 THEN 0 ELSE "
+            "floor(epoch(w0 + INTERVAL 1 DAY - ts)) END::BIGINT AS wait_s "
+            "FROM r"
+        ),
         "dedup_clusters": (
             # chain edges (d-1, d) for d%5!=0 -> components are the runs
             # [5k, 5k+4]; closed form: component = doc_id - doc_id%5

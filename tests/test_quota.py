@@ -1,0 +1,183 @@
+"""RateLimiter replay + aligned-window throttle decision tables.
+
+The pinned cases mirror the reference's own
+TestRateLimiter.java:113-146 (fixed-interval overconsumption and
+resource availability) and :90-109 (average-interval pro-rating),
+re-expressed as request timelines since the replay admits-then-consumes
+(checkQuota-then-grab, DefaultOperationQuota.java:59) rather than
+consuming blind.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.operators import quota
+from hbase_1_3_0_spark.operators.quota import (
+    _walk_average,
+    _walk_fixed,
+    replay_rate_limiter,
+    throttle_fixed_window,
+)
+
+
+# ---- pure-walk decision tables (the reference's semantics) -------------
+
+
+def test_fixed_burst_and_refill():
+    # limit 10/sec: 11 at t=0 -> 10 allowed, 11th waits to the refill
+    rows = [(0, 1)] * 11 + [(1000, 1), (1500, 1)]
+    got = _walk_fixed(rows, 10, 1000)
+    assert [g[0] for g in got[:10]] == [True] * 10
+    assert got[10] == (False, 0, 1000)  # nextRefill=1000, now=0
+    # t=1000 refills the full limit (anchor moves to 2000)
+    assert got[11] == (True, 9, 0)
+    # t=1500 is inside the 1000->2000 epoch: no refill, still avail
+    assert got[12] == (True, 8, 0)
+
+
+def test_fixed_epoch_anchored_at_first_request():
+    # first request at t=700 anchors the epoch at 1700, NOT at 1000
+    rows = [(700, 1)] * 10 + [(1200, 1), (1700, 1)]
+    got = _walk_fixed(rows, 10, 1000)
+    assert all(g[0] for g in got[:10])
+    assert got[10] == (False, 0, 500)  # 1700 - 1200
+    assert got[11][0] is True  # refill fires exactly at the anchor
+
+
+def test_fixed_resource_availability():
+    # TestRateLimiter.java:137: consume 3 of 10, then 10 must wait for
+    # the next epoch
+    rows = [(0, 3), (1, 10), (1000, 10)]
+    got = _walk_fixed(rows, 10, 1000)
+    assert got[0] == (True, 7, 0)
+    assert got[1] == (False, 7, 999)
+    assert got[2] == (True, 0, 0)
+
+
+def test_average_pro_rated_refill():
+    # limit 10/sec: drain at t=0; +100ms pro-rates exactly 1 unit
+    # (TestRateLimiter.java:90 overconsumption arithmetic: 100ms/unit)
+    rows = [(0, 10), (100, 1), (150, 1), (300, 2)]
+    got = _walk_average(rows, 10, 1000)
+    assert got[0] == (True, 0, 0)
+    assert got[1] == (True, 0, 0)  # floor(100/1000*10)=1, consumed
+    # 50ms later: floor(.5)=0 refilled, wait = (1-0)*1000/10 = 100
+    assert got[2] == (False, 0, 100)
+    # elapsed 200ms from the last refill anchor (t=100): 2 units
+    assert got[3] == (True, 0, 0)
+
+
+def test_average_full_refill_after_unit():
+    rows = [(0, 10), (1100, 10)]
+    got = _walk_average(rows, 10, 1000)
+    assert got == [(True, 0, 0), (True, 0, 0)]
+
+
+# ---- Spark replay == the walk, per key ---------------------------------
+
+
+def test_replay_matches_walk_random(spark):
+    rng = random.Random(88)
+    reqs, expected = [], {}
+    rid = 0
+    for key in ["u0", "u1", "u2", "u3"]:
+        t, rows = 0, []
+        for _ in range(60):
+            t += rng.randint(0, 700)
+            rows.append((t, rng.randint(1, 4)))
+        for ts, amt in rows:
+            rid += 1
+            reqs.append((rid, key, ts, amt))
+        expected[key] = rows
+    df = spark.createDataFrame(
+        reqs, "req_id long, key string, ts_ms long, amount long"
+    )
+    for policy, walk in [("fixed", _walk_fixed), ("average", _walk_average)]:
+        got = replay_rate_limiter(
+            df, limit=8, tunit_ms=1000, policy=policy
+        ).collect()
+        by_key: dict = {}
+        for r in sorted(got, key=lambda r: (r.key, r.ts_ms, r.req_id)):
+            by_key.setdefault(r.key, []).append(
+                (r.allowed, r.avail_after, r.wait_ms)
+            )
+        for key, rows in expected.items():
+            assert by_key[key] == walk(rows, 8, 1000), (policy, key)
+
+
+def test_replay_unknown_policy(spark):
+    df = spark.createDataFrame(
+        [(1, "k", 0, 1)], "req_id long, key string, ts_ms long, amount long"
+    )
+    with pytest.raises(ValueError):
+        replay_rate_limiter(df, limit=1, tunit_ms=1000, policy="nope")
+
+
+# ---- aligned-window batch admission -------------------------------------
+
+
+def _win_requests(spark):
+    rows = []
+    rid = 0
+    for key, n, base in [("a", 7, 0), ("b", 3, 10)]:
+        for i in range(n):
+            rid += 1
+            rows.append(
+                (rid, key, f"2024-01-01 00:00:{base + i:02d}.500")
+            )
+    return spark.createDataFrame(
+        rows, "req_id long, key string, ts string"
+    ).select("req_id", "key", F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+
+def test_window_throttle_limit_and_wait(spark):
+    df = _win_requests(spark)
+    got = {
+        r.req_id: r
+        for r in throttle_fixed_window(
+            df, limit=5, window="1 minute"
+        ).collect()
+    }
+    # key a: 7 requests in one minute -> first 5 allowed
+    assert [got[i].allowed for i in range(1, 8)] == [True] * 5 + [False] * 2
+    # wait_s: request 6 at 00:00:05.5 -> 54s to the next minute
+    assert got[6].wait_s == 54
+    assert got[7].wait_s == 53
+    assert all(got[i].wait_s == 0 for i in range(1, 6))
+    # key b untouched by key a's budget
+    assert all(got[i].allowed for i in range(8, 11))
+
+
+def test_window_throttle_agrees_with_replay_on_boundary_traffic(spark):
+    # when every epoch starts with a request AT the aligned boundary,
+    # the reference's request-anchored refill IS the aligned window:
+    # both paths must produce identical verdicts
+    rows = []
+    rid = 0
+    for minute in range(3):
+        for i in range(4):  # 4 requests per minute, limit 3
+            rid += 1
+            rows.append((rid, "k", minute * 60_000 + i * 1000))
+    df_ms = spark.createDataFrame(
+        rows, "req_id long, key string, ts_ms long"
+    )
+    rep = replay_rate_limiter(
+        df_ms.withColumn("amount", F.lit(1)),
+        limit=3, tunit_ms=60_000, policy="fixed",
+    ).collect()
+    win = throttle_fixed_window(
+        df_ms.select(
+            "req_id", "key",
+            F.timestamp_millis(F.col("ts_ms"))
+            .cast("timestamp_ntz").alias("ts"),
+        ),
+        limit=3, window="1 minute",
+    ).collect()
+    rv = {r.req_id: r.allowed for r in rep}
+    wv = {r.req_id: r.allowed for r in win}
+    assert rv == wv
+    assert sorted(rv.values()).count(False) == 3  # one throttled per minute
