@@ -516,3 +516,98 @@ def ordered_struct(*segments: Column) -> Column:
     (all numerics sort before all strings before all blobs, NULL class
     first)."""
     return F.encode(F.concat(*segments), "UTF-8")
+
+
+# -- Raw-IEEE fixed-length float encodings (OrderedBytes.java:1374,:1468) --
+#
+# Unlike the printable ordered_numeric family above (which mirrors the
+# reference's ORDER semantics in a hex-digit alphabet), these two are
+# BYTE-EXACT: header 0x30/0x31, then the IEEE-754 bit pattern with the
+# reference's order-preserving transform — flip ALL bits for negatives,
+# set the sign bit for positives (encodeFloat32:1377 / encodeFloat64
+# :1471: `bits ^= (bits >> SIZE-1) | MIN_VALUE`). DESCENDING complements
+# every byte (Order.DESCENDING 0xFF-XOR), done here as a hex-digit
+# translate (F<->0, E<->1, ... — the same involution in hex).
+# The bit casts Spark SQL lacks come from the JVM itself via the
+# built-in reflect() expression (Float.floatToIntBits etc.) — still
+# zero Python on the executor path.
+
+_HEX_FWD = "0123456789ABCDEF"
+_HEX_INV = "FEDCBA9876543210"
+
+
+def _complement_bytes(b: Column) -> Column:
+    """0xFF-XOR every byte of a binary column: complement in hex."""
+    return F.unhex(F.translate(F.hex(b), _HEX_FWD, _HEX_INV))
+
+
+def encode_float32_ob(col: Column, *, descending: bool = False) -> Column:
+    """OrderedBytes encodeFloat32 (:1374), byte-exact. NULL -> NULL
+    (the reference encodes NULL at the value level, not here)."""
+    bits = F.reflect(
+        F.lit("java.lang.Float"), F.lit("floatToIntBits"),
+        col.cast(T.FloatType()),
+    ).cast(T.LongType())
+    u = bits.bitwiseAND(F.lit(0xFFFFFFFF))
+    t = F.when(bits < 0, u.bitwiseXOR(F.lit(0xFFFFFFFF))).otherwise(
+        u.bitwiseXOR(F.lit(0x80000000))
+    )
+    out = F.concat(F.unhex(F.lit("30")), F.unhex(F.lpad(F.hex(t), 8, "0")))
+    if descending:
+        out = _complement_bytes(out)
+    return F.when(col.isNull(), F.lit(None).cast(T.BinaryType())).otherwise(
+        out
+    )
+
+
+def decode_float32_ob(col: Column, *, descending: bool = False) -> Column:
+    """Inverse of encode_float32_ob (decodeFloat32 :1391)."""
+    raw = _complement_bytes(col) if descending else col
+    body = F.hex(F.substring(raw, 2, 4))
+    t = F.conv(body, 16, 10).cast(T.LongType())
+    bits = F.when(
+        t.bitwiseAND(F.lit(0x80000000)) != 0,
+        t.bitwiseXOR(F.lit(0x80000000)),
+    ).otherwise(t.bitwiseXOR(F.lit(0xFFFFFFFF)))
+    # narrow to signed 32 for the reflect(int) signature
+    signed = F.when(
+        bits > F.lit(0x7FFFFFFF), bits - F.lit(0x100000000)
+    ).otherwise(bits)
+    return F.reflect(
+        F.lit("java.lang.Float"), F.lit("intBitsToFloat"),
+        signed.cast(T.IntegerType()),
+    ).cast(T.FloatType())
+
+
+def encode_float64_ob(col: Column, *, descending: bool = False) -> Column:
+    """OrderedBytes encodeFloat64 (:1468), byte-exact."""
+    bits = F.reflect(
+        F.lit("java.lang.Double"), F.lit("doubleToLongBits"),
+        col.cast(T.DoubleType()),
+    ).cast(T.LongType())
+    t = F.when(bits < 0, F.bitwise_not(bits)).otherwise(
+        bits.bitwiseXOR(F.lit(-0x8000000000000000))
+    )
+    out = F.concat(F.unhex(F.lit("31")), F.unhex(F.lpad(F.hex(t), 16, "0")))
+    if descending:
+        out = _complement_bytes(out)
+    return F.when(col.isNull(), F.lit(None).cast(T.BinaryType())).otherwise(
+        out
+    )
+
+
+def decode_float64_ob(col: Column, *, descending: bool = False) -> Column:
+    """Inverse of encode_float64_ob (decodeFloat64 :1489)."""
+    raw = _complement_bytes(col) if descending else col
+    body = F.hex(F.substring(raw, 2, 8))
+    # 16-hex-char unsigned -> the signed 64-bit pattern
+    t = F.reflect(
+        F.lit("java.lang.Long"), F.lit("parseUnsignedLong"),
+        body, F.lit(16),
+    ).cast(T.LongType())
+    bits = F.when(
+        t < 0, t.bitwiseXOR(F.lit(-0x8000000000000000))
+    ).otherwise(F.bitwise_not(t))
+    return F.reflect(
+        F.lit("java.lang.Double"), F.lit("longBitsToDouble"), bits
+    ).cast(T.DoubleType())
