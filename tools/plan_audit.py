@@ -60,6 +60,10 @@ AUDIT = [
     "quality_classifier",  # GD iters: broadcast weight joins, keyed aggs
     "region_chain_check",  # sweep windows; pairs only at problem keys
     "shard_manifest",   # pack window + one shard groupBy, no joins
+    "access_check",     # broadcast grant table; requests never shuffle
+    "balancer_plan",    # metadata windows + equi interval joins per table
+    "quota_throttle",   # one (key, window) rank; zero joins
+    "multirow_mutation",  # broadcast region range-join on the batch
 ]
 
 RED_FLAGS = {
@@ -124,6 +128,14 @@ WAIVERS = {
         "stream by broadcast crossJoin (the lm_bigram grand-total "
         "waiver); model joins are broadcast hash joins, top-k is "
         "TakeOrderedAndProject (pipeline/dsir.py)"
+    ),
+    ("multirow_mutation", "nested-loop join"): (
+        "the REGION TABLE (split boundaries — metadata, #regions rows) "
+        "broadcasts against the batch's distinct (group,row) pairs for "
+        "the range containment test `row >= start AND row < end` — a "
+        "non-equi join by nature, with the loop side the tiny broadcast "
+        "boundary list; the cell log itself never joins "
+        "(operators/mutations.py mutate_rows)"
     ),
     ("quality_classifier", "nested-loop join"): (
         "the ONE-ROW bias scalar attaches to the scored docs by "
