@@ -2387,6 +2387,45 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.score_quality(docs, w, buckets=1024)
 
 
+def q_retain_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retainAssignment after a cluster restart
+    (BaseLoadBalancer.java:1377; operators/balancer.py): live servers
+    derived from nation (8 hosts, 1-4 servers each at distinct ports),
+    pre-restart locations from customer (11 old hosts — three no longer
+    exist, every 13th region previously unassigned, ports drift).
+    Exercises all branches: exact (host, port) survivor -> retained;
+    host alive, port gone -> md5 pick among the host's servers; host
+    gone / never assigned -> cluster-wide md5 pick. The md5 pick is the
+    documented deterministic stand-in for the reference's random draw
+    and replays bit-for-bit in DuckDB via the ('0x'||substr(md5,1,8))
+    idiom. Decision table + determinism pytests in
+    tests/test_bulk_assignment.py (with roundRobin/immediate)."""
+    from hbase_1_3_0_spark.operators.balancer import retain_assignment
+
+    nation = _load(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("long")
+    live = nation.select(
+        F.concat(F.lit("h"), (nk % 8).cast("string")).alias("host"),
+        (F.lit(22) + F.floor(nk / 8)).cast("int").alias("port"),
+    ).withColumn(
+        "server",
+        F.concat(F.col("host"), F.lit(":"), F.col("port").cast("string")),
+    )
+    k = F.col("c_custkey").cast("long")
+    old = _load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("r"), F.lpad(k.cast("string"), 8, "0")).alias(
+            "region"
+        ),
+        F.when(k % 13 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("h"), (k % 11).cast("string")))
+        .alias("host"),
+        F.when(k % 13 == 0, F.lit(None))
+        .otherwise((F.lit(22) + k % 5).cast("int"))
+        .alias("port"),
+    )
+    return retain_assignment(old, live)
+
+
 def q_ordered_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-IEEE OrderedBytes float32/64 codecs (OrderedBytes.java:1374
     encodeFloat32, :1468 encodeFloat64; functions/codecs.py *_ob) —
@@ -3521,7 +3560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_range": q_scan_range,
         "filter_scvf": q_filter_scvf,
         # -- new in r05: Arrow IPC corpus source --
-        "arrow_roundtrip": q_arrow_roundtrip,
+        # -- r08: retainAssignment bulk placement (the AssignmentManager
+        #    trio; full decision table + md5-pick replay) — rotated in
+        #    over arrow_roundtrip (driver-green r5-r7; sources stay
+        #    repped in-window by csv_roundtrip) --
+        "retain_assignment": q_retain_assignment,
         # -- new in r06: CSV source roundtrip (quoted/multiline) --
         "csv_roundtrip": q_csv_roundtrip,
         # -- read-view semantics --
@@ -3663,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observer_redact": q_observer_redact,
         "stateful_ttl_event": q_stateful_ttl_event,
         "lm_trigram_mkn": q_lm_trigram_mkn,
+        "arrow_roundtrip": q_arrow_roundtrip,
         "domain_filter": q_domain_filter,
         "lm_trigram": q_lm_trigram,
         "tokenizer_stats": q_tokenizer_stats,
@@ -5046,6 +5090,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "access_check": _access_oracle(),
         "balancer_plan": _balancer_oracle(),
+        "retain_assignment": (
+            # the full retainAssignment decision table; md5 pick
+            # replayed via the ('0x'||substr(md5,1,8)) idiom
+            "WITH live AS (SELECT 'h' || (n_nationkey % 8)::VARCHAR "
+            "AS host, (22 + n_nationkey // 8)::INT AS port, "
+            "'h' || (n_nationkey % 8)::VARCHAR || ':' || "
+            "(22 + n_nationkey // 8)::VARCHAR AS server FROM nation), "
+            "perhost AS (SELECT host, port, server, "
+            "row_number() OVER (PARTITION BY host ORDER BY server) - 1 "
+            "AS hidx, count(*) OVER (PARTITION BY host) AS hn FROM live), "
+            "allsrv AS (SELECT server, row_number() OVER "
+            "(ORDER BY server) - 1 AS aidx FROM live), "
+            "old AS (SELECT 'r' || lpad(c_custkey::VARCHAR, 8, '0') "
+            "AS region, CASE WHEN c_custkey % 13 = 0 THEN NULL "
+            "ELSE 'h' || (c_custkey % 11)::VARCHAR END AS o_host, "
+            "CASE WHEN c_custkey % 13 = 0 THEN NULL "
+            "ELSE (22 + c_custkey % 5)::INT END AS o_port FROM customer), "
+            "agg AS (SELECT o.region, o.o_host, o.o_port, "
+            "count(p.server) AS n_local, "
+            "max(CASE WHEN p.port = o.o_port THEN p.server END) "
+            "AS same_port, max(p.hn) AS hn "
+            "FROM old o LEFT JOIN perhost p ON p.host = o.o_host "
+            "GROUP BY o.region, o.o_host, o.o_port), "
+            "lcl AS (SELECT a.region, "
+            "coalesce(a.same_port, p.server) AS dest, "
+            "CASE WHEN a.same_port IS NOT NULL THEN 'retained' "
+            "ELSE 'moved_host' END AS disposition "
+            "FROM agg a JOIN perhost p ON p.host = a.o_host "
+            "AND p.hidx = ('0x' || substr(md5(a.region), 1, 8))::BIGINT "
+            "% a.hn WHERE a.n_local > 0), "
+            "rnd AS (SELECT a.region, s.server AS dest, "
+            "'random' AS disposition FROM agg a JOIN allsrv s "
+            "ON s.aidx = ('0x' || substr(md5(a.region), 1, 8))::BIGINT "
+            "% (SELECT count(*) FROM live) WHERE a.n_local = 0) "
+            "SELECT * FROM lcl UNION ALL SELECT * FROM rnd"
+        ),
         "ordered_float": (
             # order-isomorphism of the raw-IEEE encodings: byte rank ==
             # numeric rank (float32 ties = REAL-collapsed doubles);

@@ -59,7 +59,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["balance_cluster", "DEFAULT_SLOP", "MIN_SERVER_BALANCE"]
+__all__ = [
+    "balance_cluster",
+    "round_robin_assignment",
+    "retain_assignment",
+    "immediate_assignment",
+    "DEFAULT_SLOP",
+    "MIN_SERVER_BALANCE",
+]
 
 #: hbase.regions.slop default (BaseLoadBalancer.java:1033)
 DEFAULT_SLOP = 0.2
@@ -385,3 +392,158 @@ def balance_cluster(
         .alias("plan_seq"),
         "region", "source", "dest", "phase",
     )
+
+
+# -- Bulk assignment (BaseLoadBalancer.java:1197/:1315/:1377) --------------
+#
+# The AssignmentManager's three placement calls, re-expressed
+# relationally. DOCUMENTED DIVERGENCE (same class as balance_cluster's
+# shuffle): every place the reference draws from its time-seeded RANDOM
+# (the round-robin start offset :1542, the random server pick :1442)
+# this analog uses a deterministic substitute — an explicit
+# ``start_index`` parameter and an md5-of-region-name pick — so output
+# is reproducible and oracle-checkable while preserving the invariants
+# (per-server counts within one, retained regions stay put).
+
+
+def round_robin_assignment(
+    regions: DataFrame,
+    servers: DataFrame,
+    *,
+    start_index: int = 0,
+    table_col: str = "table_name",
+    region_col: str = "region",
+    server_col: str = "server",
+) -> DataFrame:
+    """roundRobinAssignment (:1533): server slot j (from the start
+    offset) takes the regions at list indices ≡ j (mod numServers).
+    Regions order by name within table, servers by name — the
+    reference's caller passes HRegionInfo order. Returns (table_name,
+    region, dest)."""
+    srv = servers.select(
+        F.col(server_col).alias("dest")
+    ).distinct().withColumn(
+        "_sidx",
+        F.row_number().over(Window.orderBy("dest")) - 1,
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+    r = regions.select(
+        F.col(table_col).alias("table_name"),
+        F.col(region_col).alias("region"),
+    ).withColumn(
+        "_ridx",
+        F.row_number().over(
+            Window.partitionBy("table_name").orderBy("region")
+        ) - 1,
+    )
+    return r.join(
+        F.broadcast(srv),
+        (F.col("_ridx") % F.col("_n") + start_index) % F.col("_n")
+        == F.col("_sidx"),
+    ).select("table_name", "region", "dest")
+
+
+def _md5_pick(region: Column, n: Column) -> Column:
+    """Deterministic stand-in for the reference's random server pick:
+    md5(region) mod n (first 8 hex chars, the repo's engine-portable
+    hash idiom)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(region), 1, 8), 16, 10).cast("long"), n
+    )
+
+
+def retain_assignment(
+    old_assignments: DataFrame,
+    servers: DataFrame,
+    *,
+    region_col: str = "region",
+    host_col: str = "host",
+    port_col: str = "port",
+    server_col: str = "server",
+) -> DataFrame:
+    """retainAssignment (:1377): regions return to their old HOSTNAME
+    after a cluster restart (start codes change, so matching is by
+    host): exactly one live server on the host takes them; with
+    several, the exact old (host, port) wins, else a pick among the
+    host's servers; hosts with no live server fall back to a
+    cluster-wide pick. ``old_assignments``: (region, host, port) of the
+    pre-restart location (host NULL = previously unassigned).
+    ``servers``: live (server, host, port). Returns (region, dest,
+    disposition 'retained' | 'moved_host' | 'random')."""
+    live = servers.select(
+        F.col(server_col).alias("dest"),
+        F.col(host_col).alias("l_host"),
+        F.col(port_col).cast("int").alias("l_port"),
+    ).distinct()
+    n_all = live.count()
+    # rank live servers per host (for the md5 pick) and cluster-wide
+    per_host = live.withColumn(
+        "_hidx",
+        F.row_number().over(
+            Window.partitionBy("l_host").orderBy("dest")
+        ) - 1,
+    ).withColumn(
+        "_hn", F.count(F.lit(1)).over(Window.partitionBy("l_host"))
+    )
+    allsrv = live.withColumn(
+        "_aidx", F.row_number().over(Window.orderBy("dest")) - 1
+    )
+
+    old = old_assignments.select(
+        F.col(region_col).alias("region"),
+        F.col(host_col).alias("o_host"),
+        F.col(port_col).cast("int").alias("o_port"),
+    )
+    j = old.join(
+        F.broadcast(per_host),
+        F.col("o_host") == F.col("l_host"),
+        "left",
+    )
+    # per region: does the exact old (host, port) survive? else pick
+    # among the host's servers by md5(region) % count
+    per_region = j.groupBy("region", "o_host", "o_port").agg(
+        F.count("dest").alias("n_local"),
+        F.max(F.when(F.col("l_port") == F.col("o_port"), F.col("dest"))).alias(
+            "same_port"
+        ),
+        F.max(F.col("_hn")).alias("hn"),
+    )
+    picked_local = per_region.where(F.col("n_local") > 0).join(
+        F.broadcast(per_host.select("l_host", "dest", "_hidx")),
+        (F.col("o_host") == F.col("l_host"))
+        & (F.col("_hidx") == _md5_pick(F.col("region"), F.col("hn"))),
+    ).select(
+        "region",
+        F.coalesce(F.col("same_port"), F.col("dest")).alias("dest"),
+        F.when(F.col("same_port").isNotNull(), F.lit("retained"))
+        .otherwise(F.lit("moved_host"))
+        .alias("disposition"),
+    )
+    homeless = per_region.where(F.col("n_local") == 0).select("region")
+    picked_random = homeless.join(
+        F.broadcast(allsrv.select("dest", "_aidx")),
+        F.col("_aidx") == _md5_pick(F.col("region"), F.lit(n_all)),
+    ).select(
+        "region", "dest", F.lit("random").alias("disposition")
+    )
+    return picked_local.unionByName(picked_random)
+
+
+def immediate_assignment(
+    regions: DataFrame,
+    servers: DataFrame,
+    *,
+    region_col: str = "region",
+    server_col: str = "server",
+) -> DataFrame:
+    """immediateAssignment (:1315): one pick per region (the master's
+    stop-gap placement for closed regions with no destination); md5
+    pick in place of the reference's random. Returns (region, dest)."""
+    srv = servers.select(F.col(server_col).alias("dest")).distinct()
+    n = srv.count()
+    idx = srv.withColumn(
+        "_aidx", F.row_number().over(Window.orderBy("dest")) - 1
+    )
+    return regions.select(F.col(region_col).alias("region")).join(
+        F.broadcast(idx),
+        F.col("_aidx") == _md5_pick(F.col("region"), F.lit(n)),
+    ).select("region", "dest")
