@@ -45,7 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["replay_rate_limiter", "throttle_fixed_window"]
+__all__ = [
+    "replay_rate_limiter",
+    "throttle_fixed_window",
+    "check_quota_replay",
+    "LIMITER_KINDS",
+]
 
 
 def _walk_fixed(rows, limit, tunit):
@@ -191,3 +196,242 @@ def throttle_fixed_window(
             F.expr("timestampdiff(SECOND, ts, w.end)").cast("long")
         ).alias("wait_s"),
     )
+
+
+# -- Multi-scope composition (DefaultOperationQuota.java:59) ---------------
+
+_LONG_MAX = (1 << 63) - 1
+
+#: TimeBasedLimiter sub-limiter kinds, in the checkQuota order
+#: (TimeBasedLimiter.java:85-110)
+LIMITER_KINDS = (
+    "req_num", "req_size", "write_num", "write_size", "read_num",
+    "read_size",
+)
+
+
+class _RateLimiterState:
+    """RateLimiter.java state machine, line for line (both refill
+    policies). Used by the composed replay only — the single-scope
+    timeline form is `_walk_fixed`/`_walk_average` above."""
+
+    __slots__ = ("limit", "avail", "tunit", "policy", "next_refill")
+
+    def __init__(self, limit=_LONG_MAX, tunit_ms=1000, policy="fixed"):
+        self.limit = limit
+        self.avail = limit
+        self.tunit = tunit_ms
+        self.policy = policy
+        self.next_refill = -1
+
+    def is_bypass(self):
+        return self.limit == _LONG_MAX
+
+    def _refill(self, now):
+        if self.policy == "fixed":
+            if now < self.next_refill:
+                return 0
+            self.next_refill = now + self.tunit
+            return self.limit
+        if self.next_refill == -1:
+            self.next_refill = now
+            return self.limit
+        elapsed = now - self.next_refill
+        if elapsed >= self.tunit:
+            delta = self.limit
+        elif elapsed > 0:
+            delta = int(elapsed / self.tunit * self.limit)
+        else:
+            delta = 0
+        if delta > 0:
+            self.next_refill = now
+        return delta
+
+    def can_execute(self, now, amount=1):
+        """canExecute (:150): refills and caps avail as a side effect
+        even when the verdict is false — mirrored exactly (a composed
+        check that fails at a LATER limiter leaves earlier limiters
+        refilled but unconsumed, as in the reference)."""
+        if self.is_bypass():
+            return True
+        refill = self._refill(now)
+        if refill == 0 and self.avail < amount:
+            return False
+        self.avail = max(0, min(self.avail + refill, self.limit))
+        return self.avail >= amount
+
+    def consume(self, amount):
+        if self.is_bypass():
+            return
+        if amount >= 0:
+            self.avail = max(0, self.avail - amount)
+        else:
+            self.avail = min(self.avail - amount, self.limit)
+
+    def wait_interval(self, now, amount=1):
+        if amount <= self.avail:
+            return 0
+        if self.next_refill == -1:
+            return 0
+        if self.policy == "fixed":
+            return self.next_refill - now
+        return int((amount - self.avail) * self.tunit / self.limit)
+
+
+class _TimeBasedLimiter:
+    """TimeBasedLimiter.java: up to six sub-limiters, checked in the
+    :85-110 order; grabQuota consumes reqs/req_size always, the
+    write/read pairs only when that side is non-zero."""
+
+    def __init__(self, configs, policy):
+        self.subs = {
+            k: _RateLimiterState(limit, tunit, policy)
+            for k, (limit, tunit) in configs.items()
+        }
+        for k in LIMITER_KINDS:
+            self.subs.setdefault(k, _RateLimiterState())
+
+    def is_bypass(self):
+        return all(s.is_bypass() for s in self.subs.values())
+
+    def check_quota(self, now, write_size, read_size):
+        """Returns (ok, failed_kind, wait_ms)."""
+        s = self.subs
+        if not s["req_num"].can_execute(now):
+            return False, "req_num", s["req_num"].wait_interval(now)
+        tot = write_size + read_size
+        if not s["req_size"].can_execute(now, tot):
+            return False, "req_size", s["req_size"].wait_interval(now, tot)
+        if write_size > 0:
+            if not s["write_num"].can_execute(now):
+                return False, "write_num", s["write_num"].wait_interval(now)
+            if not s["write_size"].can_execute(now, write_size):
+                return (False, "write_size",
+                        s["write_size"].wait_interval(now, write_size))
+        if read_size > 0:
+            if not s["read_num"].can_execute(now):
+                return False, "read_num", s["read_num"].wait_interval(now)
+            if not s["read_size"].can_execute(now, read_size):
+                return (False, "read_size",
+                        s["read_size"].wait_interval(now, read_size))
+        return True, None, 0
+
+    def grab_quota(self, write_size, read_size):
+        s = self.subs
+        s["req_num"].consume(1)
+        s["req_size"].consume(write_size + read_size)
+        if write_size > 0:
+            s["write_num"].consume(1)
+            s["write_size"].consume(write_size)
+        if read_size > 0:
+            s["read_num"].consume(1)
+            s["read_size"].consume(read_size)
+
+
+def check_quota_replay(
+    requests: DataFrame,
+    limits: list,
+    *,
+    policy: str = "fixed",
+    avg_write_size: int = 100,
+    avg_read_size: int = 100,
+    avg_scan_size: int = 1000,
+    rs_col: str | None = None,
+) -> DataFrame:
+    """DefaultOperationQuota.checkQuota (:59) replayed over an ops log:
+    per request, the USER then TABLE then NAMESPACE limiters are all
+    checked (the reference's documented order) and, only if every one
+    admits, all grabbed — a request throttled at one scope consumes
+    NOTHING anywhere (though earlier limiters keep their refills, as in
+    the reference's mutate-on-check canExecute).
+
+    ``requests``: (req_id, ts_ms, user, table_name, namespace,
+    num_writes, num_reads, num_scans). ``limits``: list of
+    (scope, key, kind, limit, tunit_ms) with scope in
+    'user'|'table'|'namespace', kind in LIMITER_KINDS. Sizes are the
+    reference's estimates — 100 bytes per mutation/get, 1000 per scan
+    (DefaultOperationQuota.java:64-66 estimateConsume defaults).
+
+    Limiter state is shared ACROSS keys (one user's limiter spans all
+    their tables; a table limiter spans all its users), so the replay
+    is one sequential pass per region server (``rs_col``; the
+    reference enforces per-RS). Ops-log scale, same Arrow posture as
+    replay_rate_limiter. Returns the ids plus allowed / scope / reason
+    / wait_ms."""
+    if policy not in ("fixed", "average"):
+        raise ValueError(f"unknown rate-limiter policy: {policy}")
+    cfg: dict = {}
+    for scope, key, kind, limit, tunit in limits:
+        if scope not in ("user", "table", "namespace"):
+            raise ValueError(f"unknown quota scope: {scope}")
+        if kind not in LIMITER_KINDS:
+            raise ValueError(f"unknown limiter kind: {kind}")
+        cfg.setdefault((scope, key), {})[kind] = (int(limit), int(tunit))
+    pol = policy
+    aw, ar, asc = int(avg_write_size), int(avg_read_size), int(avg_scan_size)
+
+    base = requests.select(
+        F.col("req_id").cast("long"),
+        (F.col(rs_col) if rs_col else F.lit("rs0")).cast("string").alias(
+            "rs"
+        ),
+        F.col("ts_ms").cast("long"),
+        F.col("user").cast("string"),
+        F.col("table_name").cast("string"),
+        F.col("namespace").cast("string"),
+        F.col("num_writes").cast("int"),
+        F.col("num_reads").cast("int"),
+        F.col("num_scans").cast("int"),
+    )
+    schema = (
+        "req_id long, rs string, ts_ms long, user string, "
+        "table_name string, namespace string, allowed boolean, "
+        "scope string, reason string, wait_ms long"
+    )
+
+    def replay(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts_ms", "req_id"]).reset_index(drop=True)
+        limiters: dict = {}
+
+        def limiter_for(scope, key):
+            if (scope, key) not in limiters:
+                limiters[(scope, key)] = _TimeBasedLimiter(
+                    cfg.get((scope, key), {}), pol
+                )
+            return limiters[(scope, key)]
+
+        out = []
+        for r in pdf.itertuples(index=False):
+            wc = aw * r.num_writes if r.num_writes > 0 else 0
+            rc = (ar * r.num_reads if r.num_reads > 0 else 0) + (
+                asc * r.num_scans if r.num_scans > 0 else 0
+            )
+            chain = [
+                ("user", r.user), ("table", r.table_name),
+                ("namespace", r.namespace),
+            ]
+            verdict = (True, None, None, 0)
+            lims = [limiter_for(s, k) for s, k in chain]
+            for (scope, _key), lim in zip(chain, lims):
+                if lim.is_bypass():
+                    continue
+                ok, kind, wait = lim.check_quota(r.ts_ms, wc, rc)
+                if not ok:
+                    verdict = (False, scope, kind, wait)
+                    break
+            if verdict[0]:
+                for lim in lims:
+                    lim.grab_quota(wc, rc)
+            out.append(
+                (r.req_id, r.rs, r.ts_ms, r.user, r.table_name,
+                 r.namespace, *verdict)
+            )
+        return pd.DataFrame(
+            out,
+            columns=["req_id", "rs", "ts_ms", "user", "table_name",
+                     "namespace", "allowed", "scope", "reason", "wait_ms"],
+        )
+
+    return base.groupBy("rs").applyInPandas(replay, schema)

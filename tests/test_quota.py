@@ -181,3 +181,108 @@ def test_window_throttle_agrees_with_replay_on_boundary_traffic(spark):
     wv = {r.req_id: r.allowed for r in win}
     assert rv == wv
     assert sorted(rv.values()).count(False) == 3  # one throttled per minute
+
+
+# ---- composed DefaultOperationQuota replay -------------------------------
+
+
+def _reqs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "req_id long, ts_ms long, user string, table_name string, "
+        "namespace string, num_writes int, num_reads int, num_scans int",
+    )
+
+
+def test_composed_matches_single_scope_replay(spark):
+    # ONLY a per-user req_num limiter configured: the composed replay
+    # must equal replay_rate_limiter with amount=1 per request
+    rows, rid = [], 0
+    rng = random.Random(5)
+    for user in ["u0", "u1"]:
+        t = 0
+        for _ in range(40):
+            t += rng.randint(0, 600)
+            rid += 1
+            rows.append((rid, t, user, "t1", "ns1", 1, 0, 0))
+    df = _reqs(spark, rows)
+    limits = [("user", u, "req_num", 5, 1000) for u in ["u0", "u1"]]
+    composed = {
+        r.req_id: r.allowed
+        for r in quota.check_quota_replay(df, limits).collect()
+    }
+    single = {
+        r.req_id: r.allowed
+        for r in replay_rate_limiter(
+            df.select(
+                "req_id", F.col("user").alias("key"), "ts_ms",
+                F.lit(1).alias("amount"),
+            ),
+            limit=5, tunit_ms=1000, policy="fixed",
+        ).collect()
+    }
+    assert composed == single
+
+
+def test_composed_scopes_and_no_consume_on_deny(spark):
+    # user u0: 100 write-bytes/sec (= 1 mutation/sec at the 100-byte
+    # estimate); table t1: 3 reqs/sec shared across users
+    limits = [
+        ("user", "u0", "write_size", 100, 1000),
+        ("table", "t1", "req_num", 3, 1000),
+    ]
+    rows = [
+        # t=0: u0 writes once (user write budget gone, table 1/3)
+        (1, 0, "u0", "t1", "ns", 1, 0, 0),
+        # u0 second write -> denied at USER scope
+        (2, 0, "u0", "t1", "ns", 1, 0, 0),
+        # u1 reads twice: table now 3/3 (denied req did NOT consume)
+        (3, 0, "u1", "t1", "ns", 0, 1, 0),
+        (4, 0, "u1", "t1", "ns", 0, 1, 0),
+        # u1 third read -> denied at TABLE scope
+        (5, 0, "u1", "t1", "ns", 0, 1, 0),
+        # other table unaffected
+        (6, 0, "u1", "t2", "ns", 0, 1, 0),
+        # next second: user budget refills
+        (7, 1000, "u0", "t1", "ns", 1, 0, 0),
+    ]
+    got = {
+        r.req_id: (r.allowed, r.scope, r.reason)
+        for r in quota.check_quota_replay(_reqs(spark, rows), limits).collect()
+    }
+    assert got[1] == (True, None, None)
+    assert got[2] == (False, "user", "write_size")
+    assert got[3] == (True, None, None)
+    assert got[4] == (True, None, None)
+    assert got[5] == (False, "table", "req_num")
+    assert got[6] == (True, None, None)
+    assert got[7] == (True, None, None)
+
+
+def test_composed_scan_estimate_and_namespace(spark):
+    # namespace read_size 1000 bytes/sec: one scan (=1000) fits, a scan
+    # plus a get (1100) does not
+    limits = [("namespace", "ns", "read_size", 1000, 1000)]
+    rows = [
+        (1, 0, "u", "t", "ns", 0, 0, 1),     # 1000 read-bytes: exact fit
+        (2, 10, "u", "t", "ns", 0, 1, 0),    # +100 -> denied
+        (3, 1000, "u", "t", "ns", 0, 1, 1),  # 1100 > limit even fresh
+        (4, 2000, "u", "t", "ns", 0, 0, 1),  # fits again after refill
+    ]
+    got = {
+        r.req_id: (r.allowed, r.reason, r.wait_ms)
+        for r in quota.check_quota_replay(_reqs(spark, rows), limits).collect()
+    }
+    assert got[1] == (True, None, 0)
+    assert got[2][0] is False and got[2][1] == "read_size"
+    # 1100 can NEVER fit a 1000 limit: still denied right after refill
+    assert got[3][0] is False
+    assert got[4] == (True, None, 0)
+
+
+def test_composed_unknown_config(spark):
+    df = _reqs(spark, [(1, 0, "u", "t", "ns", 1, 0, 0)])
+    with pytest.raises(ValueError):
+        quota.check_quota_replay(df, [("user", "u", "nope", 1, 1000)])
+    with pytest.raises(ValueError):
+        quota.check_quota_replay(df, [("galaxy", "u", "req_num", 1, 1000)])
