@@ -2387,6 +2387,31 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.score_quality(docs, w, buckets=1024)
 
 
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced budget allocation (Chung et al., ICLR
+    2023; pipeline/sampling.py unimax_allocation): spread a character
+    budget of 1.6x the corpus (the multi-epoch pretraining regime) as
+    uniformly as possible across languages with a 2-epoch per-language
+    ceiling — small languages hit the cap, large ones split the rest — the budget-constrained
+    water-filling whose greedy loop linearizes to one sorted window
+    pass (capped set = a prefix of the cap-ascending order). Weights
+    are the documents table's n_chars column (engine-neutral — no
+    text-length functions in the oracle, the r6/r7 drift lesson);
+    randomized equivalence vs the paper's literal Algorithm-1 loop in
+    tests/test_sampling.py."""
+    from hbase_1_3_0_spark.pipeline.sampling import unimax_allocation
+
+    docs = _load(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    return unimax_allocation(
+        docs,
+        total_budget=1.6 * float(total),
+        max_epochs=2.0,
+        strata_col="lang",
+        weight_col=F.col("n_chars"),
+    )
+
+
 def q_retain_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """retainAssignment after a cluster restart
     (BaseLoadBalancer.java:1377; operators/balancer.py): live servers
@@ -3607,7 +3632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    near-dup sink, rows-only at the driver by design, verified
         #    locally against a pure-Python model oracle). All three
         #    smoke-tested on a plain local[8] session. --
-        "token_budget": q_token_budget,
+        # -- r08: UniMax language-balanced budget allocation (rotated
+        #    in over token_budget, green r6-r7; sampling stays repped
+        #    in-window by unimax_mix + pack_bins) --
+        "unimax_mix": q_unimax_mix,
         "text_normalize": q_text_normalize,
         "neardup_ingest": q_neardup_ingest,
         # -- r08: RPC quota admission (RateLimiter/fixed-interval
@@ -3707,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_ttl_event": q_stateful_ttl_event,
         "lm_trigram_mkn": q_lm_trigram_mkn,
         "arrow_roundtrip": q_arrow_roundtrip,
+        "token_budget": q_token_budget,
         "domain_filter": q_domain_filter,
         "lm_trigram": q_lm_trigram,
         "tokenizer_stats": q_tokenizer_stats,
@@ -5090,6 +5119,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "access_check": _access_oracle(),
         "balancer_plan": _balancer_oracle(),
+        "unimax_mix": (
+            # water-filling closed form over cap-ascending languages
+            "WITH per AS (SELECT lang, sum(n_chars)::DOUBLE AS n "
+            "FROM documents GROUP BY lang), "
+            "tot AS (SELECT 1.6 * sum(n) AS b FROM per), "
+            "ranked AS (SELECT p.lang, p.n, p.n * 2.0 AS cap, t.b, "
+            "row_number() OVER (ORDER BY p.n * 2.0 ASC, p.lang ASC) AS i, "
+            "coalesce(sum(p.n * 2.0) OVER (ORDER BY p.n * 2.0 ASC, "
+            "p.lang ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS pfx, count(*) OVER () AS nn "
+            "FROM per p, tot t), "
+            "flag AS (SELECT *, cap * (nn - i + 1) <= (b - pfx) "
+            "AS capped FROM ranked), "
+            "agg2 AS (SELECT *, sum(capped::INT) OVER () AS k, "
+            "sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS capsum "
+            "FROM flag), "
+            "fin AS (SELECT lang, n, cap, capped, "
+            "CASE WHEN capped THEN cap ELSE (b - capsum) / (nn - k) END "
+            "AS alloc FROM agg2) "
+            "SELECT lang, n, round(cap, 6) AS cap, "
+            "round(alloc, 6) AS alloc, round(alloc / n, 6) AS epochs, "
+            "capped FROM fin"
+        ),
         "retain_assignment": (
             # the full retainAssignment decision table; md5 pick
             # replayed via the ('0x'||substr(md5,1,8)) idiom

@@ -47,6 +47,7 @@ __all__ = [
     "pack_sequences",
     "temperature_mix_rates",
     "temperature_sample",
+    "unimax_allocation",
 ]
 
 
@@ -408,4 +409,76 @@ def pack_bins_ffd(
             F.col("_id").alias(id_col), "n_tokens", "grp", "bin",
             "oversize",
         )
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    *,
+    total_budget: float,
+    max_epochs: float = 1.0,
+    strata_col: str = "lang",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023 "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): spread ``total_budget`` units
+    (characters/tokens) as UNIFORMLY as possible across languages,
+    never exceeding ``max_epochs`` passes over any language's corpus —
+    the budget-constrained water-filling the paper's greedy loop
+    computes (Algorithm 1: repeatedly give every remaining language the
+    uniform share of the remaining budget, capping the ones whose
+    entire corpus x epoch budget is smaller and removing them).
+
+    The greedy loop has a one-pass closed form: with per-language caps
+    ``u_i = n_i * max_epochs`` sorted ascending, language i is capped
+    iff ``u_i * (langs_remaining) <= budget_remaining`` — the predicate
+    is monotone along the sort, so the capped set is a prefix and the
+    uncapped suffix splits what is left evenly. One #langs-row window
+    pass, no loop (same metadata posture as temperature_mix_rates; the
+    allocation then drives token_budget_sample / stratified_sample per
+    language).
+
+    Returns per-language (n, cap, alloc, epochs, capped), floats
+    rounded to 6dp. If the budget exceeds the total corpus x epoch
+    budget, every language caps and the surplus is unallocated (the
+    paper's N-epoch ceiling)."""
+    from pyspark.sql.window import Window
+
+    w = weight_col if weight_col is not None else F.lit(1)
+    per = df.groupBy(strata_col).agg(F.sum(w).cast("double").alias("n"))
+    caps = per.withColumn("cap", F.col("n") * F.lit(float(max_epochs)))
+
+    wo = Window.orderBy(F.col("cap").asc(), F.col(strata_col).asc())
+    wall = Window.partitionBy()
+    b = F.lit(float(total_budget))
+    ranked = caps.select(
+        "*",
+        F.row_number().over(wo).alias("_i"),
+        F.coalesce(
+            F.sum("cap").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ).alias("_prefix"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    ).withColumn(
+        "capped",
+        (F.col("cap") * (F.col("_n") - F.col("_i") + 1))
+        <= (b - F.col("_prefix")),
+    )
+    ranked = ranked.select(
+        "*",
+        F.sum(F.col("capped").cast("int")).over(wall).alias("_k"),
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0.0))
+        .over(wall)
+        .alias("_capsum"),
+    )
+    share = (b - F.col("_capsum")) / (F.col("_n") - F.col("_k"))
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(share)
+    return ranked.select(
+        strata_col,
+        "n",
+        F.round("cap", 6).alias("cap"),
+        F.round(alloc, 6).alias("alloc"),
+        F.round(alloc / F.col("n"), 6).alias("epochs"),
+        "capped",
     )

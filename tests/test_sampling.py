@@ -193,3 +193,89 @@ def test_temperature_mix_alpha_lifts_small_sources(spark):
     got2 = {r.doc_id for r in sampling.temperature_sample(df, alpha=0.5, target_frac=0.3).collect()}
     assert got1 == got2
     assert 200 < len(got1) < 400
+
+
+# ---- UniMax budget allocation (Chung et al., ICLR 2023) ------------------
+
+
+def _unimax_greedy(counts: dict, budget: float, epochs: float) -> dict:
+    """The paper's Algorithm 1, literally: repeatedly offer every
+    remaining language the uniform share of the remaining budget; cap
+    and remove the ones whose corpus x epochs is smaller; stop when an
+    iteration caps nothing."""
+    caps = {l: n * epochs for l, n in counts.items()}
+    alloc = {}
+    remaining = dict(caps)
+    b = budget
+    while remaining:
+        share = b / len(remaining)
+        newly = {l: u for l, u in remaining.items() if u <= share}
+        if not newly:
+            for l in remaining:
+                alloc[l] = share
+            return alloc
+        for l, u in newly.items():
+            alloc[l] = u
+            b -= u
+            del remaining[l]
+    return alloc
+
+
+def test_unimax_matches_greedy_random(spark):
+    import random
+
+    from hbase_1_3_0_spark.pipeline.sampling import unimax_allocation
+
+    rng = random.Random(31)
+    for trial in range(8):
+        langs = {f"l{i:02d}": rng.randint(1, 10_000) for i in
+                 range(rng.randint(1, 12))}
+        total = sum(langs.values())
+        budget = rng.uniform(0.05, 3.0) * total
+        epochs = rng.choice([1.0, 2.0, 4.0])
+        rows = [(l, n) for l, n in langs.items()]
+        df = spark.createDataFrame(rows, "lang string, tokens long")
+        got = {
+            r.lang: (r.alloc, r.capped)
+            for r in unimax_allocation(
+                df, total_budget=budget, max_epochs=epochs,
+                weight_col=F.col("tokens"),
+            ).collect()
+        }
+        exp = _unimax_greedy(langs, budget, epochs)
+        assert set(got) == set(exp), trial
+        for l, a in exp.items():
+            assert abs(got[l][0] - a) < 1e-4, (trial, l, got[l][0], a)
+            assert got[l][1] == (abs(a - langs[l] * epochs) < 1e-9), (
+                trial, l)
+
+
+def test_unimax_decision_table(spark):
+    from hbase_1_3_0_spark.pipeline.sampling import unimax_allocation
+
+    # corpus sizes 10 / 100 / 1000, budget 600, 1 epoch:
+    # l0 caps at 10; remaining 590 splits 295/295 (l1 caps? 100 <= 295
+    # -> caps at 100); remaining 490 -> l2 gets 490 of its 1000
+    df = spark.createDataFrame(
+        [("l0", 10), ("l1", 100), ("l2", 1000)], "lang string, tokens long"
+    )
+    got = {
+        r.lang: r
+        for r in unimax_allocation(
+            df, total_budget=600, max_epochs=1.0, weight_col=F.col("tokens")
+        ).collect()
+    }
+    assert (got["l0"].alloc, got["l0"].capped) == (10.0, True)
+    assert (got["l1"].alloc, got["l1"].capped) == (100.0, True)
+    assert (got["l2"].alloc, got["l2"].capped) == (490.0, False)
+    assert got["l2"].epochs == 0.49
+    # budget above the whole corpus x epochs: everything caps
+    got2 = {
+        r.lang: r
+        for r in unimax_allocation(
+            df, total_budget=10_000, max_epochs=2.0,
+            weight_col=F.col("tokens"),
+        ).collect()
+    }
+    assert all(r.capped for r in got2.values())
+    assert got2["l2"].epochs == 2.0
