@@ -68,30 +68,112 @@ class TableMeta:
     def qualified_name(self) -> str:
         return f"{self.namespace}:{self.name}"
 
+    @property
+    def num_regions(self) -> int:
+        """Region count as the NamespaceAuditor counts it: pre-split
+        boundaries + 1, else the physical range-partition hint, else 1."""
+        if self.split_points:
+            return len(self.split_points) + 1
+        return self.range_partitions or 1
+
+
+class QuotaExceededError(ValueError):
+    """QuotaExceededException analog (NamespaceStateManager checks)."""
+
 
 class Catalog:
     """In-memory namespace/table registry with optional JSON persistence."""
 
     def __init__(self, path: str | Path | None = None) -> None:
         self._tables: dict[str, TableMeta] = {}
-        self._namespaces: set[str] = {"default", "hbase"}
+        #: namespace -> quota props (NamespaceDescriptor configuration:
+        #: hbase.namespace.quota.maxtables / maxregions)
+        self._namespaces: dict[str, dict] = {"default": {}, "hbase": {}}
         self._path = Path(path) if path else None
         if self._path and self._path.exists():
             self._load()
 
     # -- namespaces (Admin.createNamespace / deleteNamespace) --------------
-    def create_namespace(self, name: str) -> None:
-        self._namespaces.add(name)
+    def create_namespace(
+        self,
+        name: str,
+        *,
+        max_tables: int | None = None,
+        max_regions: int | None = None,
+    ) -> None:
+        """createNamespace with optional NamespaceAuditor quotas
+        (NamespaceDescriptor KEY_MAX_TABLES/KEY_MAX_REGIONS;
+        TableNamespaceManager.java:304-308 rejects values <= 0)."""
+        props = {}
+        for key, v in (("maxtables", max_tables), ("maxregions", max_regions)):
+            if v is None:
+                continue
+            if int(v) <= 0:
+                raise ValueError(
+                    f"hbase.namespace.quota.{key} must be positive: {v}"
+                )
+            props[key] = int(v)
+        self._namespaces[name] = props
         self._persist()
 
     def drop_namespace(self, name: str) -> None:
         if any(t.namespace == name for t in self._tables.values()):
             raise ValueError(f"namespace {name!r} is not empty")
-        self._namespaces.discard(name)
+        self._namespaces.pop(name, None)
         self._persist()
 
     def namespaces(self) -> list[str]:
         return sorted(self._namespaces)
+
+    # -- NamespaceAuditor (namespace/NamespaceAuditor.java:58,:76) ----------
+    def _ns_state(self, namespace: str) -> tuple[int, int]:
+        """(table count, region count) of the namespace — the
+        NamespaceTableAndRegionInfo cache, recomputed from the registry."""
+        tables = [t for t in self._tables.values() if t.namespace == namespace]
+        return len(tables), sum(t.num_regions for t in tables)
+
+    def _check_create_quota(self, meta: TableMeta) -> None:
+        """checkAndUpdateNamespaceTableCount (NamespaceStateManager:148):
+        table count at the limit, or region budget overflow, fails the
+        create."""
+        props = self._namespaces.get(meta.namespace) or {}
+        if not props:
+            return
+        n_tables, n_regions = self._ns_state(meta.namespace)
+        if "maxtables" in props and n_tables >= props["maxtables"]:
+            raise QuotaExceededError(
+                f"The table {meta.qualified_name} cannot be created as it "
+                f"would exceed maximum number of tables allowed in the "
+                f"namespace. The total number of tables permitted is "
+                f"{props['maxtables']}"
+            )
+        if (
+            "maxregions" in props
+            and n_regions + meta.num_regions > props["maxregions"]
+        ):
+            raise QuotaExceededError(
+                f"The table {meta.qualified_name} is not allowed to have "
+                f"{meta.num_regions} regions. The total number of regions "
+                f"permitted is only {props['maxregions']}, while current "
+                f"region count is {n_regions}"
+            )
+
+    def _check_region_quota(self, meta: TableMeta) -> None:
+        """checkAndUpdateNamespaceRegionCount (NamespaceStateManager:120):
+        the namespace's region count with this table's NEW size swapped
+        in must fit the budget (splits, merges, restores)."""
+        props = self._namespaces.get(meta.namespace) or {}
+        if "maxregions" not in props:
+            return
+        _, n_regions = self._ns_state(meta.namespace)
+        old = self._tables[meta.qualified_name].num_regions
+        if n_regions - old + meta.num_regions > props["maxregions"]:
+            raise QuotaExceededError(
+                f"The table {meta.qualified_name} region count cannot be "
+                f"updated as it would exceed maximum number of regions "
+                f"allowed in the namespace. The total number of regions "
+                f"permitted is {props['maxregions']}"
+            )
 
     # -- tables (Admin.createTable / disable+deleteTable / describe) -------
     def create_table(self, meta: TableMeta) -> TableMeta:
@@ -99,6 +181,7 @@ class Catalog:
             raise KeyError(f"no such namespace: {meta.namespace!r}")
         if meta.qualified_name in self._tables:
             raise ValueError(f"table exists: {meta.qualified_name}")
+        self._check_create_quota(meta)
         self._tables[meta.qualified_name] = meta
         self._persist()
         return meta
@@ -106,6 +189,7 @@ class Catalog:
     def alter_table(self, meta: TableMeta) -> TableMeta:
         if meta.qualified_name not in self._tables:
             raise KeyError(f"no such table: {meta.qualified_name}")
+        self._check_region_quota(meta)
         self._tables[meta.qualified_name] = meta
         self._persist()
         return meta
@@ -134,14 +218,20 @@ class Catalog:
             return d
 
         payload = {
-            "namespaces": sorted(self._namespaces),
+            "namespaces": {
+                n: self._namespaces[n] for n in sorted(self._namespaces)
+            },
             "tables": [encode(t) for t in self._tables.values()],
         }
         self._path.write_text(json.dumps(payload, indent=2))
 
     def _load(self) -> None:
         payload = json.loads(self._path.read_text())
-        self._namespaces = set(payload["namespaces"])
+        ns = payload["namespaces"]
+        # pre-r8 catalogs persisted a bare name list (no quota props)
+        self._namespaces = (
+            dict(ns) if isinstance(ns, dict) else {n: {} for n in ns}
+        )
         for t in payload["tables"]:
             fams = tuple(FamilyMeta(**f) for f in t.pop("families"))
             if t.get("split_points"):
