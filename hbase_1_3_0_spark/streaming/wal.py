@@ -58,12 +58,50 @@ def write_wal_batch(cells: DataFrame, wal_dir: str | Path) -> None:
     cells.write.mode("append").parquet(str(wal_dir))
 
 
+def peer_scope_filter(
+    table_name: str,
+    table_cfs: dict[str, list[str] | None] | None,
+    *,
+    replicated_families: list[str] | None = None,
+):
+    """Per-peer WAL-entry predicate (ReplicationAdmin tableCFs +
+    HColumnDescriptor REPLICATION_SCOPE).
+
+    ``table_cfs`` is the peer's subscription map, exactly
+    ReplicationAdmin.parseTableCFsFromConfig (ReplicationAdmin.java:203):
+    table -> list of column families, or None for ALL the table's
+    families; a table absent from a non-None map ships NOTHING. A None
+    map means every table (addPeer with no tableCFs arg).
+
+    ``replicated_families`` is the table's scope-1 family list —
+    REPLICATION_SCOPE defaults to LOCAL(0) per family
+    (HColumnDescriptor.java:221), so only families the owner marked
+    GLOBAL ever reach any peer; None skips the scope check (every
+    family global, the common demo posture).
+
+    Returns a Column predicate over the cell log, or None when the
+    whole table is excluded (caller ships nothing)."""
+    pred = F.lit(True)
+    if replicated_families is not None:
+        pred = pred & F.col("family").isin(list(replicated_families))
+    if table_cfs is not None:
+        if table_name not in table_cfs:
+            return None
+        cfs = table_cfs[table_name]
+        if cfs is not None:
+            pred = pred & F.col("family").isin(list(cfs))
+    return pred
+
+
 def replicate(
     stream: DataFrame,
     apply_batch: Callable[[DataFrame, int], None],
     *,
     checkpoint_dir: str | Path,
     dedup_within_batch: bool = True,
+    table_name: str | None = None,
+    table_cfs: dict[str, list[str] | None] | None = None,
+    replicated_families: list[str] | None = None,
 ):
     """Replication sink (ReplicationSource analog): ship the mutation stream
     to a peer via foreachBatch.
@@ -71,9 +109,18 @@ def replicate(
     ``apply_batch(batch_df, batch_id)`` receives each micro-batch already
     deduplicated on the cell identity; checkpointing makes delivery
     effectively-once across restarts (the replication queue zk-state
-    analog)."""
+    analog). ``table_cfs``/``replicated_families`` scope the shipped
+    entries per peer (see :func:`peer_scope_filter`) — the filter rides
+    INSIDE the stream so excluded cells never reach the peer callable
+    (the reference's ReplicationSource entry filter)."""
+    pred = peer_scope_filter(
+        table_name or "", table_cfs, replicated_families=replicated_families
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        if pred is None:
+            return  # table not subscribed by this peer
+        batch = batch.where(pred)
         if dedup_within_batch:
             batch = batch.dropDuplicates(CELL_IDENTITY)
         apply_batch(batch, batch_id)

@@ -1019,3 +1019,50 @@ def test_neardup_first_batch_half_commit_replays(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="backfill_neardup_band_store"):
         commit([(10, "completely novel words about broadcast joins")], 1)
+
+
+def test_replication_peer_table_cfs_scoping(spark, tmp_path):
+    """ReplicationAdmin tableCFs + REPLICATION_SCOPE
+    (ReplicationAdmin.java:203 parseTableCFsFromConfig;
+    HColumnDescriptor.java:221 scope LOCAL default): peer A subscribes
+    everything, peer B only family 'd' of this table, peer C a
+    different table (ships nothing); a scope-list restricts every peer
+    to the GLOBAL families."""
+    wal_dir = tmp_path / "wal"
+    batch = _cells(
+        spark,
+        [
+            (b"r1", "d", b"c", 100, TYPE_PUT, b"v1", 0),
+            (b"r1", "e", b"c", 100, TYPE_PUT, b"v2", 0),
+            (b"r2", "f", b"c", 100, TYPE_PUT, b"v3", 0),
+        ],
+    )
+    wal.write_wal_batch(batch, wal_dir)
+
+    def run(name, **kw):
+        got = []
+
+        def apply_batch(df, _bid):
+            got.extend((r["row"], r["family"]) for r in df.collect())
+
+        q = wal.replicate(
+            wal.mutation_stream(spark, wal_dir), apply_batch,
+            checkpoint_dir=tmp_path / f"ckpt_{name}",
+            table_name="t1", **kw,
+        ).start()
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert run("a") == [(b"r1", "d"), (b"r1", "e"), (b"r2", "f")]
+    assert run("b", table_cfs={"t1": ["d"]}) == [(b"r1", "d")]
+    assert run("b2", table_cfs={"t1": None}) == [
+        (b"r1", "d"), (b"r1", "e"), (b"r2", "f")
+    ]
+    assert run("c", table_cfs={"other": None}) == []
+    # scope: only 'd' and 'e' are GLOBAL on this table
+    assert run("s", replicated_families=["d", "e"]) == [
+        (b"r1", "d"), (b"r1", "e")
+    ]
+    # scope composes with the peer subscription
+    assert run("sb", table_cfs={"t1": ["e", "f"]},
+               replicated_families=["d", "e"]) == [(b"r1", "e")]
