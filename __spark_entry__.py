@@ -3579,6 +3579,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     c4_clean, embedding_decontaminate, pack_bins) for text_stats/
     cosine_topk/temperature_mix/pack_sequences/exact_k_sample — after
     which EVERY declared query has a driver row in r01-r06.
+
+    Round 8 rotates IN ten new queries (region_splitter,
+    multirow_mutation, export_filtered, access_check, balancer_plan,
+    quota_throttle, ordered_float, retain_assignment, unimax_mix — all
+    new surfaces this round) over ten multi-round-green veterans
+    (domain_filter, lm_trigram, tokenizer_stats, visibility_labels,
+    observer_redact, stateful_ttl_event, lm_trigram_mkn,
+    arrow_roundtrip, token_budget), each rotation note naming how the
+    vacated area stays represented in-window.
     """
     return {
         # -- client read/write representatives (previously green r01+r02) --
