@@ -30,6 +30,9 @@ class FamilyMeta:
     min_versions: int = 0  # (:155)
     ttl_seconds: int = TTL_FOREVER  # (:216), seconds; FOREVER = Integer.MAX_VALUE
     keep_deleted_cells: str = "FALSE"  # FALSE | TRUE | TTL (:171)
+    #: REPLICATION_SCOPE (:221): LOCAL(0) by default — a family never
+    #: ships to replication peers unless marked GLOBAL(1)
+    replication_scope: int = 0
 
 
 @dataclass(frozen=True)
@@ -89,6 +92,8 @@ class Catalog:
         #: namespace -> quota props (NamespaceDescriptor configuration:
         #: hbase.namespace.quota.maxtables / maxregions)
         self._namespaces: dict[str, dict] = {"default": {}, "hbase": {}}
+        #: peer_id -> tableCFs map (None = every table)
+        self._peers: dict[str, dict | None] = {}
         self._path = Path(path) if path else None
         if self._path and self._path.exists():
             self._load()
@@ -124,6 +129,36 @@ class Catalog:
 
     def namespaces(self) -> list[str]:
         return sorted(self._namespaces)
+
+    # -- replication peers (ReplicationAdmin.addPeer / removePeer) ----------
+    def add_replication_peer(
+        self,
+        peer_id: str,
+        table_cfs: str | dict[str, list[str] | None] | None = None,
+    ) -> None:
+        """addPeer (ReplicationAdmin.java:183): registers a peer with an
+        optional tableCFs subscription — either the reference's config
+        string ("table1:cf1,cf2;table2") or the parsed map; None/empty
+        means every table."""
+        if peer_id in self._peers:
+            raise ValueError(f"replication peer exists: {peer_id}")
+        if isinstance(table_cfs, str):
+            from hbase_1_3_0_spark.streaming.wal import parse_table_cfs
+
+            table_cfs = parse_table_cfs(table_cfs)
+        self._peers[peer_id] = table_cfs
+        self._persist()
+
+    def remove_replication_peer(self, peer_id: str) -> None:
+        del self._peers[peer_id]
+        self._persist()
+
+    def replication_peer(self, peer_id: str):
+        """The peer's tableCFs map (None = all tables)."""
+        return self._peers[peer_id]
+
+    def replication_peers(self) -> list[str]:
+        return sorted(self._peers)
 
     # -- NamespaceAuditor (namespace/NamespaceAuditor.java:58,:76) ----------
     def _ns_state(self, namespace: str) -> tuple[int, int]:
@@ -222,6 +257,7 @@ class Catalog:
                 n: self._namespaces[n] for n in sorted(self._namespaces)
             },
             "tables": [encode(t) for t in self._tables.values()],
+            "peers": self._peers,
         }
         self._path.write_text(json.dumps(payload, indent=2))
 
@@ -232,6 +268,7 @@ class Catalog:
         self._namespaces = (
             dict(ns) if isinstance(ns, dict) else {n: {} for n in ns}
         )
+        self._peers = payload.get("peers", {})
         for t in payload["tables"]:
             fams = tuple(FamilyMeta(**f) for f in t.pop("families"))
             if t.get("split_points"):

@@ -327,6 +327,18 @@ class _TimeBasedLimiter:
             s["read_num"].consume(1)
             s["read_size"].consume(read_size)
 
+    def consume_write(self, size):
+        """TimeBasedLimiter.consumeWrite (:131): the close()-time
+        actual-vs-estimate adjustment — negative sizes REFUND (consume
+        of a negative re-credits avail, capped at limit)."""
+        self.subs["req_size"].consume(size)
+        self.subs["write_size"].consume(size)
+
+    def consume_read(self, size):
+        """TimeBasedLimiter.consumeRead (:137)."""
+        self.subs["req_size"].consume(size)
+        self.subs["read_size"].consume(size)
+
 
 def check_quota_replay(
     requests: DataFrame,
@@ -337,6 +349,7 @@ def check_quota_replay(
     avg_read_size: int = 100,
     avg_scan_size: int = 1000,
     rs_col: str | None = None,
+    track_actual_sizes: bool = False,
 ) -> DataFrame:
     """DefaultOperationQuota.checkQuota (:59) replayed over an ops log:
     per request, the USER then TABLE then NAMESPACE limiters are all
@@ -357,7 +370,15 @@ def check_quota_replay(
     is one sequential pass per region server (``rs_col``; the
     reference enforces per-RS). Ops-log scale, same Arrow posture as
     replay_rate_limiter. Returns the ids plus allowed / scope / reason
-    / wait_ms."""
+    / wait_ms.
+
+    ``track_actual_sizes``: the close()-time adjustment
+    (DefaultOperationQuota.java:88 close — ``consumeWrite/consumeRead``
+    of actual-minus-estimated on EVERY limiter in the chain; an op that
+    moved less than estimated REFUNDS, one that moved more overdraws,
+    clamped at [0, limit]). Requests then carry ``actual_write_bytes``
+    / ``actual_read_bytes`` for their true post-op sizes (applied only
+    to admitted requests — a throttled RPC never ran)."""
     if policy not in ("fixed", "average"):
         raise ValueError(f"unknown rate-limiter policy: {policy}")
     cfg: dict = {}
@@ -382,12 +403,21 @@ def check_quota_replay(
         F.col("num_writes").cast("int"),
         F.col("num_reads").cast("int"),
         F.col("num_scans").cast("int"),
+        *(
+            (
+                F.col("actual_write_bytes").cast("long"),
+                F.col("actual_read_bytes").cast("long"),
+            )
+            if track_actual_sizes
+            else ()
+        ),
     )
     schema = (
         "req_id long, rs string, ts_ms long, user string, "
         "table_name string, namespace string, allowed boolean, "
         "scope string, reason string, wait_ms long"
     )
+    adjust = bool(track_actual_sizes)
 
     def replay(pdf):
         import pandas as pd
@@ -424,6 +454,14 @@ def check_quota_replay(
             if verdict[0]:
                 for lim in lims:
                     lim.grab_quota(wc, rc)
+                if adjust:
+                    wdiff = r.actual_write_bytes - wc
+                    rdiff = r.actual_read_bytes - rc
+                    for lim in lims:
+                        if wdiff != 0:
+                            lim.consume_write(wdiff)
+                        if rdiff != 0:
+                            lim.consume_read(rdiff)
             out.append(
                 (r.req_id, r.rs, r.ts_ms, r.user, r.table_name,
                  r.namespace, *verdict)

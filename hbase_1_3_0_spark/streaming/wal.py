@@ -58,6 +58,42 @@ def write_wal_batch(cells: DataFrame, wal_dir: str | Path) -> None:
     cells.write.mode("append").parquet(str(wal_dir))
 
 
+def parse_table_cfs(config: str | None) -> dict[str, list[str] | None] | None:
+    """ReplicationAdmin.parseTableCFsFromConfig (:203), line for line:
+    ``"table1:cf1,cf2;table2"`` — entries split on ';', each either
+    ``table`` (all families) or ``table:cf1,cf2``; blank entries are
+    skipped, malformed ones (more than one ':' or an empty table name)
+    are IGNORED as the reference logs-and-continues; an empty/None
+    config returns None = every table."""
+    if config is None or not config.strip():
+        return None
+    out: dict[str, list[str] | None] = {}
+    for tab in config.split(";"):
+        tab = tab.strip()
+        if not tab:
+            continue
+        pair = tab.split(":")
+        tab_name = pair[0].strip()
+        if len(pair) > 2 or not tab_name:
+            continue  # invalid entry: ignored (:224)
+        cfs: list[str] | None = None
+        if len(pair) == 2:
+            for cf in pair[1].split(","):
+                cf = cf.strip()
+                if cf:
+                    cfs = (cfs or [])
+                    cfs.append(cf)
+        out[tab_name] = cfs
+    return out
+
+
+def replicated_families(meta) -> list[str]:
+    """The table's GLOBAL-scope family names (HColumnDescriptor
+    REPLICATION_SCOPE == 1) — what :func:`peer_scope_filter` wants as
+    ``replicated_families`` when driving replication off the catalog."""
+    return [f.name for f in meta.families if f.replication_scope == 1]
+
+
 def peer_scope_filter(
     table_name: str,
     table_cfs: dict[str, list[str] | None] | None,

@@ -286,3 +286,43 @@ def test_composed_unknown_config(spark):
         quota.check_quota_replay(df, [("user", "u", "nope", 1, 1000)])
     with pytest.raises(ValueError):
         quota.check_quota_replay(df, [("galaxy", "u", "req_num", 1, 1000)])
+
+
+def test_close_adjustment_overdraw_and_refund(spark):
+    # user write_size 300 bytes/sec; estimates are 100/mutation
+    limits = [("user", "u", "write_size", 300, 1000)]
+    rows = [
+        # estimated 100 but actually moved 300: budget drains fully
+        (1, 0, "u", "t", "ns", 1, 0, 0, 300, 0),
+        # the overdraw is visible: the next estimated-100 write denies
+        (2, 10, "u", "t", "ns", 1, 0, 0, 100, 0),
+        # next second: estimated 100, actually 10 -> 90 refunded
+        (3, 1000, "u", "t", "ns", 1, 0, 0, 10, 0),
+        (4, 1010, "u", "t", "ns", 1, 0, 0, 100, 0),
+        (5, 1020, "u", "t", "ns", 1, 0, 0, 100, 0),
+        # 290 actually consumed of 300: one more 100-estimate still fits?
+        # avail = 300 - 10 - 100 - 100 = 90 < 100 -> denied
+        (6, 1030, "u", "t", "ns", 1, 0, 0, 100, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "req_id long, ts_ms long, user string, table_name string, "
+        "namespace string, num_writes int, num_reads int, num_scans int, "
+        "actual_write_bytes long, actual_read_bytes long",
+    )
+    got = {
+        r.req_id: r.allowed
+        for r in quota.check_quota_replay(
+            df, limits, track_actual_sizes=True
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True, 6: False}
+    # WITHOUT tracking, request 2 would also deny (estimate consumed
+    # 100 of 300 -> 200 left >= 100 allowed!) — show the contrast
+    got2 = {
+        r.req_id: r.allowed
+        for r in quota.check_quota_replay(
+            df.drop("actual_write_bytes", "actual_read_bytes"), limits
+        ).collect()
+    }
+    assert got2[2] is True  # estimate-only: 200 bytes still available

@@ -1066,3 +1066,62 @@ def test_replication_peer_table_cfs_scoping(spark, tmp_path):
     # scope composes with the peer subscription
     assert run("sb", table_cfs={"t1": ["e", "f"]},
                replicated_families=["d", "e"]) == [(b"r1", "e")]
+
+
+def test_parse_table_cfs_grammar():
+    """parseTableCFsFromConfig (:203): the exact string grammar incl.
+    the ignore-malformed rule."""
+    assert wal.parse_table_cfs(None) is None
+    assert wal.parse_table_cfs("  ") is None
+    assert wal.parse_table_cfs("t1:cf1,cf2;t2") == {
+        "t1": ["cf1", "cf2"], "t2": None,
+    }
+    # blank entries skipped; malformed (two colons / empty name) ignored
+    assert wal.parse_table_cfs(";t1: cf1 , ;a:b:c;:cfX;t3") == {
+        "t1": ["cf1"], "t3": None,
+    }
+
+
+def test_catalog_peer_registry_drives_replication(spark, tmp_path):
+    from hbase_1_3_0_spark.catalog import Catalog, FamilyMeta, TableMeta
+
+    cat = Catalog(tmp_path / "cat.json")
+    cat.add_replication_peer("p1", "t1:d;t9")
+    with pytest.raises(ValueError):
+        cat.add_replication_peer("p1")
+    meta = TableMeta(
+        name="t1",
+        families=(
+            FamilyMeta(name="d", replication_scope=1),
+            FamilyMeta(name="e"),  # LOCAL: never ships
+        ),
+    )
+    assert wal.replicated_families(meta) == ["d"]
+    # persistence roundtrip keeps the subscription
+    again = Catalog(tmp_path / "cat.json")
+    assert again.replication_peers() == ["p1"]
+    assert again.replication_peer("p1") == {"t1": ["d"], "t9": None}
+
+    wal_dir = tmp_path / "wal"
+    batch = _cells(
+        spark,
+        [
+            (b"r1", "d", b"c", 100, TYPE_PUT, b"v1", 0),
+            (b"r1", "e", b"c", 100, TYPE_PUT, b"v2", 0),
+        ],
+    )
+    wal.write_wal_batch(batch, wal_dir)
+    got = []
+
+    def apply_batch(df, _bid):
+        got.extend((r["row"], r["family"]) for r in df.collect())
+
+    q = wal.replicate(
+        wal.mutation_stream(spark, wal_dir), apply_batch,
+        checkpoint_dir=tmp_path / "ckpt",
+        table_name="t1",
+        table_cfs=again.replication_peer("p1"),
+        replicated_families=wal.replicated_families(meta),
+    ).start()
+    q.awaitTermination(120)
+    assert got == [(b"r1", "d")]
