@@ -303,6 +303,26 @@ def q_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(start_row=_k(100), stop_row=_k(600)), CUSTOMER_COLS)
 
 
+def q_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScanMetrics counters (Scan.setScanMetricsEnabled;
+    ServerSideScanMetrics.java:57 countOfRowsFiltered, :63
+    countOfRowsScanned; table.py scan_metrics): a filtered range scan
+    [100, 900) over customer with an SCVF on mktsegment — one row of
+    rows_scanned (live rows visited, pre-filter) / rows_returned /
+    rows_filtered (= scanned - returned). Exercises the same range +
+    filter machinery as scan_range/filter_scvf with the metrics
+    contract on top."""
+    t = _table(spark, sf_dir, "customer")
+    return t.scan_metrics(
+        start_row=_k(100),
+        stop_row=_k(900),
+        filter=(
+            "SingleColumnValueFilter('d', 'c_mktsegment', =, "
+            "'binary:BUILDING')"
+        ),
+    )
+
+
 def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch point reads: semi join of the key set (Table.get(List<Get>))."""
     t = _table(spark, sf_dir, "customer")
@@ -3590,8 +3610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vacated area stays represented in-window.
     """
     return {
-        # -- client read/write representatives (previously green r01+r02) --
-        "scan_range": q_scan_range,
+        # -- client read/write representatives; r08 rotates in the
+        #    ScanMetrics contract over scan_range (green r6+r7; the
+        #    range+filter machinery stays exercised by scan_metrics
+        #    itself plus scan_batched/filter_scvf) --
+        "scan_metrics": q_scan_metrics,
         "filter_scvf": q_filter_scvf,
         # -- new in r05: Arrow IPC corpus source --
         # -- r08: retainAssignment bulk placement (the AssignmentManager
@@ -3745,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram_mkn": q_lm_trigram_mkn,
         "arrow_roundtrip": q_arrow_roundtrip,
         "token_budget": q_token_budget,
+        "scan_range": q_scan_range,
         "domain_filter": q_domain_filter,
         "lm_trigram": q_lm_trigram,
         "tokenizer_stats": q_tokenizer_stats,
@@ -4215,6 +4239,14 @@ def oracle_sql() -> dict[str, str]:
         "scan_range": (
             f"SELECT {cust_cols} FROM customer "
             "WHERE c_custkey >= 100 AND c_custkey < 600"
+        ),
+        "scan_metrics": (
+            "SELECT count(*)::BIGINT AS rows_scanned, "
+            "sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)"
+            "::BIGINT AS rows_returned, "
+            "(count(*) - sum(CASE WHEN c_mktsegment = 'BUILDING' "
+            "THEN 1 ELSE 0 END))::BIGINT AS rows_filtered "
+            "FROM customer WHERE c_custkey >= 100 AND c_custkey < 900"
         ),
         "multi_get": (
             f"SELECT {cust_cols} FROM customer "

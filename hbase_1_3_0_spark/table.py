@@ -237,6 +237,36 @@ class Table:
         df = Observers.apply(self.observers.post_scan, df)
         return df.select(*CELL_COLUMNS)
 
+    def scan_metrics(self, scan: Scan | None = None, **kw) -> DataFrame:
+        """ScanMetrics (Scan.setScanMetricsEnabled + ServerSideScanMetrics
+        .java:57,:63): one row of (rows_scanned, rows_returned,
+        rows_filtered) for the scan — countOfRowsScanned is every live
+        row the scanner visited in the range (post read-view, pre
+        filter), countOfRowsFiltered the visited rows the filter
+        excluded entirely, exactly scanned - returned.
+
+        Batch-engine posture notes: the counts come from TWO passes of
+        the same range (the reference tallies both server-side in one
+        iteration; a metrics call is diagnostic, not a hot path), and a
+        row ``limit`` bounds rows_returned only — the reference stops
+        scanning at the limit, a batch scan visits the whole range."""
+        s = scan or Scan()
+        if kw:
+            s = s.with_(**kw)
+        visited = self.scan(s.with_(filter=None, limit=None))
+        returned = self.scan(s)
+        a = visited.agg(F.count_distinct(F.col("row")).alias("rows_scanned"))
+        b = returned.agg(
+            F.count_distinct(F.col("row")).alias("rows_returned")
+        )
+        return a.crossJoin(b).select(
+            "rows_scanned",
+            "rows_returned",
+            (F.col("rows_scanned") - F.col("rows_returned")).alias(
+                "rows_filtered"
+            ),
+        )
+
     def scan_batched(
         self, scan: Scan | None = None, *, batch: int, **kw
     ) -> DataFrame:

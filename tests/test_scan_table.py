@@ -266,3 +266,35 @@ def test_scan_batched_partial_results(spark):
     }
     with _pytest.raises(ValueError, match="batch"):
         t.scan_batched(batch=2, filter=fa.PageFilter(1))
+
+
+def test_scan_metrics_counts(customer_table):
+    """ScanMetrics (ServerSideScanMetrics.java:57,:63): scanned = live
+    rows visited in the range pre-filter, filtered = scanned -
+    returned; a row limit bounds returned only (batch posture,
+    documented)."""
+    table, df = customer_table
+    from hbase_1_3_0_spark.filters import ast as fa
+
+    filt = fa.SingleColumnValueFilter(
+        "d", b"c_mktsegment", fa.CompareOp.EQUAL,
+        fa.BinaryComparator(b"BUILDING"),
+    )
+    m = table.scan_metrics(
+        Scan(start_row=key(10), stop_row=key(60), filter=filt)
+    ).first()
+    exp_scanned = df.where("c_custkey >= 10 and c_custkey < 60").count()
+    exp_returned = df.where(
+        "c_custkey >= 10 and c_custkey < 60 and c_mktsegment = 'BUILDING'"
+    ).count()
+    assert (m.rows_scanned, m.rows_returned, m.rows_filtered) == (
+        exp_scanned, exp_returned, exp_scanned - exp_returned
+    )
+    # no filter: nothing filtered
+    m2 = table.scan_metrics(Scan(start_row=key(10), stop_row=key(60))).first()
+    assert m2.rows_filtered == 0 and m2.rows_scanned == exp_scanned
+    # a limit bounds returned, never scanned
+    m3 = table.scan_metrics(
+        Scan(start_row=key(10), stop_row=key(60), limit=3)
+    ).first()
+    assert (m3.rows_scanned, m3.rows_returned) == (exp_scanned, 3)
