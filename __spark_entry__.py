@@ -3390,25 +3390,25 @@ def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     TEXT-FREE on the oracle side (the r07 red was the oracle's lone
     `len(d.text)` term drifting on the driver's DuckDB build — the
     same engine-sensitivity class as the r06 substring_dedup red).
-    Contract now: n_cut_chars comes from span arithmetic (both
-    engines), and the length-conservation check that clean_len used
-    to provide is a SPARK-SIDE boolean —
-    rebuild_consistent = (length(clean_text) == orig_len - n_cut_chars)
-    — which the oracle states as literal TRUE. If the higher-order
-    rebuild ever drops or duplicates a segment the boolean goes
-    false and the hash mismatches, so the assertion is preserved
-    while the engine-sensitive term is gone."""
+    Contract now (r09, closing the r08 red): PURE INTEGERS —
+    (doc_id, n_cut_chars) from span arithmetic on both engines. The
+    r08 red was NOT the spans (substring_dedup, the byte-identical
+    CTE chain, was green in the same driver run): it was the oracle's
+    final select emitting an uncast DuckDB HUGEINT (sum() over
+    integers is int128, which degrades to float64/object under the
+    driver's arrow fetch path — the repo's 84-site ::BIGINT
+    convention exists precisely for this; this select was the one
+    site that skipped it). The length-conservation assertion
+    (length(clean_text) == orig_len - n_cut_chars) moved to pytest
+    (tests/test_properties.py::test_substring_clean_rebuild_consistent)
+    so the driver-compared surface has zero non-convention terms."""
     from hbase_1_3_0_spark.pipeline import substrings
 
     docs = _load(spark, sf_dir, "documents")
     out = substrings.remove_repeated_spans(docs, k=40)
     return out.select(
         "doc_id",
-        "n_cut_chars",
-        (
-            F.length("clean_text").cast("long")
-            == F.col("orig_len") - F.col("n_cut_chars")
-        ).alias("rebuild_consistent"),
+        F.col("n_cut_chars").cast("long").alias("n_cut_chars"),
     )
 
 
@@ -5391,11 +5391,15 @@ def oracle_sql() -> dict[str, str]:
         "substring_clean": (
             # length accounting of the surgery — TEXT-FREE final
             # select (r07 driver red: `len(d.text)` drifted on the
-            # driver's DuckDB). n_cut_chars is pure span arithmetic;
-            # the length-conservation assertion lives Spark-side as
-            # the rebuild_consistent boolean (oracle states TRUE).
-            # Spans CTE chain identical to substring_dedup (driver-
-            # green r07, so the chain itself is proven engine-safe).
+            # driver's DuckDB), and (r09, the r08 red) the final
+            # aggregate CAST ::BIGINT: DuckDB sum() over integers is
+            # HUGEINT (int128), which survives coalesce and degrades
+            # to float64/object under arrow fetch — the driver-only,
+            # fetchall-invisible hash-drift class. The length-
+            # conservation boolean moved to pytest; the compared
+            # surface is now pure BIGINT span arithmetic. Spans CTE
+            # chain identical to substring_dedup (driver-green
+            # r07/r08, so the chain itself is proven engine-safe).
             "WITH w AS (SELECT doc_id, i AS pos, "
             "md5(substr(text, i, 40)) AS digest "
             "FROM (SELECT doc_id, text, "
@@ -5419,8 +5423,7 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT doc_id, sum(en - st) AS cut_chars "
             "FROM spans GROUP BY doc_id) "
             "SELECT d.doc_id, "
-            "coalesce(a.cut_chars, 0) AS n_cut_chars, "
-            "TRUE AS rebuild_consistent "
+            "coalesce(a.cut_chars, 0)::BIGINT AS n_cut_chars "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "jpeg_probe": (

@@ -1707,3 +1707,26 @@ def test_gopher_repetition_islands_equals_positions(spark, texts):
         ).collect()
     }
     assert isl_rows == pos_rows
+
+
+def test_substring_clean_rebuild_consistent(spark):
+    """Length-conservation of remove_repeated_spans on the real sf0.001
+    documents table: length(clean_text) == orig_len - n_cut_chars for
+    EVERY doc. This assertion used to ride the driver-compared output
+    of substring_clean as a boolean column; r09 moved it here so the
+    driver contract is pure BIGINT span arithmetic (the r08 red was
+    the oracle side's uncast HUGEINT aggregate, and the reshape leaves
+    that query zero non-convention surface)."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.pipeline import substrings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = substrings.remove_repeated_spans(docs, k=40)
+    bad = out.where(
+        F.length("clean_text").cast("long")
+        != F.col("orig_len") - F.col("n_cut_chars")
+    ).count()
+    assert bad == 0
+    # and the surgery is non-trivial on this corpus (spans exist)
+    assert out.where(F.col("n_cut_chars") > 0).count() > 0
