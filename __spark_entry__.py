@@ -2540,6 +2540,72 @@ def q_quota_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quota_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MasterQuotaManager quota-settings store + operation-quota
+    resolution (Admin.setQuota Admin.java:1416; MasterQuotaManager.java
+    :297 setQuota; RegionServerQuotaManager.java:85 getQuota;
+    UserQuotaState.java:184 getTableLimiter; operators/
+    quota_settings.py). Five tables derived from region (namespace =
+    ns<rk%2>); stored via the CRUD API: table REQUEST_NUMBER quotas on
+    rk 0/2, a namespace quota on ns1, user0 global, user1 per-table
+    (rk 1) + per-namespace (ns0) overrides, user2 global + bypass
+    globals, user3 nothing. The resolution matrix (4 users x 5 tables)
+    exercises every branch: scope-level precedence (table > namespace >
+    global), bypassGlobals dropping the table/ns limiters, and the
+    noop row (user3 on the quota-free rk-4 table). The oracle restates
+    the stored settings + precedence as pure metadata SQL."""
+    from hbase_1_3_0_spark.operators.quota_settings import (
+        MasterQuotaManager,
+        bypass_globals,
+        resolve_operation_quota,
+        throttle_namespace,
+        throttle_table,
+        throttle_user,
+    )
+
+    regions = _load(spark, sf_dir, "region").collect()  # 5 rows, metadata
+    tbls = sorted(
+        (r.r_regionkey, "tbl_" + r.r_name.lower().replace(" ", "_"))
+        for r in regions
+    )
+    by_rk = dict(tbls)
+    m = MasterQuotaManager()
+    for rk, tbl in tbls:
+        if rk % 2 == 0 and rk < 4:
+            m.set_quota(
+                throttle_table(tbl, "REQUEST_NUMBER", 100 * (rk + 1),
+                               "SECONDS")
+            )
+    m.set_quota(throttle_namespace("ns1", "REQUEST_NUMBER", 500, "SECONDS"))
+    m.set_quota(throttle_user("user0", "REQUEST_NUMBER", 50, "SECONDS"))
+    m.set_quota(
+        throttle_user("user1", "REQUEST_NUMBER", 10, "SECONDS",
+                      table=by_rk[1])
+    )
+    m.set_quota(
+        throttle_user("user1", "REQUEST_NUMBER", 20, "SECONDS",
+                      namespace="ns0")
+    )
+    m.set_quota(throttle_user("user2", "REQUEST_NUMBER", 77, "SECONDS"))
+    m.set_quota(bypass_globals("user2", True))
+
+    users = spark.createDataFrame(
+        [(f"user{i}",) for i in range(4)], "user: string"
+    )
+    tdf = spark.createDataFrame(
+        [(tbl, f"ns{rk % 2}") for rk, tbl in tbls],
+        "table_name: string, namespace: string",
+    )
+    out = resolve_operation_quota(
+        users.crossJoin(tdf), m.settings_df(spark)
+    )
+    return out.select(
+        F.col("user").alias("user_name"),
+        "table_name", "namespace", "user_scope", "user_req_num",
+        "table_req_num", "ns_req_num", "bypass_globals", "noop",
+    )
+
+
 def q_balancer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleLoadBalancer region balance planning
     (SimpleLoadBalancer.java:184 balanceCluster, BaseLoadBalancer.java
@@ -3759,6 +3825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
+        # -- new r09 (rotation into the window happens at round
+        #    freeze): MasterQuotaManager settings CRUD + operation-
+        #    quota resolution (VERDICT r08 gap #1) --
+        "quota_settings": q_quota_settings,
         # rotated out r08 for region_splitter/multirow_mutation/
         # export_filtered/access_check/balancer_plan/quota_throttle
         # (see the in-window comments)
@@ -5233,6 +5303,39 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY v DESC, c_custkey DESC)"
             "::INT AS r64d, "
             "TRUE AS rt32, TRUE AS rt64 FROM b"
+        ),
+        "quota_settings": (
+            # MasterQuotaManager settings + getQuota resolution as pure
+            # metadata SQL: the stored settings are restated as CASE
+            # rules over the same region-derived tables; precedence is
+            # SCOPE-level (user+table > user+namespace > user-global,
+            # UserQuotaState.java:184), bypassGlobals drops the
+            # table/ns limiters, noop = every consulted limiter absent
+            "WITH tbls AS (SELECT r_regionkey AS rk, "
+            "'tbl_' || lower(replace(r_name, ' ', '_')) AS tbl, "
+            "'ns' || (r_regionkey % 2)::VARCHAR AS ns FROM region), "
+            "users(u) AS (VALUES ('user0'), ('user1'), ('user2'), "
+            "('user3')), "
+            "t1 AS (SELECT tbl FROM tbls WHERE rk = 1), "
+            "req AS (SELECT u, tbl, ns, rk FROM users CROSS JOIN tbls) "
+            "SELECT u AS user_name, tbl AS table_name, ns AS namespace, "
+            "CASE WHEN u = 'user1' AND tbl = (SELECT tbl FROM t1) "
+            "THEN 'table' "
+            "WHEN u = 'user1' AND ns = 'ns0' THEN 'namespace' "
+            "WHEN u IN ('user0', 'user2') THEN 'global' "
+            "ELSE 'none' END AS user_scope, "
+            "(CASE WHEN u = 'user1' AND tbl = (SELECT tbl FROM t1) "
+            "THEN 10 "
+            "WHEN u = 'user1' AND ns = 'ns0' THEN 20 "
+            "WHEN u = 'user0' THEN 50 "
+            "WHEN u = 'user2' THEN 77 END)::BIGINT AS user_req_num, "
+            "(CASE WHEN u <> 'user2' AND rk % 2 = 0 AND rk < 4 "
+            "THEN 100 * (rk + 1) END)::BIGINT AS table_req_num, "
+            "(CASE WHEN u <> 'user2' AND ns = 'ns1' "
+            "THEN 500 END)::BIGINT AS ns_req_num, "
+            "(u = 'user2') AS bypass_globals, "
+            "(u = 'user3' AND rk = 4) AS noop "
+            "FROM req"
         ),
         "quota_throttle": (
             # aligned-epoch fixed-interval throttle: rank within
