@@ -52,6 +52,11 @@ def build_session(
     return b.getOrCreate()
 
 
+class CorruptedSnapshotError(IOError):
+    """CorruptedSnapshotException analog (hbase-client/.../snapshot/
+    CorruptedSnapshotException.java) — export/verify integrity failure."""
+
+
 class Engine:
     def __init__(
         self,
@@ -252,6 +257,109 @@ class Engine:
             shutil.rmtree(
                 self.root / "_snapshots" / snapshot_name, ignore_errors=True
             )
+
+    def export_snapshot(
+        self,
+        snapshot_name: str,
+        dest_root: str | Path,
+        *,
+        target_name: str | None = None,
+        overwrite: bool = False,
+        verify_target: bool = True,
+    ) -> Path:
+        """ExportSnapshot analog (hbase-server/.../snapshot/
+        ExportSnapshot.java:88): ship a snapshot to another storage
+        root. The reference copies HFiles into a working dir under the
+        target root, renames to the final snapshot dir, and verifies
+        the target references (run():929-1016, -overwrite :892,
+        -target rename :872, verifySnapshot :804 via
+        SnapshotReferenceUtil); same shape here over parquet files,
+        with the reference-manifest role played by an explicit
+        ``_manifest.json`` of (relative path, size, md5).
+
+        The copy is tmp-dir-then-rename so a crashed export never
+        leaves a half-snapshot under the final name, and a re-run of a
+        failed export needs no cleanup (the tmp dir is replaced)."""
+        import hashlib
+        import json as _json
+        import shutil
+
+        if not self.root:
+            raise ValueError("snapshots need a storage root")
+        src = self.root / "_snapshots" / snapshot_name
+        if not src.exists():
+            raise KeyError(f"no such snapshot: {snapshot_name}")
+        target = target_name or snapshot_name
+        dest_root = Path(dest_root)
+        final = dest_root / "_snapshots" / target
+        if final.exists():
+            if not overwrite:
+                # :936 "The snapshot '...' already exists in the
+                # destination: ..." posture — refuse without -overwrite
+                raise FileExistsError(
+                    f"the snapshot '{target}' already exists in the "
+                    f"destination: {final} (use overwrite=True)"
+                )
+            shutil.rmtree(final)
+        tmp = dest_root / "_snapshots" / ".tmp" / target
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale working dir from a dead export
+        tmp.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(src, tmp)
+
+        manifest = []
+        for p in sorted(tmp.rglob("*")):
+            if p.is_file() and p.name != "_manifest.json":
+                manifest.append({
+                    "path": str(p.relative_to(tmp)),
+                    "size": p.stat().st_size,
+                    "md5": hashlib.md5(p.read_bytes()).hexdigest(),
+                })
+        (tmp / "_manifest.json").write_text(
+            _json.dumps(manifest, indent=1)
+        )
+        tmp.rename(final)  # the :1001 atomic publish
+        if verify_target:
+            self.verify_snapshot(final)
+        return final
+
+    @staticmethod
+    def verify_snapshot(snapshot_dir: str | Path) -> int:
+        """SnapshotReferenceUtil.verifySnapshot analog: every file the
+        manifest references must exist with matching size and digest,
+        and no unreferenced data files may appear (a foreign file means
+        the directory is not the exported snapshot). Returns the number
+        of verified files; raises ``CorruptedSnapshotError`` otherwise."""
+        import hashlib
+        import json as _json
+
+        snapshot_dir = Path(snapshot_dir)
+        mpath = snapshot_dir / "_manifest.json"
+        if not mpath.exists():
+            raise CorruptedSnapshotError(f"missing manifest: {mpath}")
+        manifest = _json.loads(mpath.read_text())
+        seen = set()
+        for entry in manifest:
+            p = snapshot_dir / entry["path"]
+            seen.add(p)
+            if not p.exists():
+                raise CorruptedSnapshotError(f"missing file: {p}")
+            if p.stat().st_size != entry["size"]:
+                raise CorruptedSnapshotError(
+                    f"size mismatch: {p} ({p.stat().st_size} != "
+                    f"{entry['size']})"
+                )
+            if hashlib.md5(p.read_bytes()).hexdigest() != entry["md5"]:
+                raise CorruptedSnapshotError(f"digest mismatch: {p}")
+        extra = [
+            p for p in snapshot_dir.rglob("*")
+            if p.is_file() and p.name != "_manifest.json" and p not in seen
+        ]
+        if extra:
+            raise CorruptedSnapshotError(
+                f"unreferenced files in snapshot: {extra[:3]}"
+            )
+        return len(manifest)
 
     def region_boundaries(self, table: Table) -> DataFrame:
         """RegionLocator.getStartEndKeys analog (hbase-client/.../

@@ -155,3 +155,53 @@ def test_merge_table_factor_exceeding_regions_pins_one(spark, sf_dir, tmp_path):
     assert merged.meta.split_points is None
     assert merged.meta.range_partitions == 1
     assert len(eng2.region_boundaries(merged).collect()) == 1
+
+
+def test_export_snapshot_roundtrip(eng, spark, tmp_path):
+    """ExportSnapshot.java:88 analog: export to a second storage root,
+    manifest-verify the target, clone from it on a second engine."""
+    from hbase_1_3_0_spark.engine import CorruptedSnapshotError, Engine
+
+    t = eng.table("nation")
+    before = t.scan().count()
+    eng.snapshot(t, "s1")
+    dest_root = tmp_path / "cluster2"
+
+    out = eng.export_snapshot("s1", dest_root)
+    assert out == dest_root / "_snapshots" / "s1"
+    n_files = Engine.verify_snapshot(out)
+    assert n_files > 0
+    assert not (dest_root / "_snapshots" / ".tmp" / "s1").exists()
+
+    # the exported snapshot is usable by an engine on the target root
+    eng2 = Engine(spark, root=dest_root, now_ms=1)
+    clone = eng2.clone_snapshot("s1", TableMeta(name="nation", clean_log=True))
+    assert clone.scan().count() == before
+
+    # -overwrite posture (:936): refuse an existing target by default
+    with pytest.raises(FileExistsError, match="already exists"):
+        eng.export_snapshot("s1", dest_root)
+    eng.export_snapshot("s1", dest_root, overwrite=True)
+
+    # -target rename (:872)
+    out2 = eng.export_snapshot("s1", dest_root, target_name="s1-copy")
+    assert out2.name == "s1-copy"
+
+    # verify catches tampering: truncate a data file
+    victim = next(
+        p for p in sorted(out.rglob("*"))
+        if p.is_file() and p.name != "_manifest.json"
+    )
+    victim.write_bytes(victim.read_bytes()[:-1])
+    with pytest.raises(CorruptedSnapshotError, match="size mismatch"):
+        Engine.verify_snapshot(out)
+    # and unreferenced foreign files
+    Engine.verify_snapshot(out2)
+    (out2 / "stray.bin").write_bytes(b"x")
+    with pytest.raises(CorruptedSnapshotError, match="unreferenced"):
+        Engine.verify_snapshot(out2)
+
+
+def test_export_snapshot_missing_source(eng, tmp_path):
+    with pytest.raises(KeyError, match="no such snapshot"):
+        eng.export_snapshot("nope", tmp_path / "d")
