@@ -106,6 +106,21 @@ def main() -> None:
         # interleaved round-robin across ALL workloads (see module docstring)
         workloads.append((name, fn))
 
+    # b-calibrate: fixed-cost host-noise probe (VERDICT r08 ask). One
+    # 32-task stage summing a constant 256M-row range — zero data/SF
+    # dependence and no I/O, so its per-sample spread measures ONLY the
+    # shared host's scheduling/GC/CPU-contention noise. Runs first in
+    # every sample round; the emitted JSON carries a "calibration"
+    # summary (min/max/spread) so a noisy session is self-evident from
+    # the artifact alone. Excluded from the headline total (it is a
+    # meter, not a workload).
+    run(
+        "b-calibrate",
+        lambda: _sink(
+            spark.range(0, 256_000_000, 1, 32).select(F.sum("id"))
+        ),
+    )
+
     # b-scan-full: full scan + read view over lineitem-kv (PE scan)
     run("b-scan-full", lambda: _sink(li.scan()))
 
@@ -508,7 +523,22 @@ def main() -> None:
     # injects multi-second stalls at random; the fastest sample is the
     # only consistent estimator of actual plan cost under external noise
     timings = {name: round(min(s), 3) for name, s in samples.items()}
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k != "b-calibrate"), 3
+    )
+    cal = samples.get("b-calibrate", [])
+    calibration = (
+        {
+            "min": round(min(cal), 3),
+            "max": round(max(cal), 3),
+            # spread > ~2 on a constant-cost 32-task stage = the host
+            # was contended during this run; treat workload regressions
+            # in the same artifact as suspect
+            "spread": round(max(cal) / max(min(cal), 1e-9), 2),
+        }
+        if cal
+        else None
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -517,6 +547,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration": calibration,
                 "samples": {
                     name: [round(x, 3) for x in s]
                     for name, s in samples.items()
