@@ -1833,6 +1833,67 @@ def _land_id_ranged_batches(
     return src
 
 
+def q_replication_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-peer replication scoping as a batch query: which cells ship
+    to which peer (HColumnDescriptor REPLICATION_SCOPE,
+    HColumnDescriptor.java:221 — LOCAL(0) default, GLOBAL(1) ships;
+    ReplicationAdmin.java:183 addPeer / :203 parseTableCFsFromConfig;
+    streaming/wal.py peer_scope_filter — the same predicate that rides
+    inside the replicate() stream, applied here over the full cell log
+    so the per-peer shipped set is DuckDB-oracle-able).
+
+    Table t_main: families a,b GLOBAL, c LOCAL. Peers on the catalog
+    registry: p1 subscribes to everything, p2 to "t_main:b,c"
+    (subscription ∩ scope = b only), p3 to a different table (ships
+    nothing). Output = one row per (peer, cell): the union of per-peer
+    filtered scans — each branch's family predicate pushes into the
+    parquet scan, and peers are few by construction (the reference
+    runs one ReplicationSource per peer, same shape)."""
+    from hbase_1_3_0_spark.catalog import Catalog, FamilyMeta
+    from hbase_1_3_0_spark.streaming.wal import (
+        peer_scope_filter,
+        replicated_families,
+    )
+
+    cust = _load(spark, sf_dir, "customer")
+    cells = (
+        table_to_cells(cust, ["c_custkey"], ["c_name"], family="a",
+                       ts=1_000_000, seq=0)
+        .unionByName(table_to_cells(cust, ["c_custkey"], ["c_acctbal"],
+                                    family="b", ts=1_000_000, seq=0))
+        .unionByName(table_to_cells(cust, ["c_custkey"], ["c_mktsegment"],
+                                    family="c", ts=1_000_000, seq=0))
+    )
+    meta = TableMeta(
+        name="t_main",
+        families=(
+            FamilyMeta(name="a", replication_scope=1),
+            FamilyMeta(name="b", replication_scope=1),
+            FamilyMeta(name="c"),  # LOCAL: never ships
+        ),
+    )
+    cat = Catalog()
+    cat.add_replication_peer("p1")  # no tableCFs = every table
+    cat.add_replication_peer("p2", "t_main:b,c")
+    cat.add_replication_peer("p3", "other_table")
+    fams = replicated_families(meta)
+
+    shipped = None
+    for peer in cat.replication_peers():
+        pred = peer_scope_filter(
+            "t_main", cat.replication_peer(peer), replicated_families=fams
+        )
+        if pred is None:
+            continue
+        part = cells.where(pred).select(
+            F.lit(peer).alias("peer_id"),
+            F.decode("row", "UTF-8").cast("long").alias("c_custkey"),
+            F.col("family"),
+        )
+        shipped = part if shipped is None else shipped.unionByName(part)
+    return shipped
+
+
 def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest exact dedup END-TO-END through the real
     Structured Streaming sink (streaming/wal.py dedup_ingest_stream):
@@ -2537,6 +2598,40 @@ def q_quota_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("req_id").alias("event_id"),
         F.col("key").cast("long").alias("user_id"),
         "win_start", "rn", "allowed", "wait_s",
+    )
+
+
+def q_cluster_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusterStatus/ServerLoad observability rollup (ClusterStatus.java
+    :65 — getServersSize/getDeadServers/getRegionsCount/getRequestsCount/
+    getAverageLoad; ServerLoad summing its RegionLoads :55-70;
+    RegionLoad.getRequestsCount = read + write :97; operators/
+    cluster_status.py). A 40-region cluster over 7 servers derived from
+    customer (per-region RegionLoad metrics are deterministic integer
+    aggregates); rs7 is a live server hosting zero regions (present via
+    the servers list, zero-filled row), rs9 is dead (count only). The
+    cluster columns ride a single-partition window over the per-server
+    frame — master metadata, no driver collect."""
+    from hbase_1_3_0_spark.operators.cluster_status import cluster_status
+
+    cust = _load(spark, sf_dir, "customer")
+    rl = (
+        cust.groupBy((F.col("c_custkey") % 40).alias("region_id"))
+        .agg(
+            F.countDistinct("c_mktsegment").alias("stores"),
+            F.count("*").alias("storefiles"),
+            F.sum(F.col("c_custkey") % 13).alias("storefile_size_mb"),
+            F.max(F.col("c_custkey") % 50).alias("memstore_size_mb"),
+            F.sum(F.col("c_custkey") % 97).alias("read_requests"),
+            F.sum("c_nationkey").alias("write_requests"),
+        )
+        .withColumn(
+            "server",
+            F.concat(F.lit("rs"), (F.col("region_id") % 7).cast("string")),
+        )
+    )
+    return cluster_status(
+        rl, servers=[f"rs{i}" for i in range(8)], dead_servers=("rs9",)
     )
 
 
@@ -3827,8 +3922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of driver-checked window (50) ----
         # -- new r09 (rotation into the window happens at round
         #    freeze): MasterQuotaManager settings CRUD + operation-
-        #    quota resolution (VERDICT r08 gap #1) --
+        #    quota resolution (VERDICT r08 gap #1), and per-peer
+        #    replication scoping as a batch query (VERDICT r08 item 6
+        #    — moves the last §2.5 sub-feature to driver-checkable) --
         "quota_settings": q_quota_settings,
+        "replication_scope": q_replication_scope,
+        "cluster_status": q_cluster_status,
         # rotated out r08 for region_splitter/multirow_mutation/
         # export_filtered/access_check/balancer_plan/quota_throttle
         # (see the in-window comments)
@@ -5304,6 +5403,46 @@ def oracle_sql() -> dict[str, str]:
             "::INT AS r64d, "
             "TRUE AS rt32, TRUE AS rt64 FROM b"
         ),
+        "cluster_status": (
+            # ServerLoad = sum of the server's RegionLoads; cluster
+            # columns = windows over the per-server frame; rs7 is the
+            # zero-region live server, rs9 the dead count
+            "WITH rl AS (SELECT (c_custkey % 40) AS region_id, "
+            "'rs' || ((c_custkey % 40) % 7)::VARCHAR AS server, "
+            "count(DISTINCT c_mktsegment) AS stores, "
+            "count(*) AS storefiles, "
+            "sum(c_custkey % 13) AS storefile_size_mb, "
+            "max(c_custkey % 50) AS memstore_size_mb, "
+            "sum(c_custkey % 97) AS read_requests, "
+            "sum(c_nationkey) AS write_requests "
+            "FROM customer GROUP BY 1, 2), "
+            "sv AS (SELECT 'rs' || i::VARCHAR AS server "
+            "FROM (SELECT unnest(range(8)) AS i)), "
+            "per AS (SELECT s.server, "
+            "count(rl.region_id)::BIGINT AS n_regions, "
+            "coalesce(sum(rl.stores), 0)::BIGINT AS stores, "
+            "coalesce(sum(rl.storefiles), 0)::BIGINT AS storefiles, "
+            "coalesce(sum(rl.storefile_size_mb), 0)::BIGINT "
+            "AS storefile_size_mb, "
+            "coalesce(sum(rl.memstore_size_mb), 0)::BIGINT "
+            "AS memstore_size_mb, "
+            "coalesce(sum(rl.read_requests), 0)::BIGINT AS read_requests, "
+            "coalesce(sum(rl.write_requests), 0)::BIGINT AS write_requests "
+            "FROM sv s LEFT JOIN rl ON rl.server = s.server "
+            "GROUP BY s.server) "
+            "SELECT server, n_regions, stores, storefiles, "
+            "storefile_size_mb, memstore_size_mb, read_requests, "
+            "write_requests, "
+            "(read_requests + write_requests)::BIGINT AS requests, "
+            "(SELECT count(*) FROM sv)::INT AS servers_size, "
+            "1::INT AS dead_servers, "
+            "(sum(n_regions) OVER ())::BIGINT AS regions_count, "
+            "(sum(read_requests + write_requests) OVER ())::BIGINT "
+            "AS requests_count, "
+            "(sum(n_regions) OVER ())::DOUBLE / "
+            "(SELECT count(*) FROM sv) AS average_load "
+            "FROM per"
+        ),
         "quota_settings": (
             # MasterQuotaManager settings + getQuota resolution as pure
             # metadata SQL: the stored settings are restated as CASE
@@ -5604,6 +5743,20 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": (
             "SELECT doc_id, 'a,\"b\"' || chr(10) || text AS text, "
             "lang, source FROM documents"
+        ),
+        "replication_scope": (
+            # shipped set = peers x (scope-1 families ∩ subscription)
+            # x rows; p1 = all tables, p2 = t_main:b,c (∩ global = b),
+            # p3 subscribed elsewhere ships nothing; family c is LOCAL
+            "WITH fams(family, scope) AS (VALUES ('a', 1), ('b', 1), "
+            "('c', 0)), "
+            "peers(peer_id) AS (VALUES ('p1'), ('p2'), ('p3')), "
+            "sub AS (SELECT p.peer_id, f.family "
+            "FROM peers p CROSS JOIN fams f "
+            "WHERE f.scope = 1 AND (p.peer_id = 'p1' "
+            "OR (p.peer_id = 'p2' AND f.family IN ('b', 'c')))) "
+            "SELECT s.peer_id, c.c_custkey::BIGINT AS c_custkey, "
+            "s.family FROM sub s CROSS JOIN customer c"
         ),
         "dedup_ingest": (
             "WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents), "
