@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["server_load", "cluster_status"]
+__all__ = ["server_load", "cluster_status", "last_major_compaction_ts"]
 
 #: RegionLoad metric columns summed into ServerLoad (ServerLoad.java:55-70)
 _SUM_COLS = (
@@ -58,6 +58,22 @@ def server_load(region_loads: DataFrame, *, server_col: str = "server") -> DataF
     out = region_loads.groupBy(F.col(server_col).alias("server")).agg(*aggs)
     return out.withColumn(
         "requests", (F.col("read_requests") + F.col("write_requests"))
+    )
+
+
+def last_major_compaction_ts(
+    region_loads: DataFrame, *, table_col: str = "table_name"
+) -> DataFrame:
+    """ClusterStatus.getLastMajorCompactionTsForTable (:290): per table,
+    the MIN of its regions' lastMajorCompactionTs (the oldest region
+    gates the table's "fully major-compacted as of" time), with the
+    reference's Long.MAX_VALUE-means-0 sentinel for tables whose
+    regions carry no timestamp. Expects a ``last_major_compaction_ts``
+    column (0/NULL = never, the protobuf default)."""
+    ts = F.coalesce(F.col("last_major_compaction_ts"), F.lit(0)).cast("long")
+    return (
+        region_loads.groupBy(F.col(table_col).alias("table_name"))
+        .agg(F.min(ts).alias("last_major_compaction_ts"))
     )
 
 

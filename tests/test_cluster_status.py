@@ -57,3 +57,20 @@ def test_cluster_status_summary_and_empty_server(spark):
         assert r["regions_count"] == 3  # getRegionsCount (:155)
         assert r["requests_count"] == 62  # getRequestsCount (:168)
         assert abs(r["average_load"] - 1.0) < 1e-9  # 3 regions / 3 servers
+
+
+def test_last_major_compaction_ts_min_per_table(spark):
+    from hbase_1_3_0_spark.operators.cluster_status import (
+        last_major_compaction_ts,
+    )
+
+    rl = spark.createDataFrame(
+        [("t1", 100), ("t1", 50), ("t2", None), ("t2", 7)],
+        "table_name string, last_major_compaction_ts long",
+    )
+    got = {
+        r.table_name: r.last_major_compaction_ts
+        for r in last_major_compaction_ts(rl).collect()
+    }
+    # min over regions (:296); NULL reads as 0 (protobuf default)
+    assert got == {"t1": 50, "t2": 0}

@@ -376,3 +376,61 @@ def test_canary_default_has_no_single_partition_window(spark, sf_dir):
     df = jobs.canary_read_probe(cells, num_regions=8)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_quota_resolution_broadcasts_settings_no_request_shuffle(spark):
+    """resolve_operation_quota: every settings-derived side is a
+    broadcast; the request stream never shuffles (the 100 TB posture —
+    settings are master metadata, requests are the ops log)."""
+    from hbase_1_3_0_spark.operators.quota_settings import (
+        MasterQuotaManager,
+        resolve_operation_quota,
+        throttle_table,
+        throttle_user,
+    )
+
+    m = MasterQuotaManager()
+    m.set_quota(throttle_user("u1", "REQUEST_NUMBER", 10, "SECONDS",
+                              table="t_0"))
+    m.set_quota(throttle_table("t_0", "REQUEST_NUMBER", 100, "SECONDS"))
+    reqs = spark.range(1000).repartition(8).select(
+        F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("user"),
+        F.concat(F.lit("t_"), (F.col("id") % 3).cast("string")).alias(
+            "table_name"
+        ),
+        F.lit("default").alias("namespace"),
+    )
+    out = resolve_operation_quota(reqs, m.settings_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # shuffles exist only on the settings side (9-row metadata aggs
+    # under their BroadcastExchange); the request lineage is
+    # shuffle-free, so its partitioning survives all six joins
+    assert out.rdd.getNumPartitions() == 8
+    from hbase_1_3_0_spark.plans import inspect as _inspect
+
+    assert not _inspect.has_python_eval(out)
+
+
+def test_cluster_status_single_metadata_window(spark):
+    """cluster_status: the per-server frame is metadata, so the plan may
+    shuffle it for the rollup/window, but it must stay JVM-side with no
+    joins fanning out the region-load input."""
+    from hbase_1_3_0_spark.operators.cluster_status import cluster_status
+
+    rl = spark.range(200).select(
+        F.concat(F.lit("rs"), (F.col("id") % 7).cast("string")).alias(
+            "server"
+        ),
+        F.col("id").alias("storefiles"),
+        (F.col("id") % 13).alias("read_requests"),
+        (F.col("id") % 7).alias("write_requests"),
+    )
+    out = cluster_status(rl, servers=[f"rs{i}" for i in range(8)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    from hbase_1_3_0_spark.plans import inspect as _inspect
+
+    assert not _inspect.has_python_eval(out)
