@@ -3789,8 +3789,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction": q_compaction,
         # -- mutations / jobs --
         "scan_batched": q_scan_batched,
-        # -- new in r05: malformed-URL quarantine policy --
-        "url_quarantine": q_url_quarantine,
+        # -- r09: MasterQuotaManager settings CRUD + operation-quota
+        #    resolution (VERDICT r08 gap #1), per-peer replication
+        #    scoping as a value-checked batch query (r08 item 6), and
+        #    the ClusterStatus/ServerLoad rollup (r08 item 7) —
+        #    rotated in over url_quarantine (driver-green five rounds
+        #    r4-r8; web stays repped in-window by domain_cap),
+        #    gopher_repetition (green r6-r8; IDENTICAL oracle to the
+        #    in-window gopher_rep_islands), and langid_ngram (green
+        #    r6-r8; text repped by gopher_quality/c4_clean/
+        #    text_normalize) --
+        "quota_settings": q_quota_settings,
+        "replication_scope": q_replication_scope,
+        "cluster_status": q_cluster_status,
         # -- new in r05: modified-KN trigram --
         # -- r08: raw-IEEE OrderedBytes float32/64 (the last §1.3 codec
         #    gap; JVM reflect() bit casts, byte vectors pinned in
@@ -3863,14 +3874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (py-model oracle, rows-only at the driver by design) --
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
-        "langid_ngram": q_langid_ngram,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         # -- rotated in LATEST r06 (plain-session smoke-tested +
         #    local-green): quality batteries, C4, embedding decon
         #    (DuckDB-oracled); pack_bins (py-model, rows-only) --
         "gopher_quality": q_gopher_quality,
-        "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
         "embedding_decontaminate": q_embedding_decontaminate,
         "pack_bins": q_pack_bins,
@@ -3920,14 +3929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
-        # -- new r09 (rotation into the window happens at round
-        #    freeze): MasterQuotaManager settings CRUD + operation-
-        #    quota resolution (VERDICT r08 gap #1), and per-peer
-        #    replication scoping as a batch query (VERDICT r08 item 6
-        #    — moves the last §2.5 sub-feature to driver-checkable) --
-        "quota_settings": q_quota_settings,
-        "replication_scope": q_replication_scope,
-        "cluster_status": q_cluster_status,
+        # rotated out r09 for quota_settings/replication_scope/
+        # cluster_status (see the in-window comment)
+        "url_quarantine": q_url_quarantine,
+        "gopher_repetition": q_gopher_repetition,
+        "langid_ngram": q_langid_ngram,
         # rotated out r08 for region_splitter/multirow_mutation/
         # export_filtered/access_check/balancer_plan/quota_throttle
         # (see the in-window comments)
