@@ -64,6 +64,9 @@ AUDIT = [
     "balancer_plan",    # metadata windows + equi interval joins per table
     "quota_throttle",   # one (key, window) rank; zero joins
     "multirow_mutation",  # broadcast region range-join on the batch
+    "quota_settings",   # six broadcast joins; request side unshuffled
+    "cluster_status",   # one metadata groupBy + one window
+    "replication_scope",  # per-peer family-filter pushdown unions
 ]
 
 RED_FLAGS = {
@@ -75,6 +78,14 @@ RED_FLAGS = {
 # intentional plan shapes, reviewed and documented at the operator:
 # pattern -> (query, why it is the plan you'd want)
 WAIVERS = {
+    ("quota_settings", "cartesian product"): (
+        "the CartesianProduct is the QUERY'S OWN request matrix — "
+        "users.crossJoin(tables) over two literal metadata lists "
+        "(4 x 5 = 20 rows) built to exercise every resolution branch; "
+        "the operator under test (resolve_operation_quota) contributes "
+        "only BroadcastHashJoins and never shuffles the request side "
+        "(plan-asserted in tests/test_plans.py)"
+    ),
     ("cosine_topk", "nested-loop join"): (
         "BroadcastNestedLoopJoin broadcasts the ~100 QUERY vectors against "
         "the corpus stream — brute-force top-k IS corpus x queries; the "
