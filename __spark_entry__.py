@@ -2601,6 +2601,30 @@ def q_quota_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (pipeline/sampling.py
+    cluster_balanced_sample): nearest-centroid assignment over 8
+    DETERMINISTIC centroids (the embeddings of the 8 smallest vec_ids —
+    no trained-float ceiling), 6dp-rounded dot argmax with
+    larger-index tie-breaks, then exactly 10 rows per cluster by the
+    seeded-md5 quota rule. The fully-value-checked twin of the
+    rows-only trained paths (ivf/semdedup)."""
+    from hbase_1_3_0_spark.pipeline import sampling
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    out = sampling.cluster_balanced_sample(
+        emb, cents, k_per_cluster=10, vec_col="embedding", id_col="vec_id"
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+    )
+
+
 def q_cluster_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClusterStatus/ServerLoad observability rollup (ClusterStatus.java
     :65 — getServersSize/getDeadServers/getRegionsCount/getRequestsCount/
@@ -3873,7 +3897,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    local-green): winnowing, langid (DuckDB-oracled); BPE
         #    (py-model oracle, rows-only at the driver by design) --
         "winnow_fp": q_winnow_fp,
-        "winnow_overlap": q_winnow_overlap,
+        # -- late r09: cluster-balanced diversity sampling — the
+        #    value-checked twin of the rows-only trained-centroid paths
+        #    (ivf/semdedup); rotated in over winnow_overlap (green
+        #    r6-r8; winnowing keeps THREE in-window rows: winnow_robust,
+        #    winnow_fp, winnow_dedup) --
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         # -- rotated in LATEST r06 (plain-session smoke-tested +
@@ -3930,7 +3959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r09 for quota_settings/replication_scope/
-        # cluster_status (see the in-window comment)
+        # cluster_status/cluster_balanced_sample (see the in-window
+        # comments)
+        "winnow_overlap": q_winnow_overlap,
         "url_quarantine": q_url_quarantine,
         "gopher_repetition": q_gopher_repetition,
         "langid_ngram": q_langid_ngram,
@@ -5408,6 +5439,29 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY v DESC, c_custkey DESC)"
             "::INT AS r64d, "
             "TRUE AS rt32, TRUE AS rt64 FROM b"
+        ),
+        "cluster_balanced_sample": (
+            # deterministic centroids = the 8 smallest vec_ids; argmax
+            # of 6dp-rounded double dots, ties -> larger centroid index
+            # (array_max-over-struct semantics); exact-10 per cluster
+            # by the repo's seeded-md5 quota rule
+            "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce "
+            "FROM embeddings ORDER BY vec_id LIMIT 8), "
+            "cs AS (SELECT ce, "
+            "row_number() OVER (ORDER BY cid) - 1 AS idx FROM c), "
+            "a AS (SELECT e.vec_id, cs.idx, "
+            "round(list_dot_product(e.embedding::DOUBLE[], cs.ce), 6) "
+            "AS s FROM embeddings e CROSS JOIN cs), "
+            "best AS (SELECT vec_id, idx AS cluster_id FROM ("
+            "SELECT vec_id, idx, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY s DESC, idx DESC) AS r FROM a"
+            ") WHERE r = 1), "
+            "rk AS (SELECT vec_id, cluster_id, row_number() OVER ("
+            "PARTITION BY cluster_id ORDER BY "
+            "substr(md5('quota1' || vec_id::VARCHAR), 1, 8), vec_id"
+            ") AS rn FROM best) "
+            "SELECT vec_id::BIGINT AS vec_id, cluster_id::INT "
+            "AS cluster_id FROM rk WHERE rn <= 10"
         ),
         "cluster_status": (
             # ServerLoad = sum of the server's RegionLoads; cluster

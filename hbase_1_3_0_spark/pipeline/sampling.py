@@ -482,3 +482,52 @@ def unimax_allocation(
         F.round(alloc / F.col("n"), 6).alias("epochs"),
         "capped",
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k_per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "quota1",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: assign every vector to its
+    nearest centroid and keep EXACTLY ``k_per_cluster`` rows per
+    cluster — the diversity-balancing step of cluster-based data
+    curation (the SemDeDup/D4 family: without it, the corpus's dominant
+    modes swamp the training mixture; `pipeline/dedup.py semdedup`
+    handles the intra-cluster dedup half).
+
+    Engine-portable by construction, unlike the trained-k-means paths
+    (`similarity.ivf_assign` with `kmeans_centroids`, rows-only at the
+    oracle): callers pass DETERMINISTIC centroids (e.g. the embeddings
+    of the k smallest ids), similarities round to 6dp before the argmax
+    (the `cosine_topk` convention — raw float argmax drifts across
+    engines), ties break to the LARGER centroid index, and the per-
+    cluster quota is the seeded-md5 exact-k rule (`exact_k_sample`),
+    a pure function of (seed, id).
+
+    Scale shape: centroids ride as ONE literal-matrix expression (the
+    `_lit_matrix` posture — tree size grows with the model, not the
+    data), assignment is a narrow projection on the corpus scan, and
+    the only shuffle is the cluster-keyed exact-k window. Returns
+    (id, cluster_id) plus the input columns."""
+    from hbase_1_3_0_spark.pipeline.similarity import _dot, _lit_matrix
+
+    sims = F.transform(
+        _lit_matrix(centroids),
+        lambda c, i: F.struct(
+            F.round(_dot(F.col(vec_col), c), 6).alias("s"), i.alias("l")
+        ),
+    )
+    assigned = df.withColumn("cluster_id", F.array_max(sims)["l"])
+    return exact_k_sample(
+        assigned,
+        {},
+        strata_col="cluster_id",
+        id_col=id_col,
+        default_k=k_per_cluster,
+        seed=seed,
+    )

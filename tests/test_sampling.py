@@ -279,3 +279,39 @@ def test_unimax_decision_table(spark):
     }
     assert all(r.capped for r in got2.values())
     assert got2["l2"].epochs == 2.0
+
+
+def test_cluster_balanced_sample_quota_and_assignment(spark):
+    """cluster_balanced_sample: nearest-centroid argmax with 6dp
+    rounding and larger-index tie-breaks; exactly k per cluster."""
+    from hbase_1_3_0_spark.pipeline.sampling import cluster_balanced_sample
+
+    # two orthogonal centroids; vectors constructed with known winners
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = []
+    for i in range(20):
+        if i % 3 == 0:
+            rows.append((i, [1.0, 0.1]))   # cluster 0
+        elif i % 3 == 1:
+            rows.append((i, [0.1, 1.0]))   # cluster 1
+        else:
+            rows.append((i, [0.5, 0.5]))   # exact tie -> larger index 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(
+        df, cents, k_per_cluster=4, vec_col="embedding", id_col="vec_id"
+    ).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    # ties went to cluster 1; both clusters capped at exactly 4
+    assert sorted(by_cluster) == [0, 1]
+    assert len(by_cluster[0]) == 4 and len(by_cluster[1]) == 4
+    assert all(v % 3 == 0 for v in by_cluster[0])
+    assert all(v % 3 != 0 for v in by_cluster[1])
+    # determinism: the same seed picks the same rows
+    out2 = cluster_balanced_sample(
+        df, cents, k_per_cluster=4, vec_col="embedding", id_col="vec_id"
+    ).collect()
+    assert sorted((r.vec_id, r.cluster_id) for r in out) == sorted(
+        (r.vec_id, r.cluster_id) for r in out2
+    )
