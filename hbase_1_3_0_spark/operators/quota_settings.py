@@ -261,18 +261,48 @@ class MasterQuotaManager:
         types: Iterable[str] | None = None,
     ) -> list[dict]:
         """Flat ThrottleSettings-shaped rows (one per throttle component,
-        plus one GLOBAL_BYPASS row per bypassing user), regex-filtered
-        like QuotaFilter.setUserFilter/setTableFilter/setNamespaceFilter."""
+        plus one GLOBAL_BYPASS row per bypassing user), filtered with the
+        EXACT QuotaRetriever scan semantics (QuotaTableUtil.makeFilter
+        :155, decision-tabled against TestQuotaAdmin.java:149
+        testQuotaRetrieverFilter):
+
+        - a USER filter selects user-owned rows; combined with table
+          and/or namespace filters it keeps the user rows whose table OR
+          namespace matches (MUST_PASS_ONE union, :158-180 — user-global
+          rows drop out once either sub-filter is present);
+        - with NO user filter, a table filter selects TABLE-scope rows
+          only, else a namespace filter selects NAMESPACE-scope rows
+          only (the :187-193 else-if chain — table wins when both are
+          set, and user-owned rows never match these row-key regexes).
+
+        Regexes are anchored (RegexStringComparator over the full
+        rowkey component: "User" does not match "User0")."""
         import re
 
-        def keep(pat, val):
-            return pat is None or (val and re.fullmatch(pat, val))
+        def m(pat, val):
+            return bool(val) and re.fullmatch(pat, val) is not None
+
+        def keep(user, table, ns) -> bool:
+            if user_regex is not None:
+                if not m(user_regex, user):
+                    return False
+                if table_regex is None and namespace_regex is None:
+                    return True
+                return (
+                    (table_regex is not None and m(table_regex, table))
+                    or (namespace_regex is not None
+                        and m(namespace_regex, ns))
+                )
+            if table_regex is not None:
+                return not user and m(table_regex, table)
+            if namespace_regex is not None:
+                return not user and m(namespace_regex, ns)
+            return True
 
         tset = set(types) if types is not None else None
         out = []
         for (user, table, ns), row in sorted(self._quotas.items()):
-            if not (keep(user_regex, user) and keep(table_regex, table)
-                    and keep(namespace_regex, ns)):
+            if not keep(user, table, ns):
                 continue
             for ttype, (limit, unit) in sorted(row["throttle"].items()):
                 if tset is not None and "THROTTLE" not in tset:

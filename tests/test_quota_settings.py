@@ -119,6 +119,72 @@ def test_list_quotas_filters():
     ]
 
 
+def test_quota_retriever_filter_reference_decision_table():
+    """The EXACT TestQuotaAdmin.java:149 testQuotaRetrieverFilter table:
+    scope-implying filters (a bare table/namespace filter matches ONLY
+    that scope's rows, never user-owned ones), the MUST_PASS_ONE union
+    of table+namespace constraints under a user filter, anchored
+    regexes, and the unthrottle teardown counts."""
+    m = MasterQuotaManager()
+    tables = ["T0", "T01", "NS0:T2"]
+    namespaces = ["NS0", "NS01", "NS2"]
+    users = ["User0", "User01", "User2"]
+    for u in users:
+        m.set_quota(throttle_user(u, "REQUEST_NUMBER", 1, "MINUTES"))
+        for t in tables:
+            m.set_quota(
+                throttle_user(u, "REQUEST_NUMBER", 2, "MINUTES", table=t)
+            )
+        for ns in namespaces:
+            m.set_quota(
+                throttle_user(u, "REQUEST_NUMBER", 3, "MINUTES",
+                              namespace=ns)
+            )
+    assert len(m.list_quotas()) == 21
+    for t in tables:
+        m.set_quota(throttle_table(t, "REQUEST_NUMBER", 4, "MINUTES"))
+    assert len(m.list_quotas()) == 24
+    for ns in namespaces:
+        m.set_quota(throttle_namespace(ns, "REQUEST_NUMBER", 5, "MINUTES"))
+    assert len(m.list_quotas()) == 27
+
+    def n(**kw):
+        return len(m.list_quotas(**kw))
+
+    assert n(user_regex="User0") == 7
+    assert n(user_regex="User") == 0  # anchored: no partial match
+    assert n(user_regex="User.*") == 21
+    assert n(user_regex="User.*", table_regex="T0") == 3
+    assert n(user_regex="User.*", table_regex="NS.*") == 3  # 'NS0:T2'
+    assert n(user_regex="User.*", table_regex="T") == 0
+    assert n(user_regex="User.*", table_regex="T.*") == 6
+    assert n(user_regex="User.*", namespace_regex="NS0") == 3
+    assert n(user_regex="User.*", namespace_regex="NS") == 0
+    assert n(user_regex="User.*", namespace_regex="NS.*") == 9
+    # table + namespace under a user filter UNION (MUST_PASS_ONE)
+    assert n(user_regex="User.*", table_regex="T0",
+             namespace_regex="NS0") == 6
+    # bare table/namespace filters match ONLY that scope's rows
+    assert n(table_regex="T0") == 1
+    assert n(table_regex="T") == 0
+    assert n(table_regex="T.*") == 2
+    assert n(table_regex=".*T.*") == 3
+    assert n(namespace_regex="NS0") == 1
+    assert n(namespace_regex="NS") == 0
+    assert n(namespace_regex="NS.*") == 3
+
+    for u in users:
+        m.set_quota(unthrottle_user(u))
+        for t in tables:
+            m.set_quota(unthrottle_user(u, table=t))
+        for ns in namespaces:
+            m.set_quota(unthrottle_user(u, namespace=ns))
+    assert len(m.list_quotas()) == 6
+    for t in tables:
+        m.set_quota(unthrottle_table(t))
+    assert len(m.list_quotas()) == 3
+
+
 def test_persistence_roundtrip(tmp_path):
     p = tmp_path / "quotas.json"
     m = MasterQuotaManager(p)
