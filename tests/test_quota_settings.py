@@ -287,3 +287,24 @@ def test_resolution_precedence(spark):
     assert r["user_scope"] == "none" and r["noop"] is False  # table+ns apply
     r = out[("u3", "t_c")]
     assert r["user_scope"] == "none" and r["noop"] is True
+
+
+def test_throttle_type_lifecycle_reference_case():
+    """TestQuotaAdmin.java:60 testThrottleType: two typed throttles +
+    bypassGlobals = 3 rows; unthrottleUser drops both throttle
+    components (bypass row remains); bypassGlobals(false) empties."""
+    m = MasterQuotaManager()
+    m.set_quota(throttle_user("u", "READ_NUMBER", 6, "MINUTES"))
+    m.set_quota(throttle_user("u", "WRITE_NUMBER", 12, "MINUTES"))
+    m.set_quota(bypass_globals("u", True))
+    rows = m.list_quotas()
+    assert len(rows) == 3
+    by_limit = {r["soft_limit"]: r for r in rows if r["quota_type"] == "THROTTLE"}
+    assert by_limit[6]["throttle_type"] == "READ_NUMBER"
+    assert by_limit[12]["throttle_type"] == "WRITE_NUMBER"
+    assert all(r["time_unit"] == "MINUTES" for r in by_limit.values())
+    assert sum(r["quota_type"] == "GLOBAL_BYPASS" for r in rows) == 1
+    m.set_quota(unthrottle_user("u"))
+    assert len(m.list_quotas()) == 1
+    m.set_quota(bypass_globals("u", False))
+    assert m.list_quotas() == []
