@@ -268,6 +268,24 @@ class _RateLimiterState:
         else:
             self.avail = min(self.avail - amount, self.limit)
 
+    def update(self, other: "_RateLimiterState"):
+        """RateLimiter.update (:111) — the setQuota-propagation rule
+        (QuotaCache refresh): adopt the new tunit; a GROWN limit
+        credits the difference to avail (capped at the new limit, with
+        the overflow guard), so consumed quota is PRESERVED across a
+        settings change (TestQuotaState.java:85-110 pins 3→11 ⇒ 8 more
+        after 3 consumed); a shrunk limit leaves avail to be capped at
+        the next refill."""
+        self.tunit = other.tunit
+        if self.limit < other.limit:
+            diff = other.limit - self.limit
+            if self.avail <= _LONG_MAX - diff:
+                self.avail = min(self.avail + diff, other.limit)
+            else:
+                self.avail = other.limit
+        self.limit = other.limit
+        self.policy = other.policy
+
     def wait_interval(self, now, amount=1):
         if amount <= self.avail:
             return 0
@@ -339,6 +357,24 @@ class _TimeBasedLimiter:
         self.subs["req_size"].consume(size)
         self.subs["read_size"].consume(size)
 
+    def update_from(self, configs: dict | None, policy: str):
+        """QuotaLimiterFactory.update → TimeBasedLimiter.update (:99):
+        EVERY sub-limiter updates from the new settings' limiter —
+        kinds absent from the new settings update from a bypass
+        limiter (the fromThrottle default), so a removed component
+        opens up (TestQuotaState testQuotaStateUpdateTableThrottle's
+        removed-table-B case); ``configs=None`` = the whole quota
+        removed (all-bypass)."""
+        configs = configs or {}
+        for k in LIMITER_KINDS:
+            if k in configs:
+                limit, tunit = configs[k]
+                self.subs[k].update(
+                    _RateLimiterState(int(limit), int(tunit), policy)
+                )
+            else:
+                self.subs[k].update(_RateLimiterState())
+
 
 def check_quota_replay(
     requests: DataFrame,
@@ -350,6 +386,7 @@ def check_quota_replay(
     avg_scan_size: int = 1000,
     rs_col: str | None = None,
     track_actual_sizes: bool = False,
+    settings_changes: list | None = None,
 ) -> DataFrame:
     """DefaultOperationQuota.checkQuota (:59) replayed over an ops log:
     per request, the USER then TABLE then NAMESPACE limiters are all
@@ -378,7 +415,17 @@ def check_quota_replay(
     moved less than estimated REFUNDS, one that moved more overdraws,
     clamped at [0, limit]). Requests then carry ``actual_write_bytes``
     / ``actual_read_bytes`` for their true post-op sizes (applied only
-    to admitted requests — a throttled RPC never ran)."""
+    to admitted requests — a throttled RPC never ran).
+
+    ``settings_changes``: mid-replay setQuota propagation (the
+    QuotaCache refresh path, QuotaLimiterFactory.update →
+    TimeBasedLimiter.update :99 → RateLimiter.update :111): a list of
+    ``(ts_ms, scope, key, configs)`` where ``configs`` is the COMPLETE
+    new ``{kind: (limit, tunit_ms)}`` for that limiter (None = quota
+    removed). A change applies to every request at ``ts_ms`` or later;
+    consumed quota is preserved across the change — a grown limit
+    credits only the difference, a removed component opens to bypass
+    (decision-tabled against TestQuotaState.java:85-177)."""
     if policy not in ("fixed", "average"):
         raise ValueError(f"unknown rate-limiter policy: {policy}")
     cfg: dict = {}
@@ -419,18 +466,47 @@ def check_quota_replay(
     )
     adjust = bool(track_actual_sizes)
 
+    changes: dict = {}
+    if settings_changes:
+        for ts, scope, key, configs in settings_changes:
+            if scope not in ("user", "table", "namespace"):
+                raise ValueError(f"unknown quota scope: {scope}")
+            if configs is not None:
+                for kind in configs:
+                    if kind not in LIMITER_KINDS:
+                        raise ValueError(f"unknown limiter kind: {kind}")
+            changes.setdefault((scope, key), []).append(
+                (int(ts), configs)
+            )
+        for lst in changes.values():
+            lst.sort(key=lambda c: c[0])
+
     def replay(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(["ts_ms", "req_id"]).reset_index(drop=True)
         limiters: dict = {}
+        applied: dict = {}
 
-        def limiter_for(scope, key):
+        def limiter_for(scope, key, now):
             if (scope, key) not in limiters:
                 limiters[(scope, key)] = _TimeBasedLimiter(
                     cfg.get((scope, key), {}), pol
                 )
-            return limiters[(scope, key)]
+                applied[(scope, key)] = 0
+            lim = limiters[(scope, key)]
+            # setQuota propagation (QuotaCache refresh): apply every
+            # settings change with ts <= now, in order, before the
+            # limiter is consulted. update() is now-independent, so
+            # lazy catch-up at touch time equals eager application.
+            lst = changes.get((scope, key))
+            if lst:
+                i = applied[(scope, key)]
+                while i < len(lst) and lst[i][0] <= now:
+                    lim.update_from(lst[i][1], pol)
+                    i += 1
+                applied[(scope, key)] = i
+            return lim
 
         out = []
         for r in pdf.itertuples(index=False):
@@ -443,7 +519,7 @@ def check_quota_replay(
                 ("namespace", r.namespace),
             ]
             verdict = (True, None, None, 0)
-            lims = [limiter_for(s, k) for s, k in chain]
+            lims = [limiter_for(s, k, r.ts_ms) for s, k in chain]
             for (scope, _key), lim in zip(chain, lims):
                 if lim.is_bypass():
                     continue

@@ -326,3 +326,79 @@ def test_close_adjustment_overdraw_and_refund(spark):
         ).collect()
     }
     assert got2[2] is True  # estimate-only: 200 bytes still available
+
+
+def test_settings_change_preserves_consumed_quota(spark):
+    """TestQuotaState.java:85-110 testQuotaStateUpdateGlobalThrottle as
+    a replay: a user consumes 3 of a 3/min quota; the quota grows to
+    11/min mid-stream — RateLimiter.update credits the DIFFERENCE, so
+    exactly 8 more admit in the same window; then the quota is removed
+    and everything admits (bypass)."""
+    from hbase_1_3_0_spark.operators import quota
+
+    reqs = spark.createDataFrame(
+        # 3 requests under the old quota, then 10 after the update at
+        # t=5000, then 5 after the removal at t=20000 (same tunit win)
+        [(i, 100 + i, "u", "t", "default", 1, 0, 0) for i in range(3)]
+        + [(10 + i, 6000 + i, "u", "t", "default", 1, 0, 0)
+           for i in range(10)]
+        + [(30 + i, 21000 + i, "u", "t", "default", 1, 0, 0)
+           for i in range(5)],
+        "req_id long, ts_ms long, user string, table_name string, "
+        "namespace string, num_writes int, num_reads int, num_scans int",
+    )
+    got = {
+        r.req_id: r.allowed
+        for r in quota.check_quota_replay(
+            reqs,
+            [("user", "u", "req_num", 3, 60_000)],
+            settings_changes=[
+                (5_000, "user", "u", {"req_num": (11, 60_000)}),
+                (20_000, "user", "u", None),
+            ],
+        ).collect()
+    }
+    assert all(got[i] for i in range(3))          # 3 admitted
+    admitted_after_grow = [got[10 + i] for i in range(10)]
+    assert admitted_after_grow == [True] * 8 + [False] * 2  # +8, not 11
+    assert all(got[30 + i] for i in range(5))     # removed -> bypass
+
+
+def test_settings_change_update_remove_add_tables(spark):
+    """TestQuotaState.java:140-177 testQuotaStateUpdateTableThrottle
+    shape: table A's quota grows (difference credited), table B's is
+    removed (opens to bypass), table C's appears mid-stream (enforced
+    from its change on)."""
+    from hbase_1_3_0_spark.operators import quota
+
+    def burst(base_id, ts, table, n):
+        return [(base_id + i, ts + i, "u", table, "default", 1, 0, 0)
+                for i in range(n)]
+
+    reqs = spark.createDataFrame(
+        burst(0, 100, "A", 1)            # consume 1 of A's 1/min
+        + burst(10, 6000, "A", 3)        # after A grows 1->3: +2 admit
+        + burst(20, 6100, "B", 3)        # after B removed: all admit
+        + burst(30, 6200, "C", 3),       # after C added at 2/min: 2 admit
+        "req_id long, ts_ms long, user string, table_name string, "
+        "namespace string, num_writes int, num_reads int, num_scans int",
+    )
+    limits = [
+        ("table", "A", "req_num", 1, 60_000),
+        ("table", "B", "req_num", 1, 60_000),
+    ]
+    ch = [
+        (5_000, "table", "A", {"req_num": (3, 60_000)}),
+        (5_000, "table", "B", None),
+        (5_000, "table", "C", {"req_num": (2, 60_000)}),
+    ]
+    got = {
+        r.req_id: r.allowed
+        for r in quota.check_quota_replay(
+            reqs, limits, settings_changes=ch
+        ).collect()
+    }
+    assert got[0] is True
+    assert [got[10 + i] for i in range(3)] == [True, True, False]
+    assert [got[20 + i] for i in range(3)] == [True, True, True]
+    assert [got[30 + i] for i in range(3)] == [True, True, False]
