@@ -68,6 +68,23 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
     return tokens
 
 
+def _compare_op(op: str) -> str:
+    """ParseFilter.createCompareOp analog: only the seven CompareOp
+    names are legal at parse time — anything else (the reference test's
+    quoted ``'>>'``, TestParseFilter.java:511) is rejected here rather
+    than surfacing later as a compiler error."""
+    if op in _VALID_OPS:
+        return op
+    raise ValueError(f"ParseFilter: invalid compare operator {op!r}")
+
+
+_VALID_OPS = frozenset(
+    (ast.CompareOp.LESS, ast.CompareOp.LESS_OR_EQUAL, ast.CompareOp.EQUAL,
+     ast.CompareOp.NOT_EQUAL, ast.CompareOp.GREATER_OR_EQUAL,
+     ast.CompareOp.GREATER, ast.CompareOp.NO_OP)
+)
+
+
 def _comparator(spec: str) -> ast.Comparator:
     kind, _, val = spec.partition(":")
     kind = kind.lower()
@@ -198,7 +215,7 @@ def _construct(name: str, a: list) -> ast.Filter:  # noqa: C901
             "qualifierfilter": ast.QualifierFilter,
             "valuefilter": ast.ValueFilter,
         }[n]
-        return cls(op=a[0], comparator=_comparator(a[1]))
+        return cls(op=_compare_op(a[0]), comparator=_comparator(a[1]))
     if n == "columnrangefilter":
         return ast.ColumnRangeFilter(
             a[0].encode() if a[0] else None,
@@ -217,14 +234,18 @@ def _construct(name: str, a: list) -> ast.Filter:  # noqa: C901
             kwargs["filter_if_missing"] = bool(a[4])
         if len(a) > 5:
             kwargs["latest_version_only"] = bool(a[5])
-        return cls(a[0], a[1].encode(), a[2], _comparator(a[3]), **kwargs)
+        return cls(
+            a[0], a[1].encode(), _compare_op(a[2]), _comparator(a[3]),
+            **kwargs,
+        )
     if n == "dependentcolumnfilter":
         if len(a) <= 3:
             return ast.DependentColumnFilter(
                 a[0], a[1].encode(), bool(a[2]) if len(a) > 2 else False
             )
         return ast.DependentColumnFilter(
-            a[0], a[1].encode(), bool(a[2]), a[3], _comparator(a[4])
+            a[0], a[1].encode(), bool(a[2]), _compare_op(a[3]),
+            _comparator(a[4])
         )
     if n == "randomrowfilter":
         return ast.RandomRowFilter(float(a[0]), int(a[1]) if len(a) > 1 else 42)

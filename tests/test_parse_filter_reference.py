@@ -1,0 +1,180 @@
+"""ParseFilter DSL pinned to the reference's own TestParseFilter.java:
+the EXACT filter strings (whitespace quirks, missing spaces around AND,
+tab prefixes, doubled-quote escapes) and the exact tree shapes the
+reference asserts — FilterList operator + child order, SKIP binding
+tighter than AND tighter than OR, comparator types and payloads, and
+the rejection cases. Pure parser tests, no SparkSession."""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_1_3_0_spark.filters import ast
+from hbase_1_3_0_spark.filters.parser import parse_filter
+
+
+def test_compound_filter1():
+    # TestParseFilter.java:398 — note the missing space before AND
+    f = parse_filter(" (PrefixFilter ('realtime')AND  FirstKeyOnlyFilter())")
+    assert isinstance(f, ast.FilterList)
+    assert f.operator == "MUST_PASS_ALL"
+    assert isinstance(f.filters[0], ast.PrefixFilter)
+    assert f.filters[0].prefix == b"realtime"
+    assert isinstance(f.filters[1], ast.FirstKeyOnlyFilter)
+
+
+def test_compound_filter2():
+    # :413 — OR of (AND list) and FamilyFilter; MUST_PASS_ONE on top
+    f = parse_filter(
+        "(PrefixFilter('realtime') AND QualifierFilter (>=, 'binary:e'))"
+        "OR FamilyFilter (=, 'binary:qualifier') "
+    )
+    assert isinstance(f, ast.FilterList)
+    assert f.operator == "MUST_PASS_ONE"
+    inner, fam = f.filters
+    assert isinstance(inner, ast.FilterList)
+    assert inner.operator == "MUST_PASS_ALL"
+    assert isinstance(inner.filters[0], ast.PrefixFilter)
+    assert inner.filters[0].prefix == b"realtime"
+    q = inner.filters[1]
+    assert isinstance(q, ast.QualifierFilter)
+    assert q.op == ast.CompareOp.GREATER_OR_EQUAL
+    assert isinstance(q.comparator, ast.BinaryComparator)
+    assert q.comparator.value == b"e"
+    assert isinstance(fam, ast.FamilyFilter)
+    assert fam.op == ast.CompareOp.EQUAL
+    assert isinstance(fam.comparator, ast.BinaryComparator)
+    assert fam.comparator.value == b"qualifier"
+
+
+def test_compound_filter3():
+    # :448 — AND binds before OR; SKIP wraps only the FamilyFilter
+    f = parse_filter(
+        " ColumnPrefixFilter ('realtime')AND  "
+        "FirstKeyOnlyFilter() OR SKIP FamilyFilter(=, 'substring:hihi')"
+    )
+    assert isinstance(f, ast.FilterList) and f.operator == "MUST_PASS_ONE"
+    inner, skip = f.filters
+    assert isinstance(inner, ast.FilterList)
+    assert inner.operator == "MUST_PASS_ALL"
+    assert isinstance(inner.filters[0], ast.ColumnPrefixFilter)
+    assert isinstance(inner.filters[1], ast.FirstKeyOnlyFilter)
+    assert isinstance(skip, ast.SkipFilter)
+    fam = skip.wrapped
+    assert isinstance(fam, ast.FamilyFilter)
+    assert fam.op == ast.CompareOp.EQUAL
+    assert isinstance(fam.comparator, ast.SubstringComparator)
+    assert fam.comparator.substr == "hihi"
+
+
+def test_compound_filter4():
+    # :482 — flat three-way OR, SKIP child last
+    f = parse_filter(
+        " ColumnPrefixFilter ('realtime') OR "
+        "FirstKeyOnlyFilter() OR SKIP FamilyFilter(=, 'substring:hihi')"
+    )
+    assert isinstance(f, ast.FilterList) and f.operator == "MUST_PASS_ONE"
+    kinds = [type(c) for c in _flat_or(f)]
+    assert kinds == [
+        ast.ColumnPrefixFilter, ast.FirstKeyOnlyFilter, ast.SkipFilter,
+    ]
+
+
+def _flat_or(f):
+    out = []
+    for c in f.filters:
+        if isinstance(c, ast.FilterList) and c.operator == "MUST_PASS_ONE":
+            out.extend(_flat_or(c))
+        else:
+            out.append(c)
+    return out
+
+
+def test_precedence1():
+    # :550 — parenthesized (A AND B OR C): AND groups first
+    f = parse_filter(
+        " (PrefixFilter ('realtime')AND  FirstKeyOnlyFilter()"
+        " OR KeyOnlyFilter())"
+    )
+    assert isinstance(f, ast.FilterList) and f.operator == "MUST_PASS_ONE"
+    inner, key_only = f.filters
+    assert isinstance(inner, ast.FilterList)
+    assert inner.operator == "MUST_PASS_ALL"
+    assert isinstance(inner.filters[0], ast.PrefixFilter)
+    assert inner.filters[0].prefix == b"realtime"
+    assert isinstance(inner.filters[1], ast.FirstKeyOnlyFilter)
+    assert isinstance(key_only, ast.KeyOnlyFilter)
+
+
+def test_precedence2():
+    # :573 — SKIP binds tighter than AND: (A AND SKIP B) OR C
+    f = parse_filter(
+        " PrefixFilter ('realtime')AND  SKIP FirstKeyOnlyFilter()"
+        "OR KeyOnlyFilter()"
+    )
+    assert isinstance(f, ast.FilterList) and f.operator == "MUST_PASS_ONE"
+    inner, key_only = f.filters
+    assert isinstance(inner, ast.FilterList)
+    assert inner.operator == "MUST_PASS_ALL"
+    assert isinstance(inner.filters[0], ast.PrefixFilter)
+    skip = inner.filters[1]
+    assert isinstance(skip, ast.SkipFilter)
+    assert isinstance(skip.wrapped, ast.FirstKeyOnlyFilter)
+    assert isinstance(key_only, ast.KeyOnlyFilter)
+
+
+def test_unescaped_quotes():
+    # :598/:607/:616 — '' inside a quoted token is a literal quote
+    f = parse_filter("InclusiveStopFilter ('row''3')")
+    assert isinstance(f, ast.InclusiveStopFilter)
+    assert f.stop_row == b"row'3"
+    f = parse_filter("InclusiveStopFilter ('row''3''')")
+    assert f.stop_row == b"row'3'"
+    f = parse_filter("\tInclusiveStopFilter ('''')")  # tab prefix, :616
+    assert f.stop_row == b"'"
+
+
+def test_correct_and_incorrect_filter_strings():
+    # :625 "()" rejected; :637 "(FirstKeyOnlyFilter())" unwraps
+    with pytest.raises(ValueError):
+        parse_filter("()")
+    f = parse_filter("(FirstKeyOnlyFilter())")
+    assert isinstance(f, ast.FirstKeyOnlyFilter)
+
+
+def test_incorrect_compare_operator_and_comparator():
+    # :511 '>>' rejected; :522 RowFilter with a LongComparator rejected?
+    # the reference rejects UNKNOWN comparator kinds at parse time —
+    # here 'unknowntype:x' must fail the same way
+    with pytest.raises(ValueError):
+        parse_filter("RowFilter ('>>' , 'binary:region')")
+    with pytest.raises(ValueError):
+        parse_filter("RowFilter (>, 'unknowntype:region')")
+
+
+def test_simple_filters_reference_payloads():
+    # the :56-:295 battery of single-filter strings, payloads asserted
+    f = parse_filter("PrefixFilter('row')")
+    assert isinstance(f, ast.PrefixFilter) and f.prefix == b"row"
+    f = parse_filter("ColumnPrefixFilter('qualifier')")
+    assert isinstance(f, ast.ColumnPrefixFilter)
+    f = parse_filter("MultipleColumnPrefixFilter('qualifier1', 'qualifier2')")
+    assert isinstance(f, ast.MultipleColumnPrefixFilter)
+    f = parse_filter("PageFilter(4)")
+    assert isinstance(f, ast.PageFilter) and f.page_size == 4
+    f = parse_filter("ColumnPaginationFilter(4, 6)")
+    assert isinstance(f, ast.ColumnPaginationFilter)
+    assert (f.limit, f.offset) == (4, 6)
+    f = parse_filter("TimestampsFilter(9223372036854775806, 6)")
+    assert isinstance(f, ast.TimestampsFilter)
+    assert 9223372036854775806 in f.timestamps
+    f = parse_filter("RowFilter ( =,   'binary:regionse')")
+    assert isinstance(f, ast.RowFilter)
+    assert f.comparator.value == b"regionse"
+    f = parse_filter("QualifierFilter (=, 'regexstring:pre*')")
+    assert isinstance(f, ast.QualifierFilter)
+    assert isinstance(f.comparator, ast.RegexStringComparator)
+    f = parse_filter("ValueFilter (!=, 'binaryprefix:valu')")
+    assert isinstance(f, ast.ValueFilter)
+    assert f.op == ast.CompareOp.NOT_EQUAL
+    assert isinstance(f.comparator, ast.BinaryPrefixComparator)
