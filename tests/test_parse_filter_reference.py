@@ -178,3 +178,38 @@ def test_simple_filters_reference_payloads():
     assert isinstance(f, ast.ValueFilter)
     assert f.op == ast.CompareOp.NOT_EQUAL
     assert isinstance(f.comparator, ast.BinaryPrefixComparator)
+
+
+def test_fuzzy_row_membership_reference_vectors(spark):
+    """FuzzyRowFilter membership pinned to TestFuzzyRowFilter.java's
+    satisfiesNoUnsafe vectors (:31-75; mask 0 = fixed, 1 = fuzzy —
+    ours is the same new-format convention). The reference's YES rows
+    must pass our compiled predicate; NEXT_EXISTS rows (current row
+    fails, a later one may match) must be excluded — the seek hint
+    itself is LSM-iterator machinery with no batch analog, which is
+    the documented divergence on the AST class."""
+    from hbase_1_3_0_spark.filters.ast import FuzzyRowFilter
+    from hbase_1_3_0_spark.filters.compiler import apply_filter
+
+    # (row, fuzzy pattern, mask, reference verdict YES?)
+    vectors = [
+        (b"\x01\x80\x01\x00\x01", b"\x01\x00\x01", b"\x00\x01\x00", True),
+        (b"\x01\x80\x02\x00\x01", b"\x01\x00\x01", b"\x00\x01\x00", False),
+        (b"\x01\x02\x01\x03\x03", b"\x01\x02\x00\x03", b"\x00\x00\x01\x00",
+         True),
+        (b"\x01\x01\x01\x03\x00", b"\x01\x02\x00\x03", b"\x00\x00\x01\x00",
+         False),
+        (b"\x01\x01\x01\x03\x00", b"\x01\xf5\x00\x03", b"\x00\x00\x01\x00",
+         False),
+        (b"\x01\x02\x01\x00\x01", b"\x00\x01\x02", b"\x01\x00\x00", False),
+    ]
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA
+
+    rows = [(r, "d", b"q", 1, 4, b"v", 0) for r, _, _, _ in vectors]
+    cells = spark.createDataFrame(rows, CELL_SCHEMA)
+    for row, patt, mask, want in vectors:
+        out = apply_filter(
+            cells, FuzzyRowFilter(pairs=[(patt, mask)])
+        ).select("row").collect()
+        got = any(bytes(r.row) == row for r in out)
+        assert got is want, (row.hex(), patt.hex(), mask.hex(), want)
