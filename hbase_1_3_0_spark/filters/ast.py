@@ -343,12 +343,35 @@ class RowRange:
 
 @dataclass(frozen=True)
 class MultiRowRangeFilter(Filter):
-    """Union of row ranges in one pass (MultiRowRangeFilter.java:54)."""
+    """Union of row ranges in one pass (MultiRowRangeFilter.java:54).
+
+    Constructor-time validation mirrors sortAndMerge (:254): an empty
+    list raises "No ranges found.", and any range failing
+    RowRange.isValid (:508 — valid iff start or stop is empty, start <
+    stop, or start == stop with an inclusive stop) raises, exactly as
+    TestMultiRowRangeFilter's testMultiRowRangeWithoutRange /
+    WithInvalidRange expect."""
 
     ranges: tuple[RowRange, ...]
 
     def __init__(self, ranges) -> None:
-        object.__setattr__(self, "ranges", tuple(ranges))
+        ranges = tuple(ranges)
+        if not ranges:
+            raise ValueError("No ranges found.")
+        bad = [r for r in ranges if not _row_range_valid(r)]
+        if bad:
+            raise ValueError(f"Invalid range: {bad[0]!r}")
+        object.__setattr__(self, "ranges", ranges)
+
+
+def _row_range_valid(r: "RowRange") -> bool:
+    """RowRange.isValid (MultiRowRangeFilter.java:508)."""
+    start = r.start_row or b""
+    stop = r.stop_row or b""
+    return (
+        start == b"" or stop == b"" or start < stop
+        or (start == stop and r.stop_inclusive)
+    )
 
 
 @dataclass(frozen=True)

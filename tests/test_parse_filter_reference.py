@@ -213,3 +213,69 @@ def test_fuzzy_row_membership_reference_vectors(spark):
         ).select("row").collect()
         got = any(bytes(r.row) == row for r in out)
         assert got is want, (row.hex(), patt.hex(), mask.hex(), want)
+
+
+def test_multi_row_range_sort_and_merge_reference_table():
+    """sortAndMerge pinned to TestMultiRowRangeFilter.java:109-228 —
+    outcomes stated in our normalized half-open form ([s, e) with
+    e=None = +inf; inclusivity absorbed by byte-successor arithmetic,
+    so e.g. the reference's stop-inclusive [10,20] merging with
+    start-exclusive (20, inf) is the half-open pair (b10, b20+\\x00)
+    meeting (b20+\\x00, None)). Empty bytes = open boundary."""
+    from hbase_1_3_0_spark.filters.ast import (
+        MultiRowRangeFilter,
+        RowRange,
+    )
+    from hbase_1_3_0_spark.filters.compiler import _sort_and_merge_ranges
+
+    def b(n):
+        return bytes([n])
+
+    def merge(*rs):
+        return _sort_and_merge_ranges([RowRange(*r) for r in rs])
+
+    # testMergeAndSortWithEmptyStartRow (:109)
+    assert merge((b"", True, b(20), False), (b(15), True, b(40), False)) \
+        == [(b"", b(40))]
+    # testMergeAndSortWithEmptyStopRow (:120)
+    assert merge((b(10), True, b(20), False), (b(15), True, b"", False),
+                 (b(30), True, b(70), False)) == [(b(10), None)]
+    # testMergeAndSortWithEmptyStartRowAndStopRow (:132)
+    assert merge((b(10), True, b(20), False), (b"", True, b"", False),
+                 (b(30), True, b(70), False)) == [(b"", None)]
+    # testMergeAndSortWithoutOverlap (:160)
+    assert merge((b(10), True, b(20), False), (b(30), True, b(40), False),
+                 (b(60), True, b(70), False)) == [
+        (b(10), b(20)), (b(30), b(40)), (b(60), b(70))]
+    # testMergeAndSortWithOverlap (:174)
+    assert merge(
+        (b(10), True, b(20), False), (b(15), True, b(40), False),
+        (b(20), True, b(30), False), (b(30), True, b(50), False),
+        (b(30), True, b(70), False), (b(90), True, b(100), False),
+        (b(95), True, b(100), False),
+    ) == [(b(10), b(70)), (b(90), b(100))]
+    # testMergeAndSortWithStartRowInclusive (:191)
+    assert merge((b(10), True, b(20), False), (b(20), True, b"", False)) \
+        == [(b(10), None)]
+    # testMergeAndSortWithRowExclusive (:203) — NOT merged
+    assert merge((b(10), True, b(20), False), (b(20), False, b"", False)) \
+        == [(b(10), b(20)), (b(20) + b"\x00", None)]
+    # testMergeAndSortWithRowInclusive (:216) — merged across the seam
+    assert merge((b(10), True, b(20), True), (b(20), False, b"", False)) \
+        == [(b(10), None)]
+
+    # constructor rejections (:144 WithoutRange, :150 WithInvalidRange)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="No ranges"):
+        MultiRowRangeFilter([])
+    with _pytest.raises(ValueError, match="Invalid range"):
+        MultiRowRangeFilter([
+            RowRange(b(10), True, b(20), False),
+            RowRange(b(80), True, b(20), False),  # start > stop
+            RowRange(b(30), True, b(70), False),
+        ])
+    # start == stop is valid ONLY with an inclusive stop (isValid :508)
+    MultiRowRangeFilter([RowRange(b(10), True, b(10), True)])
+    with _pytest.raises(ValueError, match="Invalid range"):
+        MultiRowRangeFilter([RowRange(b(10), True, b(10), False)])
