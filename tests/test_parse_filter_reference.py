@@ -279,3 +279,49 @@ def test_multi_row_range_sort_and_merge_reference_table():
     MultiRowRangeFilter([RowRange(b(10), True, b(10), True)])
     with _pytest.raises(ValueError, match="Invalid range"):
         MultiRowRangeFilter([RowRange(b(10), True, b(10), False)])
+
+
+def test_bit_comparator_reference_vectors(spark):
+    """BitComparator pinned to TestBitComparator.java's full vector
+    table (:48-74): Equal (compareTo 0, i.e. a ValueFilter(=) match)
+    iff lengths agree and some byte of (value bitop mask) is non-zero —
+    including the length-mismatch rows (ones vs 5-byte data3)."""
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA
+    from hbase_1_3_0_spark.filters.ast import (
+        BitComparator,
+        CompareOp,
+        ValueFilter,
+    )
+    from hbase_1_3_0_spark.filters.compiler import apply_filter
+
+    zeros = bytes([0] * 6)
+    ones = bytes([1] * 6)
+    data0 = bytes([0, 1, 2, 4, 8, 15])
+    data1 = bytes([15, 0, 0, 0, 0, 0])
+    data2 = bytes([0, 0, 0, 0, 0, 15])
+    data3 = bytes([15] * 5)
+    E, NE = True, False
+    vectors = [
+        (zeros, ones, "AND", NE), (data1, ones, "AND", E),
+        (data1, data0, "AND", NE), (data2, data1, "AND", NE),
+        (ones, data0, "AND", E), (ones, data3, "AND", NE),
+        (ones, zeros, "OR", E), (zeros, zeros, "OR", NE),
+        (data1, zeros, "OR", E), (data2, data1, "OR", E),
+        (ones, data3, "OR", NE),
+        (ones, zeros, "XOR", E), (zeros, zeros, "XOR", NE),
+        (ones, ones, "XOR", NE), (data2, data1, "XOR", E),
+        (ones, data3, "XOR", NE),
+    ]
+    rows = [
+        (bytes([i]), "d", b"q", 1, 4, data, 0)
+        for i, (data, _, _, _) in enumerate(vectors)
+    ]
+    cells = spark.createDataFrame(rows, CELL_SCHEMA)
+    for i, (data, mask, op, want) in enumerate(vectors):
+        out = apply_filter(
+            cells,
+            ValueFilter(op=CompareOp.EQUAL,
+                        comparator=BitComparator(mask, op)),
+        ).select("row").collect()
+        got = any(bytes(r.row) == bytes([i]) for r in out)
+        assert got is want, (i, data.hex(), mask.hex(), op, want)
