@@ -123,7 +123,10 @@ class NullComparator(Comparator):
 
 @dataclass(frozen=True)
 class RegexStringComparator(Comparator):
-    """Regex over the UTF-8 decoding (RegexStringComparator.java:76)."""
+    """Regex over the UTF-8 decoding (RegexStringComparator.java:76).
+    Compiles to Spark ``rlike`` — java.util.regex, the reference's
+    DEFAULT engine (EngineType.JAVA, :82-87); the optional JONI engine
+    (Ruby-flavor syntax) is not emulated."""
 
     pattern: str
 
