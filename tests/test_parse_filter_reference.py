@@ -325,3 +325,69 @@ def test_bit_comparator_reference_vectors(spark):
         ).select("row").collect()
         got = any(bytes(r.row) == bytes([i]) for r in out)
         assert got is want, (i, data.hex(), mask.hex(), op, want)
+
+
+def test_long_comparator_reference_values(spark):
+    """TestLongComparator.java's value ladder (MIN_VALUE through
+    MAX_VALUE) driven through the compiled ValueFilter: for every pair
+    i > j, the cell holding values[j] compares LESS than
+    LongComparator(values[i]) — pinning signed two's-complement
+    decoding of the 8-byte big-endian payload (a raw byte compare would
+    sort negatives ABOVE positives)."""
+    import struct
+
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA
+    from hbase_1_3_0_spark.filters.ast import (
+        CompareOp,
+        LongComparator,
+        ValueFilter,
+    )
+    from hbase_1_3_0_spark.filters.compiler import apply_filter
+
+    values = [-(2**63), -10_000_000_000, -1_000_000, 0, 1_000_000,
+              10_000_000_000, 2**63 - 1]
+    rows = [
+        (bytes([j]), "d", b"q", 1, 4, struct.pack(">q", v), 0)
+        for j, v in enumerate(values)
+    ]
+    cells = spark.createDataFrame(rows, CELL_SCHEMA)
+
+    def included(op, pivot):
+        out = apply_filter(
+            cells,
+            ValueFilter(op=op, comparator=LongComparator(pivot,
+                                                         codec="be8")),
+        ).select("row").collect()
+        return sorted(r.row[0] for r in out)
+
+    for i in range(1, len(values)):
+        assert included(CompareOp.LESS, values[i]) == list(range(i))
+    assert included(CompareOp.GREATER, values[0]) == list(range(1, 7))
+    assert included(CompareOp.EQUAL, values[3]) == [3]
+
+
+def test_null_comparator_reference_cases(spark):
+    """TestNullComparator.java: compareTo(null) == 0 (EQUAL matches),
+    compareTo(non-null) == 1 (EQUAL excludes, NOT_EQUAL includes)."""
+    from hbase_1_3_0_spark.cells import CELL_SCHEMA
+    from hbase_1_3_0_spark.filters.ast import (
+        CompareOp,
+        NullComparator,
+        ValueFilter,
+    )
+    from hbase_1_3_0_spark.filters.compiler import apply_filter
+
+    rows = [
+        (b"\x01", "d", b"q", 1, 4, None, 0),
+        (b"\x02", "d", b"q", 1, 4, bytes([0, 1, 2, 3, 4, 5]), 0),
+    ]
+    cells = spark.createDataFrame(rows, CELL_SCHEMA)
+    eq = apply_filter(
+        cells, ValueFilter(op=CompareOp.EQUAL, comparator=NullComparator())
+    ).select("row").collect()
+    assert [bytes(r.row) for r in eq] == [b"\x01"]
+    ne = apply_filter(
+        cells,
+        ValueFilter(op=CompareOp.NOT_EQUAL, comparator=NullComparator()),
+    ).select("row").collect()
+    assert [bytes(r.row) for r in ne] == [b"\x02"]
