@@ -37,7 +37,7 @@ from hbase_1_3_0_spark.pipeline import (
 )
 from hbase_1_3_0_spark.sources import fixtures
 from hbase_1_3_0_spark.sources.kv_encoder import cells_to_table, table_to_cells
-from hbase_1_3_0_spark.table import Scan, Table
+from hbase_1_3_0_spark.table import BufferedMutator, Scan, Table
 
 from hbase_1_3_0_spark.operators import bloom as _bloom_mod
 
@@ -2625,6 +2625,43 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_buffered_mutator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BufferedMutator end-to-end (BufferedMutator.java:65 — mutate :86
+    buffers, flush :112 commits; table.py BufferedMutator): three
+    mutation batches flow through the buffer with flush_batches=2, so
+    the second mutate() triggers the auto-flush and the third commits
+    on the explicit flush — buffering must not change the final read
+    view vs direct application (last-write-wins by ts). Output is the
+    decoded wide table; the oracle states the final state directly."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    bm = BufferedMutator(t, flush_batches=2)
+    b1 = table_to_cells(
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", F.upper(F.col("c_name")).alias("c_name")),
+        ["c_custkey"], ["c_name"], family="d", ts=2_000_000, seq=1,
+    )
+    b2 = table_to_cells(
+        cust.where(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", F.lit("BULK").alias("c_mktsegment")),
+        ["c_custkey"], ["c_mktsegment"], family="d", ts=3_000_000, seq=2,
+    )
+    b3 = table_to_cells(
+        cust.where(F.col("c_custkey") % 15 == 0)
+        .select("c_custkey", F.lit("VIP").alias("c_name")),
+        ["c_custkey"], ["c_name"], family="d", ts=4_000_000, seq=3,
+    )
+    bm.mutate(b1)
+    bm.mutate(b2)  # auto-flush fires here (flush_batches=2)
+    bm.mutate(b3)
+    out = bm.flush()
+    return _wide(
+        out.scan(),
+        {"c_custkey": "bigint", "c_name": "string",
+         "c_mktsegment": "string"},
+    )
+
+
 def q_cluster_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClusterStatus/ServerLoad observability rollup (ClusterStatus.java
     :65 — getServersSize/getDeadServers/getRegionsCount/getRequestsCount/
@@ -3896,7 +3933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated in LATE r06 (all plain-session smoke-tested +
         #    local-green): winnowing, langid (DuckDB-oracled); BPE
         #    (py-model oracle, rows-only at the driver by design) --
-        "winnow_fp": q_winnow_fp,
+        # -- late r09: BufferedMutator end-to-end (moves the last
+        #    query-shaped pytest-only §2.1 row to driver-checked) —
+        #    rotated in over winnow_fp (green r6-r8; winnowing keeps
+        #    winnow_robust + winnow_dedup in-window) --
+        "buffered_mutator": q_buffered_mutator,
         # -- late r09: cluster-balanced diversity sampling — the
         #    value-checked twin of the rows-only trained-centroid paths
         #    (ivf/semdedup); rotated in over winnow_overlap (green
@@ -3959,8 +4000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r09 for quota_settings/replication_scope/
-        # cluster_status/cluster_balanced_sample (see the in-window
-        # comments)
+        # cluster_status/cluster_balanced_sample/buffered_mutator
+        # (see the in-window comments)
+        "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
         "url_quarantine": q_url_quarantine,
         "gopher_repetition": q_gopher_repetition,
@@ -5439,6 +5481,18 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY v DESC, c_custkey DESC)"
             "::INT AS r64d, "
             "TRUE AS rt32, TRUE AS rt64 FROM b"
+        ),
+        "buffered_mutator": (
+            # the buffered batches' final state, stated directly:
+            # last-write-wins by ts — VIP (ts4) over UPPER (ts2) on
+            # %15 keys, BULK (ts3) on %5 keys
+            "SELECT c_custkey::BIGINT AS c_custkey, "
+            "CASE WHEN c_custkey % 15 = 0 THEN 'VIP' "
+            "WHEN c_custkey % 3 = 0 THEN upper(c_name) "
+            "ELSE c_name END AS c_name, "
+            "CASE WHEN c_custkey % 5 = 0 THEN 'BULK' "
+            "ELSE c_mktsegment END AS c_mktsegment "
+            "FROM customer"
         ),
         "cluster_balanced_sample": (
             # deterministic centroids = the 8 smallest vec_ids; argmax
