@@ -8,8 +8,8 @@ Usage: python tools/check_oracles.py [--json OUT.json]
 With ``--json`` a driver-format report ({name: {rows_match, schema_match,
 hash_match, spark_rows, oracle_rows, err}}) is written for ALL checked
 queries — committed per round as CORRECTNESS_LOCAL_r{N}.json so the full
-95-query inventory has a recorded verdict even though the driver's own
-gate stops at the first 50 ``queries()`` keys.
+declared-query inventory (172 as of r9) has a recorded verdict even
+though the driver's own gate stops at the first 50 ``queries()`` keys.
 
 ``--changed-since GITREF`` selects only the queries affected by the diff
 since GITREF (working tree included): queries whose ``q_*`` function or
