@@ -389,6 +389,78 @@ class Engine:
             "cells",
         )
 
+    def cluster_status_df(
+        self,
+        servers: list[str],
+        *,
+        dead_servers: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """ClusterStatus over the ENGINE'S OWN layout (the master's view
+        a real deployment gets from regionserver reports): one
+        RegionLoad row per physical region of every saved table —
+        region identity = the parquet region file, KV count and family
+        (store) count from a per-file metadata aggregation,
+        storefileSizeMB from the file's REAL on-disk size (MB-truncated
+        like RegionLoad.getStorefileSizeMB) — placed onto ``servers``
+        with the reference's roundRobinAssignment
+        (BaseLoadBalancer.java:1533), then rolled up by
+        :func:`operators.cluster_status.cluster_status`. Request
+        counters are runtime telemetry with no storage analog and read
+        as 0. The per-file collect is region-list metadata scale."""
+        import os
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        from hbase_1_3_0_spark.operators.balancer import (
+            round_robin_assignment,
+        )
+        from hbase_1_3_0_spark.operators.cluster_status import cluster_status
+
+        rl_rows = []
+        for qn in self.catalog.tables():
+            ns, _, name = qn.partition(":")
+            try:
+                t = self.table(name, ns)
+            except KeyError:
+                continue
+            if not t.cells.inputFiles():
+                continue  # in-memory only: no physical regions yet
+            per_file = (
+                t.cells.select(
+                    F.input_file_name().alias("f"), "family"
+                )
+                .groupBy("f")
+                .agg(
+                    F.countDistinct("family").alias("stores"),
+                    F.count(F.lit(1)).alias("cells"),
+                )
+                .collect()
+            )
+            for r in per_file:
+                path = unquote(urlparse(r.f).path)
+                size = os.path.getsize(path) if os.path.exists(path) else 0
+                rl_rows.append(
+                    (qn, os.path.basename(path), int(r.stores), 1,
+                     size // (1 << 20), int(r.cells))
+                )
+        rl = self.spark.createDataFrame(
+            rl_rows,
+            "table_name string, region string, stores long, "
+            "storefiles long, storefile_size_mb long, cells long",
+        )
+        placed = round_robin_assignment(
+            rl.select("table_name", "region"),
+            self.spark.createDataFrame(
+                [(s,) for s in servers], "server string"
+            ),
+        ).withColumnRenamed("dest", "server")
+        return cluster_status(
+            rl.join(placed, ["table_name", "region"]),
+            servers=servers,
+            dead_servers=dead_servers,
+        )
+
     def split_table(
         self, table: Table, num_partitions: int, *, algo: str | None = None
     ) -> Table:

@@ -74,3 +74,34 @@ def test_last_major_compaction_ts_min_per_table(spark):
     }
     # min over regions (:296); NULL reads as 0 (protobuf default)
     assert got == {"t1": 50, "t2": 0}
+
+
+def test_engine_cluster_status_real_layout(spark, sf_dir, tmp_path):
+    """Engine.cluster_status_df over a real saved layout: one
+    RegionLoad row per parquet region file with true on-disk sizes,
+    round-robin placed, rolled up to ClusterStatus — regions_count
+    equals the physical file count, every live server gets a row, and
+    storefiles sum to the file count."""
+    from hbase_1_3_0_spark.catalog import TableMeta
+    from hbase_1_3_0_spark.engine import Engine
+    from hbase_1_3_0_spark.sources import fixtures
+
+    eng = Engine(spark, root=tmp_path / "store", now_ms=1)
+    cells = fixtures.kv_cells(spark, sf_dir, "nation")
+    t = eng.create_table(
+        TableMeta(name="nation", clean_log=True, range_partitions=4), cells
+    )
+    eng.save(t)
+
+    out = eng.cluster_status_df(["rs0", "rs1", "rs2"],
+                                dead_servers=("rs9",))
+    rows = {r.server: r.asDict() for r in out.collect()}
+    assert set(rows) == {"rs0", "rs1", "rs2"}
+    n_files = len(eng.table("nation").cells.inputFiles())
+    assert n_files >= 1
+    first = next(iter(rows.values()))
+    assert first["regions_count"] == n_files
+    assert first["servers_size"] == 3 and first["dead_servers"] == 1
+    assert sum(r["storefiles"] for r in rows.values()) == n_files
+    # placement is the round-robin stride: no server exceeds its share
+    assert max(r["n_regions"] for r in rows.values()) <= -(-n_files // 3) + 1
