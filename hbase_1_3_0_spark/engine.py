@@ -308,8 +308,10 @@ class Engine:
         shutil.copytree(src, tmp)
 
         manifest = []
+        # only the TOP-LEVEL _manifest.json is the export's own metadata;
+        # a nested file of the same name is snapshot data and gets hashed.
         for p in sorted(tmp.rglob("*")):
-            if p.is_file() and p.name != "_manifest.json":
+            if p.is_file() and p != tmp / "_manifest.json":
                 manifest.append({
                     "path": str(p.relative_to(tmp)),
                     "size": p.stat().st_size,
@@ -353,7 +355,7 @@ class Engine:
                 raise CorruptedSnapshotError(f"digest mismatch: {p}")
         extra = [
             p for p in snapshot_dir.rglob("*")
-            if p.is_file() and p.name != "_manifest.json" and p not in seen
+            if p.is_file() and p != mpath and p not in seen
         ]
         if extra:
             raise CorruptedSnapshotError(

@@ -93,13 +93,28 @@ def cluster_status(
     ``servers`` optionally names the full live-server set (the
     clusterMap key set, the balancer convention) so servers hosting
     ZERO regions still get a row — region_loads alone cannot know they
-    exist. ``dead_servers`` is the reference's separate dead list; dead
+    exist. In the reference every reporting server IS in liveServers
+    (ClusterStatus:133), so a region_loads server absent from
+    ``servers`` is a caller error: it raises rather than silently
+    dropping that server's regions from the cluster counts.
+    ``dead_servers`` is the reference's separate dead list; dead
     servers contribute a count, never rows."""
     per = server_load(region_loads, server_col=server_col)
     if servers is not None:
+        live = sorted(set(servers))
         base = per.sparkSession.createDataFrame(
-            [(s,) for s in sorted(set(servers))], "server string"
+            [(s,) for s in live], "server string"
         )
+        strays = [
+            r.server
+            for r in per.join(base, "server", "left_anti")
+                        .select("server").take(5)
+        ]
+        if strays:
+            raise ValueError(
+                f"region_loads reports servers not in `servers`: {strays} "
+                "— every reporting server must be in the live set"
+            )
         per = base.join(per, "server", "left").na.fill(0)
     w = Window.partitionBy()  # per-server frame is master metadata
     return per.select(

@@ -368,19 +368,29 @@ class MasterQuotaManager:
         return limits
 
     # -- persistence (the replication-peer-registry pattern) ---------------
+    # Keys are stored as JSON arrays (a JSON string per dict key), so a
+    # user/table/namespace name containing any delimiter character
+    # round-trips losslessly; the legacy "a|b|c" form is still readable.
     def _persist(self) -> None:
         if not self._path:
             return
         payload = {
-            "|".join(k): v for k, v in sorted(self._quotas.items())
+            json.dumps(list(k)): v for k, v in sorted(self._quotas.items())
         }
         self._path.write_text(json.dumps(payload, indent=2))
 
     def _load(self) -> None:
         payload = json.loads(self._path.read_text())
-        self._quotas = {
-            tuple(k.split("|")): v for k, v in payload.items()
-        }
+        quotas: dict[tuple[str, str, str], dict] = {}
+        for k, v in payload.items():
+            if k.startswith("["):
+                parts = json.loads(k)
+            else:  # pre-r10 pipe-joined files
+                parts = k.split("|")
+            if len(parts) != 3:
+                raise ValueError(f"corrupt quota key {k!r}")
+            quotas[tuple(parts)] = v
+        self._quotas = quotas
 
 
 def resolve_operation_quota(

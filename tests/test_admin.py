@@ -205,3 +205,34 @@ def test_export_snapshot_roundtrip(eng, spark, tmp_path):
 def test_export_snapshot_missing_source(eng, tmp_path):
     with pytest.raises(KeyError, match="no such snapshot"):
         eng.export_snapshot("nope", tmp_path / "d")
+
+
+def test_export_snapshot_nested_manifest_is_data(eng, tmp_path):
+    """Only the TOP-LEVEL _manifest.json is export metadata; a nested
+    file of the same name must be digest-verified like any data file,
+    and a stray nested one must be flagged as unreferenced."""
+    from hbase_1_3_0_spark.engine import CorruptedSnapshotError, Engine
+
+    t = eng.table("nation")
+    eng.snapshot(t, "snm")
+    # plant a nested _manifest.json INSIDE the snapshot source tree so
+    # it's copied as data
+    src = next(p for p in (eng.root / "_snapshots").iterdir()
+               if p.name == "snm")
+    sub = src / "subdir"
+    sub.mkdir()
+    (sub / "_manifest.json").write_text("payload")
+
+    out = eng.export_snapshot("snm", tmp_path / "c2")
+    Engine.verify_snapshot(out)
+    # tampering with the NESTED one must now be caught
+    (out / "subdir" / "_manifest.json").write_text("tampered!!")
+    with pytest.raises(CorruptedSnapshotError):
+        Engine.verify_snapshot(out)
+
+    # a stray nested _manifest.json added post-export is unreferenced
+    out2 = eng.export_snapshot("snm", tmp_path / "c3")
+    (out2 / "subdir2").mkdir()
+    (out2 / "subdir2" / "_manifest.json").write_text("foreign")
+    with pytest.raises(CorruptedSnapshotError, match="unreferenced"):
+        Engine.verify_snapshot(out2)

@@ -59,6 +59,17 @@ def test_cluster_status_summary_and_empty_server(spark):
         assert abs(r["average_load"] - 1.0) < 1e-9  # 3 regions / 3 servers
 
 
+def test_cluster_status_stray_reporting_server_raises(spark):
+    # In the reference every reporting server is in liveServers
+    # (ClusterStatus:133); a region_loads server missing from `servers`
+    # must surface, not silently undercount regions/requests.
+    import pytest
+
+    rl = spark.createDataFrame(ROWS, RL_SCHEMA)
+    with pytest.raises(ValueError, match="rs1"):
+        cluster_status(rl, servers=["rs0", "rs2"]).collect()
+
+
 def test_last_major_compaction_ts_min_per_table(spark):
     from hbase_1_3_0_spark.operators.cluster_status import (
         last_major_compaction_ts,

@@ -195,6 +195,34 @@ def test_persistence_roundtrip(tmp_path):
     assert m2.list_quotas() == m.list_quotas()
 
 
+def test_persistence_roundtrip_delimiter_names(tmp_path):
+    # names containing '|' (the old key delimiter) must round-trip —
+    # keys persist as JSON arrays, not '|'.join
+    p = tmp_path / "quotas.json"
+    m = MasterQuotaManager(p)
+    m.set_quota(throttle_user("a|b", "REQUEST_NUMBER", 5, "SECONDS",
+                              table="t|x"))
+    m2 = MasterQuotaManager(p)
+    assert m2.list_quotas() == m.list_quotas()
+    got = m2.list_quotas()
+    assert len(got) == 1
+    assert got[0]["user"] == "a|b" and got[0]["table"] == "t|x"
+
+
+def test_persistence_reads_legacy_pipe_keys(tmp_path):
+    import json
+
+    p = tmp_path / "quotas.json"
+    p.write_text(json.dumps({
+        "bob|t1|": {"throttle": {"REQUEST_NUMBER": [9, "SECONDS"]},
+                    "bypass_globals": False},
+    }))
+    m = MasterQuotaManager(p)
+    row = m.list_quotas()[0]
+    assert row["user"] == "bob" and row["table"] == "t1"
+    assert row["soft_limit"] == 9
+
+
 def test_replay_limits_feed():
     from hbase_1_3_0_spark.operators.quota import LIMITER_KINDS
 

@@ -62,8 +62,7 @@ _SAFE_TYPES = (
 )
 
 
-def _column_problems(field: pa.Field) -> str | None:
-    t = field.type
+def _type_problems(t: pa.DataType) -> str | None:
     if pa.types.is_decimal(t):
         if t.precision == 38 and t.scale == 0:
             return (
@@ -75,10 +74,19 @@ def _column_problems(field: pa.Field) -> str | None:
         return None
     if pa.types.is_null(t):
         return "null-typed column — bare NULL literal needs a cast"
+    # a list(decimal128(38,0)) — e.g. list(sum(...)) — hash-drifts just
+    # like a bare HUGEINT column; recurse into the element type.
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner = _type_problems(t.value_type)
+        return f"list element: {inner}" if inner else None
     for ok in _SAFE_TYPES:
         if ok(t):
             return None
     return f"non-standard arrow type {t} — verify driver hash stability"
+
+
+def _column_problems(field: pa.Field) -> str | None:
+    return _type_problems(field.type)
 
 
 def main() -> int:
