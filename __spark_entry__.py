@@ -1697,6 +1697,47 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with PINNED codebooks — the value-checked twin of
+    the rows-only trained pq_topk (the VERDICT r09 ceiling): codebooks
+    are a pure function of the data (the 16 smallest-vec_id embeddings
+    sliced into 8 subspaces, similarity.pinned_codebooks), assignment
+    scores are 6dp-rounded with larger-code tie-breaks
+    (cluster_balanced_sample precedent), so the DuckDB oracle rebuilds
+    the EXACT codes and the whole inference path (encode -> ADC
+    reconstruction -> cosine -> top-k) is hash-checked."""
+    emb = _load(spark, sf_dir, "embeddings")
+    books = similarity.pinned_codebooks(emb, m=8, k=16, dim=64)
+    codes = similarity.pq_encode(emb, books, round_to=6)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(codes, queries, books, k=10)
+
+
+def q_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ with PINNED models — the value-checked twin of
+    the rows-only trained ivfpq_topk: coarse centroids = the 8
+    smallest-vec_id embeddings, codebooks = pinned_codebooks, every
+    discrete choice (list assignment, nprobe routing, code selection)
+    made on 6dp-rounded scores with larger-index tie-breaks so the
+    DuckDB oracle reproduces routing + encoding + ADC scoring
+    bit-for-bit at the hash gate."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    books = similarity.pinned_codebooks(emb, m=8, k=16, dim=64)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivfpq_topk(
+        emb, queries, k=10, num_lists=8, nprobe=3,
+        centroids=cents, codebooks=books, round_to=6,
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (seeded hashes -> rows-only oracle)."""
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
@@ -3953,8 +3994,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "embedding_decontaminate": q_embedding_decontaminate,
         "pack_bins": q_pack_bins,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
+        # -- r10: pinned-model PQ / IVF-PQ inference (VERDICT r09 next
+        #    item #2) — deterministic codebooks/centroids make the full
+        #    encode->route->ADC->top-k path DuckDB-hash-checked, killing
+        #    the trained-float rows-only ceiling for INFERENCE. Rotated
+        #    in over lsh_topk + ivf_topk (rows-only by design, driver
+        #    rows r6-r9; ANN stays repped in-window by this
+        #    value-checked pair, which exercises strictly more of the
+        #    index machinery) --
+        "pq_topk_pinned": q_pq_topk_pinned,
+        "ivfpq_topk_pinned": q_ivfpq_topk_pinned,
         # -- security: r08 rotates IN the AccessController ACL layer
         #    (grants/groups/supersession decision procedure, the level
         #    ABOVE cell tags) over visibility_labels (driver-green five
@@ -3999,6 +4048,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
+        # rotated out r10 for pq_topk_pinned/ivfpq_topk_pinned
+        # (see the in-window comment)
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         # rotated out r09 for quota_settings/replication_scope/
         # cluster_status/cluster_balanced_sample/buffered_mutator
         # (see the in-window comments)
@@ -4369,6 +4422,117 @@ ranked AS (
 )
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
 """
+
+
+#: Pinned-codebook PQ encode fragment shared by the pq/ivfpq pinned
+#: oracles: codebook = the 16 smallest-vec_id embeddings sliced into
+#: 8 subspaces of 8 dims; code choice = argmax of the 6dp-rounded L2
+#: score (v·c - ||c||²/2), ties -> larger code (array_max-over-struct
+#: semantics, mirrored by ORDER BY s DESC, code DESC).
+_PQ_PINNED_ENC = """
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         embedding::DOUBLE[] AS fe
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT unnest(range(8)) AS j),
+cbs AS (
+  SELECT subs.j, cb.code,
+         list_slice(cb.fe, subs.j*8 + 1, subs.j*8 + 8) AS ce
+  FROM cb CROSS JOIN subs
+),
+corp AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT c.vec_id, s.j, s.code,
+           row_number() OVER (PARTITION BY c.vec_id, s.j ORDER BY
+             round(list_dot_product(
+                     list_slice(c.ve, s.j*8 + 1, s.j*8 + 8), s.ce)
+                   - list_dot_product(s.ce, s.ce)/2, 6) DESC,
+             s.code DESC) AS r
+    FROM corp c CROSS JOIN cbs s)
+  WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 5),
+qn AS (SELECT query_id, list_dot_product(qe, qe) AS qq FROM q)
+"""
+
+#: ADC scoring + top-k fragment: per-(query, vec, subspace) partial
+#: dots against the CHOSEN centroid, folded to cosine(q, recon) —
+#: sum(pd) = q·recon, sum(cn) = ||recon||² (per-subspace association;
+#: the 6dp round absorbs the float re-association vs Spark's
+#: sequential 64-element fold).
+_PQ_PINNED_SCORE = """
+scored AS (
+  SELECT p.query_id, p.vec_id,
+         round(sum(p.pd) / (sqrt(any_value(p.qq)) * sqrt(sum(p.cn))), 6)
+           AS sim
+  FROM parts p GROUP BY p.query_id, p.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+_PQ_TOPK_PINNED_SQL = (
+    "WITH " + _PQ_PINNED_ENC + ",\n"
+    """parts AS (
+  SELECT q.query_id, e.vec_id, qn.qq,
+         list_dot_product(
+           list_slice(q.qe, e.j*8 + 1, e.j*8 + 8), s.ce) AS pd,
+         list_dot_product(s.ce, s.ce) AS cn
+  FROM enc e
+  JOIN cbs s ON s.j = e.j AND s.code = e.code
+  CROSS JOIN q
+  JOIN qn ON qn.query_id = q.query_id
+),
+""" + _PQ_PINNED_SCORE
+)
+
+_IVFPQ_TOPK_PINNED_SQL = (
+    "WITH " + _PQ_PINNED_ENC + ",\n"
+    """cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+         embedding::DOUBLE[] AS te
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, ivf_list FROM (
+    SELECT c.vec_id, t.idx AS ivf_list,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             round(list_dot_product(c.ve, t.te), 6) DESC, t.idx DESC) AS r
+    FROM corp c CROSS JOIN cent t) WHERE r = 1
+),
+qroute AS (
+  SELECT query_id, ivf_list FROM (
+    SELECT q.query_id, t.idx AS ivf_list,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(q.qe, t.te), 6) DESC, t.idx DESC) AS r
+    FROM q CROSS JOIN cent t) WHERE r <= 3
+),
+cand AS (
+  SELECT r.query_id, a.vec_id
+  FROM qroute r JOIN assign a USING (ivf_list)
+  WHERE a.vec_id != r.query_id
+),
+parts AS (
+  SELECT cd.query_id, cd.vec_id, qn.qq,
+         list_dot_product(
+           list_slice(q.qe, e.j*8 + 1, e.j*8 + 8), s.ce) AS pd,
+         list_dot_product(s.ce, s.ce) AS cn
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN qn ON qn.query_id = cd.query_id
+  JOIN enc e ON e.vec_id = cd.vec_id
+  JOIN cbs s ON s.j = e.j AND s.code = e.code
+),
+""" + _PQ_PINNED_SCORE
+)
 
 
 #: Modified-KN trigram oracle: mirrors trigram_perplexity(smoothing='mkn')
@@ -4966,6 +5130,8 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(b.e, b.e))) >= 0.3"
         ),
         "cosine_topk": _COSINE_SQL,
+        "pq_topk_pinned": _PQ_TOPK_PINNED_SQL,
+        "ivfpq_topk_pinned": _IVFPQ_TOPK_PINNED_SQL,
         "streaming_counters": (
             "SELECT user_id, event_type, count(*)::BIGINT AS counter "
             "FROM events GROUP BY 1, 2"

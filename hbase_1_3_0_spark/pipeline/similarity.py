@@ -181,23 +181,42 @@ def _lit_matrix(vecs: list[list[float]]) -> Column:
     )
 
 
-def _argmax_dot(vec: Column, vecs: list[list[float]]) -> Column:
+def _maybe_round(c: Column, round_to: int | None) -> Column:
+    return F.round(c, round_to) if round_to is not None else c
+
+
+def _argmax_dot(
+    vec: Column, vecs: list[list[float]], round_to: int | None = None
+) -> Column:
     """Index of the vector in ``vecs`` with the largest dot product
     against ``vec`` (ties -> larger index, matching array_max over
-    (score, index) structs)."""
+    (score, index) structs). ``round_to`` rounds the score before the
+    argmax — the cluster_balanced_sample precedent that makes the
+    discrete choice reproducible by an independent SQL oracle (float
+    last-bit drift can't flip a 6dp-rounded comparison)."""
     sims = F.transform(
         _lit_matrix(vecs),
-        lambda c, i: F.struct(_dot(vec, c).alias("s"), i.alias("l")),
+        lambda c, i: F.struct(
+            _maybe_round(_dot(vec, c), round_to).alias("s"), i.alias("l")
+        ),
     )
     return F.array_max(sims)["l"]
 
 
-def _list_affinities(vec: Column, vecs: list[list[float]], nprobe: int) -> Column:
+def _list_affinities(
+    vec: Column,
+    vecs: list[list[float]],
+    nprobe: int,
+    round_to: int | None = None,
+) -> Column:
     """The ``nprobe`` list indices with the largest dot products,
-    best-first (descending score, ties -> larger index first)."""
+    best-first (descending score, ties -> larger index first).
+    ``round_to`` as in :func:`_argmax_dot`."""
     sims = F.transform(
         _lit_matrix(vecs),
-        lambda c, i: F.struct(_dot(vec, c).alias("s"), i.alias("l")),
+        lambda c, i: F.struct(
+            _maybe_round(_dot(vec, c), round_to).alias("s"), i.alias("l")
+        ),
     )
     return F.transform(
         F.slice(F.reverse(F.array_sort(sims)), 1, nprobe), lambda x: x["l"]
@@ -253,17 +272,21 @@ def ivf_assign(
     vec_col: str = "embedding",
     seed: int = 7,
     centroids: list[list[float]] | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
     ``centroids`` defaults to seeded random unit vectors (deterministic,
     no training dependency); pass :func:`kmeans_centroids` output for
-    trained lists."""
+    trained lists. ``round_to`` rounds assignment scores before the
+    argmax (see :func:`_argmax_dot`) for oracle-reproducible routing."""
     cents = centroids or _random_unit_vectors(num_lists, dim, seed)
     # argmax as array_max over transform(literal-matrix): the dot
     # expression appears ONCE in the tree regardless of num_lists
     # (see _lit_matrix; a per-centroid subtree build is O(k x dim) nodes
     # and its codegen tax grows with the model, not the data)
-    return df.withColumn("ivf_list", _argmax_dot(F.col(vec_col), cents))
+    return df.withColumn(
+        "ivf_list", _argmax_dot(F.col(vec_col), cents, round_to)
+    )
 
 
 def ivf_topk(
@@ -374,7 +397,10 @@ def pq_train(
 
 
 def _pq_sub_assign(
-    books: list[list[list[float]]], sub: Column, v: Column
+    books: list[list[list[float]]],
+    sub: Column,
+    v: Column,
+    round_to: int | None = None,
 ) -> Column:
     """Nearest-centroid code for a subvector, selecting its subspace's
     codebook by index: argmin L2 == argmax(v·c - ||c||²/2). The whole
@@ -382,7 +408,9 @@ def _pq_sub_assign(
     structs and the scoring dot appears once in the tree inside a
     ``transform`` — not an m-branch when-chain with k dot-subtrees per
     branch, whose Catalyst analysis alone cost ~10s per Lloyd pass at
-    m=8, k=16 (round-4 lesson: expression-node count is the tax)."""
+    m=8, k=16 (round-4 lesson: expression-node count is the tax).
+    ``round_to`` rounds the score before the argmax (ties -> larger
+    code) so a SQL oracle can reproduce the code choice exactly."""
     lit = F.array(
         *[
             F.array(
@@ -400,7 +428,10 @@ def _pq_sub_assign(
     book_for_sub = F.element_at(lit, sub.cast("int") + 1)
     scored = F.transform(
         book_for_sub,
-        lambda x, i: F.struct((_dot(v, x["c"]) - x["b"]).alias("s"), i.alias("c")),
+        lambda x, i: F.struct(
+            _maybe_round(_dot(v, x["c"]) - x["b"], round_to).alias("s"),
+            i.alias("c"),
+        ),
     )
     return F.array_max(scored)["c"]
 
@@ -413,6 +444,7 @@ def pq_encode(
     id_col: str = "vec_id",
     extra_cols: tuple[str, ...] | list[str] = (),
     eta: float | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` codebook indices (array<int> pq_code) —
     one narrow map, all codegen'd; for m=8,k=16 the code is 8 small ints
@@ -429,6 +461,8 @@ def pq_encode(
     squared norms are projected ONCE before the candidate transform so
     the aggregate subtrees aren't duplicated per candidate
     (expression-node count is the codegen tax)."""
+    if eta is not None and round_to is not None:
+        raise ValueError("round_to applies to the plain (L2) assignment")
     m = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col)
@@ -436,7 +470,8 @@ def pq_encode(
         codes = F.array(
             *[
                 _pq_sub_assign(
-                    [codebooks[j]], F.lit(0), F.slice(v, j * sub + 1, sub)
+                    [codebooks[j]], F.lit(0), F.slice(v, j * sub + 1, sub),
+                    round_to,
                 )
                 for j in range(m)
             ]
@@ -810,6 +845,37 @@ def pq_load(spark, path: str) -> list[list[list[float]]]:
     return books  # type: ignore[return-value]
 
 
+def pinned_codebooks(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """DETERMINISTIC PQ codebooks with no trained-float ceiling: the
+    ``k`` smallest-id vectors, each sliced into the ``m`` contiguous
+    subspaces — ``codebooks[j][i] = vec_i[j*sub:(j+1)*sub]``. The
+    cluster_balanced_sample precedent (sampling.py): a model that is a
+    pure function of the data lets an independent SQL oracle rebuild it
+    and value-check the whole INFERENCE path (encode + ADC + top-k),
+    which seeded k-means training can't (engine-specific float
+    trajectories). Bounded collect: k rows of model state."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (
+        df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need {k} vectors for the pinned codebook")
+    vecs = [[float(x) for x in r.v] for r in rows]
+    return [
+        [v[j * sub:(j + 1) * sub] for v in vecs] for j in range(m)
+    ]
+
+
 def pq_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -1017,6 +1083,7 @@ def ivfpq_topk(
     codebooks: list[list[list[float]]] | None = None,
     residual: bool = False,
     anchors: list[list[float]] | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """The full FAISS-style IVF-PQ index: the coarse quantizer routes each
     query to its ``nprobe`` nearest inverted lists, and candidates in
@@ -1061,6 +1128,7 @@ def ivfpq_topk(
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
         num_lists=num_lists, dim=dim, vec_col="_cv", centroids=cents,
+        round_to=round_to,
     )
     if residual:
         anch = anchors or ivf_list_means(
@@ -1087,14 +1155,14 @@ def ivfpq_topk(
     # at 100 TB would dwarf the actual search)
     codes = pq_encode(
         assigned, books, vec_col=enc_col, id_col="vec_id",
-        extra_cols=("ivf_list",),
+        extra_cols=("ivf_list",), round_to=round_to,
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     q_lists = q.withColumn(
         "ivf_list",
-        F.explode(_list_affinities(F.col("_qv"), cents, nprobe)),
+        F.explode(_list_affinities(F.col("_qv"), cents, nprobe, round_to)),
     )
     recon = pq_reconstruct(F.col("pq_code"), books)
     if residual:

@@ -109,6 +109,75 @@ def test_ivf_topk_runs_and_ranks(emb):
     assert all(1 <= r.rank <= 3 for r in rows)
 
 
+def test_pinned_codebooks_are_sliced_first_k_vectors(emb):
+    books = similarity.pinned_codebooks(emb, m=8, k=16, dim=64)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    first = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    for j in range(8):
+        for i in range(16):
+            assert books[j][i] == first[i][j * 8:(j + 1) * 8]
+
+
+def test_pq_encode_round_to_matches_python_argmax(emb):
+    """round_to=6 codes equal a pure-Python 6dp-rounded L2 argmax with
+    larger-code tie-breaks — the contract the pinned oracles rebuild."""
+    books = similarity.pinned_codebooks(emb, m=8, k=16, dim=64)
+    codes = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode(
+            emb.limit(50), books, round_to=6
+        ).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.limit(50).collect()
+    }
+    for vid, v in vecs.items():
+        for j, book in enumerate(books):
+            sv = v[j * 8:(j + 1) * 8]
+            best = max(
+                range(16),
+                key=lambda i: (
+                    round(
+                        sum(a * b for a, b in zip(sv, book[i]))
+                        - sum(x * x for x in book[i]) / 2.0,
+                        6,
+                    ),
+                    i,
+                ),
+            )
+            assert codes[vid][j] == best, (vid, j)
+
+
+def test_ivf_assign_round_to_is_oracle_reproducible(emb):
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    got = {
+        r.vec_id: r.ivf_list
+        for r in similarity.ivf_assign(
+            emb.limit(40), centroids=cents, round_to=6
+        ).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.limit(40).collect()
+    }
+    for vid, v in vecs.items():
+        best = max(
+            range(8),
+            key=lambda i: (
+                round(sum(a * b for a, b in zip(v, cents[i])), 6), i
+            ),
+        )
+        assert got[vid] == best
+
+
 def test_text_stats_fields(docs):
     out = text.text_stats(docs.limit(20)).collect()
     for r in out:
