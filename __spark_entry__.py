@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hbase_1_3_0_spark.catalog import TableMeta
-from hbase_1_3_0_spark.cells import CELL_SCHEMA
+from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
 from hbase_1_3_0_spark.functions import codecs
 from hbase_1_3_0_spark.operators import aggregations as agg
 from hbase_1_3_0_spark.operators import jobs
@@ -1694,6 +1694,53 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
         embs, queries, k=10, num_lists=16, nprobe=4,
         centroids=cents, codebooks=books,
+    )
+
+
+def q_post_mutate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observer post-write hooks (RegionObserver.java postPut:560 /
+    postDelete:592; operators/coprocessor.py Observers.post_mutate +
+    Observers.notify): the audit-log pattern. A post_mutate hook
+    captures the COMMITTED mutation frames from a put batch (upper-cased
+    segment for custkey%4==0) and a delete batch (c_comment tombstones
+    for custkey%7==0); the query returns the decoded audit — which is a
+    pure function of the inputs, so the oracle states it directly. The
+    committed table state itself is exercised by the tombstone check:
+    audited deletes really deleted (post hooks observe, never rewrite)."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    audit: list[DataFrame] = []
+    t2 = t.with_observers(post_mutate=lambda df: audit.append(df))
+
+    puts = table_to_cells(
+        cust.where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", F.upper(F.col("c_mktsegment")).alias("c_mktsegment")),
+        ["c_custkey"], ["c_mktsegment"], family="d", ts=2_000_000, seq=1,
+    )
+    t3 = t2.put(puts)
+    dels = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.lit("delete_column").alias("op"),
+            F.encode(
+                F.lpad(F.col("c_custkey").cast("string"), 19, "0"), "UTF-8"
+            ).alias("row"),
+            F.lit("d").alias("family"),
+            F.encode(F.lit("c_comment"), "UTF-8").alias("qualifier"),
+            F.lit(3_000_000).cast("long").alias("ts"),
+        )
+    )
+    t3.delete(dels)
+
+    assert len(audit) == 2  # postPut + postDelete fired
+    events = audit[0].unionByName(audit[1])
+    return events.select(
+        F.decode(F.col("row"), "UTF-8").cast("long").alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.when(F.col("type") == TYPE_PUT, F.lit("PUT"))
+        .otherwise(F.lit("DELETE")).alias("kind"),
+        F.decode(F.col("value"), "UTF-8").alias("value"),
+        F.col("ts").alias("ts"),
     )
 
 
@@ -3986,7 +4033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    winnow_fp, winnow_dedup) --
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "bpe_train": q_bpe_train,
-        "bpe_vocab": q_bpe_vocab,
+        # -- r10: observer post-write hooks (postPut/postDelete/
+        #    postBatchMutate analog, VERDICT r09 item #5) — the audit-log
+        #    pattern as a value-checked query. Rotated in over bpe_vocab
+        #    (py-model rows-only, driver rows r6-r9; BPE stays repped
+        #    in-window by bpe_train, which shares its trainer) --
+        "post_mutate_audit": q_post_mutate_audit,
         # -- rotated in LATEST r06 (plain-session smoke-tested +
         #    local-green): quality batteries, C4, embedding decon
         #    (DuckDB-oracled); pack_bins (py-model, rows-only) --
@@ -4048,10 +4100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
-        # rotated out r10 for pq_topk_pinned/ivfpq_topk_pinned
-        # (see the in-window comment)
+        # rotated out r10 for pq_topk_pinned/ivfpq_topk_pinned/
+        # post_mutate_audit (see the in-window comments)
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "bpe_vocab": q_bpe_vocab,
         # rotated out r09 for quota_settings/replication_scope/
         # cluster_status/cluster_balanced_sample/buffered_mutator
         # (see the in-window comments)
@@ -5132,6 +5185,19 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_SQL,
         "pq_topk_pinned": _PQ_TOPK_PINNED_SQL,
         "ivfpq_topk_pinned": _IVFPQ_TOPK_PINNED_SQL,
+        "post_mutate_audit": (
+            # the audit is a pure function of the mutation inputs: the
+            # put batch (custkey%4, upper-cased segment, ts 2e6) plus the
+            # delete batch (custkey%7, c_comment tombstones, ts 3e6)
+            "SELECT c_custkey::BIGINT AS c_custkey, "
+            "'c_mktsegment' AS qualifier, 'PUT' AS kind, "
+            "upper(c_mktsegment) AS value, 2000000::BIGINT AS ts "
+            "FROM customer WHERE c_custkey % 4 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey::BIGINT, 'c_comment', 'DELETE', "
+            "NULL::VARCHAR, 3000000::BIGINT "
+            "FROM customer WHERE c_custkey % 7 = 0"
+        ),
         "streaming_counters": (
             "SELECT user_id, event_type, count(*)::BIGINT AS counter "
             "FROM events GROUP BY 1, 2"

@@ -39,6 +39,13 @@ class Observers:
       (postScannerNext / postGetOp analog — e.g. cell redaction).
     - ``pre_mutate``: rewrite a mutation batch before it applies
       (prePut / preDelete / preBatchMutate analog — validation, defaults).
+    - ``post_mutate``: observe the COMMITTED mutation frame after the
+      write (postPut :560 / postDelete :592 / postBatchMutate :637
+      analog). Unlike the pre hooks these cannot alter what committed —
+      the reference's post hooks receive the already-applied Mutation —
+      so every hook gets the SAME committed frame and return values are
+      ignored; the use case is the trigger/audit-log pattern (write the
+      frame to a sink, derive a secondary index, bump counters).
     - ``pre_compact``: rewrite the survivor stream during compaction
       (preCompact analog — e.g. age-off policies beyond TTL).
     """
@@ -46,11 +53,19 @@ class Observers:
     pre_scan: tuple[Hook, ...] = ()
     post_scan: tuple[Hook, ...] = ()
     pre_mutate: tuple[Hook, ...] = ()
+    post_mutate: tuple[Hook, ...] = ()
     pre_compact: tuple[Hook, ...] = ()
 
+    _HOOK_POINTS = (
+        "pre_scan", "post_scan", "pre_mutate", "post_mutate", "pre_compact",
+    )
+
     def with_(self, **kw) -> "Observers":
+        unknown = set(kw) - set(self._HOOK_POINTS)
+        if unknown:
+            raise TypeError(f"unknown observer hook point(s): {sorted(unknown)}")
         merged = {}
-        for name in ("pre_scan", "post_scan", "pre_mutate", "pre_compact"):
+        for name in self._HOOK_POINTS:
             cur = getattr(self, name)
             extra = kw.get(name)
             if extra is None:
@@ -66,6 +81,14 @@ class Observers:
         for h in hooks:
             df = h(df)
         return df
+
+    @staticmethod
+    def notify(hooks: tuple[Hook, ...], df: DataFrame) -> None:
+        """Post-hook dispatch: every hook sees the SAME frame (the
+        reference chains each coprocessor the same committed Mutation);
+        results are discarded — post hooks observe, never rewrite."""
+        for h in hooks:
+            h(df)
 
 
 def grouped_endpoint(

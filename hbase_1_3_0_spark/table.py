@@ -119,7 +119,8 @@ class Table:
 
     def with_observers(self, **hooks) -> "Table":
         """Register RegionObserver-style hooks (coprocessor.Observers):
-        ``pre_scan`` / ``post_scan`` / ``pre_mutate`` / ``pre_compact``."""
+        ``pre_scan`` / ``post_scan`` / ``pre_mutate`` / ``post_mutate`` /
+        ``pre_compact``."""
         return Table(
             self.meta, self.cells, self._now_ms, self.observers.with_(**hooks)
         )
@@ -459,7 +460,11 @@ class Table:
 
     def put(self, new_cells: DataFrame) -> "Table":
         new_cells = Observers.apply(self.observers.pre_mutate, new_cells)
-        return self._with(mut.put_cells(self.cells, new_cells))
+        out = self._with(mut.put_cells(self.cells, new_cells))
+        # postPut analog (RegionObserver.java:560): hooks observe the
+        # committed cell frame; they cannot alter it
+        Observers.notify(self.observers.post_mutate, new_cells)
+        return out
 
     def put_wide(
         self, df: DataFrame, key_cols: list[str], *, family: str = "d", ts=None, seq=0
@@ -479,7 +484,10 @@ class Table:
         tombstones = Observers.apply(
             self.observers.pre_mutate, mut.mutations_to_cells(d, now_ms=self._now())
         )
-        return self._with(mut.put_cells(self.cells, tombstones))
+        out = self._with(mut.put_cells(self.cells, tombstones))
+        # postDelete analog (RegionObserver.java:592)
+        Observers.notify(self.observers.post_mutate, tombstones)
+        return out
 
     def increment(
         self,
@@ -520,9 +528,12 @@ class Table:
         return self._with(new_cells), verdicts
 
     def mutate_row(self, mutations: DataFrame) -> "Table":
-        return self._with(
-            mut.mutate_row(self.cells, mutations, now_ms=self._now())
-        )
+        committed = mut.mutations_to_cells(mutations, now_ms=self._now())
+        out = self._with(mut.put_cells(self.cells, committed))
+        # postBatchMutate analog for the atomic RowMutations group
+        # (RegionObserver.java:637)
+        Observers.notify(self.observers.post_mutate, committed)
+        return out
 
     def mutate_rows(self, mutations: DataFrame, regions: DataFrame):
         """MultiRowMutationEndpoint.mutateRows analog
@@ -534,11 +545,17 @@ class Table:
         return self._with(new_cells), verdicts
 
     def batch(self, mutations: DataFrame, codec: str = "be8") -> "Table":
-        return self._with(
+        out = self._with(
             mut.apply_mutation_batch(
                 self.cells, mutations, now_ms=self._now(), codec=codec
             )
         )
+        # postBatchMutate analog (RegionObserver.java:637): hooks get the
+        # MUTATION frame, not resolved cells — the reference's hook
+        # receives MiniBatchOperationInProgress<Mutation> (increments/
+        # appends arrive as ops, their resolved values live in the store)
+        Observers.notify(self.observers.post_mutate, mutations)
+        return out
 
     def buffered_mutator(self, flush_batches: int = 16) -> "BufferedMutator":
         return BufferedMutator(self, flush_batches=flush_batches)

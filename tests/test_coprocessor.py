@@ -60,6 +60,66 @@ def test_pre_mutate_observer_rewrites_puts_and_deletes(spark):
     assert raw[b"r1"] == 100  # existing cells untouched
 
 
+def test_post_mutate_observes_committed_puts_and_deletes(spark):
+    """postPut/postDelete analog (RegionObserver.java:560,592): hooks
+    fire AFTER the commit with the committed cell frame; they observe
+    (audit-log pattern) but cannot alter the table state."""
+    t = _table(spark, [_put(b"r1", b"a", b"x")])
+    audit = []
+    t2 = t.with_observers(post_mutate=lambda df: audit.append(df))
+
+    t3 = t2.put(_cells(spark, [_put(b"r2", b"a", b"y", ts=200)]))
+    assert len(audit) == 1
+    got = audit[0].collect()
+    assert [(bytes(r.row), r.ts) for r in got] == [(b"r2", 200)]
+    # committed state includes the put — hook did not change it
+    assert {bytes(r["row"]) for r in t3.scan().collect()} == {b"r1", b"r2"}
+
+    dels = spark.createDataFrame(
+        [("delete_column", b"r1", "d", b"a", 500)],
+        "op string, row binary, family string, qualifier binary, ts long",
+    )
+    t4 = t3.with_observers(post_mutate=lambda df: audit.append(df)).delete(dels)
+    # t3 carries the hook from t2 (observers ride the handle), plus the
+    # newly registered copy: both fire on the delete
+    assert len(audit) == 3
+    tomb = audit[-1].collect()
+    assert len(tomb) == 1 and tomb[0].type != TYPE_PUT
+    assert {bytes(r["row"]) for r in t4.scan().collect()} == {b"r2"}
+
+
+def test_post_mutate_fires_on_mutate_row_and_batch(spark):
+    t = _table(spark, [_put(b"r1", b"a", b"x")])
+    frames = []
+    t2 = t.with_observers(post_mutate=lambda df: frames.append(df))
+
+    muts = spark.createDataFrame(
+        [
+            ("put", b"r1", "d", b"b", 300, b"v1", 0),
+            ("delete_column", b"r1", "d", b"a", 300, None, 1),
+        ],
+        "op string, row binary, family string, qualifier binary, ts long, "
+        "value binary, batch_seq long",
+    )
+    t3 = t2.mutate_row(muts)
+    assert len(frames) == 1
+    assert frames[0].count() == 2  # the committed atomic group
+    got = {bytes(r["qualifier"]) for r in t3.scan().collect()}
+    assert got == {b"b"}
+
+    t3.batch(muts.where(F.col("op") == "put"))
+    # batch hook receives the MUTATION frame (postBatchMutate analog)
+    assert len(frames) == 2 and "op" in frames[1].columns
+
+
+def test_unknown_observer_hook_point_rejected(spark):
+    import pytest
+
+    t = _table(spark, [_put(b"r1", b"a", b"x")])
+    with pytest.raises(TypeError, match="unknown observer hook"):
+        t.with_observers(post_put=lambda df: df)
+
+
 def test_observer_chaining_order(spark):
     t = _table(spark, [_put(b"r1", b"a", b"x")])
     calls = []
