@@ -302,6 +302,7 @@ def _multi_row_range_pred(ranges, col: Column | None = None) -> Column:
 def _scvf_multi_transform(
     fs: list[ast.SingleColumnValueFilter],
     single_version: bool = False,
+    verdict_source: DataFrame | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """AND-composed SCVFs as ONE aggregation + ONE semi/anti-join.
 
@@ -320,6 +321,17 @@ def _scvf_multi_transform(
     entirely when ``single_version`` says the scan's read view already
     reduced every column to one version (the default scan).
 
+    ``verdict_source``: the MATCHER-VISIBLE cell stream to judge rows
+    from, when it is wider than the scanned frame. The reference runs
+    filterKeyValue inside ScanQueryMatcher BEFORE version counting
+    (ScanQueryMatcher.java match order: filter response precedes
+    columns.checkVersions), so an SCVF with latestVersionOnly=false
+    judges OLDER versions even on a maxVersions=1 scan — a row whose
+    newest value fails but whose older version passes is returned
+    (pinned to TestSingleColumnValueFilter.java:134-139). The verdict
+    aggregation then reads from this stream while the semi/anti join
+    still applies to the version-limited scan output.
+
     Verdict per filter (SingleColumnValueFilter.java:73 semantics):
     column present -> compare (latest version only, or any version);
     column absent -> include iff ``filter_if_missing`` is False.
@@ -328,15 +340,17 @@ def _scvf_multi_transform(
         (F.col("family") == f.family) & (F.col("qualifier") == F.lit(f.qualifier))
         for f in fs
     ]
-    need_version_rank = (not single_version) and any(
-        f.latest_version_only for f in fs
-    )
+    need_version_rank = (
+        verdict_source is not None or not single_version
+    ) and any(f.latest_version_only for f in fs)
 
     def t(df: DataFrame) -> DataFrame:
         any_match = matches[0]
         for m in matches[1:]:
             any_match = any_match | m
-        tested = df.where(any_match)
+        tested = (df if verdict_source is None else verdict_source).where(
+            any_match
+        )
         newest = F.lit(True)
         if need_version_rank:
             rn = F.row_number().over(
@@ -607,6 +621,7 @@ def compile_filter(
     allow_transform: bool = True,
     single_version: bool = False,
     reversed_scan: bool = False,
+    scvf_source: DataFrame | None = None,
 ) -> Compiled:  # noqa: C901
     """Compile a filter AST.
 
@@ -619,7 +634,11 @@ def compile_filter(
     their version-rank window. ``reversed_scan`` flips the scan order for
     the order-dependent filters (PageFilter takes the first rows in
     descending order; WhileMatchFilter truncates from the top of the range —
-    Scan.setReversed:694 semantics)."""
+    Scan.setReversed:694 semantics). ``scvf_source``: matcher-visible
+    stream for any-version SCVF verdicts (see _scvf_multi_transform) —
+    used by the transform forms only; the OR-composed window-predicate
+    form judges the scanned frame (documented divergence: an OR-nested
+    SCVF with latestVersionOnly=false sees only scan-visible versions)."""
     if isinstance(f, ast.FilterList):
         if f.operator == "MUST_PASS_ALL":
             children = list(f.filters)
@@ -632,10 +651,13 @@ def compile_filter(
                 if scvfs:
                     children = [c for c in children if c not in scvfs]
                     transforms.append(
-                        _scvf_multi_transform(scvfs, single_version)
+                        _scvf_multi_transform(scvfs, single_version, scvf_source)
                     )
             parts = [
-                compile_filter(x, allow_transform, single_version, reversed_scan)
+                compile_filter(
+                    x, allow_transform, single_version, reversed_scan,
+                    scvf_source,
+                )
                 for x in children
             ]
             preds = [p.pred for p in parts if p.pred is not None]
@@ -671,7 +693,9 @@ def compile_filter(
     # SingleColumnValueExcludeFilter subclasses SingleColumnValueFilter
     if isinstance(f, ast.SingleColumnValueFilter):
         if allow_transform:
-            return Compiled(None, [_scvf_multi_transform([f], single_version)])
+            return Compiled(
+                None, [_scvf_multi_transform([f], single_version, scvf_source)]
+            )
         return Compiled(_scvf_pred(f))
     if isinstance(f, ast.DependentColumnFilter):
         return Compiled(_dependent_pred(f))
@@ -770,11 +794,28 @@ def compile_filter(
     raise NotImplementedError(f"filter: {type(f).__name__}")
 
 
+def has_any_version_scvf(f: "ast.Filter | None") -> bool:
+    """True when the tree holds an SCVF judging ALL versions
+    (latestVersionOnly=false) in a transform-compilable position —
+    the scan then supplies the matcher-visible verdict stream."""
+    if f is None:
+        return False
+    if isinstance(f, ast.FilterList):
+        if f.operator != "MUST_PASS_ALL":
+            return False  # OR compiles to the pred form (no source use)
+        return any(has_any_version_scvf(x) for x in f.filters)
+    return (
+        isinstance(f, ast.SingleColumnValueFilter)
+        and not f.latest_version_only
+    )
+
+
 def apply_filter(
     df: DataFrame,
     f: ast.Filter | None,
     single_version: bool = False,
     reversed_scan: bool = False,
+    scvf_source: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a compiled filter to a cell DataFrame.
 
@@ -784,7 +825,10 @@ def apply_filter(
     """
     if f is None:
         return df
-    c = compile_filter(f, single_version=single_version, reversed_scan=reversed_scan)
+    c = compile_filter(
+        f, single_version=single_version, reversed_scan=reversed_scan,
+        scvf_source=scvf_source,
+    )
     out = df
     if c.pred is not None:
         out = (

@@ -32,6 +32,7 @@ from hbase_1_3_0_spark.filters import ast as filter_ast
 from hbase_1_3_0_spark.filters.compiler import (
     apply_filter,
     compile_filter,
+    has_any_version_scvf,
     is_cell_predicate,
 )
 from hbase_1_3_0_spark.filters.parser import parse_filter
@@ -182,18 +183,46 @@ class Table:
         if security.ACL_COLUMN in df.columns and s.user is not None:
             p = security.acl_pred(s.user)
             cell_pred = p if cell_pred is None else (cell_pred & p)
+        raw_cells = df
         df = self._read_view(df, s, cell_pred)
 
         # 3. projection
-        if s.families is not None:
-            df = df.where(F.col("family").isin(list(s.families)))
-        if s.columns is not None:
-            proj = F.lit(False)
-            for fam, qual in s.columns:
-                proj = proj | (
-                    (F.col("family") == fam) & (F.col("qualifier") == F.lit(qual))
+        def _project(frame: DataFrame) -> DataFrame:
+            if s.families is not None:
+                frame = frame.where(F.col("family").isin(list(s.families)))
+            if s.columns is not None:
+                proj = F.lit(False)
+                for fam, qual in s.columns:
+                    proj = proj | (
+                        (F.col("family") == fam)
+                        & (F.col("qualifier") == F.lit(qual))
+                    )
+                frame = frame.where(proj)
+            return frame
+
+        df = _project(df)
+
+        # 3b. any-version SCVF verdict stream: the reference runs
+        # filterKeyValue inside ScanQueryMatcher BEFORE version counting
+        # (checkVersions follows the filter response), so an SCVF with
+        # latestVersionOnly=false judges OLDER versions even when the
+        # scan returns only the newest (TestSingleColumnValueFilter
+        # .java:134-139, pinned in tests/test_filter_reference_suite.py).
+        # Supply the uncapped live-cell stream for the verdict
+        # aggregation; the join still applies to the version-limited
+        # view. Clean logs are single-version (streams identical) and
+        # raw scans skip the matcher, so both skip the extra frame.
+        scvf_source = None
+        if (
+            has_any_version_scvf(filt)
+            and not self.meta.clean_log
+            and not s.raw
+        ):
+            scvf_source = _project(
+                self._read_view(
+                    raw_cells, s.with_(max_versions=2**31 - 1), cell_pred
                 )
-            df = df.where(proj)
+            )
 
         # 4. filter algebra (whatever did not fold into the read view) —
         # the read view already reduced each column to one version unless
@@ -206,7 +235,8 @@ class Table:
             min(s.max_versions or 1, fm.max_versions) == 1 for fm in fams
         )
         df = apply_filter(
-            df, filt, single_version=single_version, reversed_scan=s.reversed
+            df, filt, single_version=single_version,
+            reversed_scan=s.reversed, scvf_source=scvf_source,
         )
 
         # 5. intra-row per-CF paging. storeOffset/storeLimit count CELLS
