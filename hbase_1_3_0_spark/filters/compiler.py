@@ -376,12 +376,35 @@ def _scvf_multi_transform(
                 F.coalesce(F.col(f"_p{i}") == 1, F.lit(False)),
             ).otherwise(F.lit(not f.filter_if_missing))
             verdict = verdict & v
+        # The verdict row set goes behind its OWN exchange: AQE sizes a
+        # join's build side by its materialized shuffle stage, and
+        # without this the stage it sees is the PRE-aggregate partials
+        # of every tested cell (tens of MB at sf0.1 — over the adaptive
+        # broadcast threshold), so the join stayed SortMergeJoin and the
+        # whole scan shuffled on row (measured in the r10 scale probe).
+        # The exchange must be ROUND-ROBIN: a hash-on-row repartition is
+        # elided as a no-op (the aggregate already hash-partitioned on
+        # row) and AQE keeps the pessimistic estimate. With a real stage
+        # boundary the materialized stats are the post-verdict row set
+        # itself: small/selective -> AQE converts the join to broadcast
+        # and the scanned side never shuffles; genuinely huge -> SMJ
+        # stands, paying one narrow row-set shuffle for the stats.
+        def _staged(rows: DataFrame) -> DataFrame:
+            n = int(
+                rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            return rows.repartition(n)
+
         if any(f.filter_if_missing for f in fs):
             # rows with none of the tested columns are excluded -> semi join
-            out = df.join(flags.where(verdict).select("row"), "row", "left_semi")
+            out = df.join(
+                _staged(flags.where(verdict).select("row")), "row", "left_semi"
+            )
         else:
             # absent rows pass -> anti join against the failing row set
-            out = df.join(flags.where(~verdict).select("row"), "row", "left_anti")
+            out = df.join(
+                _staged(flags.where(~verdict).select("row")), "row", "left_anti"
+            )
         for f, cm in zip(fs, matches):
             if isinstance(f, ast.SingleColumnValueExcludeFilter):
                 out = out.where(~cm)
