@@ -845,7 +845,10 @@ def q_family_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """setRaw(true): tombstones and shadowed versions stay visible."""
+    """setRaw(true) + setMaxVersions(): tombstones and shadowed versions
+    stay visible. The explicit max_versions matters since r10: raw scans
+    respect the SCAN's maxVersions (testRawScanRespectsVersions pin), so
+    a full raw dump is raw + maxVersions() — the reference idiom."""
     t = _table(spark, sf_dir, "customer")
     cust = _load(spark, sf_dir, "customer")
     upd = cust.where(F.col("c_custkey") % 3 == 0).select(
@@ -860,7 +863,7 @@ def q_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DEL_TS).cast("long").alias("ts"),
     )
     t3 = t2.delete(col_del)
-    cells = t3.scan(raw=True)
+    cells = t3.scan(raw=True, max_versions=2**31 - 1)
     return cells.select(
         codecs.decode_key_num(F.col("row")).alias("c_custkey"),
         F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),

@@ -176,6 +176,18 @@ def read_view(
         if time_range is not None:
             lo, hi = time_range
             out = out.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        # raw scans still respect the SCAN's maxVersions — markers count
+        # as cells of their column (TestFromClientSide.java:5526
+        # testRawScanRespectsVersions; the family cap does NOT apply to
+        # raw, which is why callers dump stores with setRaw+setMaxVersions)
+        if max_versions < 2**31 - 1:
+            w = Window.partitionBy("row", "family", "qualifier").orderBy(
+                F.col("ts").desc(), F.col("seq").desc()
+            )
+            out = (
+                out.withColumn("_vrank", F.row_number().over(w))
+                .where(F.col("_vrank") <= max_versions)
+            )
         return out.select(*cells.columns)
 
     marker_ts_below = None

@@ -132,6 +132,13 @@ class Table:
         s = scan or Scan()
         if kw:
             s = s.with_(**kw)
+        # negative timestamps rejected at the API surface (HTable
+        # checkTimestamp / TestFromClientSide.java:5322 — data-embedded
+        # cells may still carry them, the KeyValue backward-compat rule)
+        for tr in (s.time_range, *(s.cf_time_range or ())):
+            lo_hi = tr[-2:] if tr is not None else ()
+            if any(t < 0 for t in lo_hi):
+                raise ValueError("negative timestamps are not allowed")
         # preScannerOpen/preGetOp hooks rewrite the raw cell stream; filters
         # they add still push down through Catalyst
         df = Observers.apply(self.observers.pre_scan, self.cells)
@@ -193,10 +200,15 @@ class Table:
             if s.columns is not None:
                 proj = F.lit(False)
                 for fam, qual in s.columns:
-                    proj = proj | (
-                        (F.col("family") == fam)
-                        & (F.col("qualifier") == F.lit(qual))
+                    # addColumn(family, null) selects the NULL-qualifier
+                    # column (TestFromClientSide testScan_NullQualifier);
+                    # a plain == against a null literal matches nothing
+                    qcond = (
+                        F.col("qualifier").isNull()
+                        if qual is None
+                        else (F.col("qualifier") == F.lit(qual))
                     )
+                    proj = proj | ((F.col("family") == fam) & qcond)
                 frame = frame.where(proj)
             return frame
 
@@ -374,7 +386,13 @@ class Table:
             sub = df
             if len(groups) > 1 or s.families is not None:
                 sub = df.where(F.col("family").isin([m.name for m in members]))
-            eff_versions = min(s.max_versions or 1, maxv)
+            # raw ignores the FAMILY cap but honors the scan's
+            # (testRawScanRespectsVersions: raw + setMaxVersions() shows
+            # versions past the family limit — they exist until compaction)
+            eff_versions = (
+                (s.max_versions or 1) if s.raw
+                else min(s.max_versions or 1, maxv)
+            )
             outs.append(
                 read_view(
                     sub,
@@ -499,6 +517,9 @@ class Table:
     def put_wide(
         self, df: DataFrame, key_cols: list[str], *, family: str = "d", ts=None, seq=0
     ) -> "Table":
+        if ts is not None and ts < 0:
+            # Put(row, ts) timestamp check (TestFromClientSide.java:5322)
+            raise ValueError("negative timestamps are not allowed")
         cells = kv_encoder.table_to_cells(
             df, key_cols, family=family, ts=ts if ts is not None else self._now(), seq=seq
         )

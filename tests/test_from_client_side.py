@@ -1,0 +1,323 @@
+"""Round-10 port of the top TestFromClientSide.java scenarios (VERDICT
+r09 next-round #4) — the reference's richest golden-behavior source
+(6329 LoC, hbase-server/src/test/.../client/TestFromClientSide.java).
+Each test cites the method and line it mirrors; scenario mapping is
+recorded in SURVEY.md §5.
+
+Ported here (uncovered version/timerange/delete-interplay scenarios):
+testVersions(:1464), testDeleteFamilyVersion(:1872),
+testDeleteFamilyVersionWithOtherDeletes(:1911), testDeletes'
+delete-latest + no-reput sequence(:2026-2135), testJira6912(:5267),
+testScan_NullQualifier(:5293), testNegativeTimestamp(:5322),
+testRawScanRespectsVersions(:5526), testKeepDeletedCells(:228),
+testPurgeFutureDeletes(:296).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
+from hbase_1_3_0_spark.cells import (
+    CELL_SCHEMA,
+    TYPE_DELETE_COLUMN,
+    TYPE_DELETE_FAMILY,
+    TYPE_PUT,
+)
+from hbase_1_3_0_spark.filters import ast
+from hbase_1_3_0_spark.operators import jobs
+from hbase_1_3_0_spark.table import Scan, Table
+
+FAM = "fam"
+Q = b"q"
+MAXV = 2**31 - 1
+
+
+def _table(spark, rows, max_versions=1, kdc="FALSE", name="t"):
+    return Table(
+        TableMeta(
+            name=name,
+            families=(
+                FamilyMeta(
+                    name=FAM, max_versions=max_versions,
+                    keep_deleted_cells=kdc,
+                ),
+            ),
+        ),
+        spark.createDataFrame(rows, CELL_SCHEMA),
+        now_ms=10_000,
+    )
+
+
+def _put(row, ts, val, qual=Q, seq=0, fam=FAM):
+    return (row, fam, qual, ts, TYPE_PUT, val, seq)
+
+
+def _muts(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "op string, row binary, family string, qualifier binary, ts long",
+    )
+
+
+def _versions(table, qual=Q, row=None, **scan_kw):
+    """(ts -> value) of the visible versions of one row's column."""
+    row = ROW if row is None else row
+    got = table.scan(Scan(**scan_kw)).collect()
+    out = {}
+    for r in got:
+        if bytes(r["row"]) != row:
+            continue
+        if (r["qualifier"] is None) == (qual is None) and (
+            qual is None or bytes(r["qualifier"]) == qual
+        ):
+            out[r["ts"]] = bytes(r["value"]) if r["value"] is not None else None
+    return out
+
+
+ROW = b"testRow"
+STAMPS = {i: 1000 + i * 100 for i in range(20)}
+VALUES = {i: b"value%d" % i for i in range(20)}
+
+
+def test_versions_sequence_and_delete_reveals_older(spark):
+    """testVersions (:1464): table maxVersions=10, 12 versions inserted;
+    MAX-versions read returns the 10 NEWEST; per-version timerange gets
+    hit only existing stamps; deleting 2 of the newest 10 (:1651-1653)
+    makes the 2 OLDEST live versions visible again — version limiting is
+    READ-time over live cells, not write-time truncation."""
+    idx = [1, 2, 4, 5, 3, 6, 7, 8, 9, 11, 13, 15]
+    t = _table(spark, [_put(ROW, STAMPS[i], VALUES[i]) for i in idx],
+               max_versions=10)
+
+    # per-version point reads (getVersionAndVerify / ...Missing)
+    for i in (1, 2, 4, 5):
+        assert _versions(
+            t, time_range=(STAMPS[i], STAMPS[i] + 1), max_versions=MAXV
+        ) == {STAMPS[i]: VALUES[i]}
+    for i in (0, 10, 12):
+        assert _versions(
+            t, time_range=(STAMPS[i], STAMPS[i] + 1), max_versions=MAXV
+        ) == {}
+
+    # maxVersions=2 -> the two newest (:1499-1515 analog on final state)
+    assert _versions(t, max_versions=2) == {
+        STAMPS[15]: VALUES[15], STAMPS[13]: VALUES[13],
+    }
+
+    # MAX versions capped by the FAMILY's 10 -> stamps 3..15 (:1632-1648)
+    assert _versions(t, max_versions=MAXV) == {
+        STAMPS[i]: VALUES[i] for i in (3, 4, 5, 6, 7, 8, 9, 11, 13, 15)
+    }
+
+    # delete versions 11 and 7 (:1651-1654) -> 1 and 2 RESURFACE
+    t2 = t.delete(_muts(spark, [
+        ("delete_version", ROW, FAM, Q, STAMPS[11]),
+        ("delete_version", ROW, FAM, Q, STAMPS[7]),
+    ]))
+    assert _versions(t2, max_versions=MAXV) == {
+        STAMPS[i]: VALUES[i] for i in (1, 2, 3, 4, 5, 6, 8, 9, 13, 15)
+    }
+
+
+def test_delete_family_version(spark):
+    """testDeleteFamilyVersion (:1872): DeleteFamilyVersion at ts 2000
+    and 4000 removes exactly those versions across the family."""
+    ts = [1000, 2000, 3000, 4000, 5000]
+    t = _table(spark, [_put(ROW, s, b"v%d" % i) for i, s in enumerate(ts)],
+               max_versions=5)
+    t2 = t.delete(_muts(spark, [
+        ("delete_family_version", ROW, FAM, None, 2000),
+        ("delete_family_version", ROW, FAM, None, 4000),
+    ]))
+    assert sorted(_versions(t2, max_versions=MAXV)) == [1000, 3000, 5000]
+
+
+def test_delete_family_version_with_other_deletes(spark):
+    """testDeleteFamilyVersionWithOtherDeletes (:1911): the composed
+    tombstone verdict table — DeleteFamily<=2000 + DeleteFamilyVersion
+    @4000 + DeleteColumns<=3000(q0) + DeleteColumns<=5000(q2) +
+    DeleteVersion@5000(q4) over 5 qualifiers x ts 1000..5000."""
+    ts = [1000, 2000, 3000, 4000, 5000]
+    quals = [b"q%d" % i for i in range(5)]
+    rows = [
+        _put(r, s, b"v%d" % i, qual=q)
+        for r in (ROW, b"myRowForTest")
+        for q in quals
+        for i, s in enumerate(ts)
+    ]
+    t = _table(spark, rows, max_versions=5)
+    t2 = t.delete(_muts(spark, [
+        ("delete_family", ROW, FAM, None, 2000),
+        ("delete_family_version", ROW, FAM, None, 4000),
+        ("delete_column", ROW, FAM, quals[0], 3000),
+        ("delete_column", ROW, FAM, quals[2], 5000),
+        ("delete_version", ROW, FAM, quals[4], 5000),
+    ]))
+    # step 4 (:1960-1963): family-version pair on ROW2
+    t2 = t2.delete(_muts(spark, [
+        ("delete_family_version", b"myRowForTest", FAM, None, 2000),
+        ("delete_family_version", b"myRowForTest", FAM, None, 4000),
+    ]))
+    expected = {  # :1967-2007
+        quals[0]: [5000],
+        quals[1]: [3000, 5000],
+        quals[2]: [],
+        quals[3]: [3000, 5000],
+        quals[4]: [3000],
+    }
+    for q, want in expected.items():
+        assert sorted(_versions(t2, qual=q, max_versions=MAXV)) == want, q
+    # ROW2 saw only the family-version pair (:2010-2020)
+    got2 = t2.scan(
+        Scan(start_row=b"myRowForTest", stop_row=b"myRowForTest\x00",
+             max_versions=MAXV)
+    ).collect()
+    for q in quals:
+        assert sorted(
+            r["ts"] for r in got2 if bytes(r["qualifier"]) == q
+        ) == [1000, 3000, 5000]
+
+
+def test_delete_latest_version_and_no_reput(spark):
+    """testDeletes (:2036-2135): DeleteFamily@ts0 hides the older
+    version; deleting the latest version reveals the rest; re-putting at
+    a TOMBSTONED ts stays invisible ('we can't put them back')."""
+    ts = [1000, 2000, 3000, 4000, 5000]
+    t = _table(spark, [
+        _put(ROW, ts[0], b"v0"), _put(ROW, ts[1], b"v1"),
+    ], max_versions=3)
+    t2 = t.delete(_muts(spark, [("delete_family", ROW, FAM, None, ts[0])]))
+    assert sorted(_versions(t2, max_versions=MAXV)) == [ts[1]]
+
+    t3 = t2.put(spark.createDataFrame(
+        [_put(ROW, ts[4], b"v4", seq=1), _put(ROW, ts[2], b"v2", seq=1),
+         _put(ROW, ts[3], b"v3", seq=1)],
+        CELL_SCHEMA,
+    ))
+    # delete the LATEST version (the reference's no-ts deleteColumn
+    # resolves to ts[4]) -> older three remain (:2073-2093)
+    t4 = t3.delete(_muts(spark, [("delete_version", ROW, FAM, Q, ts[4])]))
+    assert sorted(_versions(t4, max_versions=MAXV)) == [ts[1], ts[2], ts[3]]
+
+    # re-put at the family-tombstoned ts0 and version-tombstoned ts4:
+    # both stay masked (:2108-2135)
+    t5 = t4.put(spark.createDataFrame(
+        [_put(ROW, ts[0], b"v0", seq=2), _put(ROW, ts[4], b"v4", seq=2)],
+        CELL_SCHEMA,
+    ))
+    assert sorted(_versions(t5, max_versions=MAXV)) == [ts[1], ts[2], ts[3]]
+
+
+def test_jira6912_range_plus_row_filter(spark):
+    """testJira6912 (:5267): int-keyed rows, scan [1, 3) with
+    RowFilter(NOT_EQUAL, 1) -> exactly the row for key 2."""
+    def k(i):
+        return i.to_bytes(4, "big")
+
+    t = _table(spark, [_put(k(i), 100, k(i)) for i in range(100)])
+    got = t.scan(Scan(
+        start_row=k(1), stop_row=k(3),
+        filter=ast.RowFilter(
+            ast.CompareOp.NOT_EQUAL, ast.BinaryComparator(k(1))),
+    )).collect()
+    assert [bytes(r["row"]) for r in got] == [k(2)]
+
+
+def test_scan_null_qualifier(spark):
+    """testScan_NullQualifier (:5293): addColumn(family, null) selects
+    the null-qualifier column only; addFamily returns both cells."""
+    t = _table(spark, [
+        _put(ROW, 100, b"v", qual=Q),
+        _put(ROW, 100, b"v", qual=None),
+    ])
+    only_null = t.scan(Scan(columns=((FAM, None),))).collect()
+    assert len(only_null) == 1 and only_null[0]["qualifier"] is None
+    fam_scan = t.scan(Scan(families=(FAM,))).collect()
+    assert len(fam_scan) == 2
+
+
+def test_negative_timestamp_rejected_at_api(spark):
+    """testNegativeTimestamp (:5322): literal negative timestamps are
+    rejected at the client API (Put ts, Scan timerange); data-embedded
+    negative ts cells are still readable (the KeyValue backward-compat
+    allowance, :5369-5375)."""
+    t = _table(spark, [_put(ROW, 100, b"v")])
+    with pytest.raises(ValueError, match="negative"):
+        t.put_wide(
+            spark.createDataFrame([("k",)], "c string"), ["c"], ts=-1
+        )
+    with pytest.raises(ValueError, match="negative"):
+        t.scan(time_range=(-1, 1))
+    with pytest.raises(ValueError, match="negative"):
+        t.scan(cf_time_range=((FAM, -5, 1),))
+    # cells already carrying a negative ts remain scannable
+    t2 = _table(spark, [(ROW, FAM, Q, -7, TYPE_PUT, b"old", 0)])
+    assert t2.scan(raw=True, max_versions=MAXV).count() == 1
+
+
+def test_raw_scan_respects_versions(spark):
+    """testRawScanRespectsVersions (:5526): raw + setMaxVersions() shows
+    all 4 versions (past the family cap of 3); raw + maxVersions(2)
+    shows exactly 2; non-raw maxVersions(3) shows 3."""
+    t = _table(spark, [
+        _put(b"row", 10 + i, b"v%d" % i, seq=i) for i in range(4)
+    ], max_versions=3)
+    assert t.scan(raw=True, max_versions=MAXV).count() == 4
+    got2 = t.scan(raw=True, max_versions=2).collect()
+    assert sorted(r["ts"] for r in got2) == [12, 13]
+    got3 = t.scan(max_versions=3).collect()
+    assert sorted(r["ts"] for r in got3) == [11, 12, 13]
+
+
+def test_keep_deleted_cells_time_travel(spark):
+    """testKeepDeletedCells (:228): KDC=TRUE family — after DeleteFamily
+    @ts+3 and DeleteColumns@ts+3, a timerange read below the markers
+    still sees T2 then T1; the raw scan exposes both markers and all
+    three puts."""
+    ts = 5000
+    t = _table(spark, [
+        _put(b"T1", ts, b"T1", qual=b"c0"),
+        _put(b"T1", ts + 2, b"T2", qual=b"c0", seq=1),
+        _put(b"T1", ts + 4, b"T3", qual=b"c0", seq=2),
+    ], max_versions=3, kdc="TRUE")
+    t2 = t.delete(_muts(spark, [
+        ("delete_family", b"T1", FAM, None, ts + 3),
+        ("delete_column", b"T1", FAM, b"c0", ts + 3),
+    ]))
+    # get below the delete ts: T2 is the newest in-range (:263-267)
+    assert _versions(t2, qual=b"c0", row=b"T1", time_range=(0, ts + 3)) == {
+        ts + 2: b"T2",
+    }
+    # multi-version scan in-range: [T2, T1] (:269-276)
+    assert _versions(
+        t2, qual=b"c0", row=b"T1", time_range=(0, ts + 3), max_versions=MAXV
+    ) == {ts + 2: b"T2", ts: b"T1"}
+    # raw scan: 2 markers + 3 puts (:278-288)
+    raw = t2.scan(raw=True, max_versions=MAXV).collect()
+    assert len(raw) == 5
+    types = sorted(r["type"] for r in raw)
+    assert types.count(TYPE_PUT) == 3
+    assert TYPE_DELETE_FAMILY in types and TYPE_DELETE_COLUMN in types
+
+
+def test_purge_future_deletes_via_major_compaction(spark):
+    """testPurgeFutureDeletes (:296, HBASE-10118): a future-ts put is
+    visible; a DeleteVersion at that future ts masks it; MAJOR
+    COMPACTION purges the marker (KDC=FALSE), so re-putting the same
+    (ts, value) becomes visible again."""
+    future = 1_000_000  # > now_ms=10_000
+    t = _table(spark, [_put(ROW, future, b"value")])
+    assert _versions(t) == {future: b"value"}
+
+    t2 = t.delete(_muts(spark, [("delete_version", ROW, FAM, Q, future)]))
+    assert _versions(t2) == {}
+
+    compacted = Table(
+        t2.meta, jobs.compact(t2.cells, max_versions=1), now_ms=10_000
+    )
+    t3 = compacted.put(spark.createDataFrame(
+        [_put(ROW, future, b"value", seq=3)], CELL_SCHEMA
+    ))
+    assert _versions(t3) == {future: b"value"}

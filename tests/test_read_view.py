@@ -152,8 +152,24 @@ def test_raw_scan_exposes_markers_and_all_versions(spark):
         ("r1", "d", "q", 100, TYPE_PUT, "a"),
         ("r1", "d", "q", 200, TYPE_DELETE_COLUMN, None),
     ])
-    out = read_view(cells, raw=True)
+    out = read_view(cells, raw=True, max_versions=2**31 - 1)
     assert out.count() == 2
+
+
+def test_raw_scan_respects_scan_max_versions(spark):
+    """TestFromClientSide.java:5526 testRawScanRespectsVersions: raw
+    exposes markers but still caps at the SCAN's maxVersions (markers
+    count as cells of their column); default maxVersions=1 -> newest."""
+    cells = mk(spark, [
+        ("r1", "d", "q", 100, TYPE_PUT, "a"),
+        ("r1", "d", "q", 200, TYPE_PUT, "b"),
+        ("r1", "d", "q", 300, TYPE_DELETE_COLUMN, None),
+    ])
+    assert read_view(cells, raw=True, max_versions=2**31 - 1).count() == 3
+    got2 = read_view(cells, raw=True, max_versions=2).collect()
+    assert sorted(r.ts for r in got2) == [200, 300]  # 2 newest, marker counted
+    got1 = read_view(cells, raw=True).collect()  # default maxVersions=1
+    assert [r.ts for r in got1] == [300]
 
 
 def test_ttl_expiry_with_min_versions_floor(spark):
