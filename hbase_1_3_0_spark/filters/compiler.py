@@ -303,8 +303,16 @@ def _scvf_multi_transform(
     fs: list[ast.SingleColumnValueFilter],
     single_version: bool = False,
     verdict_source: DataFrame | None = None,
+    combine: str = "and",
 ) -> Callable[[DataFrame], DataFrame]:
-    """AND-composed SCVFs as ONE aggregation + ONE semi/anti-join.
+    """AND- or OR-composed SCVFs as ONE aggregation + ONE semi/anti-join.
+
+    ``combine='or'`` is the MUST_PASS_ONE form: in the reference an SCVF
+    under a FilterList returns INCLUDE for every cell (the verdict lands
+    in filterRow, SingleColumnValueFilter.java:193), so a pure-SCVF
+    MUST_PASS_ONE list keeps a row iff ANY member's row verdict keeps it
+    — a row-level OR, which this join form computes without the full
+    scan-on-row shuffle the window-predicate form pays.
 
     The window form shuffles the ENTIRE scan by row; a per-filter join pays
     one shuffle of the big side per filter. Here all tested columns reduce
@@ -369,13 +377,16 @@ def _scvf_multi_transform(
             aggs.append(F.max(F.when(cm, F.lit(1))).alias(f"_e{i}"))
             aggs.append(F.max(F.when(per_cell, F.lit(1))).alias(f"_p{i}"))
         flags = tested.groupBy("row").agg(*aggs)
-        verdict = F.lit(True)
+        verdict = None
         for i, f in enumerate(fs):
             v = F.when(
                 F.col(f"_e{i}") == 1,
                 F.coalesce(F.col(f"_p{i}") == 1, F.lit(False)),
             ).otherwise(F.lit(not f.filter_if_missing))
-            verdict = verdict & v
+            if verdict is None:
+                verdict = v
+            else:
+                verdict = (verdict | v) if combine == "or" else (verdict & v)
         # The verdict row set goes behind its OWN exchange: AQE sizes a
         # join's build side by its materialized shuffle stage, and
         # without this the stage it sees is the PRE-aggregate partials
@@ -395,15 +406,23 @@ def _scvf_multi_transform(
             )
             return rows.repartition(n)
 
-        if any(f.filter_if_missing for f in fs):
-            # rows with none of the tested columns are excluded -> semi join
-            out = df.join(
-                _staged(flags.where(verdict).select("row")), "row", "left_semi"
-            )
-        else:
+        # join polarity from the verdict of a row carrying NONE of the
+        # tested columns (such rows never reach the flags frame): each
+        # member's missing verdict is `not filter_if_missing`, combined
+        # with the list operator
+        missing_defaults = [not f.filter_if_missing for f in fs]
+        missing_passes = (
+            any(missing_defaults) if combine == "or" else all(missing_defaults)
+        )
+        if missing_passes:
             # absent rows pass -> anti join against the failing row set
             out = df.join(
                 _staged(flags.where(~verdict).select("row")), "row", "left_anti"
+            )
+        else:
+            # rows with none of the tested columns are excluded -> semi join
+            out = df.join(
+                _staged(flags.where(verdict).select("row")), "row", "left_semi"
             )
         for f, cm in zip(fs, matches):
             if isinstance(f, ast.SingleColumnValueExcludeFilter):
@@ -659,9 +678,19 @@ def compile_filter(
     descending order; WhileMatchFilter truncates from the top of the range —
     Scan.setReversed:694 semantics). ``scvf_source``: matcher-visible
     stream for any-version SCVF verdicts (see _scvf_multi_transform) —
-    used by the transform forms only; the OR-composed window-predicate
-    form judges the scanned frame (documented divergence: an OR-nested
-    SCVF with latestVersionOnly=false sees only scan-visible versions)."""
+    consumed by the AND fuse and the pure-SCVF OR fuse; an SCVF nested
+    in a MIXED OR falls back to the window-predicate form, which judges
+    scan-visible versions (documented divergence).
+
+    MIXED MUST_PASS_ONE divergence (deliberate): the reference's
+    protocol makes OR(SCVF, any cell-level filter) pass EVERYTHING —
+    the SCVF returns INCLUDE for every cell (FilterList.java
+    filterKeyValue MPO: any member's INCLUDE wins) while cell-level
+    filters never drop rows (FilterList.java:341 filterRow MPO: any
+    member's keep wins). This engine implements the intuitive
+    composition instead (cell kept iff row-verdict OR cell-predicate);
+    the reference behavior is a known protocol quirk of mixing
+    row-level and cell-level members, not a useful contract."""
     if isinstance(f, ast.FilterList):
         if f.operator == "MUST_PASS_ALL":
             children = list(f.filters)
@@ -690,6 +719,29 @@ def compile_filter(
             transforms += [t for p in parts for t in p.transforms]
             return Compiled(pred, transforms)
         if f.operator == "MUST_PASS_ONE":
+            # a PURE-SCVF list is a row-level OR in the reference (every
+            # SCVF cell code is INCLUDE, the verdict lands in filterRow —
+            # SingleColumnValueFilter.java:193 / FilterList MPO filterRow)
+            # -> same fused aggregation+join form as the AND fuse, with
+            # OR'd verdicts; also the path that can consume scvf_source.
+            # The exclude subclass keeps the predicate form (its cell
+            # stripping composes differently under OR).
+            if (
+                allow_transform
+                and f.filters
+                and all(
+                    type(c) is ast.SingleColumnValueFilter for c in f.filters
+                )
+            ):
+                return Compiled(
+                    None,
+                    [
+                        _scvf_multi_transform(
+                            list(f.filters), single_version, scvf_source,
+                            combine="or",
+                        )
+                    ],
+                )
             parts = [compile_filter(x, allow_transform=False) for x in f.filters]
             if any(p.transforms for p in parts):
                 raise NotImplementedError(
@@ -820,13 +872,19 @@ def compile_filter(
 def has_any_version_scvf(f: "ast.Filter | None") -> bool:
     """True when the tree holds an SCVF judging ALL versions
     (latestVersionOnly=false) in a transform-compilable position —
-    the scan then supplies the matcher-visible verdict stream."""
+    the scan then supplies the matcher-visible verdict stream. Covered
+    positions: MUST_PASS_ALL members (the AND fuse) and pure-SCVF
+    MUST_PASS_ONE lists (the OR fuse); a MIXED OR compiles to the
+    window-predicate form, which judges scan-visible versions
+    (documented divergence)."""
     if f is None:
         return False
     if isinstance(f, ast.FilterList):
-        if f.operator != "MUST_PASS_ALL":
-            return False  # OR compiles to the pred form (no source use)
-        return any(has_any_version_scvf(x) for x in f.filters)
+        if f.operator == "MUST_PASS_ALL":
+            return any(has_any_version_scvf(x) for x in f.filters)
+        return bool(f.filters) and all(
+            type(x) is ast.SingleColumnValueFilter for x in f.filters
+        ) and any(not x.latest_version_only for x in f.filters)
     return (
         isinstance(f, ast.SingleColumnValueFilter)
         and not f.latest_version_only

@@ -332,6 +332,71 @@ def test_filter_list_must_pass_one_prefix_union(spark):
     assert _rows(t.scan(filter=union)) == {b"Row1", b"Row11", b"Row2"}
 
 
+def test_filter_list_pure_scvf_or_is_row_level(spark):
+    """In the reference a FilterList-wrapped SCVF returns INCLUDE for
+    every cell (the verdict lands in filterRow,
+    SingleColumnValueFilter.java:193), so a pure-SCVF MUST_PASS_ONE
+    keeps WHOLE rows iff any member's row verdict keeps them — all
+    cells of a kept row survive, including non-tested columns."""
+    t = _table(spark, [
+        _put(b"r1", "d", b"a", 100, b"1"),
+        _put(b"r1", "d", b"other", 100, b"x"),
+        _put(b"r2", "d", b"a", 100, b"2"),
+        _put(b"r2", "d", b"other", 100, b"y"),
+        _put(b"r3", "d", b"a", 100, b"3"),
+        _put(b"r4", "d", b"b", 100, b"1"),  # lacks column a
+    ])
+
+    def scvf(val, fim=True):
+        return ast.SingleColumnValueFilter(
+            "d", b"a", ast.CompareOp.EQUAL, ast.BinaryComparator(val),
+            filter_if_missing=fim,
+        )
+
+    f = ast.FilterList("MUST_PASS_ONE", [scvf(b"1"), scvf(b"2")])
+    got = t.scan(filter=f).collect()
+    assert _rows(t.scan(filter=f)) == {b"r1", b"r2"}
+    # whole rows: the non-tested 'other' cells came along
+    assert len(got) == 4
+
+    # missing-column default under OR: any member with
+    # filterIfMissing=false admits the column-less row
+    f2 = ast.FilterList(
+        "MUST_PASS_ONE", [scvf(b"1", fim=True), scvf(b"2", fim=False)]
+    )
+    assert b"r4" in _rows(t.scan(filter=f2))
+    f3 = ast.FilterList(
+        "MUST_PASS_ONE", [scvf(b"1", fim=True), scvf(b"2", fim=True)]
+    )
+    assert b"r4" not in _rows(t.scan(filter=f3))
+
+
+def test_filter_list_or_any_version_scvf_sees_older_versions(spark):
+    """The scvf_source stream feeds the OR fuse too: an any-version
+    member under MUST_PASS_ONE judges OLDER versions on a default
+    maxVersions=1 scan (the same ScanQueryMatcher-order rule pinned for
+    the AND path in test_scvf_basic_latest_version_only)."""
+    rows = [
+        _put(b"stale", "test", FOO, 200, b"no"),
+        _put(b"stale", "test", FOO, 100, b"yes"),
+        _put(b"fresh", "test", FOO, 200, b"yes"),
+        _put(b"none", "test", FOO, 200, b"never"),
+    ]
+    t = _table(spark, rows,
+               families=[FamilyMeta(name="test", max_versions=3)])
+    f = ast.FilterList("MUST_PASS_ONE", [
+        ast.SingleColumnValueFilter(
+            "test", FOO, ast.CompareOp.EQUAL, ast.BinaryComparator(b"yes"),
+            filter_if_missing=True, latest_version_only=False,
+        ),
+        ast.SingleColumnValueFilter(
+            "test", FOO, ast.CompareOp.EQUAL, ast.BinaryComparator(b"also"),
+            filter_if_missing=True,
+        ),
+    ])
+    assert _rows(t.scan(filter=f)) == {b"stale", b"fresh"}
+
+
 def test_filter_list_mpall_page_and_while_match(spark):
     """testMPALL (:151) at the visible level: AND(PageFilter(2),
     WhileMatch(Prefix('yyy'))) over yyy-prefixed rows then 'z' — the
