@@ -46,6 +46,11 @@ class Observers:
       so every hook gets the SAME committed frame and return values are
       ignored; the use case is the trigger/audit-log pattern (write the
       frame to a sink, derive a secondary index, bump counters).
+    - ``post_increment`` / ``post_append``: rewrite the RESULT frame an
+      increment/append returns (postIncrement :772 / postAppend :887 —
+      the reference's hooks return a replacement Result, so unlike
+      ``post_mutate`` these CHAIN, each seeing the previous rewrite; the
+      committed cells are untouched).
     - ``pre_compact``: rewrite the survivor stream during compaction
       (preCompact analog — e.g. age-off policies beyond TTL).
     """
@@ -54,10 +59,13 @@ class Observers:
     post_scan: tuple[Hook, ...] = ()
     pre_mutate: tuple[Hook, ...] = ()
     post_mutate: tuple[Hook, ...] = ()
+    post_increment: tuple[Hook, ...] = ()
+    post_append: tuple[Hook, ...] = ()
     pre_compact: tuple[Hook, ...] = ()
 
     _HOOK_POINTS = (
-        "pre_scan", "post_scan", "pre_mutate", "post_mutate", "pre_compact",
+        "pre_scan", "post_scan", "pre_mutate", "post_mutate",
+        "post_increment", "post_append", "pre_compact",
     )
 
     def with_(self, **kw) -> "Observers":

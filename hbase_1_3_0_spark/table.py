@@ -121,7 +121,7 @@ class Table:
     def with_observers(self, **hooks) -> "Table":
         """Register RegionObserver-style hooks (coprocessor.Observers):
         ``pre_scan`` / ``post_scan`` / ``pre_mutate`` / ``post_mutate`` /
-        ``pre_compact``."""
+        ``post_increment`` / ``post_append`` / ``pre_compact``."""
         return Table(
             self.meta, self.cells, self._now_ms, self.observers.with_(**hooks)
         )
@@ -553,6 +553,9 @@ class Table:
             codec=codec,
             time_range=time_range,
         )
+        # postIncrement analog (RegionObserver.java:772): each hook may
+        # REPLACE the returned Result — chained, committed cells untouched
+        results = Observers.apply(self.observers.post_increment, results)
         return self._with(new_cells), results
 
     def append(
@@ -561,6 +564,9 @@ class Table:
         new_cells, results = mut.append_value(
             self.cells, appends, now_ms=self._now(), time_range=time_range
         )
+        # postAppend analog (RegionObserver.java:887) — chained Result
+        # rewrite, same contract as post_increment
+        results = Observers.apply(self.observers.post_append, results)
         return self._with(new_cells), results
 
     def check_and_mutate(self, mutations: DataFrame):

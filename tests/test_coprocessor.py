@@ -112,6 +112,46 @@ def test_post_mutate_fires_on_mutate_row_and_batch(spark):
     assert len(frames) == 2 and "op" in frames[1].columns
 
 
+def test_post_increment_and_post_append_rewrite_results(spark):
+    """postIncrement/postAppend analog (RegionObserver.java:772,887):
+    hooks CHAIN and may replace the returned Result; the committed
+    cells stay untouched."""
+    start = (7).to_bytes(8, "big")
+    t = _table(spark, [(b"r1", "d", b"cnt", 100, TYPE_PUT, start, 0)])
+    t2 = t.with_observers(
+        post_increment=lambda df: df.withColumn(
+            "new_value", F.col("new_value") * 10
+        )
+    ).with_observers(
+        post_increment=lambda df: df.withColumn(
+            "new_value", F.col("new_value") + 1
+        )
+    )
+    incs = spark.createDataFrame(
+        [(b"r1", "d", b"cnt", 5)],
+        "row binary, family string, qualifier binary, delta long",
+    )
+    t3, results = t2.increment(incs)
+    # chained: (7+5)*10 + 1 — the caller-visible Result is rewritten...
+    assert results.collect()[0].new_value == 121
+    # ...but the committed counter is the real 12
+    cell = t3.get(b"r1").collect()[0]
+    assert int.from_bytes(bytes(cell.value), "big", signed=True) == 12
+
+    apps = spark.createDataFrame(
+        [(b"r1", "d", b"log", b"x", 0)],
+        "row binary, family string, qualifier binary, value binary, "
+        "batch_seq long",
+    )
+    seen = []
+    t4 = t3.with_observers(
+        post_append=lambda df: (seen.append(df), df)[1]
+    )
+    _, app_res = t4.append(apps)
+    app_res.collect()
+    assert len(seen) == 1  # hook ran on the append Result frame
+
+
 def test_unknown_observer_hook_point_rejected(spark):
     import pytest
 
