@@ -101,9 +101,27 @@ def mask_deletes(
     )
 
     puts = cells.where(F.col("type") == TYPE_PUT)
+    # the column-marker join must be NULL-SAFE on qualifier: HBase's
+    # null/empty qualifier is a real column (TestFromClientSide
+    # testNull:1391 deletes it with deleteColumns(FAMILY, null)), and a
+    # plain equi-join would never match the NULL-qualifier marker to the
+    # NULL-qualifier put
+    cm = col_markers.select(
+        F.col("row").alias("_cm_row"),
+        F.col("family").alias("_cm_family"),
+        F.col("qualifier").alias("_cm_qual"),
+        "_col_del_ts",
+        "_ver_del_ts",
+    )
     survived = (
         puts.join(fam_markers, ["row", "family"], "left")
-        .join(col_markers, ["row", "family", "qualifier"], "left")
+        .join(
+            cm,
+            (F.col("row") == F.col("_cm_row"))
+            & (F.col("family") == F.col("_cm_family"))
+            & F.col("qualifier").eqNullSafe(F.col("_cm_qual")),
+            "left",
+        )
         .where(
             (F.col("_fam_del_ts").isNull() | (F.col("ts") > F.col("_fam_del_ts")))
             & _not_in_ts_set(F.col("_famver_del_ts"), F.col("ts"))

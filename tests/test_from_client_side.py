@@ -302,6 +302,88 @@ def test_keep_deleted_cells_time_travel(spark):
     assert TYPE_DELETE_FAMILY in types and TYPE_DELETE_COLUMN in types
 
 
+def test_version_limits_per_family(spark):
+    """testVersionLimits (:1678): three families with VERSIONS 1/3/5 in
+    ONE table; a MAX-versions scan returns exactly each family's limit
+    of newest versions, and the all-family read totals 9 cells."""
+    fams = ["f0", "f1", "f2"]
+    limits = [1, 3, 5]
+    inserted = [2, 4, 7]  # limit + 1 (f2: limit + 2, stamps 0..6)
+    rows = [
+        _put(ROW, STAMPS[i], VALUES[i], fam=fams[fi])
+        for fi, n in enumerate(inserted)
+        for i in range(n)
+    ]
+    t = Table(
+        TableMeta(name="vl", families=tuple(
+            FamilyMeta(name=f, max_versions=lim)
+            for f, lim in zip(fams, limits)
+        )),
+        spark.createDataFrame(rows, CELL_SCHEMA),
+        now_ms=10_000,
+    )
+    got = t.scan(Scan(max_versions=MAXV)).collect()
+    by_fam = {}
+    for r in got:
+        by_fam.setdefault(r["family"], []).append(r["ts"])
+    assert sorted(by_fam["f0"]) == [STAMPS[1]]
+    assert sorted(by_fam["f1"]) == [STAMPS[i] for i in (1, 2, 3)]
+    assert sorted(by_fam["f2"]) == [STAMPS[i] for i in (2, 3, 4, 5, 6)]
+    assert len(got) == 9  # :1824
+    # family projection keeps the same per-family caps (:1851-1858)
+    got2 = t.scan(Scan(max_versions=MAXV, families=("f0", "f1", "f2")))
+    assert got2.count() == 9
+    # column projection too (:1860-1867)
+    got3 = t.scan(Scan(
+        max_versions=MAXV,
+        columns=(("f0", Q), ("f1", Q), ("f2", Q)),
+    ))
+    assert got3.count() == 9
+
+
+def test_null_qualifier_roundtrip_and_delete(spark):
+    """testNull (:1381-1398): a NULL-qualifier column puts, reads, and —
+    the r10-fixed part — DELETES: deleteColumns(FAMILY, null) masks the
+    null-qualifier put (the tombstone join must be null-safe on
+    qualifier). Null VALUES are also legal and read back null
+    (:1434-1456)."""
+    t = _table(spark, [_put(ROW, 100, b"v", qual=None)])
+    got = t.scan().collect()
+    assert len(got) == 1 and got[0]["qualifier"] is None
+    t2 = t.delete(_muts(spark, [("delete_column", ROW, FAM, None, 200)]))
+    assert t2.scan().count() == 0
+
+    t3 = _table(spark, [_put(ROW, 100, None, qual=Q)])
+    got3 = t3.scan().collect()
+    assert len(got3) == 1 and got3[0]["value"] is None
+    t4 = t3.delete(_muts(spark, [("delete_column", ROW, FAM, Q, 200)]))
+    assert t4.scan().count() == 0
+
+
+def test_updates_same_timestamp_overwrite(spark):
+    """testUpdates (:3704): re-putting at an EXISTING timestamp
+    replaces the visible value at that version (later seq wins the
+    same-ts tie), without disturbing other versions."""
+    t = _table(spark, [
+        _put(b"row1", 1, b"AAA"), _put(b"row1", 2, b"BBB"),
+        _put(b"row1", 3, b"EEE"),
+    ], max_versions=10)
+
+    def val_at(table, ts):
+        got = table.scan(
+            Scan(time_range=(ts, ts + 1), max_versions=1)
+        ).collect()
+        return bytes(got[0]["value"]) if got else None
+
+    assert val_at(t, 1) == b"AAA" and val_at(t, 2) == b"BBB"
+    t2 = t.put(spark.createDataFrame(
+        [_put(b"row1", 1, b"CCC", seq=1), _put(b"row1", 2, b"DDD", seq=1)],
+        CELL_SCHEMA,
+    ))
+    assert val_at(t2, 1) == b"CCC" and val_at(t2, 2) == b"DDD"
+    assert val_at(t2, 3) == b"EEE"
+
+
 def test_purge_future_deletes_via_major_compaction(spark):
     """testPurgeFutureDeletes (:296, HBASE-10118): a future-ts put is
     visible; a DeleteVersion at that future ts masks it; MAJOR
