@@ -3921,6 +3921,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     observer_redact, stateful_ttl_event, lm_trigram_mkn,
     arrow_roundtrip, token_budget), each rotation note naming how the
     vacated area stays represented in-window.
+
+    Round 10 rotates IN pq_topk_pinned + ivfpq_topk_pinned (the
+    value-checked inference twins of the rows-only trained PQ paths)
+    over lsh_topk + ivf_topk (rows-only by design, driver rows r6-r9),
+    and post_mutate_audit (observer post-write hooks) over bpe_vocab
+    (py-model rows-only r6-r9; BPE repped by bpe_train).
     """
     return {
         # -- client read/write representatives; r08 rotates in the

@@ -8,7 +8,7 @@ Usage: python tools/check_oracles.py [--json OUT.json]
 With ``--json`` a driver-format report ({name: {rows_match, schema_match,
 hash_match, spark_rows, oracle_rows, err}}) is written for ALL checked
 queries — committed per round as CORRECTNESS_LOCAL_r{N}.json so the full
-declared-query inventory (172 as of r9) has a recorded verdict even
+declared-query inventory (175 as of r10) has a recorded verdict even
 though the driver's own gate stops at the first 50 ``queries()`` keys.
 
 ``--changed-since GITREF`` selects only the queries affected by the diff
