@@ -370,6 +370,22 @@ def q_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
 
 
+def q_filter_scvf_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SCVF MUST_PASS_ONE — the r10 row-level OR fuse
+    (filters/compiler.py: SCVF cell codes are all INCLUDE in the
+    reference, the verdict lands in filterRow, so a pure-SCVF OR keeps
+    WHOLE rows iff any member's verdict keeps them; compiled as ONE
+    verdict aggregation + staged semi-join, no scan-on-row window)."""
+    t = _table(spark, sf_dir, "customer")
+    dsl = (
+        "(SingleColumnValueFilter ('d', 'c_mktsegment', =, "
+        "'binary:AUTOMOBILE', true, true) OR "
+        "SingleColumnValueFilter ('d', 'c_mktsegment', =, "
+        "'binary:BUILDING', true, true))"
+    )
+    return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
+
+
 def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageFilter: first n rows in row-key order (exact-global semantics)."""
     t = _table(spark, sf_dir, "customer")
@@ -3999,7 +4015,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in-window by unimax_mix + pack_bins) --
         "unimax_mix": q_unimax_mix,
         "text_normalize": q_text_normalize,
-        "neardup_ingest": q_neardup_ingest,
+        # -- late r10: the pure-SCVF OR fuse gets its own driver-value
+        #    check (new code path this round) — rotated in over
+        #    neardup_ingest (rows-only py-model, driver rows r6-r9;
+        #    streaming ingest stays repped in-window by dedup_ingest) --
+        "filter_scvf_or": q_filter_scvf_or,
         # -- r08: RPC quota admission (RateLimiter/fixed-interval
         #    throttle, aligned-epoch batch form) — rotated in over
         #    stateful_ttl_event (driver-green four rounds r4-r7;
@@ -4110,10 +4130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r10 for pq_topk_pinned/ivfpq_topk_pinned/
-        # post_mutate_audit (see the in-window comments)
+        # post_mutate_audit/filter_scvf_or (see the in-window comments)
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "bpe_vocab": q_bpe_vocab,
+        "neardup_ingest": q_neardup_ingest,
         # rotated out r09 for quota_settings/replication_scope/
         # cluster_status/cluster_balanced_sample/buffered_mutator
         # (see the in-window comments)
@@ -4740,6 +4761,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_or": (
             f"SELECT {cust_cols} FROM customer "
             "WHERE c_custkey < 100 OR c_mktsegment = 'AUTOMOBILE'"
+        ),
+        "filter_scvf_or": (
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')"
         ),
         "page_filter": (
             f"SELECT {cust_cols} FROM customer ORDER BY c_custkey LIMIT 50"
