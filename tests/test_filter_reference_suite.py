@@ -53,6 +53,7 @@ def _rows(df):
 # ---------------------------------------------------------------------------
 
 FOO = b"foo"
+MAXV = 2**31 - 1
 STR1 = b"The quick brown fox jumps over the lazy dog."
 STR2 = b"The slow grey fox trips over the lazy dog."
 
@@ -412,6 +413,142 @@ def test_filter_list_mpall_page_and_while_match(spark):
         ast.WhileMatchFilter(ast.PrefixFilter(b"yyy")),
     ])
     assert _rows(t.scan(filter=f)) == {b"yyya", b"yyyb"}
+
+
+# ---------------------------------------------------------------------------
+# TestPrefixFilter.java:65 prefixRowTests
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_rows_and_while_match(spark):
+    """Rows 'org.apache.site-a'..'-e' pass, 'com.yahoo.www' is dropped
+    (prefixRowTests). WhileMatch(Prefix) is SCAN-ORDER dependent
+    (testPrefixOnRowInsideWhileMatchRow's early-stop flag): with
+    'com.yahoo.www' sorting FIRST the scan stops immediately; with a
+    trailing non-matching row the whole prefix run survives."""
+    prefix = b"org.apache.site-"
+    rows = [prefix + bytes([c]) for c in range(ord("a"), ord("f"))]
+    t = _table(spark, [
+        _put(r, "d", b"q", 100, b"v") for r in rows
+    ] + [_put(b"com.yahoo.www", "d", b"q", 100, b"v")])
+    f = ast.PrefixFilter(prefix)
+    assert _rows(t.scan(filter=f)) == set(rows)
+    wm = ast.WhileMatchFilter(ast.PrefixFilter(prefix))
+    # 'com...' < 'org...': the first scanned row fails -> empty
+    assert _rows(t.scan(filter=wm)) == set()
+
+    t2 = _table(spark, [
+        _put(r, "d", b"q", 100, b"v") for r in rows
+    ] + [_put(b"zzz.yahoo.www", "d", b"q", 100, b"v")])
+    assert _rows(t2.scan(filter=wm)) == set(rows)
+
+
+# ---------------------------------------------------------------------------
+# TestColumnPrefixFilter.java:54 / TestMultipleColumnPrefixFilter.java:55
+# — seeded-random prefix sweeps + the single/multi equivalence (:162)
+# ---------------------------------------------------------------------------
+
+def _prefix_fixture(spark, families=("Family",)):
+    rng = random.Random(7)
+
+    def words(n, suffix):
+        out = set()
+        for _ in range(n):
+            ln = rng.randrange(2) + 1
+            out.add(
+                "".join(chr(rng.randrange(26) + 112) for _ in range(ln))
+                + suffix
+            )
+        return sorted(out)
+
+    rows = words(20, "row")
+    columns = words(60, "column")  # 1-2 random chars in p..z + 'column'
+    cells = [
+        _put(row.encode(), fam, col.encode(), ts, b"ValueString")
+        for fam in families
+        for row in rows for col in columns for ts in (1, 2)
+    ]
+    t = _table(
+        spark, cells, name="cpf",
+        families=[FamilyMeta(name=f, max_versions=3) for f in families],
+    )
+    return t, rows, columns
+
+
+def test_column_prefix_filter_random_sweep(spark):
+    t, rows, columns = _prefix_fixture(spark)
+    for prefix in ("p", "s"):
+        got = t.scan(
+            Scan(max_versions=MAXV, filter=ast.ColumnPrefixFilter(
+                prefix.encode()))
+        ).collect()
+        expected = {
+            (row, col, ts)
+            for row in rows for col in columns for ts in (1, 2)
+            if col.startswith(prefix)
+        }
+        assert {
+            (bytes(r["row"]).decode(), bytes(r["qualifier"]).decode(),
+             r["ts"])
+            for r in got
+        } == expected
+
+
+def test_multiple_column_prefix_filter_union_and_equivalence(spark):
+    t, rows, columns = _prefix_fixture(spark)
+    mcpf = t.scan(
+        Scan(max_versions=MAXV,
+             filter=ast.MultipleColumnPrefixFilter((b"p", b"q")))
+    ).collect()
+    expected_n = sum(
+        2 for row in rows for col in columns
+        if col.startswith(("p", "q"))
+    )
+    assert len(mcpf) == expected_n
+    # MCPF({p}) == ColumnPrefixFilter(p) (:162 equivalence)
+    a = t.scan(Scan(max_versions=MAXV,
+                    filter=ast.MultipleColumnPrefixFilter((b"p",)))).collect()
+    b = t.scan(Scan(max_versions=MAXV,
+                    filter=ast.ColumnPrefixFilter(b"p"))).collect()
+    key = lambda r: (bytes(r["row"]), bytes(r["qualifier"]), r["ts"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_multiple_column_prefix_filter_many_families(spark):
+    """testMultipleColumnPrefixFilterWithManyFamilies (:130): the filter
+    applies across BOTH families; total = both families' prefix cells."""
+    t, rows, columns = _prefix_fixture(spark, families=("Family1", "Family2"))
+    got = t.scan(
+        Scan(max_versions=MAXV,
+             filter=ast.MultipleColumnPrefixFilter((b"p", b"q")))
+    ).collect()
+    expected_n = sum(
+        2 * 2 for row in rows for col in columns
+        if col.startswith(("p", "q"))
+    )
+    assert len(got) == expected_n
+
+
+# ---------------------------------------------------------------------------
+# TestSingleColumnValueExcludeFilter.java:54 — scan-level verdicts
+# ---------------------------------------------------------------------------
+
+def test_scvf_exclude_strips_tested_column(spark):
+    """Match row: other-column cells survive, the TESTED column is
+    excluded from the result (:62-71); mismatch row: dropped entirely
+    (:74-84)."""
+    t = _table(spark, [
+        _put(b"match", "test", b"foo", 100, b"a"),
+        _put(b"match", "test", b"foo_2", 100, b"a"),
+        _put(b"mismatch", "test", b"foo", 100, b"ab"),
+        _put(b"mismatch", "test", b"foo_2", 100, b"a"),
+    ])
+    f = ast.SingleColumnValueExcludeFilter(
+        "test", b"foo", ast.CompareOp.EQUAL, ast.BinaryComparator(b"a"),
+    )
+    got = t.scan(filter=f).collect()
+    assert {(bytes(r["row"]), bytes(r["qualifier"])) for r in got} == {
+        (b"match", b"foo_2"),
+    }
 
 
 def test_filter_list_transform_under_or_documented_posture(spark):
