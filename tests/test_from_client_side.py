@@ -384,6 +384,35 @@ def test_updates_same_timestamp_overwrite(spark):
     assert val_at(t2, 3) == b"EEE"
 
 
+def test_jira_timerange_version_windows(spark):
+    """testJiraTest861/33/1182 (:2478,:2542,:2616): point-timestamp gets
+    hit only existing versions (861 — no fallback to earlier versions);
+    [lo, hi] version-range reads return exactly the in-window versions
+    (33); open-ended (ts, MAX) reads return everything newer (1182)."""
+    t = _table(
+        spark,
+        [_put(ROW, STAMPS[i], VALUES[i]) for i in range(6)],
+        max_versions=10,
+    )
+    # 861: exact-ts gets; neighbors of existing stamps are empty
+    assert _versions(t, time_range=(STAMPS[2], STAMPS[2] + 1)) == {
+        STAMPS[2]: VALUES[2]
+    }
+    for miss in (STAMPS[2] - 1, STAMPS[5] + 1):
+        assert _versions(t, time_range=(miss, miss + 1)) == {}
+    # 33: closed version ranges [start, end]
+    for start, end in ((0, 5), (0, 2), (4, 5), (2, 3)):
+        assert _versions(
+            t, time_range=(STAMPS[start], STAMPS[end] + 1),
+            max_versions=MAXV,
+        ) == {STAMPS[i]: VALUES[i] for i in range(start, end + 1)}
+    # 1182: columns strictly newer than a stamp
+    for start in (0, 2, 4):
+        assert _versions(
+            t, time_range=(STAMPS[start] + 1, 2**62), max_versions=MAXV
+        ) == {STAMPS[i]: VALUES[i] for i in range(start + 1, 6)}
+
+
 def test_purge_future_deletes_via_major_compaction(spark):
     """testPurgeFutureDeletes (:296, HBASE-10118): a future-ts put is
     visible; a DeleteVersion at that future ts masks it; MAJOR
