@@ -75,7 +75,11 @@ def _sink(df) -> None:
 
 
 def _plan(df) -> str:
-    """Executed (final adaptive) physical plan string."""
+    """Executed physical plan string. ONLY meaningful after an action
+    bound to this DataFrame's own QueryExecution (df.collect()) — a
+    noop-write runs a separate execution, leaving this one's adaptive
+    plan un-finalized (isFinalPlan=false shows the pre-AQE static plan,
+    which is NOT evidence of join strategy; r10 lesson)."""
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -153,23 +157,30 @@ def make_workloads(spark, sf_dir: str, tag: str):
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    # third element: plan-capture mode — "collect" runs df.collect() once
+    # in the warmup round so the FINAL adaptive plan is inspectable (only
+    # for workloads whose output is driver-safe to collect); False = no
+    # capture (huge output or no joins worth checking)
     wl = [
         ("b-calibrate",
          lambda: spark.range(0, 256_000_000, 1, 32).select(F.sum("id")),
          False),
-        ("b-scan-full", lambda: li.scan(), True),
-        ("b-get-point", lambda: od.multi_get(keys), True),
-        ("b-filter-scan", lambda: li.scan(filter=FILTER_DSL), True),
+        ("b-scan-full", lambda: li.scan(), False),  # no joins; huge output
+        ("b-get-point", lambda: od.multi_get(keys), "collect"),
+        ("b-filter-scan", lambda: li.scan(filter=FILTER_DSL), "collect"),
         ("b-write-rand", bench_write_rand, False),
         ("b-dedup-minhash",
          lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5,
                                            pair_mode="star"),
-         True),
+         "collect"),
         ("b-substring",
-         lambda: substrings.remove_repeated_spans(docs, k=40), True),
-        ("b-sync", lambda: jobs.sync_table(orders_cells, sync_tgt), True),
+         lambda: substrings.remove_repeated_spans(docs, k=40),
+         False),  # broadcast-by-construction; output carries full texts
+        ("b-sync", lambda: jobs.sync_table(orders_cells, sync_tgt),
+         "collect"),
         ("b-topk",
-         lambda: similarity.cosine_topk(embs, topk_queries, k=10), True),
+         lambda: similarity.cosine_topk(embs, topk_queries, k=10),
+         "collect"),
     ]
     return wl, bench_root
 
@@ -217,7 +228,7 @@ def main() -> int:
         for rnd in range(n_runs + 1):
             label = "warmup" if rnd == 0 else f"round {rnd}/{n_runs}"
             print(f"--- {label} ---", file=sys.stderr)
-            for tag, name, fn, has_df in all_wl:
+            for tag, name, fn, plan_mode in all_wl:
                 t0 = time.time()
                 df = fn()
                 if df is not None:
@@ -226,8 +237,12 @@ def main() -> int:
                 if rnd > 0:
                     samples[(tag, name)].append(round(dt, 3))
                 print(f"{tag}/{name}: {dt:.2f}s", file=sys.stderr)
-                if rnd == 0 and has_df and df is not None:
-                    plans.setdefault(tag, {})[name] = _join_flags(_plan(df))
+                if rnd == 0 and plan_mode == "collect" and df is not None:
+                    # untimed: finalize THIS df's adaptive plan
+                    n_rows = len(df.collect())
+                    flags = _join_flags(_plan(df))
+                    flags["rows"] = n_rows
+                    plans.setdefault(tag, {})[name] = flags
         scales = {}
         for tag in ("base", "x10"):
             scales[tag] = {
