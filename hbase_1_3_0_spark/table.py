@@ -49,6 +49,12 @@ class Scan:
     start_row: bytes | None = None  # setStartRow:367 (inclusive)
     stop_row: bytes | None = None  # setStopRow:381 (exclusive)
     stop_inclusive: bool = False  # InclusiveStopFilter analog
+    #: setRowPrefixFilter:397 — start/stop sugar: rows starting with the
+    #: prefix; b"" = full table; trailing-0xFF prefixes get the
+    #: calculateTheClosestNextRowKeyForPrefix successor (all-0xFF = open
+    #: end). Mutually exclusive with explicit start/stop (:392 "undefined
+    #: results" — here: rejected).
+    row_prefix: bytes | None = None
     families: tuple[str, ...] | None = None  # addFamily
     columns: tuple[tuple[str, bytes], ...] | None = None  # addColumn:306
     time_range: tuple[int, int] | None = None  # setTimeRange:330
@@ -132,6 +138,24 @@ class Table:
         s = scan or Scan()
         if kw:
             s = s.with_(**kw)
+        if s.row_prefix is not None:
+            # setRowPrefixFilter (Scan.java:397): pure start/stop sugar
+            if s.start_row is not None or s.stop_row is not None:
+                raise ValueError(
+                    "row_prefix with explicit start/stop rows is the "
+                    "reference's documented undefined-results case"
+                )
+            if s.reversed:
+                raise ValueError("row_prefix on a reversed scan is not "
+                                 "supported; set start/stop explicitly")
+            from hbase_1_3_0_spark.filters.compiler import prefix_successor
+
+            s = s.with_(
+                start_row=s.row_prefix or None,
+                stop_row=prefix_successor(s.row_prefix)
+                if s.row_prefix else None,
+                row_prefix=None,
+            )
         # negative timestamps rejected at the API surface (HTable
         # checkTimestamp / TestFromClientSide.java:5322 — data-embedded
         # cells may still carry them, the KeyValue backward-compat rule)

@@ -443,6 +443,50 @@ def test_prefix_filter_rows_and_while_match(spark):
 
 
 # ---------------------------------------------------------------------------
+# TestScanRowPrefix.java:58 — Scan.setRowPrefixFilter byte-edge table
+# ---------------------------------------------------------------------------
+
+def test_scan_row_prefix_byte_edges(spark):
+    """The exact rowId/prefix table of TestScanRowPrefix incl. the
+    0xFF-edge cases: a trailing-0xFF prefix gets the
+    calculateTheClosestNextRowKeyForPrefix successor, an all-0xFF
+    prefix scans to the open end, the empty prefix scans everything."""
+    row_ids = [
+        bytes([0x11]),
+        bytes([0x12]),
+        bytes([0x12, 0x23, 0xFF, 0xFE]),
+        bytes([0x12, 0x23, 0xFF, 0xFF]),
+        bytes([0x12, 0x23, 0xFF, 0xFF, 0x00]),
+        bytes([0x12, 0x23, 0xFF, 0xFF, 0x01]),
+        bytes([0x12, 0x24]),
+        bytes([0x12, 0x24, 0x00]),
+        bytes([0x12, 0x24, 0x00, 0x00]),
+        bytes([0x12, 0x25]),
+        bytes([0xFF, 0xFF, 0xFF, 0xFF, 0xFF]),
+    ]
+    t = _table(spark, [_put(r, "F", r, 100, b"Dummy value")
+                       for r in row_ids])
+    cases = [
+        (b"", row_ids),                                   # prefix0
+        (bytes([0x12, 0x23]), row_ids[2:6]),              # prefix1
+        (bytes([0x12, 0x23, 0xFF, 0xFF]), row_ids[3:6]),  # prefix2
+        (bytes([0x12, 0x24]), row_ids[6:9]),              # prefix3
+        (bytes([0xFF, 0xFF]), [row_ids[10]]),             # prefix4
+    ]
+    for prefix, expected in cases:
+        got = _rows(t.scan(Scan(row_prefix=prefix)))
+        assert got == set(expected), prefix.hex()
+        # the double-check of the test: PrefixFilter agrees
+        assert _rows(
+            t.scan(filter=ast.PrefixFilter(prefix))
+        ) == set(expected), prefix.hex()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="undefined-results"):
+        t.scan(Scan(row_prefix=b"\x12", start_row=b"\x11"))
+
+
+# ---------------------------------------------------------------------------
 # TestColumnPrefixFilter.java:54 / TestMultipleColumnPrefixFilter.java:55
 # — seeded-random prefix sweeps + the single/multi equivalence (:162)
 # ---------------------------------------------------------------------------
