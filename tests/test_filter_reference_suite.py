@@ -573,6 +573,46 @@ def test_multiple_column_prefix_filter_many_families(spark):
 
 
 # ---------------------------------------------------------------------------
+# TestFuzzyRowAndColumnRangeFilter.java:91 — composed FilterList
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_row_and_column_range_composition(spark):
+    """FuzzyRow([0,2,?,?,?,?,0,0,0,1]) AND ColumnRange([cqStart, 4])
+    over the 2x5-row / 5-column int-packed table: cqStart=0 -> 10 cells,
+    cqStart=1 -> 8 cells, in BOTH filter orders (:151-155)."""
+    import struct
+
+    cells = []
+    for i1 in range(2):
+        for i2 in range(5):
+            rk = struct.pack(">hii", 2, i1, i2)
+            for c in range(5):
+                cells.append(
+                    _put(rk, "f", struct.pack(">i", c), 100,
+                         struct.pack(">i", c))
+                )
+    t = _table(spark, cells, name="fuzzcr",
+               families=[FamilyMeta(name="f", max_versions=2**31 - 1)])
+
+    fuzzy = ast.FuzzyRowFilter([(
+        struct.pack(">h", 2) + b"\x3f\x3f\x3f\x3f" + struct.pack(">i", 1),
+        bytes([0, 0, 1, 1, 1, 1, 0, 0, 0, 0]),
+    )])
+    for cq_start, expected in ((0, 10), (1, 8)):
+        crf = ast.ColumnRangeFilter(
+            min_column=struct.pack(">i", cq_start), min_inclusive=True,
+            max_column=struct.pack(">i", 4), max_inclusive=True,
+        )
+        for filters in ((fuzzy, crf), (crf, fuzzy)):
+            f = ast.FilterList("MUST_PASS_ALL", filters)
+            got = t.scan(Scan(families=("f",), filter=f)).collect()
+            assert len(got) == expected, (cq_start, filters)
+            assert all(
+                bytes(r["row"])[6:10] == struct.pack(">i", 1) for r in got
+            )
+
+
+# ---------------------------------------------------------------------------
 # TestSingleColumnValueExcludeFilter.java:54 — scan-level verdicts
 # ---------------------------------------------------------------------------
 
