@@ -1751,7 +1751,10 @@ def q_post_mutate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t3.delete(dels)
 
-    assert len(audit) == 2  # postPut + postDelete fired
+    if len(audit) != 2:  # postPut + postDelete must each have fired
+        raise RuntimeError(
+            f"post_mutate audit expected 2 hook firings, got {len(audit)}"
+        )
     events = audit[0].unionByName(audit[1])
     return events.select(
         F.decode(F.col("row"), "UTF-8").cast("long").alias("c_custkey"),

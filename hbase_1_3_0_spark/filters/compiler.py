@@ -307,12 +307,19 @@ def _scvf_multi_transform(
 ) -> Callable[[DataFrame], DataFrame]:
     """AND- or OR-composed SCVFs as ONE aggregation + ONE semi/anti-join.
 
-    ``combine='or'`` is the MUST_PASS_ONE form: in the reference an SCVF
-    under a FilterList returns INCLUDE for every cell (the verdict lands
-    in filterRow, SingleColumnValueFilter.java:193), so a pure-SCVF
-    MUST_PASS_ONE list keeps a row iff ANY member's row verdict keeps it
-    — a row-level OR, which this join form computes without the full
-    scan-on-row shuffle the window-predicate form pays.
+    ``combine='or'`` is the MUST_PASS_ONE form: in the reference the SCVF
+    cell verdict lands in filterRow (SingleColumnValueFilter.java:219-222)
+    and its filterKeyValue returns INCLUDE for every cell WHEN
+    latestVersionOnly=false or while the column is unmatched — a
+    latestVersionOnly member whose latest tested version fails instead
+    returns NEXT_ROW (:176-178,:184-185), a seek shortcut that under
+    MUST_PASS_ONE cannot drop the row by itself (any sibling INCLUDE wins
+    per cell, and the list's filterRow ORs the members' row verdicts,
+    FilterList.java MUST_PASS_ONE branch). The ROW-level outcome of a
+    pure-SCVF MUST_PASS_ONE list is therefore: keep a row iff ANY
+    member's row verdict keeps it — a row-level OR, which this join form
+    computes without the full scan-on-row shuffle the window-predicate
+    form pays.
 
     The window form shuffles the ENTIRE scan by row; a per-filter join pays
     one shuffle of the big side per filter. Here all tested columns reduce
@@ -682,15 +689,20 @@ def compile_filter(
     in a MIXED OR falls back to the window-predicate form, which judges
     scan-visible versions (documented divergence).
 
-    MIXED MUST_PASS_ONE divergence (deliberate): the reference's
-    protocol makes OR(SCVF, any cell-level filter) pass EVERYTHING —
-    the SCVF returns INCLUDE for every cell (FilterList.java
-    filterKeyValue MPO: any member's INCLUDE wins) while cell-level
-    filters never drop rows (FilterList.java:341 filterRow MPO: any
-    member's keep wins). This engine implements the intuitive
-    composition instead (cell kept iff row-verdict OR cell-predicate);
-    the reference behavior is a known protocol quirk of mixing
-    row-level and cell-level members, not a useful contract."""
+    MIXED MUST_PASS_ONE divergence (deliberate): under the reference's
+    protocol, OR(SCVF, any cell-level filter) keeps EVERY ROW — the
+    cell-level member's filterRow() is always false, and FilterList's
+    MPO filterRow (FilterList.java:341-355) keeps the row as soon as
+    ANY member keeps it. At the CELL level an SCVF with
+    latestVersionOnly=false (or one whose column hasn't failed yet)
+    returns INCLUDE for every cell, so those cells pass regardless of
+    the sibling; a latestVersionOnly member whose latest tested version
+    FAILS returns NEXT_ROW for subsequent cells
+    (SingleColumnValueFilter.java:176-178), so cells after that point
+    pass only via the sibling's verdict — i.e. the reference output
+    degenerates to "all rows, nearly all cells", not a useful contract.
+    This engine implements the intuitive composition instead (cell kept
+    iff row-verdict OR cell-predicate)."""
     if isinstance(f, ast.FilterList):
         if f.operator == "MUST_PASS_ALL":
             children = list(f.filters)

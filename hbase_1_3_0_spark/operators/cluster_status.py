@@ -101,6 +101,11 @@ def cluster_status(
     servers contribute a count, never rows."""
     per = server_load(region_loads, server_col=server_col)
     if servers is not None:
+        # the validation probe below is eager; cache the per-server
+        # rollup so the returned plan reuses the materialized frame
+        # instead of recomputing the aggregation (master metadata —
+        # one row per server, trivially cacheable)
+        per = per.cache()
         live = sorted(set(servers))
         base = per.sparkSession.createDataFrame(
             [(s,) for s in live], "server string"

@@ -383,9 +383,17 @@ class MasterQuotaManager:
         payload = json.loads(self._path.read_text())
         quotas: dict[tuple[str, str, str], dict] = {}
         for k, v in payload.items():
+            parts = None
             if k.startswith("["):
-                parts = json.loads(k)
-            else:  # pre-r10 pipe-joined files
+                # r10+ JSON-array keys; a pre-r10 pipe-joined key whose
+                # first segment happens to start with '[' (a user named
+                # '[admin', say) is not valid JSON — fall through to the
+                # pipe split rather than raising.
+                try:
+                    parts = json.loads(k)
+                except json.JSONDecodeError:
+                    parts = None
+            if parts is None:  # pre-r10 pipe-joined files
                 parts = k.split("|")
             if len(parts) != 3:
                 raise ValueError(f"corrupt quota key {k!r}")

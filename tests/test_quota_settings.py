@@ -223,6 +223,23 @@ def test_persistence_reads_legacy_pipe_keys(tmp_path):
     assert row["soft_limit"] == 9
 
 
+def test_persistence_reads_legacy_pipe_key_starting_with_bracket(tmp_path):
+    # A pre-r10 pipe-joined key whose first segment begins with '[' is
+    # NOT JSON — the loader must fall back to the pipe split instead of
+    # raising JSONDecodeError (ADVICE r10).
+    import json
+
+    p = tmp_path / "quotas.json"
+    p.write_text(json.dumps({
+        "[admin|t1|": {"throttle": {"REQUEST_NUMBER": [4, "SECONDS"]},
+                       "bypass_globals": False},
+    }))
+    m = MasterQuotaManager(p)
+    row = m.list_quotas()[0]
+    assert row["user"] == "[admin" and row["table"] == "t1"
+    assert row["soft_limit"] == 4
+
+
 def test_replay_limits_feed():
     from hbase_1_3_0_spark.operators.quota import LIMITER_KINDS
 
