@@ -507,6 +507,13 @@ def main() -> None:
     run("b-dsir", bench_dsir)
 
     # ---- execute: interleaved sample rounds over every workload ----
+    # SPARK_GRAFT_BENCH_ONLY=b-x,b-y scopes a builder's targeted perf
+    # check (b-calibrate always kept as the noise meter); unset = the
+    # full driver contract.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {w.strip() for w in only.split(",")} | {"b-calibrate"}
+        workloads = [(n, f) for n, f in workloads if n in keep]
     samples: dict[str, list[float]] = {name: [] for name, _ in workloads}
     for rnd in range(n_runs):
         print(f"--- sample round {rnd + 1}/{n_runs} ---", file=sys.stderr)
