@@ -506,7 +506,9 @@ def _page_transform(n: int, reversed_scan: bool = False) -> Callable[[DataFrame]
 def _while_match_transform(
     wrapped: ast.Filter, reversed_scan: bool = False
 ) -> Callable[[DataFrame], DataFrame]:
-    inner = compile_filter(wrapped, allow_transform=False)
+    inner = compile_filter(
+        wrapped, allow_transform=False, reversed_scan=reversed_scan
+    )
     if inner.transforms:
         raise NotImplementedError(
             "WhileMatchFilter cannot wrap order-dependent filters"
@@ -754,7 +756,12 @@ def compile_filter(
                         )
                     ],
                 )
-            parts = [compile_filter(x, allow_transform=False) for x in f.filters]
+            parts = [
+                compile_filter(
+                    x, allow_transform=False, reversed_scan=reversed_scan
+                )
+                for x in f.filters
+            ]
             if any(p.transforms for p in parts):
                 raise NotImplementedError(
                     "order-dependent filters (Page/WhileMatch/KeyOnly...) are "
@@ -827,6 +834,11 @@ def compile_filter(
     if isinstance(f, ast.PageFilter):
         return Compiled(None, [_page_transform(f.page_size, reversed_scan)])
     if isinstance(f, ast.InclusiveStopFilter):
+        # direction-sensitive (InclusiveStopFilter.java:80 — done =
+        # reversed ? cmp > 0 : cmp < 0): on a reversed scan the stop row
+        # is the LOW end and the scan includes it going down
+        if reversed_scan:
+            return Compiled(F.col("row") >= F.lit(f.stop_row))
         return Compiled(F.col("row") <= F.lit(f.stop_row))
     if isinstance(f, ast.TimestampsFilter):
         return Compiled(F.col("ts").isin(list(f.timestamps)))
@@ -864,7 +876,9 @@ def compile_filter(
         u = F.pmod(F.xxhash64(F.col("row"), F.lit(f.seed)), F.lit(1_000_000)) / 1e6
         return Compiled(u < F.lit(float(f.chance)))
     if isinstance(f, ast.SkipFilter):
-        inner = compile_filter(f.wrapped, allow_transform=False)
+        inner = compile_filter(
+            f.wrapped, allow_transform=False, reversed_scan=reversed_scan
+        )
         if inner.transforms:
             raise NotImplementedError("SkipFilter cannot wrap order-dependent filters")
         if allow_transform:
@@ -874,6 +888,16 @@ def compile_filter(
         )
         return Compiled(all_pass)
     if isinstance(f, ast.WhileMatchFilter):
+        if isinstance(f.wrapped, ast.PageFilter):
+            # WhileMatch(PageFilter(n)) collapses to PageFilter(n): the page
+            # filter accepts the first n rows then rejects, and WhileMatch
+            # turns that first rejection into scan termination — the visible
+            # result is exactly the page (TestFilter.java
+            # testWhileMatchFilterWithFilterRow / ...WithReverseScan pin
+            # scannerCounter == pageSize).
+            return Compiled(
+                None, [_page_transform(f.wrapped.page_size, reversed_scan)]
+            )
         range_pred = _while_match_range_rewrite(f.wrapped, reversed_scan)
         if range_pred is not None:
             return Compiled(range_pred)

@@ -198,7 +198,9 @@ class Table:
             filt = parse_filter(filt)
         cell_pred = None
         if is_cell_predicate(filt):
-            cell_pred = compile_filter(filt).pred
+            # reversed_scan matters even for pure cell predicates:
+            # InclusiveStopFilter flips its comparison on reversed scans
+            cell_pred = compile_filter(filt, reversed_scan=s.reversed).pred
             filt = None
         # cell security tags (visibility labels / per-cell ACLs): enforced
         # per cell before version counting, like the server-side
