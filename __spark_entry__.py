@@ -392,6 +392,28 @@ def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(filter="PageFilter (50)"), CUSTOMER_COLS)
 
 
+def q_filter_page_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversed paged scan with a direction-sensitive inclusive stop —
+    the TestFilter.java testPageFilterWithReverseScan x
+    testInclusiveStopFilterWithReverseScan composition pinned r11
+    (tests/test_filter_testfilter_pin.py). Scanning DOWN from custkey
+    120, InclusiveStopFilter(41) keeps the LOW end going down
+    (InclusiveStopFilter.java:80 — done = reversed ? cmp > 0 : cmp < 0;
+    this round's fix: the engine compiled the forward row <= stop form
+    unconditionally) and PageFilter(50) takes the first 50 rows in
+    DESCENDING key order (exact-global semantics): custkeys 71..120."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    f = fast.FilterList("MUST_PASS_ALL", [
+        fast.InclusiveStopFilter(_k(41)),
+        fast.PageFilter(50),
+    ])
+    return _wide(
+        t.scan(reversed=True, start_row=_k(120), filter=f), CUSTOMER_COLS
+    )
+
+
 def q_column_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColumnPaginationFilter: per-row column LIMIT/OFFSET window."""
     t = _table(spark, sf_dir, "customer")
@@ -4017,7 +4039,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in over token_budget, green r6-r7; sampling stays repped
         #    in-window by unimax_mix + pack_bins) --
         "unimax_mix": q_unimax_mix,
-        "text_normalize": q_text_normalize,
+        # -- r11: reversed page x direction-sensitive inclusive stop —
+        #    the TestFilter.java composition pinned this round, which
+        #    found+fixed the reversed InclusiveStopFilter compile.
+        #    Rotated in over text_normalize (driver-green five rounds
+        #    r6-r10; text stays repped in-window by gopher_quality/
+        #    c4_clean/substring_clean) --
+        "filter_page_reverse": q_filter_page_reverse,
         # -- late r10: the pure-SCVF OR fuse gets its own driver-value
         #    check (new code path this round) — rotated in over
         #    neardup_ingest (rows-only py-model, driver rows r6-r9;
@@ -4132,6 +4160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
+        # rotated out r11 for filter_page_reverse (see in-window comment)
+        "text_normalize": q_text_normalize,
         # rotated out r10 for pq_topk_pinned/ivfpq_topk_pinned/
         # post_mutate_audit/filter_scvf_or (see the in-window comments)
         "lsh_topk": q_lsh_topk,
@@ -4737,6 +4767,13 @@ def oracle_sql() -> dict[str, str]:
         "scan_range": (
             f"SELECT {cust_cols} FROM customer "
             "WHERE c_custkey >= 100 AND c_custkey < 600"
+        ),
+        "filter_page_reverse": (
+            # reversed scan down from 120; inclusive stop keeps the low
+            # end (41); page 50 = first 50 rows in DESCENDING key order
+            f"SELECT {cust_cols} FROM customer "
+            "WHERE c_custkey <= 120 AND c_custkey >= 41 "
+            "ORDER BY c_custkey DESC LIMIT 50"
         ),
         "scan_metrics": (
             "SELECT count(*)::BIGINT AS rows_scanned, "
