@@ -794,13 +794,19 @@ def q_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate median via mergeable sketches (the 100 TB path —
-    rows-only oracle; the sketch is engine-specific)."""
+    """Approximate median via mergeable sketches (the 100 TB path) —
+    since r11 VALUE-CHECKED via the bounded-error contract
+    (aggregations.median_approx_bounded): the sketch value itself is
+    engine-specific, but percentile_approx's documented rank-error
+    guarantee (<= 1/accuracy) is checkable — the exact quantile guard
+    band (0.5 +/- 2/accuracy, cross-checked against DuckDB
+    quantile_cont) must contain the sketch's answer, surfaced as a
+    hashed within_bound boolean."""
     t = _table(spark, sf_dir, "lineitem")
-    out = agg.median(
-        t.scan(), "d", b"l_extendedprice", interpreter="double", approximate=True
+    return agg.median_approx_bounded(
+        t.scan(), "d", b"l_extendedprice", interpreter="double",
+        accuracy=1000,
     )
-    return out.select(F.round("median", 6).alias("median_price"))
 
 
 def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4075,9 +4081,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    accounting of the rebuild --
         "substring_dedup": q_substring_dedup,
         "substring_clean": q_substring_clean,
-        # -- r07: winnow_dedup rotated IN (the one declared query with
-        #    zero driver rows after r06; py-model oracle local-green) --
-        "winnow_dedup": q_winnow_dedup,
+        # -- r11: median_approx gains the bounded-error value contract
+        #    (exact quantile guard band at 0.5 +/- 2/accuracy vs DuckDB
+        #    quantile_cont + hashed within_bound) and rotates IN over
+        #    winnow_dedup (py-model rows-only, driver rows r7-r10;
+        #    winnowing stays repped in-window by winnow_robust) — the
+        #    last oracle-able no-value-check query leaves that list --
+        "median_approx": q_median_approx,
         # -- rotated in LATE r06 (all plain-session smoke-tested +
         #    local-green): winnowing, langid (DuckDB-oracled); BPE
         #    (py-model oracle, rows-only at the driver by design) --
@@ -4279,8 +4289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_bigram": q_lm_bigram,
         "vocab_topk": q_vocab_topk,
-        # no-oracle-by-design with an existing rows-only driver row (r04)
-        "median_approx": q_median_approx,
+        # rotated out r11 for median_approx's value-checked return (see
+        # in-window comment)
+        "winnow_dedup": q_winnow_dedup,
         # green in CORRECTNESS_r01-r03; rotated out of the checked window
         "tombstones": q_tombstones,
         "sync_diff": q_sync_diff,
@@ -4841,6 +4852,17 @@ def oracle_sql() -> dict[str, str]:
         "median": (
             "SELECT round(median(l_extendedprice), 6) AS median_price "
             "FROM lineitem"
+        ),
+        "median_approx": (
+            # bounded-error contract (r11): exact guard band at
+            # 0.5 +/- 2/accuracy (accuracy=1000) cross-checked value-
+            # for-value; within_bound states the sketch's rank-error
+            # guarantee held (the Spark side computes it for real)
+            "SELECT round(quantile_cont(l_extendedprice, 0.498), 6) "
+            "AS median_lo, "
+            "round(quantile_cont(l_extendedprice, 0.502), 6) "
+            "AS median_hi, "
+            "TRUE AS within_bound FROM lineitem"
         ),
         "weighted_median": (
             "WITH p AS (SELECT l_extendedprice AS v, l_quantity AS w "

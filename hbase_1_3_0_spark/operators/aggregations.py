@@ -83,6 +83,50 @@ def row_count(cells: DataFrame) -> DataFrame:
     return cells.select(F.countDistinct("row").alias("rowcount"))
 
 
+def median_approx_bounded(
+    cells: DataFrame,
+    family: str,
+    qualifier: bytes,
+    *,
+    interpreter: str | Interpreter = "long",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The approximate median WITH its error contract made visible.
+
+    ``percentile_approx``'s documented guarantee is a RANK error of at
+    most ``1/accuracy``: the returned element's rank lies within
+    ``[N*(0.5 - eps), N*(0.5 + eps)]`` for ``eps = 1/accuracy``. This
+    returns one row ``(median_lo, median_hi, within_bound)`` where
+    lo/hi are the EXACT interpolated quantiles at ``0.5 ± 2*eps`` and
+    ``within_bound`` asserts the sketch landed between them — the
+    bounded-error value check for a result that is otherwise
+    engine-specific. The guard band is 2x the rank bound because an
+    element at rank ``(0.5 - eps)*N`` can sit just below the
+    INTERPOLATED quantile at ``0.5 - eps`` (interpolation spans one
+    rank); with ``eps*N >= 1`` the 2x band strictly contains any
+    element the guarantee admits.
+
+    Scale note: the exact bounds make this the CONTRACT query —
+    sort-based exact percentile over all values. The production path
+    at corpus scale stays ``median(..., approximate=True)`` (one pass,
+    mergeable sketches, no sort); run this form on samples/CI scales
+    to validate sketch accuracy.
+    """
+    vals = _values(cells, family, qualifier, interpreter)
+    eps = 1.0 / accuracy
+    return vals.agg(
+        F.percentile_approx("v", 0.5, accuracy).alias("m"),
+        F.percentile("v", 0.5 - 2 * eps).alias("lo"),
+        F.percentile("v", 0.5 + 2 * eps).alias("hi"),
+    ).select(
+        F.round("lo", 6).alias("median_lo"),
+        F.round("hi", 6).alias("median_hi"),
+        (
+            (F.col("m") >= F.col("lo")) & (F.col("m") <= F.col("hi"))
+        ).alias("within_bound"),
+    )
+
+
 def median(
     cells: DataFrame,
     family: str,

@@ -81,3 +81,19 @@ def test_aggregate_long_interpreter(spark, sf_dir):
     got = agg.aggregate(cells, "d", b"o_custkey", interpreter="long").first()
     exp = df.agg(F.min("o_custkey"), F.max("o_custkey"), F.sum("o_custkey")).first()
     assert (got["min"], got["max"], got["sum"]) == (exp[0], exp[1], exp[2])
+
+
+def test_median_approx_bounded_contract(lineitem):
+    """percentile_approx's rank-error guarantee surfaced as a value
+    contract: the sketch's 0.5-quantile must land inside the exact
+    quantile guard band at 0.5 +/- 2/accuracy (median_approx_bounded),
+    and the band itself must be a sane non-empty interval."""
+    cells, df = lineitem
+    row = agg.median_approx_bounded(
+        cells, "d", b"l_extendedprice", interpreter="double", accuracy=1000
+    ).first()
+    assert row.within_bound is True
+    assert row.median_lo <= row.median_hi
+    # the band brackets the exact median
+    exact = df.agg(F.percentile("l_extendedprice", 0.5)).first()[0]
+    assert row.median_lo <= exact <= row.median_hi
