@@ -158,12 +158,27 @@ def limit_versions(cells: DataFrame, max_versions: int) -> DataFrame:
             )
         )
         return picked.select(*cells.columns)
-    w = Window.partitionBy("row", "family", "qualifier").orderBy(
+    # A same-ts re-put REPLACES the cell rather than adding a version:
+    # the reference returns ONE cell per (column, ts) with the newest
+    # write winning, and the dupe does NOT consume a version slot
+    # (TestFromClientSide.java:3490 testDuplicateVersions — 7 distinct
+    # stamps visible at maxVersions=7 with VALUES[14] at the re-put
+    # stamp). The per-ts winner is the first cell in (ts desc, seq desc)
+    # order whose ts differs from its predecessor; the version index is
+    # a dense_rank by ts alone (same-ts dups share it). Both windows
+    # share one partitioning and the (ts desc) ordering is a prefix of
+    # (ts desc, seq desc), so this plans as ONE exchange + ONE sort.
+    w_full = Window.partitionBy("row", "family", "qualifier").orderBy(
         F.col("ts").desc(), F.col("seq").desc()
     )
+    w_ts = Window.partitionBy("row", "family", "qualifier").orderBy(
+        F.col("ts").desc()
+    )
+    is_dup = F.coalesce(F.lag("ts").over(w_full) == F.col("ts"), F.lit(False))
     return (
-        cells.withColumn("_vrank", F.row_number().over(w))
-        .where(F.col("_vrank") <= max_versions)
+        cells.withColumn("_vdup", is_dup)
+        .withColumn("_vrank", F.dense_rank().over(w_ts))
+        .where(~F.col("_vdup") & (F.col("_vrank") <= max_versions))
         .select(*cells.columns)
     )
 

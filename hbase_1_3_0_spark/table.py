@@ -512,6 +512,23 @@ class Table:
         view = Table(self.meta, pruned, self._now_ms)
         return view.scan(Scan(**kw))
 
+    def get_row_or_before(self, row: bytes, family: str) -> DataFrame:
+        """Closest-row-at-or-before point lookup (Table.getRowOrBefore /
+        HRegion.getClosestRowBefore — deprecated in 1.3 but part of its
+        client surface; semantics pinned to TestFromClientSide.java:4385
+        testGetClosestRowBefore). Returns the visible cells of the
+        LARGEST row key <= ``row`` within one family; empty when no row
+        sorts at or below the probe. Scale shape: the candidate scan is
+        a prunable row <= key range; the winner key is a one-row
+        broadcast, so the probe never shuffles the scanned side."""
+        cand = self.scan(
+            stop_row=bytes(row), stop_inclusive=True, families=(family,)
+        )
+        winner = cand.agg(F.max("row").alias("_rob_row"))
+        return cand.join(
+            F.broadcast(winner), F.col("row") == F.col("_rob_row"), "inner"
+        ).drop("_rob_row")
+
     def exists(self, rows: list[bytes]) -> DataFrame:
         """Existence probe (Table.exists / setCheckExistenceOnly, Get.java:139)."""
         return (

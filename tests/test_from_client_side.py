@@ -23,6 +23,7 @@ from hbase_1_3_0_spark.cells import (
     CELL_SCHEMA,
     TYPE_DELETE_COLUMN,
     TYPE_DELETE_FAMILY,
+    TYPE_DELETE_VERSION,
     TYPE_PUT,
 )
 from hbase_1_3_0_spark.filters import ast
@@ -432,3 +433,139 @@ def test_purge_future_deletes_via_major_compaction(spark):
         [_put(ROW, future, b"value", seq=3)], CELL_SCHEMA
     ))
     assert _versions(t3) == {future: b"value"}
+
+
+def test_duplicate_versions(spark):
+    """testDuplicateVersions (TestFromClientSide.java:3490) — the full
+    version-interplay battery at family maxVersions=10: exact-ts reads
+    of retained versions, exact-ts misses, query-cap vs table-cap,
+    same-ts re-put winner (the dupe), table-cap eviction of the oldest
+    versions, and exact-ts version deletes RESURRECTING previously
+    evicted versions (the cap is a READ-time rule over live cells)."""
+    S, V = STAMPS, VALUES
+
+    def exact_ts(t, stamp):
+        return _versions(t, time_range=(stamp, stamp + 1),
+                         max_versions=MAXV)
+
+    # batch 1: stamps 1,2,4,5 (:3499-3504)
+    rows = [_put(ROW, S[i], V[i], seq=i) for i in (1, 2, 4, 5)]
+    t = _table(spark, rows, max_versions=10)
+    for i in (1, 2, 4, 5):  # getVersionAndVerify / scanVersionAndVerify
+        assert exact_ts(t, S[i]) == {S[i]: V[i]}
+    for i in (0, 3, 6):  # ...AndVerifyMissing
+        assert exact_ts(t, S[i]) == {}
+    # query maxVersions=2 respected (:3525-3542)
+    assert _versions(t, max_versions=2) == {S[4]: V[4], S[5]: V[5]}
+
+    # batch 2: stamps 3,6,7,8 + the STAMPS[4] dupe re-put (:3588-3595)
+    rows += [
+        _put(ROW, S[3], V[3], seq=20),
+        _put(ROW, S[4], V[14], seq=21),  # same-ts re-put: later seq wins
+        _put(ROW, S[6], V[6], seq=22),
+        _put(ROW, S[7], V[7], seq=23),
+        _put(ROW, S[8], V[8], seq=24),
+    ]
+    t = _table(spark, rows, max_versions=10)
+    # maxVersions=7: stamps 2..8 with the dupe winner at 4 (:3597-3630)
+    assert _versions(t, max_versions=7) == {
+        S[2]: V[2], S[3]: V[3], S[4]: V[14], S[5]: V[5],
+        S[6]: V[6], S[7]: V[7], S[8]: V[8],
+    }
+    # exact-ts reads still see stamp 1 (within the table cap) and the
+    # dupe winner at stamp 4 (:3633-3640)
+    assert exact_ts(t, S[1]) == {S[1]: V[1]}
+    assert exact_ts(t, S[4]) == {S[4]: V[14]}
+    assert exact_ts(t, S[7]) == {S[7]: V[7]}
+    assert exact_ts(t, S[0]) == {}
+    assert exact_ts(t, S[9]) == {}
+
+    # batch 3: stamps 9,11,13,15 -> 12 distinct stamps, table cap 10
+    # EVICTS stamps 1 and 2 (:3655-3685)
+    rows += [_put(ROW, S[i], V[i], seq=30 + i) for i in (9, 11, 13, 15)]
+    t = _table(spark, rows, max_versions=10)
+    assert _versions(t, max_versions=MAXV) == {
+        S[i]: (V[14] if i == 4 else V[i])
+        for i in (3, 4, 5, 6, 7, 8, 9, 11, 13, 15)
+    }
+
+    # exact-ts version deletes at 11 (memstore) and 7 (storefile) bring
+    # stamps 1 and 2 BACK under the 10-version cap (:3687-3711)
+    rows += [
+        (ROW, FAM, Q, S[11], TYPE_DELETE_VERSION, None, 50),
+        (ROW, FAM, Q, S[7], TYPE_DELETE_VERSION, None, 51),
+    ]
+    t = _table(spark, rows, max_versions=10)
+    assert _versions(t, max_versions=MAXV) == {
+        S[i]: (V[14] if i == 4 else V[i])
+        for i in (1, 2, 3, 4, 5, 6, 8, 9, 13, 15)
+    }
+
+
+def test_hbase737_per_batch_timestamps(spark):
+    """testHBase737 (TestFromClientSide.java:4128): three put batches at
+    strictly increasing (server-now analog) timestamps across two
+    families; the scan's cell order (family asc, qualifier asc) must
+    carry strictly increasing timestamps for this fixture — per-batch
+    timestamps survive to the read view intact."""
+    rows = [
+        (ROW, "fam1", b"letters", 1000, TYPE_PUT, b"abcdefg", 0),
+        (ROW, "fam1", b"numbers", 2000, TYPE_PUT, b"123456", 1),
+        (ROW, "fam2", b"letters", 3000, TYPE_PUT, b"hijklmnop", 2),
+    ]
+    t = Table(
+        TableMeta(name="testHBase737",
+                  families=(FamilyMeta(name="fam1"), FamilyMeta(name="fam2"))),
+        spark.createDataFrame(rows, CELL_SCHEMA),
+        now_ms=10_000,
+    )
+    got = sorted(
+        ((r["family"], bytes(r["qualifier"])), r["ts"])
+        for r in t.scan(families=("fam1", "fam2")).collect()
+    )
+    times = [ts for _k, ts in got]
+    assert times == [1000, 2000, 3000]
+    assert all(times[j] > times[i]
+               for i in range(len(times) - 1)
+               for j in range(i + 1, len(times)))
+
+
+def test_get_closest_row_before(spark):
+    """testGetClosestRowBefore (TestFromClientSide.java:4385): the
+    getRowOrBefore probe table — exact hits return the row itself,
+    between-rows probes return the predecessor, a probe before the
+    first row returns nothing, and only the requested family's cells
+    come back (the second family carries no data for these rows)."""
+    one, two, three, four = b"\x01", b"\x02", b"\x03", b"\x04"
+    rows = [
+        (b"row111", "info", None, 100, TYPE_PUT, one, 0),
+        (b"row222", "info", None, 100, TYPE_PUT, two, 1),
+        (b"row333", "info", None, 100, TYPE_PUT, three, 2),
+        (b"row444", "info", None, 100, TYPE_PUT, four, 3),
+    ]
+    t = Table(
+        TableMeta(name="testGetClosestRowBefore",
+                  families=(FamilyMeta(name="info"),
+                            FamilyMeta(name="info2"))),
+        spark.createDataFrame(rows, CELL_SCHEMA),
+        now_ms=10_000,
+    )
+
+    def probe(key):
+        got = t.get_row_or_before(key, "info").collect()
+        if not got:
+            return None
+        assert len(got) == 1
+        r = got[0]
+        assert r["qualifier"] is None  # the NULL-qualifier column
+        return bytes(r["row"]), bytes(r["value"])
+
+    assert probe(b"row") is None                       # before first
+    assert probe(b"row111") == (b"row111", one)        # exact hit
+    assert probe(b"row22") == (b"row111", one)         # between 1 and 2
+    assert probe(b"row222") == (b"row222", two)
+    assert probe(b"row33") == (b"row222", two)
+    assert probe(b"row333") == (b"row333", three)
+    assert probe(b"row44") == (b"row333", three)
+    assert probe(b"row444") == (b"row444", four)
+    assert probe(b"row5") == (b"row444", four)         # after last
