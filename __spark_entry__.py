@@ -392,6 +392,30 @@ def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(filter="PageFilter (50)"), CUSTOMER_COLS)
 
 
+def q_closest_row_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.getRowOrBefore analog (NEW r11 — the deprecated-but-present
+    1.3 closest-row-at-or-before probe, HRegion.getClosestRowBefore;
+    semantics pinned to TestFromClientSide.java:4385 in
+    tests/test_from_client_side.py): three probes against the customer
+    KV table — an exact key hit (500), a between-keys probe (the key
+    for 700 with a byte appended, so the predecessor 700 wins), and a
+    before-first probe (the empty key — nothing sorts at or below it,
+    so the probe returns no row). Each probe is a prunable row <= key
+    scan + one-row broadcast winner join; the empty probe contributes
+    zero rows."""
+    t = _table(spark, sf_dir, "customer")
+    probes = [(1, _k(500)), (2, _k(700) + b"x"), (3, b"")]
+    parts = [
+        _wide(t.get_row_or_before(key, "d"), CUSTOMER_COLS)
+        .select(F.lit(pid).cast("int").alias("probe_id"), "*")
+        for pid, key in probes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_filter_page_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reversed paged scan with a direction-sensitive inclusive stop —
     the TestFilter.java testPageFilterWithReverseScan x
@@ -3992,8 +4016,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         # -- read-view semantics --
         "compaction": q_compaction,
-        # -- mutations / jobs --
-        "scan_batched": q_scan_batched,
+        # -- r11: Table.get_row_or_before (the 1.3 getRowOrBefore
+        #    surface, new API this round from the TestFromClientSide
+        #    port) — rotated in over scan_batched (driver-green five
+        #    rounds r6-r10; the scan machinery stays repped in-window
+        #    by scan_metrics, filter_scvf and filter_page_reverse) --
+        "closest_row_before": q_closest_row_before,
         # -- r09: MasterQuotaManager settings CRUD + operation-quota
         #    resolution (VERDICT r08 gap #1), per-peer replication
         #    scoping as a value-checked batch query (r08 item 6), and
@@ -4170,8 +4198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
-        # rotated out r11 for filter_page_reverse (see in-window comment)
+        # rotated out r11 for filter_page_reverse / closest_row_before
+        # (see the in-window comments)
         "text_normalize": q_text_normalize,
+        "scan_batched": q_scan_batched,
         # rotated out r10 for pq_topk_pinned/ivfpq_topk_pinned/
         # post_mutate_audit/filter_scvf_or (see the in-window comments)
         "lsh_topk": q_lsh_topk,
@@ -4778,6 +4808,18 @@ def oracle_sql() -> dict[str, str]:
         "scan_range": (
             f"SELECT {cust_cols} FROM customer "
             "WHERE c_custkey >= 100 AND c_custkey < 600"
+        ),
+        "closest_row_before": (
+            # three rowOrBefore probes: bound 500 (exact hit), 700
+            # (between-keys byte-suffix probe), -1 (before the first
+            # key — the NULL max drops out of the join)
+            "WITH p(probe_id, bound) AS (VALUES (1, 500), (2, 700), "
+            "(3, -1)), "
+            "m AS (SELECT p.probe_id, max(c.c_custkey) AS k FROM p "
+            "LEFT JOIN customer c ON c.c_custkey <= p.bound "
+            "GROUP BY p.probe_id) "
+            f"SELECT m.probe_id::INT AS probe_id, {cust_cols} "
+            "FROM m JOIN customer c2 ON c2.c_custkey = m.k"
         ),
         "filter_page_reverse": (
             # reversed scan down from 120; inclusive stop keeps the low
