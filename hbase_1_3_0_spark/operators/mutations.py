@@ -110,7 +110,11 @@ def increment(
     ``increments``: row, family, qualifier, delta (long). Multiple deltas to
     one key fold first (Σdelta — partial aggregation), then a single join
     reads the pre-batch value; a missing column initializes to the delta
-    (HRegion.java:7859). ``time_range`` restricts the read-back of the
+    (HRegion.java:7859). API-shape note: a reference ``Increment`` object is
+    a per-column MAP — ``addColumn`` on the same column REPLACES the amount
+    (TestIncrementsFromClientSide.java:288 testIncrementOnSameColumn) —
+    while rows here are distinct increment OPERATIONS that fold by Σ;
+    callers porting a reference Increment should pre-dedup its columns. ``time_range`` restricts the read-back of the
     current value (Increment.setTimeRange, Increment.java:158): a current
     version outside the range reads as absent, so the counter re-initializes
     to the delta. Returns (new_cells, results) — results mirror
@@ -120,15 +124,26 @@ def increment(
         F.sum("delta").alias("_delta")
     )
     cur = _current_values(cells, folded, time_range=time_range)
+    new_value = (
+        F.coalesce(_decode(F.col("_cur"), codec), F.lit(0)) + F.col("_delta")
+    )
+    if codec == "be8":
+        # The reference REJECTS a current value that isn't 8 bytes wide
+        # rather than misreading it (HRegion.increment "Attempted to
+        # increment field that isn't 64 bits wide" -> DoNotRetryIOException;
+        # TestIncrementsFromClientSide.java:163 testIncrementingInvalidValue)
+        width_ok = F.assert_true(
+            F.col("_cur").isNull() | (F.length("_cur") == 8),
+            "Attempted to increment field that isn't 64 bits wide",
+        )
+        new_value = F.when(width_ok.isNull(), new_value)
     new_vals = (
         folded.join(cur, ["row", "family", "qualifier"], "left")
         .select(
             "row",
             "family",
             "qualifier",
-            (
-                F.coalesce(_decode(F.col("_cur"), codec), F.lit(0)) + F.col("_delta")
-            ).alias("new_value"),
+            new_value.alias("new_value"),
         )
     )
     new_cells = new_vals.select(

@@ -243,11 +243,16 @@ def read_view(
                 F.col("ttl_ms").isNull() | (F.lit(now) - F.col("ts") < F.col("ttl_ms"))
             )
         if min_versions > 0:
+            # dense_rank by ts alone: a same-ts duplicate re-put shares
+            # its predecessor's version index and must not consume a
+            # minVersions slot (the ColumnTrackers skip same-ts cells in
+            # version counting — sameAsPreviousTS; the per-ts winner is
+            # taken later in limit_versions)
             w = Window.partitionBy("row", "family", "qualifier").orderBy(
-                F.col("ts").desc(), F.col("seq").desc()
+                F.col("ts").desc()
             )
             visible = (
-                visible.withColumn("_trank", F.row_number().over(w))
+                visible.withColumn("_trank", F.dense_rank().over(w))
                 .where(alive | (F.col("_trank") <= min_versions))
                 .drop("_trank")
             )

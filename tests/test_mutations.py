@@ -393,3 +393,115 @@ def test_mutate_rows_boundary_semantics(spark):
     assert [(r.applied, r.reason) for r in verdicts.collect()] == [
         (False, "region_split")
     ]
+
+
+# ---------------------------------------------------------------------------
+# TestIncrementsFromClientSide.java pinned case-for-case (r11). The
+# duplicate-RPC retry case (:101) is transport-physical;
+# testIncrementInvalidArguments (:190) pins client-side null checks on
+# the reference Increment builder, which has no analog in the
+# DataFrame-shaped API (a null qualifier here denotes the
+# null-qualifier COLUMN). A reference Increment's per-column map
+# semantics (duplicate addColumn REPLACES, :288) is an API-shape note
+# on mutations.increment — rows here are distinct operations that fold
+# by sum.
+# ---------------------------------------------------------------------------
+
+INC_SCHEMA = "row binary, family string, qualifier binary, delta long"
+IROW = b"testRow"
+
+
+def _inc(spark, t, pairs, now, row=IROW):
+    incs = spark.createDataFrame(
+        [(row, "d", q, d) for q, d in pairs], INC_SCHEMA
+    )
+    t2, res = Table(t.meta, t.cells, now_ms=now).increment(incs)
+    # chained in-memory RMW grows a union+join lineage per step (a real
+    # deployment persists between batches); truncate it like bench does
+    return Table(t2.meta, t2.cells.localCheckpoint(), now_ms=now), res
+
+
+def test_increment_with_deletes(spark):
+    """testIncrementWithDeletes (:141): +5, delete the row, +5 again —
+    the counter re-initializes to 5 (increment reads the current value
+    through the tombstone-masked read view)."""
+    t = fresh_table(spark, [])
+    t, _ = _inc(spark, t, [(b"column", 5)], now=1_000)
+    dels = spark.createDataFrame(
+        [("delete_family", IROW, "d", None, 2_000, None, 0)], MUT_SCHEMA
+    )
+    t = t.delete(dels)
+    t, _ = _inc(spark, t, [(b"column", 5)], now=3_000)
+    got = cellmap(Table(t.meta, t.cells, now_ms=3_000).get(IROW))
+    assert len(got) == 1
+    assert got[(IROW, "d", b"column")][0] == (5).to_bytes(8, "big")
+
+
+def test_incrementing_invalid_value_rejected(spark):
+    """testIncrementingInvalidValue (:163): the current value is a
+    4-byte int, not an 8-byte long — the increment must FAIL (HRegion
+    'Attempted to increment field that isn't 64 bits wide'), never
+    silently misread the narrower value."""
+    t = fresh_table(
+        spark,
+        [(IROW, "d", b"column", 100, TYPE_PUT, (5).to_bytes(4, "big"), 0)],
+    )
+    with pytest.raises(Exception, match="64 bits"):
+        t2, results = _inc(spark, t, [(b"column", 5)], now=1_000)
+        results.collect()
+
+
+def test_increment_out_of_order(spark):
+    """testIncrementOutOfOrder (:246): one Increment touching B, A, C —
+    the visible row returns them in qualifier order, all at 1; a second
+    identical Increment advances all to 2."""
+    t = fresh_table(spark, [])
+    pairs = [(b"B", 1), (b"A", 1), (b"C", 1)]
+    t, _ = _inc(spark, t, pairs, now=1_000)
+    got = sorted(
+        (bytes(r.qualifier), int.from_bytes(bytes(r.value), "big"))
+        for r in Table(t.meta, t.cells, now_ms=1_000).get(IROW).collect()
+    )
+    assert got == [(b"A", 1), (b"B", 1), (b"C", 1)]
+    t, _ = _inc(spark, t, pairs, now=2_000)
+    got = sorted(
+        (bytes(r.qualifier), int.from_bytes(bytes(r.value), "big"))
+        for r in Table(t.meta, t.cells, now_ms=2_000).get(IROW).collect()
+    )
+    assert got == [(b"A", 2), (b"B", 2), (b"C", 2)]
+
+
+def test_increment_compositions(spark):
+    """testIncrement (:332): old-API single-column increments composed
+    with a multi-column Increment; multi-column by different amounts;
+    re-increment doubling; a ZERO-amount increment returns the current
+    count and changes nothing."""
+    qs = [bytes([c]) for c in b"abcdefghi"]
+    t = fresh_table(spark, [])
+    # old API: 4 single-column increments (distinct server times)
+    for i, now in zip(range(4), (1_000, 2_000, 3_000, 4_000)):
+        t, _ = _inc(spark, t, [(qs[i], i + 1)], now=now)
+    # then one multi-column increment over q1, q3, q4
+    t, _ = _inc(spark, t, [(qs[1], 1), (qs[3], 1), (qs[4], 1)], now=5_000)
+    got = {
+        bytes(r.qualifier): int.from_bytes(bytes(r.value), "big")
+        for r in Table(t.meta, t.cells, now_ms=5_000).get(IROW).collect()
+    }
+    assert got == {qs[0]: 1, qs[1]: 3, qs[2]: 3, qs[3]: 5, qs[4]: 1}
+
+    # different row: multi-column by different amounts, then doubled
+    pairs = [(qs[i], i + 1) for i in range(len(qs))]
+    t, _ = _inc(spark, t, pairs, now=6_000, row=b"a")
+    t, _ = _inc(spark, t, pairs, now=7_000, row=b"a")
+    # zero-amount increment: returns current counts, changes nothing
+    zeros = [(qs[i], 0) for i in range(len(qs))]
+    t, res = _inc(spark, t, zeros, now=8_000, row=b"a")
+    returned = {
+        bytes(r.qualifier): r.new_value for r in res.collect()
+    }
+    assert returned == {qs[i]: 2 * (i + 1) for i in range(len(qs))}
+    got = {
+        bytes(r.qualifier): int.from_bytes(bytes(r.value), "big")
+        for r in Table(t.meta, t.cells, now_ms=8_000).get(b"a").collect()
+    }
+    assert got == {qs[i]: 2 * (i + 1) for i in range(len(qs))}

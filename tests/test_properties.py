@@ -77,7 +77,13 @@ def model_read_view(cells: list[tuple], max_versions: int) -> set[tuple]:
 
     out: set[tuple] = set()
     for (row, qual), versions in surviving.items():
-        newest = sorted(set(versions), reverse=True)[:max_versions]
+        # a same-ts re-put REPLACES the cell: one version per ts, the
+        # newest write (max seq) wins and the dup consumes no version
+        # slot (TestFromClientSide testDuplicateVersions, pinned r11)
+        per_ts: dict[int, int] = {}
+        for ts, seq in versions:
+            per_ts[ts] = max(per_ts.get(ts, -1), seq)
+        newest = sorted(per_ts.items(), reverse=True)[:max_versions]
         for ts, seq in newest:
             out.add((row, qual, ts, seq))
     return out
