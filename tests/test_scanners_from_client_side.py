@@ -250,3 +250,29 @@ def test_get_row_offset(spark):
     exp = [(ROW, _fam(1), q, 1) for q in lex0[4:6]]
     exp += [(ROW, _fam(2), q, 1) for q in _lex(range(20))[4:6]]
     assert got == sorted(exp)
+
+
+def test_intra_row_pagination_scan_limit_and_offset(spark):
+    """TestIntraRowPagination.java:50 testScanLimitAndOffset — scan-level
+    rowOffsetPerColumnFamily=1 + maxResultsPerColumnFamily=3 over
+    2 rows x 3 families x 10 qualifiers: lex positions 1..3 per
+    (row, family)."""
+    rows = [b"testRow" + str(r).encode() for r in range(2)]
+    cells = []
+    seq = 0
+    for row in rows:
+        for c in range(3):
+            for qi in range(10):
+                cells.append(
+                    (row, _fam(c), _q(qi), 1, TYPE_PUT, VALUE, seq)
+                )
+                seq += 1
+    t = _table(spark, cells, [_fam(c) for c in range(3)])
+    got = _kvs(t.scan(row_offset_per_cf=1, max_results_per_cf=3))
+    exp = [
+        (row, _fam(c), q, 1)
+        for row in rows
+        for c in range(3)
+        for q in _lex(range(10))[1:4]
+    ]
+    assert got == sorted(exp)
