@@ -67,6 +67,9 @@ AUDIT = [
     "quota_settings",   # six broadcast joins; request side unshuffled
     "cluster_status",   # one metadata groupBy + one window
     "replication_scope",  # per-peer family-filter pushdown unions
+    "filter_page_reverse",  # reversed page: ordered-prefix, no full sort
+    "closest_row_before",   # row <= key scan + 1-row broadcast winner
+    "median_approx",    # sketch + exact guard band: two aggs, no window
 ]
 
 RED_FLAGS = {
