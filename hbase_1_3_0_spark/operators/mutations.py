@@ -208,17 +208,26 @@ def append_value(
 def _check_pred(op_col: Column, cur: Column, expected: Column) -> Column:
     """CompareOp predicate for CAS (Table.checkAndPut, Table.java:257).
 
+    DIRECTION (fixed r11 — found by the TestFromClientSide
+    testCheckAndPutWithCompareOp battery): the reference computes
+    ``compareResult = comparator(EXPECTED).compareTo(cellValue)`` and
+    matches ``compareResult <op> 0`` (HRegion.checkAndMutate:3549-3573),
+    i.e. the check passes iff ``expected <op> cellValue`` — with cell
+    "bbbb", a LESS check against "aaaa" MATCHES (aaaa < bbbb). Note this
+    is the opposite operand order from the filter algebra's
+    CompareFilter convention.
+
     A null expected value means "column must not exist"; an existing
     ZERO-LENGTH value also matches a null expected value (HRegion.checkAndMutate
     treats getValueLength()==0 as absent)."""
     missing_ok = expected.isNull() & (cur.isNull() | (F.length(cur) == 0))
     cmp = (
-        F.when(op_col == "LESS", cur < expected)
-        .when(op_col == "LESS_OR_EQUAL", cur <= expected)
-        .when(op_col == "EQUAL", cur == expected)
-        .when(op_col == "NOT_EQUAL", cur != expected)
-        .when(op_col == "GREATER_OR_EQUAL", cur >= expected)
-        .when(op_col == "GREATER", cur > expected)
+        F.when(op_col == "LESS", expected < cur)
+        .when(op_col == "LESS_OR_EQUAL", expected <= cur)
+        .when(op_col == "EQUAL", expected == cur)
+        .when(op_col == "NOT_EQUAL", expected != cur)
+        .when(op_col == "GREATER_OR_EQUAL", expected >= cur)
+        .when(op_col == "GREATER", expected > cur)
         .otherwise(F.lit(False))
     )
     return missing_ok | F.coalesce(cmp, F.lit(False))

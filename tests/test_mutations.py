@@ -149,14 +149,17 @@ def test_check_and_put_pass_and_fail(spark):
 
 
 def test_check_and_delete_numeric_compare(spark):
-    # LESS check on binary values: unsigned lexicographic like Bytes.compareTo
+    # LESS check on binary values, REFERENCE direction (r11 fix): the
+    # check passes iff expected < cellValue — cell "banana", probe
+    # "apple": apple < banana -> applied (HRegion.checkAndMutate
+    # comparator(expected).compareTo(cell))
     t = fresh_table(spark, [
-        (b"r1", "d", b"v", 100, TYPE_PUT, b"apple", 0),
+        (b"r1", "d", b"v", 100, TYPE_PUT, b"banana", 0),
         (b"r1", "d", b"doomed", 100, TYPE_PUT, b"x", 0),
     ])
     muts = spark.createDataFrame(
         [("delete_column", b"r1", "d", b"doomed", 500, None, "d", b"v", "LESS",
-          b"banana", 1)],
+          b"apple", 1)],
         "op string, row binary, family string, qualifier binary, ts long, value binary, "
         "check_family string, check_qualifier binary, check_op string, check_value binary, "
         "batch_seq long",
@@ -505,3 +508,128 @@ def test_increment_compositions(spark):
         for r in Table(t.meta, t.cells, now_ms=8_000).get(b"a").collect()
     }
     assert got == {qs[i]: 2 * (i + 1) for i in range(len(qs))}
+
+
+# ---------------------------------------------------------------------------
+# TestFromClientSide CAS batteries (r11): testCheckAndPut:4727,
+# testCheckAndPutWithCompareOp:4766, testCheckAndDeleteWithCompareOp:
+# 4831 — the full CompareOp direction table (the battery that exposed
+# the flipped operand order fixed in mutations._check_pred r11). The
+# different-rows API exception (:4758) is a client-builder check with
+# no analog (the batch schema ties check row and payload row).
+# ---------------------------------------------------------------------------
+
+CAS_SCHEMA = (
+    "op string, row binary, family string, qualifier binary, ts long, "
+    "value binary, check_family string, check_qualifier binary, "
+    "check_op string, check_value binary, batch_seq long"
+)
+
+
+def _cas(spark, t, op_name, probe, payload_op, payload_value, now):
+    muts = spark.createDataFrame(
+        [(payload_op, IROW, "d", b"q", now, payload_value,
+          "d", b"q", op_name, probe, 1)],
+        CAS_SCHEMA,
+    )
+    t2, verdicts = Table(t.meta, t.cells, now_ms=now).check_and_mutate(muts)
+    applied = verdicts.first().applied
+    t2 = Table(t2.meta, t2.cells.localCheckpoint(), now_ms=now)
+    return t2, applied
+
+
+def _cell_value(t, now):
+    got = Table(t.meta, t.cells, now_ms=now).get(IROW).collect()
+    vals = [bytes(r.value) for r in got if bytes(r.qualifier) == b"q"]
+    return vals[0] if vals else None
+
+
+def test_check_and_put_existence(spark):
+    """testCheckAndPut (:4727): a non-null probe against a missing row
+    fails; a null probe matches absence; null against an existing row
+    fails; the matching value passes."""
+    v, v2 = b"testValue", b"abcd"
+    t = fresh_table(spark, [])
+    t, ok = _cas(spark, t, "EQUAL", v, "put", v, 1_000)
+    assert ok is False
+    t, ok = _cas(spark, t, "EQUAL", None, "put", v, 2_000)
+    assert ok is True
+    t, ok = _cas(spark, t, "EQUAL", None, "put", v, 3_000)
+    assert ok is False
+    t, ok = _cas(spark, t, "EQUAL", v, "put", v2, 4_000)
+    assert ok is True
+    assert _cell_value(t, 4_000) == v2
+
+
+def test_check_and_put_with_compare_op(spark):
+    """testCheckAndPutWithCompareOp (:4766) — the exact sequence: the
+    check passes iff probe <op> cellValue (reference operand order)."""
+    a, b, c, d = b"aaaa", b"bbbb", b"cccc", b"dddd"
+    steps = [
+        # (op, probe, put_value, expected_applied)
+        ("EQUAL", None, b, True),              # missing -> bbbb
+        ("GREATER", a, b, False),              # cell bbbb, probe aaaa
+        ("EQUAL", a, b, False),
+        ("GREATER_OR_EQUAL", a, b, False),
+        ("LESS", a, b, True),                  # -> bbbb
+        ("LESS_OR_EQUAL", a, b, True),         # -> bbbb
+        ("NOT_EQUAL", a, c, True),             # -> cccc
+        ("LESS", d, c, False),                 # cell cccc, probe dddd
+        ("LESS_OR_EQUAL", d, c, False),
+        ("EQUAL", d, c, False),
+        ("GREATER", d, c, True),               # -> cccc
+        ("GREATER_OR_EQUAL", d, c, True),      # -> cccc
+        ("NOT_EQUAL", d, b, True),             # -> bbbb
+        ("GREATER", b, b, False),              # cell bbbb, probe bbbb
+        ("NOT_EQUAL", b, b, False),
+        ("LESS", b, b, False),
+        ("GREATER_OR_EQUAL", b, b, True),      # -> bbbb
+        ("LESS_OR_EQUAL", b, b, True),         # -> bbbb
+        ("EQUAL", b, c, True),                 # -> cccc
+    ]
+    t = fresh_table(spark, [])
+    for i, (op, probe, val, expect) in enumerate(steps):
+        t, ok = _cas(spark, t, op, probe, "put", val, 1_000 * (i + 1))
+        assert ok is expect, (i, op, probe)
+    assert _cell_value(t, 1_000 * len(steps)) == c
+
+
+def test_check_and_delete_with_compare_op(spark):
+    """testCheckAndDeleteWithCompareOp (:4831) — same direction table
+    with deleteColumns payloads; each successful delete empties the
+    cell and the reference re-puts before the next passing case."""
+    a, b, c, d = b"aaaa", b"bbbb", b"cccc", b"dddd"
+    steps = [
+        # (reput_value_or_None, op, probe, expected_applied)
+        (b, "GREATER", a, False),          # cell bbbb, probe aaaa
+        (None, "EQUAL", a, False),
+        (None, "GREATER_OR_EQUAL", a, False),
+        (None, "LESS", a, True),
+        (b, "LESS_OR_EQUAL", a, True),
+        (b, "NOT_EQUAL", a, True),
+        (c, "LESS", d, False),             # cell cccc, probe dddd
+        (None, "LESS_OR_EQUAL", d, False),
+        (None, "EQUAL", d, False),
+        (None, "GREATER", d, True),
+        (c, "GREATER_OR_EQUAL", d, True),
+        (c, "NOT_EQUAL", d, True),
+        (b, "GREATER", b, False),          # cell bbbb, probe bbbb
+        (None, "NOT_EQUAL", b, False),
+        (None, "LESS", b, False),
+        (None, "GREATER_OR_EQUAL", b, True),
+        (b, "LESS_OR_EQUAL", b, True),
+        (b, "EQUAL", b, True),
+    ]
+    t = fresh_table(spark, [])
+    now = 0
+    for i, (reput, op, probe, expect) in enumerate(steps):
+        if reput is not None:
+            now += 1_000
+            t = Table(t.meta, t.cells, now_ms=now).put(spark.createDataFrame(
+                [(IROW, "d", b"q", now, TYPE_PUT, reput, 1)], CELL_SCHEMA
+            ))
+            t = Table(t.meta, t.cells.localCheckpoint(), now_ms=now)
+        now += 1_000
+        t, ok = _cas(spark, t, op, probe, "delete_column", None, now)
+        assert ok is expect, (i, op, probe)
+    assert _cell_value(t, now) is None
