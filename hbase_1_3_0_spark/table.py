@@ -156,6 +156,12 @@ class Table:
                 if s.row_prefix else None,
                 row_prefix=None,
             )
+        # raw scans reject explicit column selection (StoreScanner.java:193
+        # "Cannot specify any column for a raw scan" — the
+        # ExplicitColumnTracker does not support raw; TestKeepDeletes
+        # testRawScanWithColumns). Family selection stays allowed.
+        if s.raw and s.columns is not None:
+            raise ValueError("Cannot specify any column for a raw scan")
         # negative timestamps rejected at the API surface (HTable
         # checkTimestamp / TestFromClientSide.java:5322 — data-embedded
         # cells may still carry them, the KeyValue backward-compat rule)

@@ -702,13 +702,16 @@ def test_check_and_mutate_matches_model(spark, current, checks):
         elif cur is None:
             ok = False
         else:
+            # reference operand order (r11 fix): matches iff
+            # expected <op> cellValue (HRegion.checkAndMutate
+            # comparator(expected).compareTo(cell))
             ok = {
-                "LESS": cur < exp,
-                "LESS_OR_EQUAL": cur <= exp,
-                "EQUAL": cur == exp,
-                "NOT_EQUAL": cur != exp,
-                "GREATER_OR_EQUAL": cur >= exp,
-                "GREATER": cur > exp,
+                "LESS": exp < cur,
+                "LESS_OR_EQUAL": exp <= cur,
+                "EQUAL": exp == cur,
+                "NOT_EQUAL": exp != cur,
+                "GREATER_OR_EQUAL": exp >= cur,
+                "GREATER": exp > cur,
             }[op]
         expected[r] = ok
     assert got == expected
