@@ -77,6 +77,16 @@ class Scan:
     def with_(self, **kw) -> "Scan":
         return replace(self, **kw)
 
+    def selected_families(self) -> "frozenset[str] | None":
+        """The family set this scan touches, or None for all: the union
+        of ``families`` (whole-family selections) and the families named
+        by ``columns`` (the reference familyMap key set)."""
+        if self.families is None and self.columns is None:
+            return None
+        out = set(self.families or ())
+        out |= {fam for fam, _q in (self.columns or ())}
+        return frozenset(out)
+
 
 @dataclass(frozen=True)
 class Get:
@@ -225,12 +235,23 @@ class Table:
         raw_cells = df
         df = self._read_view(df, s, cell_pred)
 
-        # 3. projection
+        # 3. projection — the reference Get/Scan familyMap is a UNION of
+        # per-family selections: addFamily(F) selects the whole family,
+        # addColumn(F, q) one column, and combining them across families
+        # unions (Get.addFamily/addColumn; TestFromClientSide
+        # testSingleRowMultipleFamily's addFamily(F4)+addFamily(F7) and
+        # addColumn(F4,q)+addFamily(F4) probes — r11 fix: this was an
+        # intersection). A family in ``families`` wins whole-family over
+        # any ``columns`` entries for it (the reference's
+        # addColumn-then-addFamily order; declare just the columns to get
+        # the column-only selection).
         def _project(frame: DataFrame) -> DataFrame:
+            if s.families is None and s.columns is None:
+                return frame
+            keep = F.lit(False)
             if s.families is not None:
-                frame = frame.where(F.col("family").isin(list(s.families)))
+                keep = keep | F.col("family").isin(list(s.families))
             if s.columns is not None:
-                proj = F.lit(False)
                 for fam, qual in s.columns:
                     # addColumn(family, null) selects the NULL-qualifier
                     # column (TestFromClientSide testScan_NullQualifier);
@@ -240,9 +261,8 @@ class Table:
                         if qual is None
                         else (F.col("qualifier") == F.lit(qual))
                     )
-                    proj = proj | ((F.col("family") == fam) & qcond)
-                frame = frame.where(proj)
-            return frame
+                    keep = keep | ((F.col("family") == fam) & qcond)
+            return frame.where(keep)
 
         df = _project(df)
 
@@ -273,8 +293,9 @@ class Table:
         # the scan asked for more (or raw), so version-sensitive filters
         # can skip their version-rank window
         fams = self.meta.families
-        if s.families is not None:
-            fams = tuple(f for f in fams if f.name in s.families)
+        sel_fams = s.selected_families()
+        if sel_fams is not None:
+            fams = tuple(f for f in fams if f.name in sel_fams)
         single_version = not s.raw and all(
             min(s.max_versions or 1, fm.max_versions) == 1 for fm in fams
         )
@@ -398,8 +419,9 @@ class Table:
             df = df.where(cell_pred)
             cell_pred = None
         fams = self.meta.families
-        if s.families is not None:
-            fams = tuple(f for f in fams if f.name in s.families)
+        sel_fams = s.selected_families()
+        if sel_fams is not None:
+            fams = tuple(f for f in fams if f.name in sel_fams)
         # per-family time ranges (setColumnFamilyTimeRange:347) override the
         # scan-wide range for that family; families sharing identical
         # (version/TTL/KDC/time-range) semantics still share one matcher pass
