@@ -512,7 +512,15 @@ def main() -> None:
     # full driver contract.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
-        keep = {w.strip() for w in only.split(",")} | {"b-calibrate"}
+        keep = {w.strip() for w in only.split(",") if w.strip()}
+        known = {n for n, _ in workloads}
+        unknown = sorted(keep - known)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names unknown workloads: {unknown} "
+                f"(known: {sorted(known)})"
+            )
+        keep |= {"b-calibrate"}
         workloads = [(n, f) for n, f in workloads if n in keep]
     samples: dict[str, list[float]] = {name: [] for name, _ in workloads}
     for rnd in range(n_runs):

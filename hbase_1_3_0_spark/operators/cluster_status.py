@@ -102,19 +102,25 @@ def cluster_status(
     per = server_load(region_loads, server_col=server_col)
     if servers is not None:
         # the validation probe below is eager; cache the per-server
-        # rollup so the returned plan reuses the materialized frame
-        # instead of recomputing the aggregation (master metadata —
-        # one row per server, trivially cacheable)
+        # rollup for its duration so the probe runs off one
+        # materialization (master metadata — one row per server)
         per = per.cache()
         live = sorted(set(servers))
         base = per.sparkSession.createDataFrame(
             [(s,) for s in live], "server string"
         )
-        strays = [
-            r.server
-            for r in per.join(base, "server", "left_anti")
-                        .select("server").take(5)
-        ]
+        try:
+            strays = [
+                r.server
+                for r in per.join(base, "server", "left_anti")
+                            .select("server").take(5)
+            ]
+        finally:
+            # release the cache once the eager probe has run: the
+            # returned plan re-derives cheaply (one row per server of
+            # master metadata), and leaving it pinned would accumulate
+            # cached frames across repeated cluster_status calls
+            per.unpersist()
         if strays:
             raise ValueError(
                 f"region_loads reports servers not in `servers`: {strays} "

@@ -129,14 +129,25 @@ def increment(
     )
     if codec == "be8":
         # The reference REJECTS a current value that isn't 8 bytes wide
-        # rather than misreading it (HRegion.increment "Attempted to
-        # increment field that isn't 64 bits wide" -> DoNotRetryIOException;
+        # rather than misreading it (HRegion.java:7920 "Field is not a
+        # long, it's <len> bytes wide" -> DoNotRetryIOException;
         # TestIncrementsFromClientSide.java:163 testIncrementingInvalidValue)
         width_ok = F.assert_true(
             F.col("_cur").isNull() | (F.length("_cur") == 8),
-            "Attempted to increment field that isn't 64 bits wide",
+            F.concat(
+                F.lit("Field is not a long, it's "),
+                F.length("_cur").cast("string"),
+                F.lit(" bytes wide"),
+            ),
         )
-        new_value = F.when(width_ok.isNull(), new_value)
+        # the guard must stay side-effect-only: assert_true yields NULL
+        # when it doesn't raise, so adding coalesce(cast(guard), 0) keeps
+        # the value exact while forcing the assert to evaluate. (A
+        # when(guard-null, v).otherwise(v) form is folded away by
+        # Catalyst's equal-branch simplification — the assert vanishes.)
+        new_value = new_value + F.coalesce(
+            width_ok.cast("long"), F.lit(0).cast("long")
+        )
     new_vals = (
         folded.join(cur, ["row", "family", "qualifier"], "left")
         .select(

@@ -442,14 +442,14 @@ def test_increment_with_deletes(spark):
 
 def test_incrementing_invalid_value_rejected(spark):
     """testIncrementingInvalidValue (:163): the current value is a
-    4-byte int, not an 8-byte long — the increment must FAIL (HRegion
-    'Attempted to increment field that isn't 64 bits wide'), never
-    silently misread the narrower value."""
+    4-byte int, not an 8-byte long — the increment must FAIL
+    (HRegion.java:7920 "Field is not a long, it's 4 bytes wide"),
+    never silently misread the narrower value."""
     t = fresh_table(
         spark,
         [(IROW, "d", b"column", 100, TYPE_PUT, (5).to_bytes(4, "big"), 0)],
     )
-    with pytest.raises(Exception, match="64 bits"):
+    with pytest.raises(Exception, match="not a long"):
         t2, results = _inc(spark, t, [(b"column", 5)], now=1_000)
         results.collect()
 
