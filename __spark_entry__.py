@@ -386,6 +386,37 @@ def q_filter_scvf_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
 
 
+def q_filter_skip_scvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip(SCVF filterIfMissing=true) — the r12 divergence fix.
+
+    SkipFilter consults ONLY the wrapped filter's filterKeyValue codes
+    (SkipFilter.java:79-83); SCVF's filterIfMissing lives in filterRow,
+    which Skip never calls, so a row MISSING the tested column is KEPT
+    even with filterIfMissing=true — only a present-and-failing newest
+    version (the NEXT_ROW code) drops the row. The query deletes
+    c_mktsegment for custkey % 10 == 0 (tombstone masking before the
+    filter), then scans with SKIP SCVF(=BUILDING, fim=true): deleted
+    rows survive, non-BUILDING rows drop."""
+    t = _table(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer")
+    col_del = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.lit("delete_column").alias("op"),
+        _key_col(F.col("c_custkey")).alias("row"),
+        F.lit("d").alias("family"),
+        F.encode(F.lit("c_mktsegment"), "UTF-8").alias("qualifier"),
+        F.lit(DEL_TS).cast("long").alias("ts"),
+    )
+    t2 = t.delete(col_del)
+    dsl = (
+        "SKIP SingleColumnValueFilter ('d', 'c_mktsegment', =, "
+        "'binary:BUILDING', true, true)"
+    )
+    return _wide(
+        t2.scan(filter=dsl),
+        {"c_custkey": "bigint", "c_name": "string", "c_mktsegment": "string"},
+    )
+
+
 def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageFilter: first n rows in row-key order (exact-global semantics)."""
     t = _table(spark, sf_dir, "customer")
@@ -4085,6 +4116,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    neardup_ingest (rows-only py-model, driver rows r6-r9;
         #    streaming ingest stays repped in-window by dedup_ingest) --
         "filter_scvf_or": q_filter_scvf_or,
+        # -- r12: Skip(SCVF filterIfMissing=true) — the divergence fixed
+        #    this round (SkipFilter.java:79-83 consults only
+        #    filterKeyValue codes, so a missing tested column is KEPT;
+        #    the engine used to drop it). Rotated in over
+        #    incremental_dedup (driver-green eight rounds r4-r11; dedup
+        #    stays repped in-window by dedup_ingest, semdedup and
+        #    substring_dedup) --
+        "filter_skip_scvf": q_filter_skip_scvf,
         # -- r08: RPC quota admission (RateLimiter/fixed-interval
         #    throttle, aligned-epoch batch form) — rotated in over
         #    stateful_ttl_event (driver-green four rounds r4-r7;
@@ -4171,7 +4210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
         "dedup_ingest": q_dedup_ingest,
         # -- LLM training-data pipeline --
-        "incremental_dedup": q_incremental_dedup,
         # -- late r07: the three queries added after the r07 window was
         # first laid out (no driver row yet): SemDeDup semantic dedup
         # (rows-only, py-model oracle), CCNet perplexity bucketing, and
@@ -4198,6 +4236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
+        # rotated out r12 for filter_skip_scvf (see in-window comment)
+        "incremental_dedup": q_incremental_dedup,
         # rotated out r11 for filter_page_reverse / closest_row_before
         # (see the in-window comments)
         "text_normalize": q_text_normalize,
@@ -4858,6 +4898,12 @@ def oracle_sql() -> dict[str, str]:
         "filter_scvf_or": (
             f"SELECT {cust_cols} FROM customer "
             "WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')"
+        ),
+        "filter_skip_scvf": (
+            "SELECT c_custkey, c_name, "
+            "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END "
+            "AS c_mktsegment FROM customer "
+            "WHERE c_custkey % 10 = 0 OR c_mktsegment = 'BUILDING'"
         ),
         "page_filter": (
             f"SELECT {cust_cols} FROM customer ORDER BY c_custkey LIMIT 50"

@@ -876,6 +876,31 @@ def compile_filter(
         u = F.pmod(F.xxhash64(F.col("row"), F.lit(f.seed)), F.lit(1_000_000)) / 1e6
         return Compiled(u < F.lit(float(f.chance)))
     if isinstance(f, ast.SkipFilter):
+        if isinstance(f.wrapped, ast.SingleColumnValueFilter):
+            # Skip consults ONLY the wrapped filter's filterKeyValue codes
+            # (SkipFilter.java:79-83 — filterRow, where filterIfMissing
+            # lives, is never called; FilterBase.filterRowCells is a no-op,
+            # so even SingleColumnValueExcludeFilter excludes nothing under
+            # Skip). SCVF.filterKeyValue (SingleColumnValueFilter.java:
+            # 171-188) emits NEXT_ROW only when latestVersionOnly=true and
+            # the found column's newest tested version fails; with
+            # latestVersionOnly=false every code is INCLUDE. Hence:
+            #   Skip(SCVF, lvo=false)       == identity (keep every row)
+            #   Skip(SCVF, lvo=true, fim=*) == SCVF(lvo=true, fim=False)
+            # — a missing column is KEPT regardless of filterIfMissing.
+            w = f.wrapped
+            if not w.latest_version_only:
+                return Compiled(F.lit(True))
+            return compile_filter(
+                ast.SingleColumnValueFilter(
+                    w.family, w.qualifier, w.op, w.comparator,
+                    filter_if_missing=False, latest_version_only=True,
+                ),
+                single_version=single_version,
+                allow_transform=allow_transform,
+                reversed_scan=reversed_scan,
+                scvf_source=scvf_source,
+            )
         inner = compile_filter(
             f.wrapped, allow_transform=False, reversed_scan=reversed_scan
         )

@@ -883,3 +883,76 @@ def test_nested_filter_list_with_scvf(spark):
         f = ast.FilterList("MUST_PASS_ONE", members)
         got = {r for (r, *_x) in _collect(t2.scan(filter=f))}
         assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Skip(SCVF) cell-code semantics (r12 divergence fix). SkipFilter.java:79-83:
+# only filterKeyValue codes feed the row verdict (changeFR) — the wrapped
+# filter's filterRow, where filterIfMissing lives, is NEVER consulted, and
+# FilterBase.filterRowCells is a no-op so SingleColumnValueExcludeFilter
+# excludes nothing under Skip. SCVF.filterKeyValue
+# (SingleColumnValueFilter.java:171-188) returns NEXT_ROW only when
+# latestVersionOnly=true and the found column's newest tested version fails;
+# with latestVersionOnly=false every code is INCLUDE. Not covered by
+# TestFilter.java itself (its Skip(SCVF) beats use the fim=false default).
+# ---------------------------------------------------------------------------
+
+
+def test_skip_scvf_filter_if_missing_keeps_row(spark):
+    """Skip(SCVF fim=true, lvo=true) on rows MISSING the tested column:
+    reference KEEPS them (all codes INCLUDE — filterIfMissing only feeds
+    filterRow, which Skip ignores); a row whose newest value fails is
+    dropped via the NEXT_ROW code."""
+    t2, _src = _hbase1821_table(spark)
+    f = ast.SkipFilter(ast.SingleColumnValueFilter(
+        FAM[0], Q_ONE[0], ast.CompareOp.EQUAL, ast.BinaryComparator(V[0]),
+        filter_if_missing=True,
+    ))
+    s = t2.scan(start_row=R3[0], stop_row=b"rowThree-4",
+                families=(FAM[0],), filter=f)
+    # R3[0] Q0=V0 matches; R3[1] Q0=V1 fails -> NEXT_ROW -> dropped;
+    # R3[2]/R3[3] have no Q0 -> KEPT despite filterIfMissing=True
+    verify_scan_full(s, [
+        kv(R3[0], FAM[0], Q_ONE[0], V[0]),
+        kv(R3[2], FAM[0], Q_ONE[1], V[0]),
+        kv(R3[3], FAM[0], Q_ONE[1], V[1]),
+    ])
+
+
+def test_skip_scvf_any_version_is_identity(spark):
+    """Skip(SCVF latestVersionOnly=false) never drops a row: a failing
+    comparison returns INCLUDE (the NEXT_ROW shortcut is gated on
+    latestVersionOnly, SingleColumnValueFilter.java:184-185), so the
+    Skip verdict stays clean for every row — even fim=true + failing
+    values."""
+    t2, _src = _hbase1821_table(spark)
+    f = ast.SkipFilter(ast.SingleColumnValueFilter(
+        FAM[0], Q_ONE[0], ast.CompareOp.EQUAL,
+        ast.BinaryComparator(b"no-such-value"),
+        filter_if_missing=True, latest_version_only=False,
+    ))
+    s = t2.scan(start_row=R3[0], stop_row=b"rowThree-4",
+                families=(FAM[0],), filter=f)
+    verify_scan_full(s, [
+        kv(R3[0], FAM[0], Q_ONE[0], V[0]),
+        kv(R3[1], FAM[0], Q_ONE[0], V[1]),
+        kv(R3[2], FAM[0], Q_ONE[1], V[0]),
+        kv(R3[3], FAM[0], Q_ONE[1], V[1]),
+    ])
+
+
+def test_skip_scvef_excludes_nothing(spark):
+    """Skip(SingleColumnValueExcludeFilter): the exclusion lives in
+    filterRowCells, which SkipFilter inherits as FilterBase's no-op —
+    the tested column stays in the output."""
+    t2, _src = _hbase1821_table(spark)
+    f = ast.SkipFilter(ast.SingleColumnValueExcludeFilter(
+        FAM[0], Q_ONE[0], ast.CompareOp.EQUAL, ast.BinaryComparator(V[0]),
+    ))
+    s = t2.scan(start_row=R3[0], stop_row=b"rowThree-4",
+                families=(FAM[0],), filter=f)
+    verify_scan_full(s, [
+        kv(R3[0], FAM[0], Q_ONE[0], V[0]),
+        kv(R3[2], FAM[0], Q_ONE[1], V[0]),
+        kv(R3[3], FAM[0], Q_ONE[1], V[1]),
+    ])
