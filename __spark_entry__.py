@@ -25,6 +25,7 @@ from hbase_1_3_0_spark.catalog import TableMeta
 from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
 from hbase_1_3_0_spark.functions import codecs
 from hbase_1_3_0_spark.operators import aggregations as agg
+from hbase_1_3_0_spark.operators import itbll
 from hbase_1_3_0_spark.operators import jobs
 from hbase_1_3_0_spark.pipeline import (
     decontaminate,
@@ -477,6 +478,62 @@ def q_column_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         codecs.decode_key_num(F.col("row")).alias("c_custkey"),
         F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
     )
+
+
+def q_linked_list_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntegrationTestBigLinkedList invariant as one batch query
+    (hbase-it IntegrationTestBigLinkedList.java:176 — the reference's
+    flagship at-scale correctness harness; operators/itbll.py).
+
+    Generate: circular linked lists over the customer key set (25 lists
+    by key % 25, prev = preceding key, first node closed onto the last)
+    written the Generator's way — phase-1 puts carry the NO_KEY sentinel
+    on each wrap's first node, a phase-2 re-put closes the circle
+    (persist :481), so the read view must pick the newer version.
+    Mutate: DeleteFamily tombstones kill key % 97 == 0 nodes — their
+    references become dangling. Verify: one reference aggregation + one
+    full-outer self-join classifies every key (VerifyReducer
+    :1121-1196): alive-and-pointed-to -> REFERENCED; alive but its
+    referencer was killed -> UNREFERENCED; killed but still pointed to
+    -> UNDEFINED (the data-loss signal the harness exists to catch)."""
+    cust = _load(spark, sf_dir, "customer").select("c_custkey")
+    chain = itbll.generate_chains(cust, "c_custkey", n_lists=25)
+    # the first node of a list is the only one whose prev (the list max)
+    # is >= its own key; single-node lists self-reference
+    first = F.col("prev") >= F.col("key")
+    p1 = table_to_cells(
+        chain.select(
+            "key",
+            F.when(first, F.lit(-1).cast("long"))
+            .otherwise(F.col("prev"))
+            .alias("prev"),
+        ),
+        ["key"], ["prev"], ts=1_000_000, seq=0,
+    )
+    p2 = table_to_cells(
+        chain.where(first).select("key", "prev"),
+        ["key"], ["prev"], ts=V2_TS, seq=1,
+    )
+    t = Table(TableMeta(name="itbll_nodes"), _empty_cells(spark), now_ms=NOW_MS)
+    t = t.put(p1).put(p2)
+    kills = chain.where(F.col("key") % 97 == 0).select(
+        F.lit("delete_family").alias("op"),
+        _key_col(F.col("key")).alias("row"),
+        F.lit("d").alias("family"),
+        F.lit(None).cast("binary").alias("qualifier"),
+        F.lit(DEL_TS).cast("long").alias("ts"),
+    )
+    t = t.delete(kills)
+    nodes = t.scan().select(
+        codecs.decode_key_num(F.col("row")).alias("key"),
+        codecs.decode_value(F.col("value"), "bigint").alias("prev"),
+    ).withColumn(
+        # NO_KEY sentinel = "prev not set": no reference emitted
+        # (VerifyMapper.java:1031-1036)
+        "prev", F.when(F.col("prev") >= 0, F.col("prev")),
+    )
+    verdicts = itbll.verify_chains(nodes)
+    return verdicts.select(F.col("key").alias("c_custkey"), "status")
 
 
 def q_versions_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4133,11 +4190,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated in r04: rows-only-by-design ops (no oracle_sql; the
         #    driver records the weaker rows-only check for these) --
         "multimodal_features": q_multimodal_features,
-        # -- r07: islands-mode repetition coverage (same oracle as
-        #    gopher_repetition) — media_probe rotated below the line
-        #    for it (r05+r06 driver-green; multimodal area repped
-        #    in-window by jpeg_probe + multimodal_features) --
-        "gopher_rep_islands": q_gopher_rep_islands,
+        # -- r12: the IntegrationTestBigLinkedList invariant (the
+        #    reference's flagship at-scale correctness harness, VERDICT
+        #    r11 next-round #2) — generate circular prev-pointer lists,
+        #    kill nodes with tombstones, classify every key
+        #    REFERENCED/UNREFERENCED/UNDEFINED via one self-join.
+        #    Rotated in over gopher_rep_islands (driver-green five
+        #    rounds r7-r11 with an oracle IDENTICAL to in-window
+        #    gopher_repetition's area; repetition stays repped by
+        #    gopher_quality + c4_clean) --
+        "linked_list_verify": q_linked_list_verify,
         # -- rotated in r06: the 3 queries with no driver row yet
         #    (landed after the r05 rotation; all local-green) --
         "jpeg_probe": q_jpeg_probe,
@@ -4236,8 +4298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
-        # rotated out r12 for filter_skip_scvf (see in-window comment)
+        # rotated out r12 for filter_skip_scvf / linked_list_verify
+        # (see the in-window comments)
         "incremental_dedup": q_incremental_dedup,
+        "gopher_rep_islands": q_gopher_rep_islands,
         # rotated out r11 for filter_page_reverse / closest_row_before
         # (see the in-window comments)
         "text_normalize": q_text_normalize,
@@ -4911,6 +4975,25 @@ def oracle_sql() -> dict[str, str]:
         "column_pagination": (
             "SELECT c_custkey, q.q AS qualifier FROM customer "
             "CROSS JOIN (VALUES ('c_custkey'), ('c_mktsegment')) q(q)"
+        ),
+        "linked_list_verify": (
+            "WITH chain AS ("
+            "  SELECT c_custkey AS key,"
+            "         coalesce(lag(c_custkey) OVER ("
+            "             PARTITION BY c_custkey % 25 ORDER BY c_custkey),"
+            "           max(c_custkey) OVER (PARTITION BY c_custkey % 25)"
+            "         ) AS prev"
+            "  FROM customer),"
+            "visible AS (SELECT * FROM chain WHERE key % 97 <> 0),"
+            "refs AS (SELECT prev AS key, count(*) AS nrefs"
+            "         FROM visible GROUP BY prev),"
+            "defs AS (SELECT key FROM visible) "
+            "SELECT coalesce(d.key, r.key)::BIGINT AS c_custkey,"
+            "  CASE WHEN d.key IS NOT NULL AND coalesce(r.nrefs, 0) > 0"
+            "         THEN 'REFERENCED'"
+            "       WHEN d.key IS NOT NULL THEN 'UNREFERENCED'"
+            "       ELSE 'UNDEFINED' END AS status "
+            "FROM defs d FULL OUTER JOIN refs r ON d.key = r.key"
         ),
         "versions_latest": (
             "SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 "

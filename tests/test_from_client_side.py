@@ -10,7 +10,9 @@ testDeleteFamilyVersionWithOtherDeletes(:1911), testDeletes'
 delete-latest + no-reput sequence(:2026-2135), testJira6912(:5267),
 testScan_NullQualifier(:5293), testNegativeTimestamp(:5322),
 testRawScanRespectsVersions(:5526), testKeepDeletedCells(:228),
-testPurgeFutureDeletes(:296).
+testPurgeFutureDeletes(:296). r12 adds the last query-shaped jira
+beats: testJiraTest1014(:2591), testJiraTest52(:2660),
+testJiraTest867(:2392).
 """
 
 from __future__ import annotations
@@ -569,3 +571,88 @@ def test_get_closest_row_before(spark):
     assert probe(b"row44") == (b"row333", three)
     assert probe(b"row444") == (b"row444", four)
     assert probe(b"row5") == (b"row444", four)         # after last
+
+
+def test_jira_1014_manual_stamp_exact_get(spark):
+    """testJiraTest1014 (:2591, HBASE-1014): a put with a manual
+    timestamp is readable at EXACTLY that stamp; the neighboring
+    stamps (manual-1, manual+1) read empty — no version fallback."""
+    manual = 12345  # > now_ms=10_000: future-ts puts are still visible
+    t = _table(spark, [_put(ROW, manual, b"value")], max_versions=10)
+    assert _versions(
+        t, time_range=(manual, manual + 1), max_versions=MAXV
+    ) == {manual: b"value"}
+    for miss in (manual - 1, manual + 1):
+        assert _versions(
+            t, time_range=(miss, miss + 1), max_versions=MAXV
+        ) == {}
+
+
+def test_jira_52_scan_all_versions(spark):
+    """testJiraTest52 (:2660, HBASE-52): get/scan with
+    maxVersions=MAX_VALUE returns EVERY stored version of the column,
+    newest first in the version order."""
+    t = _table(
+        spark,
+        [_put(ROW, STAMPS[i], VALUES[i]) for i in range(6)],
+        max_versions=10,
+    )
+    assert _versions(t, max_versions=MAXV) == {
+        STAMPS[i]: VALUES[i] for i in range(6)
+    }
+    # version order within the column is ts-descending (assertNResult
+    # walks stamps end..start)
+    got = [
+        r["ts"]
+        for r in t.scan(Scan(max_versions=MAXV)).collect()
+        if bytes(r["row"]) == ROW
+    ]
+    assert sorted(got, reverse=True) == [
+        STAMPS[i] for i in range(5, -1, -1)
+    ]
+
+
+def test_jira_867_wide_row_volume(spark):
+    """testJiraTest867 (:2392, HBASE-867): 10 rows x 2000 columns (one
+    version each); a Get of one row returns ALL 2000 cells
+    (value == qualifier), a full Scan returns all 10 rows complete, in
+    byte-lexicographic qualifier order (makeNBig's 2-byte big-endian
+    suffix makes numeric == lexicographic order)."""
+    n_rows, n_cols = 10, 2000
+    rows = [b"testRow" + bytes([i]) for i in range(n_rows)]
+    quals = [b"testQualifier" + i.to_bytes(2, "big") for i in range(n_cols)]
+    # raw bytes via unhex (chr() would UTF-8-encode bytes >= 0x80)
+    qual_bytes = F.concat(
+        F.lit(b"testQualifier"), F.expr("unhex(lpad(hex(_q), 4, '0'))")
+    )
+    cells = spark.range(n_rows).select(
+        F.concat(
+            F.lit(b"testRow"), F.expr("unhex(lpad(hex(id), 2, '0'))")
+        ).alias("_rowkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_cols - 1))).alias("_q"),
+    ).select(
+        F.col("_rowkey").alias("row"),
+        F.lit(FAM).alias("family"),
+        qual_bytes.alias("qualifier"),
+        F.lit(1000).cast("long").alias("ts"),
+        F.lit(TYPE_PUT).alias("type"),
+        qual_bytes.alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    t = Table(
+        TableMeta(name="jira867", families=(FamilyMeta(name=FAM),)),
+        cells,
+        now_ms=10_000,
+    )
+    # Get of the last row: all 2000 columns, value == qualifier
+    got = t.get(rows[-1]).collect()
+    assert len(got) == n_cols
+    got_q = sorted(bytes(r["qualifier"]) for r in got)
+    assert got_q == quals
+    assert all(bytes(r["value"]) == bytes(r["qualifier"]) for r in got)
+    # Full scan: every row complete
+    per_row: dict[bytes, int] = {}
+    for r in t.scan().collect():
+        assert bytes(r["value"]) == bytes(r["qualifier"])
+        per_row[bytes(r["row"])] = per_row.get(bytes(r["row"]), 0) + 1
+    assert per_row == {r: n_cols for r in rows}

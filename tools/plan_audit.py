@@ -70,6 +70,8 @@ AUDIT = [
     "filter_page_reverse",  # reversed page: ordered-prefix, no full sort
     "closest_row_before",   # row <= key scan + 1-row broadcast winner
     "median_approx",    # sketch + exact guard band: two aggs, no window
+    "filter_skip_scvf",     # Skip(SCVF): verdict agg + staged semi-join
+    "linked_list_verify",   # ITBLL: one window + one agg + one key join
 ]
 
 RED_FLAGS = {
