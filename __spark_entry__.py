@@ -1721,6 +1721,26 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_bins_ffd(docs, capacity=64, num_groups=8)
 
 
+def q_pack_bins_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD bin packing over a PINNED deterministic input — the
+    value-checked twin of the rows-only pack_bins (the pq_topk_pinned
+    pattern): 48 docs with n_tokens = (i*37) % 50 + 1, capacity 40,
+    two groups. The input is sf-independent, so the expected packing is
+    a constant the oracle states literally (replayed by the same FFD
+    fold in tools/pymodels.py and pinned in tests) while the Spark side
+    runs the REAL applyInPandas packer — tokens-DESC/id-ASC order,
+    first-fit placement, dedicated never-reused oversize bins all
+    hash-gated."""
+    docs = spark.range(1, 49).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 50 + 1).cast("long").alias("n_tokens"),
+    )
+    return sampling.pack_bins_ffd(
+        docs, capacity=40, token_col=F.col("n_tokens"),
+        id_col="doc_id", num_groups=2,
+    )
+
+
 def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: corpus vectors cosine-matched
     against a broadcast eval set (every 17th vector), best probe per
@@ -4209,7 +4229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    engine-drift); substring_clean adds the integer length
         #    accounting of the rebuild --
         "substring_dedup": q_substring_dedup,
-        "substring_clean": q_substring_clean,
+        # (substring_clean rotated below the line r12 for
+        #  pack_bins_pinned — driver-green five rounds r7-r11; the
+        #  substring family stays repped in-window by substring_dedup,
+        #  which shares its span machinery)
         # -- r11: median_approx gains the bounded-error value contract
         #    (exact quantile guard band at 0.5 +/- 2/accuracy vs DuckDB
         #    quantile_cont + hashed within_bound) and rotates IN over
@@ -4245,6 +4268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "embedding_decontaminate": q_embedding_decontaminate,
         "pack_bins": q_pack_bins,
+        # -- r12: pinned-input FFD twin — value-checks the sequential
+        #    applyInPandas packer the rows-only pack_bins exercises
+        #    (the pq_topk_pinned pattern; constant 48-doc input so the
+        #    oracle states the packing literally) --
+        "pack_bins_pinned": q_pack_bins_pinned,
         # -- r10: pinned-model PQ / IVF-PQ inference (VERDICT r09 next
         #    item #2) — deterministic codebooks/centroids make the full
         #    encode->route->ADC->top-k path DuckDB-hash-checked, killing
@@ -4298,10 +4326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
-        # rotated out r12 for filter_skip_scvf / linked_list_verify
-        # (see the in-window comments)
+        # rotated out r12 for filter_skip_scvf / linked_list_verify /
+        # pack_bins_pinned (see the in-window comments)
         "incremental_dedup": q_incremental_dedup,
         "gopher_rep_islands": q_gopher_rep_islands,
+        "substring_clean": q_substring_clean,
         # rotated out r11 for filter_page_reverse / closest_row_before
         # (see the in-window comments)
         "text_normalize": q_text_normalize,
@@ -5992,6 +6021,28 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 5 = 0 THEN 'BULK' "
             "ELSE c_mktsegment END AS c_mktsegment "
             "FROM customer"
+        ),
+        "pack_bins_pinned": (
+            "SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS "
+            "n_tokens, grp::INTEGER AS grp, bin::BIGINT AS bin, "
+            "oversize FROM (VALUES "
+            "(1,38,1,6,FALSE),(2,25,0,12,FALSE),(3,12,1,11,FALSE),"
+            "(4,49,0,0,TRUE),(5,36,1,7,FALSE),(6,23,0,13,FALSE),"
+            "(7,10,1,10,FALSE),(8,47,0,1,TRUE),(9,34,1,8,FALSE),"
+            "(10,21,0,14,FALSE),(11,8,1,9,FALSE),(12,45,0,2,TRUE),"
+            "(13,32,1,9,FALSE),(14,19,0,14,FALSE),(15,6,1,8,FALSE),"
+            "(16,43,0,3,TRUE),(17,30,1,10,FALSE),(18,17,0,13,FALSE),"
+            "(19,4,1,7,FALSE),(20,41,0,4,TRUE),(21,28,1,11,FALSE),"
+            "(22,15,0,12,FALSE),(23,2,1,6,FALSE),(24,39,0,5,FALSE),"
+            "(25,26,1,12,FALSE),(26,13,0,11,FALSE),(27,50,1,0,TRUE),"
+            "(28,37,0,6,FALSE),(29,24,1,13,FALSE),(30,11,0,10,FALSE),"
+            "(31,48,1,1,TRUE),(32,35,0,7,FALSE),(33,22,1,14,FALSE),"
+            "(34,9,0,9,FALSE),(35,46,1,2,TRUE),(36,33,0,8,FALSE),"
+            "(37,20,1,15,FALSE),(38,7,0,8,FALSE),(39,44,1,3,TRUE),"
+            "(40,31,0,9,FALSE),(41,18,1,14,FALSE),(42,5,0,7,FALSE),"
+            "(43,42,1,4,TRUE),(44,29,0,10,FALSE),(45,16,1,13,FALSE),"
+            "(46,3,0,6,FALSE),(47,40,1,5,FALSE),(48,27,0,11,FALSE)"
+            ") AS t(doc_id, n_tokens, grp, bin, oversize)"
         ),
         "cluster_balanced_sample": (
             # deterministic centroids = the 8 smallest vec_ids; argmax
