@@ -37,7 +37,9 @@ def test_oracles_reference_declared_queries():
         "documents embeddings"
     ).split()
     for name, sql in oracles.items():
-        assert any(t in sql for t in tables), name
+        # pinned-twin oracles may state a constant expected table
+        # literally (pack_bins_pinned pattern) instead of reading a view
+        assert any(t in sql for t in tables) or "VALUES" in sql, name
 
 
 def test_py_models_disjoint_from_sql_oracles():

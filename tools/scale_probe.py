@@ -46,7 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from hbase_1_3_0_spark.catalog import TableMeta  # noqa: E402
+from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta  # noqa: E402
 from hbase_1_3_0_spark.engine import build_session  # noqa: E402
 from hbase_1_3_0_spark.operators import jobs  # noqa: E402
 from hbase_1_3_0_spark.pipeline import dedup, similarity, substrings  # noqa: E402
@@ -87,6 +87,10 @@ def _join_flags(plan: str) -> dict:
     return {
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
+        # the multi-version read-view claim (r11 lag+dense_rank branch):
+        # ONE exchange + ONE sort regardless of scale
+        "exchanges": plan.count("Exchange"),
+        "sorts": plan.count("Sort ["),  # SortExec prints "Sort [order..."
     }
 
 
@@ -125,8 +129,45 @@ def make_workloads(spark, sf_dir: str, tag: str):
     writer.write_cells(
         fixtures.kv_cells(spark, sf_dir, "orders"), f"{bench_root}/orders"
     )
+    # multi-version fixture for the r11 limit_versions branch: three
+    # ts-versions of one column per key plus a same-ts re-put (seq
+    # tie-break, the dupe consumes no version slot) on every 5th key
+    ov = fixtures.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mv_parts = [
+        table_to_cells(
+            ov.withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(float(i))
+            ),
+            ["o_orderkey"], ["o_totalprice"],
+            ts=1_000_000 * (i + 1), seq=i,
+        )
+        for i in range(3)
+    ]
+    mv_parts.append(
+        table_to_cells(
+            ov.where(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(99.0)
+            ),
+            ["o_orderkey"], ["o_totalprice"], ts=3_000_000, seq=9,
+        )
+    )
+    mv_cells = mv_parts[0]
+    for p in mv_parts[1:]:
+        mv_cells = mv_cells.unionByName(p)
+    writer.write_cells(mv_cells, f"{bench_root}/orders_mv")
+
     lineitem_cells = writer.read_cells(spark, f"{bench_root}/lineitem")
     orders_cells = writer.read_cells(spark, f"{bench_root}/orders")
+    mv = Table(
+        TableMeta(
+            name="orders_mv",
+            families=(FamilyMeta(name="d", max_versions=5),),
+        ),
+        writer.read_cells(spark, f"{bench_root}/orders_mv"),
+        now_ms=NOW_MS,
+    )
     li = Table(TableMeta(name="lineitem", clean_log=True), lineitem_cells,
                now_ms=NOW_MS)
     od = Table(TableMeta(name="orders", clean_log=True), orders_cells,
@@ -177,6 +218,15 @@ def make_workloads(spark, sf_dir: str, tag: str):
          lambda: substrings.remove_repeated_spans(docs, k=40),
          False),  # broadcast-by-construction; output carries full texts
         ("b-sync", lambda: jobs.sync_table(orders_cells, sync_tgt),
+         "collect"),
+        # r11-touched read path: full multi-version scan (timing) plus a
+        # prunable seek slice (driver-safe collect) whose executed plan
+        # must keep ONE exchange + ONE sort at both scales
+        ("b-scan-mv", lambda: mv.scan(max_versions=5), False),
+        ("b-scan-mv-seek",
+         lambda: mv.scan(
+             start_row=_k(0), stop_row=_k(3000), max_versions=5
+         ),
          "collect"),
         ("b-topk",
          lambda: similarity.cosine_topk(embs, topk_queries, k=10),
