@@ -1433,8 +1433,15 @@ def q_batch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + typed metadata -> Arrow-batched
-    mapInPandas feature extraction (deterministic fake decoder; the real
-    PIL/librosa decode is stubbed — rows-only oracle)."""
+    mapInPandas feature extraction. The REAL PIL/librosa decode stays
+    stubbed (no media libs in this container), but the deterministic
+    byte-histogram fake IS a pure function of the payload — the
+    accumulator folds (acc + byte) % 997 over every 8th byte, and mod
+    distributes over the sum, so DuckDB replays it exactly
+    (value-checked since r12; was the last rows-only-by-nature query).
+    The float feature is surfaced as its INTEGER accumulator
+    (round(f0 * 997)) because hashing a float32-vs-float64 6dp rounding
+    across the gate would flip on ~6e-8-near-boundary values."""
     from hbase_1_3_0_spark.pipeline import multimodal
 
     docs = (
@@ -1450,7 +1457,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "media_type",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 1) * 997)
+        .cast("long")
+        .alias("f0_acc"),
     )
 
 
@@ -6331,6 +6340,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, "
             "coalesce(a.cut_chars, 0)::BIGINT AS n_cut_chars "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        # the fake-decoder fold: acc[0] = (sum of bytes at positions
+        # 0,8,16,... of the first 1024 payload bytes) % 997 — mod
+        # distributes over the sum, so one list_sum replays the
+        # sequential accumulator; empty payload -> 0
+        "multimodal_features": (
+            "SELECT doc_id, 'image' AS media_type, "
+            "octet_length(encode(text))::BIGINT AS n_bytes, "
+            "coalesce(list_sum(list_transform("
+            "  range(0, least(octet_length(encode(text)), 1024), 8), "
+            "  i -> ('0x' || substr(hex(encode(text)), 2*i+1, 2))::BIGINT"
+            ")) % 997, 0)::BIGINT AS f0_acc "
+            "FROM documents WHERE doc_id < 500"
         ),
         "jpeg_probe": (
             "SELECT doc_id, TRUE AS is_jpeg, "

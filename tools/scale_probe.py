@@ -79,8 +79,16 @@ def _plan(df) -> str:
     bound to this DataFrame's own QueryExecution (df.collect()) — a
     noop-write runs a separate execution, leaving this one's adaptive
     plan un-finalized (isFinalPlan=false shows the pre-AQE static plan,
-    which is NOT evidence of join strategy; r10 lesson)."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    which is NOT evidence of join strategy; r10 lesson).
+
+    Only the FINAL adaptive plan section is returned: the toString() of
+    an AdaptiveSparkPlan appends the "== Initial Plan ==" too, and
+    counting nodes over both sections double-counts — an x10 run whose
+    final plan had ELIMINATED the tombstone joins outright (AQE
+    empty-relation propagation) read as a broadcast->SMJ flip from the
+    initial section (r12 lesson)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def _join_flags(plan: str) -> dict:
