@@ -1687,6 +1687,28 @@ def q_winnow_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_robust_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST winnowing over a PINNED five-doc corpus — the
+    value-checked twin of the rows-only winnow_robust (pack_bins_pinned
+    pattern): constant input (repetitive texts engineered to hit the §4
+    tie rule: same-hash runs, all-equal windows, a sub-k doc), constant
+    expected (position, fp) table derived by the exact pure-Python
+    mirror in tools/pymodels.winnow_robust_model's fold, stated
+    literally in the oracle; the Spark side runs the REAL zero-shuffle
+    array fold in pipeline/text.py winnow_fingerprints(robust=True)."""
+    texts = [
+        (1, "abc abc abc abc abc abc"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "aaaaaaaaaaaaaaaaa"),
+        (4, "mississippi mississippi banana banana"),
+        (5, "xy"),  # shorter than k: contributes no grams
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    return text.winnow_fingerprints(docs, robust=True).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "fp"
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-n-gram battery (Rae et al. 2021 App. A): top
     2-4-gram char fractions + duplicated 5-10-gram position coverage
@@ -1791,6 +1813,29 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return bpe.bpe_train(docs, num_merges=20, min_count=2)
+
+
+def q_bpe_train_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training over a PINNED six-line corpus — the value-checked
+    twin of the rows-only bpe_train (the pack_bins_pinned pattern): the
+    input is an sf-independent constant, so the 12-merge table is a
+    constant the oracle states literally (derived by the exact
+    pure-Python reference trainer in tools/pymodels._ref_bpe_train)
+    while the Spark side runs the REAL iterative trainer — pair
+    counting, (count DESC, left ASC, right ASC) argmax, left-to-right
+    non-overlapping merge application all hash-gated at the driver."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    texts = [
+        "the lower the newest the wider",
+        "lowest newest widest lower newer wider",
+        "low new wide lowly newly widely",
+        "the low new wide lower newer",
+        "slower slowest slowly the low low",
+        "renewed renewing newness lowness wideness",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    return bpe.bpe_train(docs, num_merges=12, min_count=2)
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4173,7 +4218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rows-only at the driver) — corpus_stats rotated below the
         #    line for it (r04-r06 driver-green; text area repped by
         #    gopher_*, c4_clean, text_normalize, winnow_fp/overlap) --
-        "winnow_robust": q_winnow_robust,
+        # -- r12: the pinned ROBUST-winnowing twin replaces the
+        #    rows-only winnow_robust in-window (py-model driver rows
+        #    r7-r11; the r10 lsh/ivf->pinned-twin precedent): constant
+        #    five-doc input, literal 27-row oracle — the §4 tie rule is
+        #    now driver-HASH-checked, not just py-model-checked --
+        "winnow_robust_pinned": q_winnow_robust_pinned,
         # -- r07: full OrderedBytes numeric + Struct composite codec
         #    (VERDICT r06 gap #2) — order contract vs a numeric-ranked
         #    oracle; remove_boilerplate rotated below the line for it
@@ -4231,7 +4281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_list_verify": q_linked_list_verify,
         # -- rotated in r06: the 3 queries with no driver row yet
         #    (landed after the r05 rotation; all local-green) --
-        "jpeg_probe": q_jpeg_probe,
         "domain_cap": q_domain_cap,
         # -- r07: substring_dedup re-shaped to the integer span table
         #    (the r06 hash-mismatch was free-text reconstruction
@@ -4264,6 +4313,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    winnow_fp, winnow_dedup) --
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "bpe_train": q_bpe_train,
+        # -- r12: pinned-corpus BPE twin — value-checks the iterative
+        #    trainer the rows-only bpe_train exercises (constant 6-line
+        #    input, literal 12-merge oracle derived by the pymodel
+        #    reference trainer). Rotated in over jpeg_probe
+        #    (driver-green six rounds r6-r11; multimodal stays repped
+        #    in-window by multimodal_features, VALUE-checked since r12)
+        "bpe_train_pinned": q_bpe_train_pinned,
         # -- r10: observer post-write hooks (postPut/postDelete/
         #    postBatchMutate analog, VERDICT r09 item #5) — the audit-log
         #    pattern as a value-checked query. Rotated in over bpe_vocab
@@ -4336,10 +4392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r12 for filter_skip_scvf / linked_list_verify /
-        # pack_bins_pinned (see the in-window comments)
+        # pack_bins_pinned / bpe_train_pinned / winnow_robust_pinned
+        # (see the in-window comments)
         "incremental_dedup": q_incremental_dedup,
+        "winnow_robust": q_winnow_robust,
         "gopher_rep_islands": q_gopher_rep_islands,
         "substring_clean": q_substring_clean,
+        "jpeg_probe": q_jpeg_probe,
         # rotated out r11 for filter_page_reverse / closest_row_before
         # (see the in-window comments)
         "text_normalize": q_text_normalize,
@@ -6052,6 +6111,41 @@ def oracle_sql() -> dict[str, str]:
             "(43,42,1,4,TRUE),(44,29,0,10,FALSE),(45,16,1,13,FALSE),"
             "(46,3,0,6,FALSE),(47,40,1,5,FALSE),(48,27,0,11,FALSE)"
             ") AS t(doc_id, n_tokens, grp, bin, oversize)"
+        ),
+        # the 12-merge table learned from the pinned six-line corpus,
+        # derived by tools/pymodels._ref_bpe_train (the exact reference
+        # trainer) — constant because the input is
+        "bpe_train_pinned": (
+            "SELECT rank::INTEGER AS rank, \"left\", \"right\", "
+            "pair_count::BIGINT AS pair_count FROM (VALUES "
+            "(0, 'l', 'o', 13), (1, 'lo', 'w', 13), (2, 'n', 'e', 13), "
+            "(3, 'ne', 'w', 10), (4, 'e', 'r', 8), "
+            "(5, 'er', '</w>', 8), (6, 'e', '</w>', 7), "
+            "(7, 'i', 'd', 7), (8, 'w', 'id', 7), (9, 'e', 's', 5), "
+            "(10, 'es', 't', 5), (11, 'est', '</w>', 5) "
+            ") AS t(rank, \"left\", \"right\", pair_count)"
+        ),
+        # the 27 ROBUST-winnowing fingerprints of the pinned five-doc
+        # corpus, derived by the exact pure-Python tie-rule fold
+        # (tools/pymodels.winnow_robust_model) — constant input
+        "winnow_robust_pinned": (
+            "SELECT doc_id::BIGINT AS doc_id, pos::INTEGER AS pos, fp "
+            "FROM (VALUES "
+            "(1, 4, '848d93ed'), (1, 7, '848d93ed'), "
+            "(1, 10, '848d93ed'), (2, 2, '45087d90'), "
+            "(2, 6, '5ce9933a'), (2, 7, '3dd3fba9'), "
+            "(2, 8, '377b8be3'), (2, 10, '10c98935'), "
+            "(2, 12, '1f87c3b1'), (2, 14, '62279802'), "
+            "(2, 17, '9c1aaca2'), (2, 19, '18d24e75'), "
+            "(2, 21, '148a1e4c'), (2, 25, '368fd56d'), "
+            "(2, 28, '0d8a656d'), (3, 4, '3dbe00a1'), "
+            "(3, 8, '3dbe00a1'), (4, 4, '2e861cd8'), "
+            "(4, 6, '21b3e54a'), (4, 9, '0ef95eee'), "
+            "(4, 11, '117a11a7'), (4, 15, '2e861cd8'), "
+            "(4, 16, '23498a31'), (4, 18, '05ec63bb'), "
+            "(4, 20, '080d527d'), (4, 21, '67f23282'), "
+            "(4, 25, '06216555') "
+            ") AS t(doc_id, pos, fp)"
         ),
         "cluster_balanced_sample": (
             # deterministic centroids = the 8 smallest vec_ids; argmax
