@@ -2033,6 +2033,55 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, max_hamming=3)
 
 
+_PINNED_NEARDUP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+    (3, "a completely different sentence about distributed query engines"),
+    (4, "a completely different sentence about distributed query planners"),
+    (5, "minhash locality sensitive hashing buckets similar documents"
+        " together"),
+    (6, "minhash locality sensitive hashing buckets similar documents"
+        " togethre"),
+    (7, "unrelated text holding no overlap with anything else in this"
+        " corpus"),
+    (8, "short one"),
+    (9, "winnowing selects the minimum hash of every sliding window of"
+        " grams"),
+    (10, "winnowing selects the minimum hash of every sliding window of"
+         " gram"),
+]
+
+
+def q_minhash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over a PINNED ten-doc corpus — the
+    value-checked twin of the rows-only minhash_pairs (pack_bins_pinned
+    pattern): the corpus is an sf-independent constant, so the verified
+    pair set is a constant the oracle states literally (derived by the
+    exact pure-Python xxhash64/affine-permutation/banding mirror in
+    tools/pymodels.minhash_pairs_model's machinery). The Spark side
+    runs the REAL seeded pipeline — shingle xxhash64, 64 affine
+    permutations mod the Mersenne prime, 16-band bucketing, exact
+    Jaccard verification — all hash-gated at the driver (the seeded
+    path DuckDB itself cannot mirror)."""
+    docs = spark.createDataFrame(
+        _PINNED_NEARDUP_DOCS, "doc_id long, text string"
+    )
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def q_simhash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the same PINNED corpus (value-checked
+    twin of the rows-only simhash_pairs): 64-bit majority-vote
+    signatures from shingle xxhash64, 4x16-bit band candidates, exact
+    Hamming filter at max_hamming=6 (admits the three engineered
+    near-dup pairs at distances 2/4/5) — literal oracle derived by
+    tools/pymodels.simhash_pairs_model's machinery."""
+    docs = spark.createDataFrame(
+        _PINNED_NEARDUP_DOCS, "doc_id long, text string"
+    )
+    return dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact baseline (5th dedup mode)."""
     embs = _load(spark, sf_dir, "embeddings")
@@ -4369,7 +4418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first laid out (no driver row yet): SemDeDup semantic dedup
         # (rows-only, py-model oracle), CCNet perplexity bucketing, and
         # descending OrderedBytes composite keys --
-        "semdedup": q_semdedup,
+        # -- r12: the pinned MinHash twin replaces semdedup in-window
+        #    (py-model rows-only, driver rows r7-r11; semantic dedup
+        #    stays repped by cluster_balanced_sample — its value-checked
+        #    centroid twin — plus dedup_ingest/substring_dedup): the
+        #    whole seeded LSH path (xxhash64 shingles, 64 affine perms,
+        #    16-band buckets, exact-Jaccard verify) gets its first
+        #    driver HASH check via a constant ten-doc corpus --
+        "minhash_pairs_pinned": q_minhash_pairs_pinned,
         "perplexity_buckets": q_perplexity_buckets,
         "ordered_desc": q_ordered_desc,
         # -- new late r07: HBase bloom filters (ROW, per-region sizing +
@@ -4380,7 +4436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         # -- new late r07: fastText-style quality classifier (rows-only
         # + pure-Python trainer oracle) and hbck region-chain checks --
-        "quality_classifier": q_quality_classifier,
+        # -- r12: the pinned SimHash twin replaces quality_classifier
+        #    in-window (py-model rows-only, driver rows r7-r11; the
+        #    hashed-bucket featurization stays repped by dsir_sample,
+        #    which shares it): majority-vote signatures + band
+        #    candidates + Hamming filter driver-HASH-checked --
+        "simhash_pairs_pinned": q_simhash_pairs_pinned,
         "region_chain_check": q_region_chain_check,
         # -- new late r07: training-shard manifest (the pipeline's
         # last mile; rotated in over pii_redact, green r3-r6, text
@@ -4392,10 +4453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
         # rotated out r12 for filter_skip_scvf / linked_list_verify /
-        # pack_bins_pinned / bpe_train_pinned / winnow_robust_pinned
-        # (see the in-window comments)
+        # pack_bins_pinned / bpe_train_pinned / winnow_robust_pinned /
+        # minhash_pairs_pinned / simhash_pairs_pinned (see the
+        # in-window comments)
         "incremental_dedup": q_incremental_dedup,
         "winnow_robust": q_winnow_robust,
+        "semdedup": q_semdedup,
+        "quality_classifier": q_quality_classifier,
         "gopher_rep_islands": q_gopher_rep_islands,
         "substring_clean": q_substring_clean,
         "jpeg_probe": q_jpeg_probe,
@@ -6146,6 +6210,22 @@ def oracle_sql() -> dict[str, str]:
             "(4, 20, '080d527d'), (4, 21, '67f23282'), "
             "(4, 25, '06216555') "
             ") AS t(doc_id, pos, fp)"
+        ),
+        # literal pair tables for the pinned ten-doc near-dup corpus,
+        # derived by the exact seeded-hash mirrors in tools/pymodels
+        # (xxhash64 + affine permutations + banding / majority-vote
+        # signatures) — constant because the input is
+        "minhash_pairs_pinned": (
+            "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+            "jaccard::DOUBLE AS jaccard FROM (VALUES "
+            "(1, 2, 0.982759), (3, 4, 0.776119), (5, 6, 0.940299), (9, 10, 0.984127)"
+            ") AS t(id_a, id_b, jaccard)"
+        ),
+        "simhash_pairs_pinned": (
+            "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+            "hamming::INTEGER AS hamming FROM (VALUES "
+            "(1, 2, 2), (5, 6, 4), (9, 10, 5)"
+            ") AS t(id_a, id_b, hamming)"
         ),
         "cluster_balanced_sample": (
             # deterministic centroids = the 8 smallest vec_ids; argmax
