@@ -1210,6 +1210,29 @@ def q_random_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(filter="RandomRowFilter (0.25)"), CUSTOMER_COLS)
 
 
+def q_random_row_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomRowFilter over a PINNED 60-key table — the value-checked
+    twin of the rows-only random_row (pack_bins_pinned pattern): the
+    keys are constant, so the kept set under the seeded per-row hash
+    (pmod(xxhash64(row, 42), 1e6)/1e6 < 0.25) is a 20-key constant the
+    oracle states literally, derived by the exact two-arg-xxhash64
+    chain mirror in tools/pymodels.random_row_model. Verifies the whole
+    compile path: key encoding, hash chaining, pmod fold, chance gate."""
+    base = spark.range(1, 61).select(
+        F.col("id").alias("k_id"), (F.col("id") * 10).cast("long").alias("val")
+    )
+    t = Table(
+        TableMeta(name="rr_pinned", clean_log=True),
+        table_to_cells(base, ["k_id"], ["val"], ts=1_000_000),
+        now_ms=NOW_MS,
+    )
+    cells = t.scan(filter="RandomRowFilter (0.25)")
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("k_id"),
+        codecs.decode_value(F.col("value"), "bigint").alias("val"),
+    )
+
+
 def q_get_column_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Get + ColumnCountGetFilter: first n columns of one row."""
     t = _table(spark, sf_dir, "customer")
@@ -1709,6 +1732,53 @@ def q_winnow_robust_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_dedup_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed winnow dedup over a PINNED seven-doc corpus — the
+    value-checked twin of the rows-only winnow_dedup: two engineered
+    copy clusters ({1,2,3} and {4,5} share long passages, so their
+    overlap counts 35-41 clear min_shared=5) plus two standalone docs;
+    survivors = {1,4,6,7} (min-id winner per component), a constant the
+    oracle states literally (derived by the exact winnowing+union-find
+    replay in tools/pymodels.winnow_dedup_model's fold). The Spark side
+    runs the REAL composed pipeline: MOSS fingerprints -> hot-fp-capped
+    overlap pairs -> iterative hash-min connected components -> min-id
+    winners."""
+    texts = [
+        (1, "alpha section: the winnowing algorithm selects minimum"
+            " hashes from sliding windows of character grams for"
+            " plagiarism detection"),
+        (2, "beta copy: the winnowing algorithm selects minimum hashes"
+            " from sliding windows of character grams for plagiarism"
+            " detection too"),
+        (3, "gamma copy: the winnowing algorithm selects minimum hashes"
+            " from sliding windows of character grams for plagiarism"
+            " detection as well"),
+        (4, "delta text: locality sensitive hashing groups similar"
+            " documents into shared buckets using banded minhash"
+            " signatures efficiently"),
+        (5, "epsilon rework: locality sensitive hashing groups similar"
+            " documents into shared buckets using banded minhash"
+            " signatures quickly"),
+        (6, "zeta stands alone with entirely unique content about"
+            " parquet columnar storage layouts"),
+        (7, "eta also stands alone describing adaptive query execution"
+            " and broadcast joins"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = text.winnow_overlap(docs, min_shared=5, max_df=50).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    labels = dedup.connected_components(pairs)
+    comp = labels.select(F.col("id").alias("doc_id"), "component")
+    winners = comp.groupBy("component").agg(
+        F.min("doc_id").alias("_winner")
+    )
+    dead = comp.join(winners, "component").where(
+        F.col("doc_id") != F.col("_winner")
+    ).select("doc_id")
+    return docs.join(dead, "doc_id", "left_anti").select("doc_id")
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-n-gram battery (Rae et al. 2021 App. A): top
     2-4-gram char fractions + duplicated 5-10-gram position coverage
@@ -1846,6 +1916,30 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return bpe.bpe_vocab(docs, num_merges=20, min_count=2).select(
+        "token", F.col("n_words").cast("long").alias("n_words"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
+def q_bpe_vocab_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed BPE train + segment over the SAME pinned six-line corpus
+    as bpe_train_pinned — value-checks the segmentation/vocab half the
+    rows-only bpe_vocab exercises: the 19-token (token, n_words, total)
+    table is a constant derived by replaying the reference trainer's
+    post-merge word table (tools/pymodels._ref_bpe_train) and stated
+    literally in the oracle."""
+    from hbase_1_3_0_spark.pipeline import bpe
+
+    texts = [
+        "the lower the newest the wider",
+        "lowest newest widest lower newer wider",
+        "low new wide lowly newly widely",
+        "the low new wide lower newer",
+        "slower slowest slowly the low low",
+        "renewed renewing newness lowness wideness",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    return bpe.bpe_vocab(docs, num_merges=12, min_count=2).select(
         "token", F.col("n_words").cast("long").alias("n_words"),
         F.col("total").cast("long").alias("total"),
     )
@@ -4273,12 +4367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    five-doc input, literal 27-row oracle — the §4 tie rule is
         #    now driver-HASH-checked, not just py-model-checked --
         "winnow_robust_pinned": q_winnow_robust_pinned,
-        # -- r07: full OrderedBytes numeric + Struct composite codec
-        #    (VERDICT r06 gap #2) — order contract vs a numeric-ranked
-        #    oracle; remove_boilerplate rotated below the line for it
-        #    (r04-r06 driver-green; text area repped by corpus_stats,
-        #    gopher_*, c4_clean, text_normalize) --
-        "ordered_numeric": q_ordered_numeric,
+        # -- r12: the pinned RandomRowFilter twin — the rows-only
+        #    random_row's seeded per-row hash gate driver-HASH-checked
+        #    over a constant 60-key table (literal 20-key oracle).
+        #    Rotated in over ordered_numeric (driver-green five rounds
+        #    r7-r11; codecs stay repped in-window by ordered_float) --
+        "random_row_pinned": q_random_row_pinned,
         # -- rotated in late r06: the round's last three new queries
         #    (token-budget greedy fill, NFC normalization+scrub — both
         #    DuckDB-oracled; neardup_ingest = the streaming MinHash
@@ -4288,7 +4382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r08: UniMax language-balanced budget allocation (rotated
         #    in over token_budget, green r6-r7; sampling stays repped
         #    in-window by unimax_mix + pack_bins) --
-        "unimax_mix": q_unimax_mix,
+        # -- r12: the pinned composed winnow-dedup twin (two engineered
+        #    copy clusters; literal 4-survivor oracle) — rotated in
+        #    over unimax_mix (driver-green four rounds r8-r11; sampling
+        #    stays repped in-window by pack_bins, pack_bins_pinned and
+        #    cluster_balanced_sample) --
+        "winnow_dedup_pinned": q_winnow_dedup_pinned,
         # -- r11: reversed page x direction-sensitive inclusive stop —
         #    the TestFilter.java composition pinned this round, which
         #    found+fixed the reversed InclusiveStopFilter compile.
@@ -4427,7 +4526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    driver HASH check via a constant ten-doc corpus --
         "minhash_pairs_pinned": q_minhash_pairs_pinned,
         "perplexity_buckets": q_perplexity_buckets,
-        "ordered_desc": q_ordered_desc,
+        # -- r12: the pinned BPE-vocab twin (same pinned corpus as
+        #    bpe_train_pinned; value-checks the segmentation half) —
+        #    rotated in over ordered_desc (driver-green five rounds
+        #    r7-r11; codecs stay repped in-window by ordered_float) --
+        "bpe_vocab_pinned": q_bpe_vocab_pinned,
         # -- new late r07: HBase bloom filters (ROW, per-region sizing +
         # double hashing), SimpleRegionNormalizer split/merge planning,
         # and DSIR importance resampling --
@@ -4460,6 +4563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_robust": q_winnow_robust,
         "semdedup": q_semdedup,
         "quality_classifier": q_quality_classifier,
+        "ordered_numeric": q_ordered_numeric,
+        "ordered_desc": q_ordered_desc,
+        "unimax_mix": q_unimax_mix,
         "gopher_rep_islands": q_gopher_rep_islands,
         "substring_clean": q_substring_clean,
         "jpeg_probe": q_jpeg_probe,
@@ -6226,6 +6332,33 @@ def oracle_sql() -> dict[str, str]:
             "hamming::INTEGER AS hamming FROM (VALUES "
             "(1, 2, 2), (5, 6, 4), (9, 10, 5)"
             ") AS t(id_a, id_b, hamming)"
+        ),
+        # the 20 keys of the pinned 60-key table that survive the
+        # seeded RandomRowFilter gate (two-arg xxhash64 chain, derived
+        # by tools/pymodels.random_row_model's exact mirror)
+        "random_row_pinned": (
+            "SELECT k_id::BIGINT AS k_id, val::BIGINT AS val "
+            "FROM (VALUES (1, 10), (4, 40), (5, 50), (12, 120), (13, 130), (16, 160), (21, 210), (23, 230), (30, 300), (32, 320), (34, 340), (36, 360), (40, 400), (41, 410), (43, 430), (44, 440), (50, 500), (53, 530), (55, 550), (57, 570)"
+            ") AS t(k_id, val)"
+        ),
+        # the 19-token vocabulary of the pinned corpus under its 12
+        # learned merges (reference-trainer replay)
+        "bpe_vocab_pinned": (
+            "SELECT token, n_words::BIGINT AS n_words, "
+            "total::BIGINT AS total FROM (VALUES "
+            "('</w>', 11, 15), ('d', 1, 1), ('e', 4, 5), "
+            "('e</w>', 2, 7), ('er</w>', 4, 8), ('est</w>', 4, 5), "
+            "('g', 1, 1), ('h', 1, 5), ('i', 1, 1), ('l', 4, 4), "
+            "('low', 8, 13), ('n', 1, 1), ('ne', 3, 3), "
+            "('new', 7, 10), ('r', 2, 2), ('s', 6, 9), ('t', 1, 5), "
+            "('wid', 5, 7), ('y', 4, 4) "
+            ") AS t(token, n_words, total)"
+        ),
+        # survivors of the pinned seven-doc composed winnow dedup
+        # (min-id winner per copy cluster; winnowing+union-find replay)
+        "winnow_dedup_pinned": (
+            "SELECT doc_id::BIGINT AS doc_id "
+            "FROM (VALUES (1), (4), (6), (7)) AS t(doc_id)"
         ),
         "cluster_balanced_sample": (
             # deterministic centroids = the 8 smallest vec_ids; argmax
