@@ -2461,6 +2461,68 @@ def q_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/out").select("doc_id", "source")
 
 
+def q_neardup_ingest_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dup ingest over a PINNED eleven-doc corpus
+    — the value-checked twin of the rows-only neardup_ingest and the
+    last pymodel to gain one: three id-ranged micro-batches engineered
+    to exercise every kill mode (in-batch greedy: 7 dies by 3;
+    cross-batch vs the accepted store: 15/18/22/28 die by 5/9/12/1 at
+    signature-estimate 0.984-1.0; uniques survive). The survivor set
+    {1,3,5,9,12,25} is a constant derived by the exact banding/estimate/
+    greedy replay in tools/pymodels.neardup_ingest_model's machinery and
+    stated literally in the oracle; the Spark side runs the REAL
+    Structured-Streaming sink (signature store, availableNow batches,
+    idempotent batch_id-partitioned output)."""
+    import hashlib
+
+    from hbase_1_3_0_spark.streaming import wal as walmod
+
+    base_texts = {
+        "fox": "the quick brown fox jumps over the lazy dog while the"
+               " river flows quietly past the old mill",
+        "lsh": "locality sensitive hashing groups similar documents into"
+               " the same buckets with high probability",
+        "spark": "adaptive query execution replans joins at runtime using"
+                 " materialized shuffle statistics",
+        "parq": "parquet stores columns contiguously so scans read only"
+                " the projected fields from disk",
+        "wal": "write ahead logs ship ordered mutations to replication"
+               " peers with at least once delivery",
+    }
+    rows = [
+        (1, base_texts["fox"], "base"),
+        (3, base_texts["lsh"], "base"),
+        (5, base_texts["spark"], "base"),
+        (7, base_texts["lsh"] + " qq", "dup"),
+        (9, base_texts["parq"], "base"),
+        (12, base_texts["wal"], "base"),
+        (15, base_texts["spark"] + " zz", "dup"),
+        (18, base_texts["parq"] + " qq zz", "dup"),
+        (22, base_texts["wal"] + " qq", "dup"),
+        (25, "entirely unique content describing bloom filter chunk"
+             " probes", "base"),
+        (28, base_texts["fox"] + " zz qq", "dup"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    tag = hashlib.md5(("ndpin" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_ndpin_{tag}_{os.getpid()}"
+    src = _land_id_ranged_batches(docs, base)
+    q = walmod.neardup_ingest_stream(
+        spark,
+        src,
+        out_dir=f"{base}/out",
+        store_dir=f"{base}/store",
+        checkpoint_dir=f"{base}/ckpt",
+        schema="doc_id bigint, text string, source string",
+        threshold=0.9,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select("doc_id", "source")
+
+
 def q_stateful_ttl_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState with
     EVENT-TIME timeouts): per-key counters whose state expires when the
@@ -4478,7 +4540,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    local-green): quality batteries, C4, embedding decon
         #    (DuckDB-oracled); pack_bins (py-model, rows-only) --
         "gopher_quality": q_gopher_quality,
-        "c4_clean": q_c4_clean,
+        # -- r12: the pinned streaming near-dup twin — the LAST pymodel
+        #    gains a driver hash check (eleven pinned docs, three
+        #    id-ranged micro-batches, every kill mode exercised; literal
+        #    6-survivor oracle). Rotated in over c4_clean (driver-green
+        #    six rounds r6-r11; text cleaning stays repped in-window by
+        #    gopher_quality) --
+        "neardup_ingest_pinned": q_neardup_ingest_pinned,
         "embedding_decontaminate": q_embedding_decontaminate,
         "pack_bins": q_pack_bins,
         # -- r12: pinned-input FFD twin — value-checks the sequential
@@ -4566,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_numeric": q_ordered_numeric,
         "ordered_desc": q_ordered_desc,
         "unimax_mix": q_unimax_mix,
+        "c4_clean": q_c4_clean,
         "gopher_rep_islands": q_gopher_rep_islands,
         "substring_clean": q_substring_clean,
         "jpeg_probe": q_jpeg_probe,
@@ -6359,6 +6428,13 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dedup_pinned": (
             "SELECT doc_id::BIGINT AS doc_id "
             "FROM (VALUES (1), (4), (6), (7)) AS t(doc_id)"
+        ),
+        # survivors of the pinned streaming near-dup ingest (banding +
+        # signature-estimate + greedy replay; all "base", the five
+        # engineered "dup" rows die)
+        "neardup_ingest_pinned": (
+            "SELECT doc_id::BIGINT AS doc_id, 'base' AS source "
+            "FROM (VALUES (1), (3), (5), (9), (12), (25)) AS t(doc_id)"
         ),
         "cluster_balanced_sample": (
             # deterministic centroids = the 8 smallest vec_ids; argmax
