@@ -163,3 +163,36 @@ def test_two_phase_persist_closes_circle_through_read_view(spark):
     ).withColumn("prev", F.when(F.col("prev") >= 0, F.col("prev")))
     got = {r.key: r.status for r in itbll.verify_chains(nodes).collect()}
     assert got == {k: itbll.REFERENCED for k in keys}
+
+
+def test_loop_multiple_generations_then_verify(spark):
+    """The reference's Loop job (IntegrationTestBigLinkedList Loop
+    :1430): run the Generator N times — each run lays its own circular
+    lists over a DISJOINT key space — then one Verify over the union
+    table. Two generations plus kills: verdicts must match the
+    pure-Python replay over the combined node set, and each
+    generation's chains stay independent (no cross-generation refs)."""
+    gen1 = list(range(1, 41))
+    gen2 = list(range(1001, 1041))
+    chain1 = _py_chains(gen1, 5)
+    chain2 = _py_chains(gen2, 5)
+    combined = {**chain1, **chain2}
+    killed = {9, 18, 1005, 1010}
+    visible = {k: v for k, v in combined.items() if k not in killed}
+    model = _py_verify(dict(visible))
+
+    df1 = itbll.generate_chains(
+        spark.createDataFrame([(k,) for k in gen1], "key long"), n_lists=5
+    ).select("key", "prev")
+    df2 = itbll.generate_chains(
+        spark.createDataFrame([(k,) for k in gen2], "key long"), n_lists=5
+    ).select("key", "prev")
+    union = df1.unionByName(df2).where(
+        ~F.col("key").isin(*sorted(killed))
+    )
+    got = {r.key: r.status for r in itbll.verify_chains(union).collect()}
+    assert got == model
+    # generations never reference each other: every UNDEFINED key is a
+    # killed key of its own generation
+    undef = {k for k, s in got.items() if s == itbll.UNDEFINED}
+    assert undef <= killed

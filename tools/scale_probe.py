@@ -48,7 +48,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta  # noqa: E402
 from hbase_1_3_0_spark.engine import build_session  # noqa: E402
-from hbase_1_3_0_spark.operators import jobs  # noqa: E402
+from hbase_1_3_0_spark.operators import itbll, jobs  # noqa: E402
 from hbase_1_3_0_spark.pipeline import dedup, similarity, substrings  # noqa: E402
 from hbase_1_3_0_spark.sources import fixtures, writer  # noqa: E402
 from hbase_1_3_0_spark.sources.kv_encoder import table_to_cells  # noqa: E402
@@ -226,6 +226,22 @@ def make_workloads(spark, sf_dir: str, tag: str):
          lambda: substrings.remove_repeated_spans(docs, k=40),
          False),  # broadcast-by-construction; output carries full texts
         ("b-sync", lambda: jobs.sync_table(orders_cells, sync_tgt),
+         "collect"),
+        # the ITBLL flagship invariant (r12): chain generation is one
+        # window on list_id; verification is one reference aggregation +
+        # one full-outer key join — the counts rollup is driver-safe to
+        # collect, so its executed plan pins the join strategy
+        ("b-itbll",
+         lambda: itbll.verify_chains(
+             itbll.generate_chains(orders, "o_orderkey", n_lists=64)
+         ),
+         False),
+        ("b-itbll-counts",
+         lambda: itbll.verify_counts(
+             itbll.verify_chains(
+                 itbll.generate_chains(orders, "o_orderkey", n_lists=64)
+             )
+         ),
          "collect"),
         # r11-touched read path: full multi-version scan (timing) plus a
         # prunable seek slice (driver-safe collect) whose executed plan
