@@ -491,6 +491,18 @@ def main() -> None:
 
     run("b-bloom", bench_bloom)
 
+    # b-itbll (r12): the ITBLL flagship invariant — circular-chain
+    # generation (one window on list_id) + full REFERENCED/UNREFERENCED/
+    # UNDEFINED verification (one reference agg + one full-outer key
+    # join, the reference Verify job's reduce shuffle)
+    from hbase_1_3_0_spark.operators import itbll as itbll_mod
+
+    def bench_itbll():
+        chain = itbll_mod.generate_chains(orders, "o_orderkey", n_lists=64)
+        _sink(itbll_mod.verify_chains(chain))
+
+    run("b-itbll", bench_itbll)
+
     # b-dsir: DSIR featurize + two bucket models + weights + Gumbel
     # top-k over the documents table (one tokenize pass, broadcast
     # models — the data-selection scoring cost per corpus scan)
