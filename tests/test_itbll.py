@@ -196,3 +196,40 @@ def test_loop_multiple_generations_then_verify(spark):
     # killed key of its own generation
     undef = {k for k, s in got.items() if s == itbll.UNDEFINED}
     assert undef <= killed
+
+
+# ---------------------------------------------------------------------------
+# property: random node subsets (holes anywhere) must match the
+# pure-Python VerifyReducer replay — the randomized layer the reference
+# drives with its ChaosMonkey-under-Loop runs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    keys=st.sets(st.integers(min_value=1, max_value=60), min_size=2,
+                 max_size=40),
+    kill_bits=st.integers(min_value=0, max_value=(1 << 20) - 1),
+    n_lists=st.integers(min_value=1, max_value=7),
+)
+def test_verify_random_chains_and_kills_matches_model(
+    spark, keys, kill_bits, n_lists
+):
+    keys = sorted(keys)
+    chain = _py_chains(keys, n_lists)
+    killed = {k for i, k in enumerate(keys) if (kill_bits >> (i % 20)) & 1}
+    visible = {k: chain[k] for k in keys if k not in killed}
+    model = _py_verify(dict(visible))
+    if not visible:
+        return
+    df = spark.createDataFrame(
+        [(k, p) for k, p in visible.items()], "key long, prev long"
+    )
+    got = {r.key: r.status for r in itbll.verify_chains(df).collect()}
+    assert got == model
