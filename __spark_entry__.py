@@ -2192,6 +2192,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semdedup(embs, threshold=0.9)
 
 
+def q_semdedup_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the PINNED 20-vector corpus — the value-checked
+    twin of the rows-only semdedup: 8 seeded centroids, argmax-dot
+    assignment (larger-index tie-break), per-cluster (centroid-cosine
+    asc, id) ranking, upper-triangle cosine screen at 0.9 — the
+    period-9 duplicate structure plants exact drops, and the full
+    20-row (vec_id, cluster, cent_sim, kept) table is a literal oracle
+    derived by tools/pymodels.semdedup_model's exact float replay."""
+    embs = _pinned_embeddings(spark)
+    return dedup.semdedup(
+        embs, threshold=0.9, num_clusters=8, dim=16
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _load(spark, sf_dir, "embeddings")
     queries = embs.where(F.col("vec_id") < 5).select(
@@ -2216,6 +2230,48 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(embs, queries, k=10, dim=64)
+
+
+def _pinned_embeddings(spark: SparkSession, dim: int = 16) -> DataFrame:
+    """20 constant vectors with quarter-step components (exactly
+    representable in float32, so the float32->float64 journey is
+    lossless on both sides of the gate); i and i+9 coincide by the
+    period-9 formula, giving engineered exact-duplicate neighbors."""
+    rows = [
+        (i, [((i * 7 + j * 3) % 9 - 4) / 4.0 for j in range(dim)])
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def q_lsh_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN over PINNED embeddings — the value-checked
+    twin of the rows-only lsh_topk: constant 20-vector corpus (period-9
+    formula plants exact duplicates), the seeded planes/sign-buckets/
+    Hamming-1 probe/exact-cosine path replayed by
+    tools/pymodels.lsh_topk_model's machinery into an 11-row literal
+    oracle (6dp HALF_UP sims, sequential-fold float discipline)."""
+    embs = _pinned_embeddings(spark)
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(embs, queries, k=5, dim=16)
+
+
+def q_ivf_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN over the same PINNED embeddings (twin of the
+    rows-only ivf_topk): 8 seeded centroids, argmax-dot assignment with
+    larger-index tie-break, nprobe=3 routing, exact cosine in probed
+    lists — 15-row literal oracle from the exact pymodel replay."""
+    embs = _pinned_embeddings(spark)
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        embs, queries, k=5, dim=16, num_lists=8, nprobe=3
+    )
 
 
 def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3322,6 +3378,48 @@ def q_balancer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("s6").alias("server"),
     )
     return balance_cluster(assign)
+
+
+def q_quality_classifier_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier GD over a PINNED ten-doc corpus — the
+    value-checked twin of the rows-only quality_classifier: buckets=64,
+    3 full-batch iterations, en-vs-rest labels, one empty doc
+    exercising the sigmoid(bias) left-join-back path. The 10 scores are
+    constants derived by tools/pymodels.quality_classifier_model's
+    exact GD replay (both sides are float64 end-to-end; agg-order noise
+    is ~1e-15, six orders below the 6dp rounding boundary), stated
+    literally in the oracle."""
+    from hbase_1_3_0_spark.pipeline import classifier
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "a clean well written paragraph about query engines and"
+            " joins", "en"),
+        (3, "distributed systems shuffle data between executors"
+            " efficiently", "en"),
+        (4, "der schnelle braune fuchs springt ueber den faulen hund",
+         "de"),
+        (5, "le renard brun rapide saute par dessus le chien paresseux",
+         "fr"),
+        (6, "zzz qqq xxx kkk vvv www yyy jjj", None),
+        (7, "good prose reads naturally and carries meaning in every"
+            " clause", "en"),
+        (8, "buy cheap now click here win prize claim free offer", "es"),
+        (9, "spark plans scans with predicate pushdown and column"
+            " pruning", "en"),
+        (10, "", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.coalesce(F.col("lang"), F.lit("")) != "en")
+    w = classifier.train_quality_classifier(
+        pos, neg, buckets=64, iterations=3
+    )
+    return classifier.score_quality(docs, w, buckets=64).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 def q_region_chain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4475,7 +4573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stateful_ttl_event (driver-green four rounds r4-r7;
         #    streaming/state stays repped in-window by dedup_ingest +
         #    neardup_ingest) --
-        "quota_throttle": q_quota_throttle,
+        # -- r12: the pinned classifier-GD twin (ten docs, 3 full-batch
+        #    iterations, literal 10-score oracle incl. the empty-doc
+        #    sigmoid(bias) path) — rotated in over quota_throttle
+        #    (driver-green four rounds r8-r11; quotas stay repped
+        #    in-window by quota_settings) --
+        "quality_classifier_pinned": q_quality_classifier_pinned,
         # -- rotated in r04: rows-only-by-design ops (no oracle_sql; the
         #    driver records the weaker rows-only check for these) --
         "multimodal_features": q_multimodal_features,
@@ -4577,7 +4680,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    five rounds r3-r7; coprocessors stay repped in-window by
         #    access_check (AccessController IS a coprocessor) and
         #    multirow_mutation (MultiRowMutationEndpoint)) --
-        "balancer_plan": q_balancer_plan,
+        # -- r12: the pinned SemDeDup twin (20-vector corpus with
+        #    planted exact duplicates; full 20-row literal oracle) —
+        #    the trained-centroid rows-only path now has a DIRECT
+        #    driver hash check. Rotated in over balancer_plan
+        #    (driver-green four rounds r8-r11; master chores stay
+        #    repped in-window by region_splitter, retain_assignment,
+        #    cluster_status and canary) --
+        "semdedup_pinned": q_semdedup_pinned,
         # -- new in r06: the streaming-ingest dedup sink end-to-end --
         "dedup_ingest": q_dedup_ingest,
         # -- LLM training-data pipeline --
@@ -4603,7 +4713,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # double hashing), SimpleRegionNormalizer split/merge planning,
         # and DSIR importance resampling --
         "bloom_probe": q_bloom_probe,
-        "region_normalizer": q_region_normalizer,
+        # -- r12: the pinned hyperplane-LSH twin — the rows-only
+        #    lsh_topk's seeded plane/bucket/probe path driver-HASH-
+        #    checked over 20 constant vectors (11-row literal oracle).
+        #    Rotated in over region_normalizer (driver-green five
+        #    rounds r7-r11; master chores stay repped in-window by
+        #    balancer_plan, region_splitter, retain_assignment,
+        #    cluster_status and canary) --
+        "lsh_topk_pinned": q_lsh_topk_pinned,
         "dsir_sample": q_dsir_sample,
         # -- new late r07: fastText-style quality classifier (rows-only
         # + pure-Python trainer oracle) and hbck region-chain checks --
@@ -4613,7 +4730,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    which shares it): majority-vote signatures + band
         #    candidates + Hamming filter driver-HASH-checked --
         "simhash_pairs_pinned": q_simhash_pairs_pinned,
-        "region_chain_check": q_region_chain_check,
+        # -- r12: the pinned IVF twin (seeded centroids, argmax-dot
+        #    routing, nprobe=3; 15-row literal oracle) — rotated in
+        #    over region_chain_check (driver-green five rounds r7-r11;
+        #    same master-chore coverage note as lsh_topk_pinned) --
+        "ivf_topk_pinned": q_ivf_topk_pinned,
         # -- new late r07: training-shard manifest (the pipeline's
         # last mile; rotated in over pii_redact, green r3-r6, text
         # quality repped by gopher_quality/c4_clean/text_normalize)
@@ -4635,6 +4756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_desc": q_ordered_desc,
         "unimax_mix": q_unimax_mix,
         "c4_clean": q_c4_clean,
+        "region_normalizer": q_region_normalizer,
+        "region_chain_check": q_region_chain_check,
+        "balancer_plan": q_balancer_plan,
+        "quota_throttle": q_quota_throttle,
         "gopher_rep_islands": q_gopher_rep_islands,
         "substring_clean": q_substring_clean,
         "jpeg_probe": q_jpeg_probe,
@@ -6435,6 +6560,60 @@ def oracle_sql() -> dict[str, str]:
         "neardup_ingest_pinned": (
             "SELECT doc_id::BIGINT AS doc_id, 'base' AS source "
             "FROM (VALUES (1), (3), (5), (9), (12), (25)) AS t(doc_id)"
+        ),
+        # literal top-k tables for the pinned 20-vector corpus, derived
+        # by the exact sequential-fold cosine replays in tools/pymodels
+        "lsh_topk_pinned": (
+            "SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS "
+            "vec_id, sim::DOUBLE AS sim, rank::INTEGER AS rank "
+            "FROM (VALUES "
+            "(0, 9, 1.0, 1), (0, 18, 1.0, 2), (0, 4, 0.931944, 3), "
+            "(0, 13, 0.931944, 4), (0, 8, 0.722723, 5), "
+            "(1, 10, 1.0, 1), (1, 19, 1.0, 2), (1, 5, 0.931944, 3), "
+            "(1, 14, 0.931944, 4), (1, 6, 0.924146, 5), "
+            "(2, 11, 1.0, 1) "
+            ") AS t(query_id, vec_id, sim, rank)"
+        ),
+        "ivf_topk_pinned": (
+            "SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS "
+            "vec_id, sim::DOUBLE AS sim, rank::INTEGER AS rank "
+            "FROM (VALUES "
+            "(0, 9, 1.0, 1), (0, 18, 1.0, 2), (0, 4, 0.931944, 3), "
+            "(0, 13, 0.931944, 4), (0, 8, 0.722723, 5), "
+            "(1, 10, 1.0, 1), (1, 19, 1.0, 2), (1, 5, 0.931944, 3), "
+            "(1, 14, 0.931944, 4), (1, 6, 0.924146, 5), "
+            "(2, 11, 1.0, 1), (2, 7, 0.921443, 2), "
+            "(2, 16, 0.921443, 3), (2, 3, 0.698113, 4), "
+            "(2, 12, 0.698113, 5) "
+            ") AS t(query_id, vec_id, sim, rank)"
+        ),
+        # the full 20-row SemDeDup verdict table for the pinned corpus
+        # (exact sequential-fold float replay in tools/pymodels)
+        "semdedup_pinned": (
+            "SELECT vec_id::BIGINT AS vec_id, cluster::INTEGER AS "
+            "cluster, cent_sim::DOUBLE AS cent_sim, kept "
+            "FROM (VALUES "
+            "(0, 4, 0.362587, TRUE), (1, 5, 0.227631, TRUE), "
+            "(2, 2, 0.501748, TRUE), (3, 2, 0.660377, FALSE), "
+            "(4, 6, 0.441307, TRUE), (5, 5, 0.257121, FALSE), "
+            "(6, 3, 0.189453, TRUE), (7, 2, 0.630601, FALSE), "
+            "(8, 6, 0.530799, FALSE), (9, 4, 0.362587, FALSE), "
+            "(10, 5, 0.227631, FALSE), (11, 2, 0.501748, FALSE), "
+            "(12, 2, 0.660377, FALSE), (13, 6, 0.441307, FALSE), "
+            "(14, 5, 0.257121, FALSE), (15, 3, 0.189453, FALSE), "
+            "(16, 2, 0.630601, FALSE), (17, 6, 0.530799, FALSE), "
+            "(18, 4, 0.362587, FALSE), (19, 5, 0.227631, FALSE) "
+            ") AS t(vec_id, cluster, cent_sim, kept)"
+        ),
+        # the 10 pinned-corpus classifier scores (exact GD replay)
+        "quality_classifier_pinned": (
+            "SELECT doc_id::BIGINT AS doc_id, score::DOUBLE AS score "
+            "FROM (VALUES "
+            "(1, 0.555207), (2, 0.554727), (3, 0.557326), "
+            "(4, 0.540451), (5, 0.544252), (6, 0.541586), "
+            "(7, 0.554801), (8, 0.541491), (9, 0.554778), "
+            "(10, 0.547583) "
+            ") AS t(doc_id, score)"
         ),
         "cluster_balanced_sample": (
             # deterministic centroids = the 8 smallest vec_ids; argmax
