@@ -523,8 +523,13 @@ def main() -> None:
     # check (b-calibrate always kept as the noise meter); unset = the
     # full driver contract.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
+    if only is not None:
         keep = {w.strip() for w in only.split(",") if w.strip()}
+        if not keep:
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_ONLY is set but names no workloads "
+                "(empty/whitespace value); unset it for the full contract"
+            )
         known = {n for n, _ in workloads}
         unknown = sorted(keep - known)
         if unknown:

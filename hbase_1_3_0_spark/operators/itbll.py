@@ -35,7 +35,7 @@ side is small after kills.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 REFERENCED = "REFERENCED"

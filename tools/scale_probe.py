@@ -96,8 +96,12 @@ def _join_flags(plan: str) -> dict:
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         # the multi-version read-view claim (r11 lag+dense_rank branch):
-        # ONE exchange + ONE sort regardless of scale
-        "exchanges": plan.count("Exchange"),
+        # ONE shuffle exchange + ONE sort regardless of scale. Count
+        # shuffle and broadcast exchanges SEPARATELY — plan.count(
+        # "Exchange") also matched BroadcastExchange, so an unrelated
+        # broadcast perturbed the one-exchange invariant (ADVICE r12).
+        "exchanges": plan.count("Exchange") - plan.count("BroadcastExchange"),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
         "sorts": plan.count("Sort ["),  # SortExec prints "Sort [order..."
     }
 
