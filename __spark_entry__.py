@@ -1233,6 +1233,65 @@ def q_random_row_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regex_engines_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexStringComparator JAVA vs JONI over a PINNED 10-string corpus.
+
+    The reference ships two engines (RegexStringComparator.java:85-89);
+    BOTH parse Java regex syntax (the joni Regex is built with
+    Syntax.Java, :338). The emulated observable deltas: the JONI flag
+    mask keeps only CASE_INSENSITIVE/DOTALL/MULTILINE (:380-396) so
+    LITERAL and COMMENTS silently drop; oniguruma's newline model is
+    '\\n' only (compiled as UNIX_LINES); joni IGNORECASE over UTF-8 is
+    Unicode case folding (compiled as (?iu)). Twelve cases run the real
+    ValueFilter compile path through Table.scan; the oracle states the
+    matching (case, key) pairs literally — each derived by hand from
+    the java.util.regex / oniguruma semantics and pinned in
+    tests/test_regex_engines.py."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    vals = [
+        (1, "a\nb"), (2, "a\rb"), (3, "x\ry\nfox"), (4, "The QUICK fox"),
+        (5, "ΑΣ"), (6, "abc"), (7, "xa.cy"), (8, "fox"), (9, "f o x"),
+        (10, "a\\Eb"),
+    ]
+    base = spark.createDataFrame(vals, "k_id int, val string")
+    t = Table(
+        TableMeta(name="regex_engines_pinned", clean_log=True),
+        table_to_cells(base, ["k_id"], ["val"], ts=1_000_000),
+        now_ms=NOW_MS,
+    )
+    ci, dot = fast.PATTERN_CASE_INSENSITIVE, fast.PATTERN_DOTALL
+    ml, lit, cx = (
+        fast.PATTERN_MULTILINE, fast.PATTERN_LITERAL, fast.PATTERN_COMMENTS,
+    )
+    cases = [
+        ("c01_dotall_java", "a.b", dot, "JAVA"),
+        ("c02_nodotall_java", "a.b", 0, "JAVA"),
+        ("c03_nodotall_joni", "a.b", 0, "JONI"),
+        ("c04_multiline_java", "^y$", ml, "JAVA"),
+        ("c05_multiline_joni", "^y$", ml, "JONI"),
+        ("c06_ci_java", "quick", ci, "JAVA"),
+        ("c07_ci_sigma_java", "σ", ci, "JAVA"),
+        ("c08_ci_sigma_joni", "σ", ci, "JONI"),
+        ("c09_literal_java", "a.c", lit | dot, "JAVA"),
+        ("c10_literal_joni", "a.c", lit | dot, "JONI"),
+        ("c11_comments_java", "f o x", cx | dot, "JAVA"),
+        ("c12_comments_joni", "f o x", cx | dot, "JONI"),
+    ]
+    out = None
+    for cid, pat, fl, eng in cases:
+        f = fast.ValueFilter(
+            fast.CompareOp.EQUAL,
+            fast.RegexStringComparator(pat, flags=fl, engine=eng),
+        )
+        part = t.scan(filter=f).select(
+            F.lit(cid).alias("case_id"),
+            codecs.decode_key_num(F.col("row")).alias("k_id"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 def q_get_column_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Get + ColumnCountGetFilter: first n columns of one row."""
     t = _table(spark, sf_dir, "customer")
@@ -4533,6 +4592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    Rotated in over ordered_numeric (driver-green five rounds
         #    r7-r11; codecs stay repped in-window by ordered_float) --
         "random_row_pinned": q_random_row_pinned,
+        # -- r13: the JONI engine row closed — JAVA-vs-JONI pinned
+        #    battery (flag mask, newline model, Unicode folding) --
+        "regex_engines_pinned": q_regex_engines_pinned,
         # -- rotated in late r06: the round's last three new queries
         #    (token-budget greedy fill, NFC normalization+scrub — both
         #    DuckDB-oracled; neardup_ingest = the streaming MinHash
@@ -6530,6 +6592,20 @@ def oracle_sql() -> dict[str, str]:
         # the 20 keys of the pinned 60-key table that survive the
         # seeded RandomRowFilter gate (two-arg xxhash64 chain, derived
         # by tools/pymodels.random_row_model's exact mirror)
+        # RegexStringComparator JAVA-vs-JONI engine battery: the matching
+        # (case, key) pairs derived by hand from java.util.regex /
+        # oniguruma semantics (pinned in tests/test_regex_engines.py)
+        "regex_engines_pinned": (
+            "SELECT case_id, k_id::BIGINT AS k_id FROM (VALUES "
+            "('c01_dotall_java', 1), ('c01_dotall_java', 2), "
+            "('c03_nodotall_joni', 2), ('c04_multiline_java', 3), "
+            "('c06_ci_java', 4), ('c08_ci_sigma_joni', 5), "
+            "('c09_literal_java', 7), ('c10_literal_joni', 6), "
+            "('c10_literal_joni', 7), ('c11_comments_java', 3), "
+            "('c11_comments_java', 4), ('c11_comments_java', 8), "
+            "('c12_comments_joni', 9)"
+            ") AS t(case_id, k_id)"
+        ),
         "random_row_pinned": (
             "SELECT k_id::BIGINT AS k_id, val::BIGINT AS val "
             "FROM (VALUES (1, 10), (4, 40), (5, 50), (12, 120), (13, 130), (16, 160), (21, 210), (23, 230), (30, 300), (32, 320), (34, 340), (36, 360), (40, 400), (41, 410), (43, 430), (44, 440), (50, 500), (53, 530), (55, 550), (57, 570)"

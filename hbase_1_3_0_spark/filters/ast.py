@@ -121,14 +121,47 @@ class NullComparator(Comparator):
     """EQUAL <=> value is absent (NullComparator.java:35)."""
 
 
+# java.util.regex.Pattern flag bits (the public Pattern constants) — the
+# reference's RegexStringComparator constructors take this bit mask
+# verbatim (RegexStringComparator.java:113-137) and the no-flags
+# constructor defaults to DOTALL (:97-99).
+PATTERN_UNIX_LINES = 0x01
+PATTERN_CASE_INSENSITIVE = 0x02
+PATTERN_COMMENTS = 0x04
+PATTERN_MULTILINE = 0x08
+PATTERN_LITERAL = 0x10
+PATTERN_DOTALL = 0x20
+PATTERN_UNICODE_CASE = 0x40
+PATTERN_CANON_EQ = 0x80
+PATTERN_UNICODE_CHARACTER_CLASS = 0x100
+
+
 @dataclass(frozen=True)
 class RegexStringComparator(Comparator):
-    """Regex over the UTF-8 decoding (RegexStringComparator.java:76).
-    Compiles to Spark ``rlike`` — java.util.regex, the reference's
-    DEFAULT engine (EngineType.JAVA, :82-87); the optional JONI engine
-    (Ruby-flavor syntax) is not emulated."""
+    """Regex find() over the decoded value (RegexStringComparator.java:76).
+
+    Both reference engines parse *Java* regex syntax — the JONI engine is
+    constructed with ``Syntax.Java`` (RegexStringComparator.java:338), NOT
+    Ruby syntax — so both compile to Spark ``rlike`` (java.util.regex on
+    the JVM). The observable engine deltas ARE emulated:
+
+    * ``flags``: JAVA honors the full Pattern mask; JONI keeps only
+      CASE_INSENSITIVE / DOTALL / MULTILINE and silently drops the rest
+      (patternToJoniFlags, RegexStringComparator.java:380-396) — so e.g.
+      LITERAL or COMMENTS under JONI changes match results.
+    * ``charset``: JAVA = any JVM charset (Charset.forName, :296), JONI =
+      jcodings EncodingDB lookup (:417-424). This engine implements the
+      two the reference javadoc names (UTF-8 default, ISO-8859-1 for
+      arbitrary bytes, :143-145) and rejects others explicitly.
+    * JONI lacks the JVM-runtime property classes ``\\p{javaXxx}``
+      (java.util.regex-only extension); compiling one under JONI raises.
+
+    Default flags = DOTALL, matching the reference's 1-arg constructor."""
 
     pattern: str
+    flags: int = PATTERN_DOTALL
+    engine: str = "JAVA"  # JAVA | JONI (EngineType, :85-89)
+    charset: str = "UTF-8"
 
 
 @dataclass(frozen=True)

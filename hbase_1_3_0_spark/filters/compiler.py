@@ -81,6 +81,97 @@ def _ordered(op: str, left: Column, right: Column) -> Column:
     raise ValueError(f"unknown CompareOp: {op}")
 
 
+# RegexStringComparator engines. Both reference engines parse Java regex
+# syntax (the JONI Regex is built with Syntax.Java —
+# RegexStringComparator.java:338), so both compile to rlike; the engine
+# differences are the flag mask, the charset table, and JVM-runtime
+# property classes (see ast.RegexStringComparator docstring).
+
+# patternToJoniFlags keeps exactly these three bits
+# (RegexStringComparator.java:380-396); everything else silently drops.
+_JONI_FLAG_MASK = (
+    ast.PATTERN_CASE_INSENSITIVE | ast.PATTERN_DOTALL | ast.PATTERN_MULTILINE
+)
+
+# Pattern flag bit -> java.util.regex embedded flag letter (?idxmsuU)
+_EMBEDDED_FLAGS = (
+    (ast.PATTERN_UNIX_LINES, "d"),
+    (ast.PATTERN_CASE_INSENSITIVE, "i"),
+    (ast.PATTERN_COMMENTS, "x"),
+    (ast.PATTERN_MULTILINE, "m"),
+    (ast.PATTERN_DOTALL, "s"),
+    (ast.PATTERN_UNICODE_CASE, "u"),
+    (ast.PATTERN_UNICODE_CHARACTER_CLASS, "U"),
+)
+
+# The two charsets this engine decodes (the ones the reference javadoc
+# names: UTF-8 default, ISO-8859-1 recommended for arbitrary-byte keys —
+# RegexStringComparator.java:143-145). Both exist in the JVM Charset
+# table (JAVA engine) and in jcodings EncodingDB (JONI engine).
+_REGEX_CHARSETS = ("UTF-8", "ISO-8859-1")
+
+
+def compile_regex_pattern(cmp: ast.RegexStringComparator) -> str:
+    """Resolve (pattern, flags, engine) to ONE java.util.regex pattern
+    string with embedded flag groups, suitable for ``rlike``.
+
+    Raises NotImplementedError for the constructs that cannot be
+    expressed (CANON_EQ under JAVA; ``\\p{javaXxx}`` under JONI —
+    joni has no JVM character-type tables)."""
+    engine = cmp.engine.upper()
+    if engine not in ("JAVA", "JONI"):
+        raise ValueError(f"unknown regex engine: {cmp.engine!r} (JAVA|JONI)")
+    pattern, flags = cmp.pattern, cmp.flags
+    if engine == "JONI":
+        flags &= _JONI_FLAG_MASK
+        # oniguruma's newline model is '\n' only (both for '.' exclusion
+        # and for MULTILINE ^/$ anchoring), vs java.util.regex's
+        # \n/\r/\r\n/NEL/LS/PS set — Java's UNIX_LINES flag IS that
+        # model, so JONI always compiles with it.
+        flags |= ast.PATTERN_UNIX_LINES
+        # joni IGNORECASE over UTF8Encoding applies Unicode case folding
+        # (the Ruby model), where bare java (?i) folds ASCII only — so
+        # JONI case-insensitivity compiles to (?iu).
+        if flags & ast.PATTERN_CASE_INSENSITIVE:
+            flags |= ast.PATTERN_UNICODE_CASE
+        for probe in ("\\p{java", "\\P{java"):
+            if probe in pattern:
+                raise NotImplementedError(
+                    f"JONI engine: {probe}...}} JVM-runtime property classes "
+                    "are a java.util.regex extension joni does not implement"
+                )
+    else:
+        if flags & ast.PATTERN_CANON_EQ:
+            raise NotImplementedError(
+                "Pattern.CANON_EQ has no embedded-flag/rlike analog"
+            )
+    if flags & ast.PATTERN_LITERAL:
+        # Pattern.LITERAL: the whole expression is a literal and only
+        # CASE_INSENSITIVE / UNICODE_CASE remain meaningful (Pattern
+        # javadoc). Quote via \Q...\E, splitting any embedded \E.
+        pattern = "\\Q" + pattern.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        flags &= ast.PATTERN_CASE_INSENSITIVE | ast.PATTERN_UNICODE_CASE
+    letters = "".join(ch for bit, ch in _EMBEDDED_FLAGS if flags & bit)
+    return f"(?{letters}){pattern}" if letters else pattern
+
+
+def _decode_for_regex(col: Column, cmp: ast.RegexStringComparator) -> Column:
+    """Binary -> string under the comparator's charset (setCharset,
+    RegexStringComparator.java:147-149). UTF-8 uses the lenient cast
+    (``new String(bytes)`` never throws); ISO-8859-1 is total by
+    construction. Unknown names fail like the reference's
+    Charset.forName / jcodings EncodingDB lookup."""
+    name = cmp.charset.upper()
+    if name == "UTF-8":
+        return codecs.decode_string(col)
+    if name == "ISO-8859-1":
+        return F.decode(col, "ISO-8859-1")
+    raise NotImplementedError(
+        f"charset {cmp.charset!r}: this engine decodes {_REGEX_CHARSETS} "
+        "(the charsets the reference javadoc names)"
+    )
+
+
 def compile_compare(col: Column, op: str, cmp: ast.Comparator) -> Column:
     """Apply (op, comparator) to a BinaryType column — the CompareFilter core."""
     if isinstance(cmp, ast.BinaryComparator):
@@ -101,7 +192,7 @@ def compile_compare(col: Column, op: str, cmp: ast.Comparator) -> Column:
             return col.isNotNull()
         return F.lit(False)
     if isinstance(cmp, ast.RegexStringComparator):
-        m = codecs.decode_string(col).rlike(cmp.pattern)
+        m = _decode_for_regex(col, cmp).rlike(compile_regex_pattern(cmp))
         if op == ast.CompareOp.EQUAL:
             return m
         if op == ast.CompareOp.NOT_EQUAL:
