@@ -491,11 +491,17 @@ def q_linked_list_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each wrap's first node, a phase-2 re-put closes the circle
     (persist :481), so the read view must pick the newer version.
     Mutate: DeleteFamily tombstones kill key % 97 == 0 nodes — their
-    references become dangling. Verify: one reference aggregation + one
-    full-outer self-join classifies every key (VerifyReducer
-    :1121-1196): alive-and-pointed-to -> REFERENCED; alive but its
-    referencer was killed -> UNREFERENCED; killed but still pointed to
-    -> UNDEFINED (the data-loss signal the harness exists to catch)."""
+    references become dangling — and a CORRUPTION pass re-puts the prev
+    of key % 100 == 7 nodes to their century's x01 key, bending several
+    pointers onto already-referenced targets. Verify: one reference
+    aggregation + one full-outer self-join classifies every key
+    (VerifyReducer :1121-1196): alive-and-pointed-to -> REFERENCED;
+    alive but its referencer was killed -> UNREFERENCED; killed but
+    still pointed to -> UNDEFINED (the data-loss signal the harness
+    exists to catch). The emitted nrefs column value-checks the fourth
+    counter's input — references beyond the first on a defined node are
+    EXTRAREFERENCES (Counts :1045, reducer :1184-1191) — which the
+    corruption drives above 1 on the bent-onto targets."""
     cust = _load(spark, sf_dir, "customer").select("c_custkey")
     chain = itbll.generate_chains(cust, "c_custkey", n_lists=25)
     # the first node of a list is the only one whose prev (the list max)
@@ -516,6 +522,14 @@ def q_linked_list_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = Table(TableMeta(name="itbll_nodes"), _empty_cells(spark), now_ms=NOW_MS)
     t = t.put(p1).put(p2)
+    # corruption pass: bend key % 100 == 7 pointers onto the century's
+    # x01 key (newest version wins; killed corrupted nodes stay killed —
+    # the DeleteFamily ts 3M shadows this 2.5M re-put)
+    corrupt = chain.where(F.col("key") % 100 == 7).select(
+        "key",
+        (F.col("key") - F.col("key") % 100 + 1).alias("prev"),
+    )
+    t = t.put(table_to_cells(corrupt, ["key"], ["prev"], ts=2_500_000, seq=2))
     kills = chain.where(F.col("key") % 97 == 0).select(
         F.lit("delete_family").alias("op"),
         _key_col(F.col("key")).alias("row"),
@@ -533,7 +547,9 @@ def q_linked_list_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev", F.when(F.col("prev") >= 0, F.col("prev")),
     )
     verdicts = itbll.verify_chains(nodes)
-    return verdicts.select(F.col("key").alias("c_custkey"), "status")
+    return verdicts.select(
+        F.col("key").alias("c_custkey"), "status", "nrefs"
+    )
 
 
 def q_versions_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5507,7 +5523,12 @@ def oracle_sql() -> dict[str, str]:
             "           max(c_custkey) OVER (PARTITION BY c_custkey % 25)"
             "         ) AS prev"
             "  FROM customer),"
-            "visible AS (SELECT * FROM chain WHERE key % 97 <> 0),"
+            # the corruption re-put (ts 2.5M) is the newest visible
+            # version for surviving key%100==7 nodes
+            "cor AS (SELECT key, CASE WHEN key % 100 = 7"
+            "          THEN key - (key % 100) + 1 ELSE prev END AS prev"
+            "        FROM chain),"
+            "visible AS (SELECT * FROM cor WHERE key % 97 <> 0),"
             "refs AS (SELECT prev AS key, count(*) AS nrefs"
             "         FROM visible GROUP BY prev),"
             "defs AS (SELECT key FROM visible) "
@@ -5515,7 +5536,8 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d.key IS NOT NULL AND coalesce(r.nrefs, 0) > 0"
             "         THEN 'REFERENCED'"
             "       WHEN d.key IS NOT NULL THEN 'UNREFERENCED'"
-            "       ELSE 'UNDEFINED' END AS status "
+            "       ELSE 'UNDEFINED' END AS status,"
+            "  coalesce(r.nrefs, 0)::BIGINT AS nrefs "
             "FROM defs d FULL OUTER JOIN refs r ON d.key = r.key"
         ),
         "versions_latest": (
