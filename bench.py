@@ -124,10 +124,26 @@ def main() -> None:
     # b-scan-full: full scan + read view over lineitem-kv (PE scan)
     run("b-scan-full", lambda: _sink(li.scan()))
 
-    # b-scan-range: row-key range covering ~1000 orders (PE scanRange1000)
+    # b-scan-range*: the PE random-range-scan family at its four widths
+    # (RandomScanWithRange{10,100,1000,10000}Test,
+    # PerformanceEvaluation.java:1264-1297) — fixed-overhead-vs-width
+    # curve for pruned range scans; b-scan-range keeps the historical
+    # name for the 1000-row width.
+    run(
+        "b-scan-range10",
+        lambda: _sink(od.scan(start_row=_k(10000), stop_row=_k(10010))),
+    )
+    run(
+        "b-scan-range100",
+        lambda: _sink(od.scan(start_row=_k(20000), stop_row=_k(20100))),
+    )
     run(
         "b-scan-range",
         lambda: _sink(od.scan(start_row=_k(10000), stop_row=_k(11000))),
+    )
+    run(
+        "b-scan-range10000",
+        lambda: _sink(od.scan(start_row=_k(30000), stop_row=_k(40000))),
     )
 
     # b-get-point: 1000 point gets as one semi-join batch (PE randomRead)
@@ -211,6 +227,31 @@ def main() -> None:
         _sink(new_table.cells)
 
     run("b-cas", bench_cas)
+
+    # b-cas-delete: checkAndDelete analog (CheckAndDeleteTest,
+    # PerformanceEvaluation.java:1527) — same CAS predicate, passing
+    # rows get a column tombstone instead of a put; distinct from b-cas
+    # because the delete path writes tombstones the read view must mask
+    def bench_cas_delete():
+        muts = orders.select(
+            F.encode(
+                F.lpad(F.col("o_orderkey").cast("string"), 19, "0"), "UTF-8"
+            ).alias("row"),
+            F.lit("delete_column").alias("op"),
+            F.lit("d").alias("family"),
+            F.encode(F.lit("o_comment"), "UTF-8").alias("qualifier"),
+            F.lit(None).cast("long").alias("ts"),
+            F.lit(None).cast("binary").alias("value"),
+            F.lit("d").alias("check_family"),
+            F.encode(F.lit("o_orderstatus"), "UTF-8").alias("check_qualifier"),
+            F.lit("EQUAL").alias("check_op"),
+            F.encode(F.lit("F"), "UTF-8").alias("check_value"),
+            F.lit(0).cast("long").alias("batch_seq"),
+        )
+        new_table, _ = od.check_and_mutate(muts)
+        _sink(new_table.scan(columns=(("d", b"o_comment"),)))
+
+    run("b-cas-delete", bench_cas_delete)
 
     # b-rmw: batched increments on events counters (PE increment)
     def bench_rmw():

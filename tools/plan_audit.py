@@ -80,6 +80,24 @@ RED_FLAGS = {
     "Exchange rangepartitioning": "global sort shuffle",
 }
 
+# side-effect-only guard expressions that MUST survive into the executed
+# plan: Catalyst's equal-branch simplification silently deleted the
+# increment width guard once (r12 lesson, mutations.py:131-150), so every
+# guard is asserted present in the plan text, not just in the source.
+# query -> (plan token, what the guard enforces)
+# NOTE the token is raise_error, not assert_true: AssertTrue is
+# RuntimeReplaceable and the analyzer rewrites it to
+# if(cond, null, raise_error(msg)) before optimization — raise_error is
+# what a surviving guard looks like in plan text (probed r13: the
+# executed plan contains raise_error and a 3-byte value raises
+# "Field is not a long, it's 3 bytes wide").
+GUARDS = {
+    "increment": (
+        "raise_error",
+        "be8 width guard — 'Field is not a long' (HRegion.java:7920)",
+    ),
+}
+
 # intentional plan shapes, reviewed and documented at the operator:
 # pattern -> (query, why it is the plan you'd want)
 WAIVERS = {
@@ -192,11 +210,21 @@ def main() -> int:
         # ("*(N) Op" markers); the formatted tree hides them
         exec_str = df._jdf.queryExecution().executedPlan().toString()
         hits = [label for pat, label in RED_FLAGS.items() if pat in plan]
+        if name in GUARDS:
+            token, what = GUARDS[name]
+            if token not in plan and token not in exec_str:
+                hits.append(f"guard folded away: {token} ({what})")
+            else:
+                status_note = f"guard `{token}` survives ({what})"
+        else:
+            status_note = None
         waived = [h for h in hits if (name, h) in WAIVERS]
         hits = [h for h in hits if (name, h) not in WAIVERS]
         n_exchanges = len(re.findall(r"Exchange ", tree))
         codegen_spans = len(set(re.findall(r"\*\((\d+)\)", exec_str)))
         status = "FLAGS: " + ", ".join(hits) if hits else "clean"
+        if status_note and not hits:
+            status += f"; {status_note}"
         if waived:
             status += " (waived: " + "; ".join(
                 f"{h} — {WAIVERS[(name, h)]}" for h in waived
