@@ -4540,11 +4540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (py-model rows-only r6-r9; BPE repped by bpe_train).
     """
     return {
-        # -- client read/write representatives; r08 rotates in the
-        #    ScanMetrics contract over scan_range (green r6+r7; the
-        #    range+filter machinery stays exercised by scan_metrics
-        #    itself plus scan_batched/filter_scvf) --
-        "scan_metrics": q_scan_metrics,
+        # -- client read/write representatives --
         "filter_scvf": q_filter_scvf,
         # -- new in r05: Arrow IPC corpus source --
         # -- r08: retainAssignment bulk placement (the AssignmentManager
@@ -4822,6 +4818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "canary": q_canary,
         # ---- end of driver-checked window (50) ----
+        # rotated out r13 for regex_engines_pinned: scan_metrics green
+        # r8-r12, the scan surface stays repped by filter_page_reverse/
+        # filter_scvf/scan_batched history
+        "scan_metrics": q_scan_metrics,
         # rotated out r12 for filter_skip_scvf / linked_list_verify /
         # pack_bins_pinned / bpe_train_pinned / winnow_robust_pinned /
         # minhash_pairs_pinned / simhash_pairs_pinned (see the
