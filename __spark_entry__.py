@@ -387,6 +387,39 @@ def q_filter_scvf_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wide(t.scan(filter=dsl), CUSTOMER_COLS)
 
 
+def q_filter_mixed_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED MUST_PASS_ONE: SCVF OR a cell-level ValueFilter — the
+    engine's documented intuitive composition (compiler.py compile_filter
+    docstring: cell kept iff SCVF row verdict OR cell predicate; the
+    reference's own protocol degenerates to keep-everything here —
+    decision table pinned in tests/test_mixed_or_battery.py). Scan is
+    restricted to three string columns so the value rendering is
+    engine-portable; output is the kept (row, qualifier, value) cell
+    multiset."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    filt = fast.FilterList("MUST_PASS_ONE", [
+        fast.SingleColumnValueFilter(
+            "d", b"c_mktsegment", fast.CompareOp.EQUAL,
+            fast.BinaryComparator(b"BUILDING"),
+            filter_if_missing=True, latest_version_only=True,
+        ),
+        fast.ValueFilter(
+            fast.CompareOp.EQUAL, fast.SubstringComparator("66")
+        ),
+    ])
+    cells = t.scan(
+        columns=(("d", b"c_name"), ("d", b"c_mktsegment")),
+        filter=filt,
+    )
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.decode(F.col("value"), "UTF-8").alias("val"),
+    )
+
+
 def q_filter_skip_scvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip(SCVF filterIfMissing=true) — the r12 divergence fix.
 
@@ -4543,11 +4576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- client read/write representatives --
         "filter_scvf": q_filter_scvf,
         # -- new in r05: Arrow IPC corpus source --
-        # -- r08: retainAssignment bulk placement (the AssignmentManager
-        #    trio; full decision table + md5-pick replay) — rotated in
-        #    over arrow_roundtrip (driver-green r5-r7; sources stay
-        #    repped in-window by csv_roundtrip) --
-        "retain_assignment": q_retain_assignment,
         # -- new in r06: CSV source roundtrip (quoted/multiline) --
         "csv_roundtrip": q_csv_roundtrip,
         # -- read-view semantics --
@@ -4642,6 +4670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stays repped in-window by dedup_ingest, semdedup and
         #    substring_dedup) --
         "filter_skip_scvf": q_filter_skip_scvf,
+        # -- r13: MIXED MUST_PASS_ONE (SCVF OR cell-level ValueFilter) —
+        #    the engine's documented composition gets its own
+        #    driver-value check; the reference-protocol divergence is
+        #    fenced by tests/test_mixed_or_battery.py. Rotated in over
+        #    retain_assignment (driver-green r8-r12; placement stays
+        #    repped in-window by balancer_plan/cluster_status) --
+        "filter_mixed_or": q_filter_mixed_or,
         # -- r08: RPC quota admission (RateLimiter/fixed-interval
         #    throttle, aligned-epoch batch form) — rotated in over
         #    stateful_ttl_event (driver-green four rounds r4-r7;
@@ -4822,6 +4857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-r12, the scan surface stays repped by filter_page_reverse/
         # filter_scvf/scan_batched history
         "scan_metrics": q_scan_metrics,
+        # rotated out r13 for filter_mixed_or: retain_assignment green
+        # r8-r12 (AssignmentManager trio; placement repped in-window by
+        # balancer_plan/cluster_status)
+        "retain_assignment": q_retain_assignment,
         # rotated out r12 for filter_skip_scvf / linked_list_verify /
         # pack_bins_pinned / bpe_train_pinned / winnow_robust_pinned /
         # minhash_pairs_pinned / simhash_pairs_pinned (see the
@@ -5507,6 +5546,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END "
             "AS c_mktsegment FROM customer "
             "WHERE c_custkey % 10 = 0 OR c_mktsegment = 'BUILDING'"
+        ),
+        # mixed OR: cell kept iff SCVF row verdict (mktsegment=BUILDING,
+        # fim=true) OR the cell's value contains '66' (case-insensitive
+        # SubstringComparator)
+        "filter_mixed_or": (
+            "SELECT c_custkey, q AS qualifier, v AS val FROM ("
+            " SELECT c_custkey, 'c_name' AS q, c_name AS v, c_mktsegment"
+            "   FROM customer"
+            " UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment,"
+            "   c_mktsegment FROM customer) "
+            "WHERE c_mktsegment = 'BUILDING' OR contains(lower(v), '66')"
         ),
         "page_filter": (
             f"SELECT {cust_cols} FROM customer ORDER BY c_custkey LIMIT 50"
