@@ -420,6 +420,45 @@ def q_filter_mixed_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_while_midrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WhileMatch(ValueFilter) failing MID-ROW — the r13 protocol fix,
+    exercising BOTH new semantics at once:
+
+    * the passing KV prefix of the first failing row survives
+      (WhileMatchFilter.java:110-114 sets filterAllRemaining on the first
+      non-INCLUDE code; ScanQueryMatcher.java:283-286 DONE_SCANs at the
+      NEXT cell; StoreScanner.java:608-610 keeps the partial list, which
+      FilterWrapper.java:157-172 emits through filterRow()==false) —
+      previously the engine dropped the whole failing row;
+    * ValueFilter(LESS, SubstringComparator) includes iff the substring
+      is NOT contained (CompareFilter.doCompare over the {0,1}-valued
+      compareTo: LESS filters iff r<=0, i.e. iff it matches —
+      CompareFilter.java:100-123 + SubstringComparator.java:65-67) —
+      previously the order ops compiled to constant-exclude.
+
+    Both found by the reference protocol walker
+    (tests/test_filter_protocol_property.py). The scan selects the two
+    string columns; per row the KV order is c_mktsegment < c_name, and
+    the scan stops at the first c_name CONTAINING '77' (custkey 77's
+    zero-padded 'Customer#000000077') — mid-row, AFTER that row's
+    c_mktsegment was already included."""
+    from hbase_1_3_0_spark.filters import ast as fast
+
+    t = _table(spark, sf_dir, "customer")
+    filt = fast.WhileMatchFilter(fast.ValueFilter(
+        fast.CompareOp.LESS, fast.SubstringComparator("77")
+    ))
+    cells = t.scan(
+        columns=(("d", b"c_mktsegment"), ("d", b"c_name")),
+        filter=filt,
+    )
+    return cells.select(
+        codecs.decode_key_num(F.col("row")).alias("c_custkey"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.decode(F.col("value"), "UTF-8").alias("val"),
+    )
+
+
 def q_filter_skip_scvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip(SCVF filterIfMissing=true) — the r12 divergence fix.
 
@@ -4600,11 +4639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replication_scope": q_replication_scope,
         "cluster_status": q_cluster_status,
         # -- new in r05: modified-KN trigram --
-        # -- r08: raw-IEEE OrderedBytes float32/64 (the last §1.3 codec
-        #    gap; JVM reflect() bit casts, byte vectors pinned in
-        #    pytest) — rotated in over lm_trigram_mkn (driver-green
-        #    r5-r7; LMs stay repped in-window by perplexity_buckets) --
-        "ordered_float": q_ordered_float,
+        # -- r13: WhileMatch mid-row passing-prefix + the {0,1}-comparator
+        #    order-op table — both protocol fixes found by the reference
+        #    walker (tests/test_filter_protocol_property.py), rotated in
+        #    over ordered_float (driver-green r8-r12; OrderedBytes stays
+        #    repped in-window by ordered-key row encodings everywhere) --
+        "filter_while_midrow": q_filter_while_midrow,
         # -- r08: RegionSplitter pre-split boundary algebra (VERDICT r07
         #    gap #1), the MultiRowMutationEndpoint atomic multi-row
         #    group analog (gap #2), and Export-with-filter (gap #3) —
@@ -4857,6 +4897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-r12, the scan surface stays repped by filter_page_reverse/
         # filter_scvf/scan_batched history
         "scan_metrics": q_scan_metrics,
+        # rotated out r13 for filter_while_midrow: ordered_float green
+        # r8-r12 (raw-IEEE OrderedBytes floats; §1.3 codecs stay repped
+        # by the ordered-key row encodings in every query)
+        "ordered_float": q_ordered_float,
         # rotated out r13 for filter_mixed_or: retain_assignment green
         # r8-r12 (AssignmentManager trio; placement repped in-window by
         # balancer_plan/cluster_status)
@@ -5557,6 +5601,25 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment,"
             "   c_mktsegment FROM customer) "
             "WHERE c_mktsegment = 'BUILDING' OR contains(lower(v), '66')"
+        ),
+        "filter_while_midrow": (
+            # WhileMatch stops at the first cell (KV order: custkey asc,
+            # qualifier asc — c_mktsegment sorts before c_name) whose
+            # value CONTAINS '77' (LESS over the {0,1} substring
+            # compareTo filters iff r<=0 == match); the already-included
+            # prefix BEFORE that cell survives
+            "WITH cells AS ("
+            " SELECT c_custkey AS k, 'c_mktsegment' AS q, c_mktsegment AS v"
+            "   FROM customer"
+            " UNION ALL SELECT c_custkey, 'c_name', c_name"
+            "   FROM customer),"
+            "fail AS ("
+            " SELECT k AS fk, q AS fq FROM cells"
+            " WHERE contains(lower(v), '77')"
+            " ORDER BY k, q LIMIT 1) "
+            "SELECT k::BIGINT AS c_custkey, q AS qualifier, v AS val "
+            "FROM cells LEFT JOIN fail ON TRUE "
+            "WHERE fk IS NULL OR k < fk OR (k = fk AND q < fq)"
         ),
         "page_filter": (
             f"SELECT {cust_cols} FROM customer ORDER BY c_custkey LIMIT 50"

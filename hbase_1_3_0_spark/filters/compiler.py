@@ -28,6 +28,7 @@ that Catalyst turns into partition/row-group pruning (the seek-hint analog).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from dataclasses import replace as dc_replace
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -186,25 +187,13 @@ def compile_compare(col: Column, op: str, cmp: ast.Comparator) -> Column:
             decoded = codecs.decode_value(col, "bigint")
         return _ordered(op, decoded, F.lit(cmp.value))
     if isinstance(cmp, ast.NullComparator):
-        if op == ast.CompareOp.EQUAL:
-            return col.isNull()
-        if op == ast.CompareOp.NOT_EQUAL:
-            return col.isNotNull()
-        return F.lit(False)
+        return _match_op(op, col.isNull())
     if isinstance(cmp, ast.RegexStringComparator):
         m = _decode_for_regex(col, cmp).rlike(compile_regex_pattern(cmp))
-        if op == ast.CompareOp.EQUAL:
-            return m
-        if op == ast.CompareOp.NOT_EQUAL:
-            return ~m
-        return F.lit(False)
+        return _match_op(op, m)
     if isinstance(cmp, ast.SubstringComparator):
         m = F.lower(codecs.decode_string(col)).contains(cmp.substr.lower())
-        if op == ast.CompareOp.EQUAL:
-            return m
-        if op == ast.CompareOp.NOT_EQUAL:
-            return ~m
-        return F.lit(False)
+        return _match_op(op, m)
     if isinstance(cmp, ast.BitComparator):
         # BitComparator.java:112-118: compareTo is 1 (no match) when the
         # value length differs from the mask length; otherwise 0 (match) iff
@@ -224,12 +213,28 @@ def compile_compare(col: Column, op: str, cmp: ast.Comparator) -> Column:
                 res = b.bitwiseXOR(F.lit(mask_byte))
             nonzero = nonzero | (res != 0)
         match = (F.length(col) == len(cmp.value)) & nonzero
-        if op == ast.CompareOp.EQUAL:
-            return match
-        if op == ast.CompareOp.NOT_EQUAL:
-            return ~match
-        return F.lit(False)
+        return _match_op(op, match)
     raise NotImplementedError(f"comparator: {type(cmp).__name__}")
+
+
+def _match_op(op: str, m: Column) -> Column:
+    """CompareFilter.doCompare (CompareFilter.java:100-123) over a
+    {0,1}-valued comparator — Substring/Regex/Bit/Null compareTo returns
+    0 on match and 1 otherwise, so the six order ops collapse: the
+    filter excludes iff {LESS: r<=0, LESS_OR_EQUAL: r<0, EQUAL: r!=0,
+    NOT_EQUAL: r==0, GREATER_OR_EQUAL: r>0, GREATER: r>=0}, hence the
+    cell is INCLUDED iff {EQUAL, GREATER_OR_EQUAL}: match;
+    {NOT_EQUAL, LESS}: no-match; LESS_OR_EQUAL: always; {GREATER,
+    NO_OP}: never. (Previously the four order ops were compiled to
+    constant-exclude; found by the reference protocol walker,
+    tests/test_filter_protocol_property.py.)"""
+    if op in (ast.CompareOp.EQUAL, ast.CompareOp.GREATER_OR_EQUAL):
+        return m
+    if op in (ast.CompareOp.NOT_EQUAL, ast.CompareOp.LESS):
+        return ~m
+    if op == ast.CompareOp.LESS_OR_EQUAL:
+        return F.lit(True)
+    return F.lit(False)
 
 
 def prefix_successor(prefix: bytes) -> bytes | None:
@@ -548,6 +553,62 @@ def _skip_transform(pred: Column) -> Callable[[DataFrame], DataFrame]:
     return t
 
 
+def _skip_code_pred(g: ast.Filter, reversed_scan: bool) -> Column:
+    """The SkipFilter-visible per-cell INCLUDE predicate of a wrapped
+    filter. Skip consults ONLY filterKeyValue codes (SkipFilter.java:
+    79-83) and never invokes the wrapped filter's filterRowKey
+    (SkipFilter inherits FilterBase.filterRowKey), so filters whose row
+    verdict lives in filterRowKey state degenerate under Skip:
+
+    * RowFilter.filterOutRow (RowFilter.java:66-71),
+      InclusiveStopFilter.done (InclusiveStopFilter.java:62-72) and
+      RandomRowFilter.filterOutRow (RandomRowFilter.java:99-116) are
+      never set -> every code is INCLUDE -> identity members;
+    * PrefixFilter RESETS its per-row flag to TRUE
+      (PrefixFilter.java:83-85) and filterKeyValue returns NEXT_ROW
+      while it is set (PrefixFilter.java:70-73) -> every cell fails ->
+      Skip(PrefixFilter) drops every row;
+    * SCVF emits non-INCLUDE codes only under latestVersionOnly
+      (NEXT_ROW on the failing tested column,
+      SingleColumnValueFilter.java:171-188); filterIfMissing lives in
+      the never-consulted filterRow -> the fim=False verdict form
+      (lvo=false emits INCLUDE for every cell -> identity). The
+      SingleColumnValueExcludeFilter subclass strips nothing under Skip
+      (its filterRowCells is never forwarded).
+
+    FilterLists combine member include-codes: MUST_PASS_ALL returns the
+    first non-INCLUDE code (AND of includes, FilterList.java:260-276);
+    MUST_PASS_ONE includes iff any member includes (OR,
+    FilterList.java:278-296). MultiRowRangeFilter (filterRowKey-state
+    with a code cache) keeps the intuitive range predicate — a
+    documented simplification of a pathological corner."""
+    if isinstance(g, ast.FilterList):
+        out = None
+        for x in g.filters:
+            p = _skip_code_pred(x, reversed_scan)
+            if out is None:
+                out = p
+            elif g.operator == "MUST_PASS_ALL":
+                out = out & p
+            else:
+                out = out | p
+        return out if out is not None else F.lit(True)
+    if isinstance(
+        g, (ast.RowFilter, ast.InclusiveStopFilter, ast.RandomRowFilter)
+    ):
+        return F.lit(True)
+    if isinstance(g, ast.PrefixFilter):
+        return F.lit(False)
+    if isinstance(g, ast.SingleColumnValueFilter):
+        if not g.latest_version_only:
+            return F.lit(True)
+        return _scvf_pred(dc_replace(g, filter_if_missing=False))
+    inner = compile_filter(g, allow_transform=False, reversed_scan=reversed_scan)
+    if inner.transforms:
+        raise NotImplementedError("SkipFilter cannot wrap order-dependent filters")
+    return inner.pred
+
+
 def _scvf_pred(f: ast.SingleColumnValueFilter) -> Column:
     colmatch = (F.col("family") == f.family) & (F.col("qualifier") == F.lit(f.qualifier))
     exists = F.max(F.when(colmatch, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
@@ -607,23 +668,60 @@ def _while_match_transform(
 
     def t(df: DataFrame) -> DataFrame:
         flagged = df.withColumn("_wm_pass", inner.pred)
-        # a row "matches" while ALL its cells pass (filterRow semantics);
-        # the passing prefix is taken in scan order, so a reversed scan
-        # truncates at the LARGEST failing row and keeps rows above it.
-        fail_edge = F.max("row") if reversed_scan else F.min("row")
-        first_fail = (
-            flagged.where(~F.col("_wm_pass"))
-            .agg(fail_edge.alias("_first_fail"))
+        # The scan stops at the first non-INCLUDE verdict IN CELL ORDER:
+        # WhileMatchFilter.filterKeyValue sets filterAllRemaining on any
+        # non-INCLUDE inner code (WhileMatchFilter.java:110-114), and the
+        # matcher checks filterAllRemaining before EVERY cell
+        # (ScanQueryMatcher.java:283-286 -> DONE_SCAN), so the cells of
+        # the failing row that were already INCLUDEd — the passing KV
+        # prefix (family asc, qualifier asc, ts desc) strictly before the
+        # first failing cell — survive: the store scanner keeps the
+        # partial result list on DONE_SCAN (StoreScanner.java:608-610)
+        # and FilterWrapper emits a non-empty partial through
+        # filterRow(), which is false for cell-level inner filters.
+        # Row-level inner filters (RowFilter/Prefix/InclusiveStop/SCVF
+        # verdicts) compile to a row-constant predicate, so their failing
+        # row's prefix is empty — exactly the filterRowKey/filterRow
+        # protocol, where a row-level failure never emits partials.
+        failing = flagged.where(~F.col("_wm_pass"))
+        cell_pos = F.struct(
+            F.col("family").alias("f"),
+            F.col("qualifier").alias("q"),
+            (-F.col("ts")).alias("nts"),
+            (-F.col("seq")).alias("nseq"),
         )
-        keep = (
-            (F.col("row") > F.col("_first_fail"))
-            if reversed_scan
-            else (F.col("row") < F.col("_first_fail"))
-        )
+        if not reversed_scan:
+            # forward scan position is one lexicographic struct: the
+            # first failing cell is its min over the failing set
+            ff = failing.agg(
+                F.min(F.struct(F.col("row").alias("r"), cell_pos.alias("c")))
+                .alias("_ff")
+            )
+            keep = F.struct(
+                F.col("row").alias("r"), cell_pos.alias("c")
+            ) < F.col("_ff")
+        else:
+            # reversed: rows descend but cells within a row still ascend,
+            # so resolve the edge row first, then its first failing cell
+            edge = failing.agg(F.max("row").alias("_ff_row"))
+            ff = (
+                failing.join(
+                    F.broadcast(edge), F.col("row") == F.col("_ff_row")
+                )
+                .agg(
+                    F.min(
+                        F.struct(F.col("row").alias("r"), cell_pos.alias("c"))
+                    ).alias("_ff")
+                )
+            )
+            keep = (F.col("row") > F.col("_ff")["r"]) | (
+                (F.col("row") == F.col("_ff")["r"])
+                & (cell_pos < F.col("_ff")["c"])
+            )
         return (
-            flagged.crossJoin(F.broadcast(first_fail))
-            .where(F.col("_first_fail").isNull() | keep)
-            .drop("_wm_pass", "_first_fail")
+            flagged.crossJoin(F.broadcast(ff))
+            .where(F.col("_ff").isNull() | keep)
+            .drop("_wm_pass", "_ff")
         )
 
     return t
@@ -992,15 +1090,11 @@ def compile_filter(
                 reversed_scan=reversed_scan,
                 scvf_source=scvf_source,
             )
-        inner = compile_filter(
-            f.wrapped, allow_transform=False, reversed_scan=reversed_scan
-        )
-        if inner.transforms:
-            raise NotImplementedError("SkipFilter cannot wrap order-dependent filters")
+        pred = _skip_code_pred(f.wrapped, reversed_scan)
         if allow_transform:
-            return Compiled(None, [_skip_transform(inner.pred)])
+            return Compiled(None, [_skip_transform(pred)])
         all_pass = (
-            F.min(F.when(inner.pred, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
+            F.min(F.when(pred, F.lit(1)).otherwise(F.lit(0))).over(_w_row()) == 1
         )
         return Compiled(all_pass)
     if isinstance(f, ast.WhileMatchFilter):
@@ -1014,11 +1108,39 @@ def compile_filter(
             return Compiled(
                 None, [_page_transform(f.wrapped.page_size, reversed_scan)]
             )
-        range_pred = _while_match_range_rewrite(f.wrapped, reversed_scan)
+        # WhileMatchFilter forwards filterRowKey / filterKeyValue /
+        # filterRow (WhileMatchFilter.java:88-120) but NOT filterRowCells
+        # (inherited FilterBase no-op), so a SingleColumnValueExclude
+        # wrapped under WhileMatch strips NOTHING — it behaves as the
+        # plain SCVF (same non-forwarding lesson as Skip, r12/r13).
+        wrapped = _strip_exclude(f.wrapped)
+        range_pred = _while_match_range_rewrite(wrapped, reversed_scan)
         if range_pred is not None:
             return Compiled(range_pred)
-        return Compiled(None, [_while_match_transform(f.wrapped, reversed_scan)])
+        return Compiled(None, [_while_match_transform(wrapped, reversed_scan)])
     raise NotImplementedError(f"filter: {type(f).__name__}")
+
+
+def _strip_exclude(g: ast.Filter) -> ast.Filter:
+    """Replace SingleColumnValueExcludeFilter with its plain SCVF base
+    throughout a tree — for wrapper filters that never forward
+    filterRowCells (WhileMatchFilter), where the exclude aspect is
+    unreachable."""
+    if isinstance(g, ast.FilterList):
+        return ast.FilterList(
+            g.operator, tuple(_strip_exclude(x) for x in g.filters)
+        )
+    if isinstance(g, ast.SkipFilter):
+        return ast.SkipFilter(_strip_exclude(g.wrapped))
+    if isinstance(g, ast.WhileMatchFilter):
+        return ast.WhileMatchFilter(_strip_exclude(g.wrapped))
+    if type(g) is ast.SingleColumnValueExcludeFilter:
+        return ast.SingleColumnValueFilter(
+            g.family, g.qualifier, g.op, g.comparator,
+            filter_if_missing=g.filter_if_missing,
+            latest_version_only=g.latest_version_only,
+        )
+    return g
 
 
 def has_any_version_scvf(f: "ast.Filter | None") -> bool:

@@ -475,24 +475,27 @@ def _model_ordered(op, left: bytes, right: bytes) -> bool:
 
 def _model_compare(subject: bytes, op: str, cmp) -> bool:
     if isinstance(cmp, fast.NullComparator):
-        # fixture cells always carry a value: EQUAL (is null) never
-        # includes, NOT_EQUAL always does, other ops exclude
-        if op == "EQUAL":
-            return False
-        if op == "NOT_EQUAL":
-            return True
-        return False
+        # fixture cells always carry a value, so compareTo == 1
+        # (NullComparator.java:42-44); CompareFilter.doCompare
+        # (CompareFilter.java:100-123) then includes for NOT_EQUAL,
+        # LESS (r<=0 false) and LESS_OR_EQUAL (r<0 false), excludes
+        # for EQUAL, GREATER_OR_EQUAL, GREATER and NO_OP
+        return op in ("NOT_EQUAL", "LESS", "LESS_OR_EQUAL")
     if isinstance(cmp, fast.BinaryComparator):
         return _model_ordered(op, subject, cmp.value)
     if isinstance(cmp, fast.BinaryPrefixComparator):
         return _model_ordered(op, subject[: len(cmp.value)], cmp.value)
     if isinstance(cmp, fast.SubstringComparator):
+        # SubstringComparator.compareTo is 0 (contains) or 1; the
+        # doCompare table therefore collapses the order ops:
+        # EQUAL/GREATER_OR_EQUAL include on match, NOT_EQUAL/LESS on
+        # no-match, LESS_OR_EQUAL always, GREATER/NO_OP never
         m = cmp.substr.lower() in subject.decode("utf-8", "replace").lower()
-        if op == "EQUAL":
+        if op in ("EQUAL", "GREATER_OR_EQUAL"):
             return m
-        if op == "NOT_EQUAL":
+        if op in ("NOT_EQUAL", "LESS"):
             return not m
-        return False
+        return op == "LESS_OR_EQUAL"
     raise AssertionError(cmp)
 
 
