@@ -757,6 +757,16 @@ def _while_match_range_rewrite(
     return None
 
 
+def _newest_version_rank() -> Column:
+    """Version rank within one column: 1 == the newest visible version
+    ((ts desc, seq desc) — the matcher's walk order within a column)."""
+    return F.row_number().over(
+        Window.partitionBy("row", "family", "qualifier").orderBy(
+            F.col("ts").desc(), F.col("seq").desc()
+        )
+    )
+
+
 def _column_offset_transform(
     limit: int, column_offset: bytes
 ) -> Callable[[DataFrame], DataFrame]:
@@ -1014,12 +1024,24 @@ def compile_filter(
         idx = F.dense_rank().over(
             Window.partitionBy("row").orderBy("family", "qualifier")
         )
-        return Compiled((idx > f.offset) & (idx <= f.offset + f.limit))
+        pred = (idx > f.offset) & (idx <= f.offset + f.limit)
+        # INCLUDE_AND_NEXT_COL (ColumnPaginationFilter.java:139-141)
+        # takes only the NEWEST version of each in-window column; the
+        # version-rank window is skipped when the stream is known
+        # single-version (the default scan's read view)
+        if not single_version:
+            pred = pred & (_newest_version_rank() == 1)
+        return Compiled(pred)
     if isinstance(f, ast.ColumnCountGetFilter):
         idx = F.dense_rank().over(
             Window.partitionBy("row").orderBy("family", "qualifier")
         )
-        return Compiled(idx <= f.limit)
+        pred = idx <= f.limit
+        # ColumnCountGetFilter.java:60-63 likewise emits
+        # INCLUDE_AND_NEXT_COL — one (newest) version per counted column
+        if not single_version:
+            pred = pred & (_newest_version_rank() == 1)
+        return Compiled(pred)
     if isinstance(f, ast.PageFilter):
         return Compiled(None, [_page_transform(f.page_size, reversed_scan)])
     if isinstance(f, ast.InclusiveStopFilter):

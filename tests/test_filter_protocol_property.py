@@ -1162,3 +1162,44 @@ def test_skip_inclusive_stop_is_identity(spark):
     (InclusiveStopFilter.java:62-72) — identity under Skip."""
     f = ast.SkipFilter(ast.InclusiveStopFilter(stop_row=b"b"))
     assert _skip_scan(spark, f) == sorted(_ROWS)
+
+
+# ---------------------------------------------------------------------------
+# r13 pin: pagination filters on MULTI-VERSION scans take one (newest)
+# version per column — INCLUDE_AND_NEXT_COL advances the whole column
+# (ColumnPaginationFilter.java:139-141, ColumnCountGetFilter.java:60-63)
+# ---------------------------------------------------------------------------
+
+
+def _mv_table(spark):
+    """One row, one family, three columns x two versions each."""
+    cells = []
+    seq = 0
+    for q in _QUALS:
+        for ts, v in ((2000, b"new"), (1000, b"old")):
+            seq += 1
+            cells.append((b"r", "fa", q, ts, TYPE_PUT, v, seq))
+    meta = TableMeta(
+        name="mv",
+        families=(FamilyMeta(name="fa", max_versions=3),),
+    )
+    return Table(meta, spark.createDataFrame(cells, CELL_SCHEMA), now_ms=10_000)
+
+
+def _mv_collect(t, f):
+    return sorted(
+        (bytes(r["qualifier"]), r["ts"], bytes(r["value"]))
+        for r in t.scan(filter=f, max_versions=3).collect()
+    )
+
+
+def test_column_pagination_multi_version_newest_only(spark):
+    t = _mv_table(spark)
+    got = _mv_collect(t, ast.ColumnPaginationFilter(limit=2, offset=1))
+    assert got == [(b"qb", 2000, b"new"), (b"qc", 2000, b"new")]
+
+
+def test_column_count_get_multi_version_newest_only(spark):
+    t = _mv_table(spark)
+    got = _mv_collect(t, ast.ColumnCountGetFilter(limit=2))
+    assert got == [(b"qa", 2000, b"new"), (b"qb", 2000, b"new")]
