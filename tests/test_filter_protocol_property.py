@@ -341,6 +341,23 @@ class RefColumnPaginationFilter(RefFilter):
         return code, None
 
 
+class RefTimestampsFilter(RefFilter):
+    """TimestampsFilter.java:107-116: INCLUDE iff ts in the set; below
+    the minimum requested ts -> NEXT_COL (versions descend); else SKIP
+    (canHint=false default)."""
+
+    def __init__(self, timestamps):
+        self.ts = set(timestamps)
+        self.min_ts = min(timestamps) if timestamps else 0
+
+    def filter_cell(self, cell):
+        if cell[3] in self.ts:
+            return INCLUDE, None
+        if cell[3] < self.min_ts:
+            return NEXT_COL, None
+        return SKIP, None
+
+
 class RefFirstKeyOnlyFilter(RefFilter):
     """FirstKeyOnlyFilter.java:49-60."""
 
@@ -582,9 +599,18 @@ class RefFilterList(RefFilter):
 # ---------------------------------------------------------------------------
 
 
-def ref_scan(cells, flt: RefFilter, reversed_scan: bool = False):
+def ref_scan(
+    cells, flt: RefFilter, reversed_scan: bool = False, max_versions: int = 1
+):
     """cells: iterable of (row, family, qualifier, ts, value) — the
-    VISIBLE (post-read-view) state. Returns the emitted cells."""
+    live (delete-masked, pre-version-count) state. Returns the emitted
+    cells.
+
+    Version counting follows ScanQueryMatcher.match order: the filter's
+    filterKeyValue runs FIRST, and only an INCLUDE consumes a version
+    slot (columns.checkVersions follows the filter response — a newer
+    version the filter rejects is SKIPped, not counted, so an older
+    version can fill the quota)."""
     by_row: dict[bytes, list] = {}
     for c in cells:
         by_row.setdefault(c[0], []).append(c)
@@ -614,6 +640,7 @@ def ref_scan(cells, flt: RefFilter, reversed_scan: bool = False):
             skip_col = None
             seek_to = None
             row_done = False
+            included_versions: dict[bytes, int] = {}
             for cell in store:
                 if row_done:
                     break
@@ -628,7 +655,16 @@ def ref_scan(cells, flt: RefFilter, reversed_scan: bool = False):
                     continue
                 code, hint = flt.filter_cell(cell)
                 if code == INCLUDE:
-                    results.append(cell)
+                    # checkVersions runs AFTER the filter: the cell was
+                    # consulted (filter state mutated) even when the
+                    # version quota then drops it, and exceeding the
+                    # quota seeks past the rest of the column
+                    n = included_versions.get(cell[2], 0) + 1
+                    included_versions[cell[2]] = n
+                    if n > max_versions:
+                        skip_col = cell[2]
+                    else:
+                        results.append(cell)
                 elif code == INCLUDE_AND_NEXT_COL:
                     results.append(cell)
                     skip_col = cell[2]
@@ -710,6 +746,8 @@ def build_ref(f: ast.Filter, reversed_scan: bool = False) -> RefFilter:
         return RefFirstKeyOnlyFilter()
     if isinstance(f, ast.PageFilter):
         return RefPageFilter(f.page_size)
+    if isinstance(f, ast.TimestampsFilter):
+        return RefTimestampsFilter(f.timestamps)
     raise AssertionError(type(f))
 
 
@@ -1049,6 +1087,122 @@ def test_protocol_leaves_and_page(spark, grid, f, page):
 @given(grid=_VALUE_GRID, f=st.one_of(while_st, row_leaf_st, skip_st))
 def test_protocol_reversed(spark, grid, f):
     _run_both(spark, _make_cells(grid), f, reversed_scan=True)
+
+
+# ---------------------------------------------------------------------------
+# multi-version phase: filter-before-version-count order randomized.
+# Two puts per column (ts 2000/1000); the scan's max_versions quota is
+# consumed ONLY by filter-INCLUDEd cells (ScanQueryMatcher order:
+# filterKeyValue precedes columns.checkVersions), so a rejected newer
+# version lets the older one fill the quota — the semantics behind the
+# engine's pre-version-count cell predicates and the scvf_source
+# matcher-visible verdict stream.
+# ---------------------------------------------------------------------------
+
+_MV_TSS = (2000, 1000)
+
+
+def _make_mv_cells(value_at):
+    cells = []
+    seq = 0
+    for r in _ROWS:
+        for fam in _FAMS:
+            for q in _QUALS:
+                for ts in _MV_TSS:
+                    seq += 1
+                    cells.append(
+                        (r, fam, q, ts, TYPE_PUT, value_at(r, fam, q, ts), seq)
+                    )
+    return cells
+
+
+def _run_both_mv(spark, cells, f, max_versions):
+    meta = TableMeta(
+        name="protomv",
+        families=tuple(FamilyMeta(name=x, max_versions=2) for x in _FAMS),
+    )
+    t = Table(meta, spark.createDataFrame(cells, CELL_SCHEMA), now_ms=10_000)
+    got = sorted(
+        (bytes(r["row"]), r["family"], bytes(r["qualifier"]), r["ts"],
+         None if r["value"] is None else bytes(r["value"]))
+        for r in t.scan(filter=f, max_versions=max_versions).collect()
+    )
+    visible = [(r, fam, q, ts, v) for (r, fam, q, ts, _tp, v, _s) in cells]
+    expected = sorted(
+        (r, fam, q, ts, v)
+        for (r, fam, q, ts, v) in ref_scan(
+            visible, build_ref(f), False, max_versions
+        )
+    )
+    assert got == expected, f"\nfilter={f} mv={max_versions}\n" \
+        f"engine   ={got}\nreference={expected}"
+
+
+_MV_VALUE_GRID = st.builds(
+    lambda idx: (
+        lambda r, fam, q, ts: _VALS[
+            idx[((_ROWS.index(r) * len(_FAMS) + _FAMS.index(fam))
+                 * len(_QUALS) + _QUALS.index(q))
+                * len(_MV_TSS) + _MV_TSS.index(ts)]
+        ]
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=len(_VALS) - 1),
+        min_size=len(_ROWS) * len(_FAMS) * len(_QUALS) * len(_MV_TSS),
+        max_size=len(_ROWS) * len(_FAMS) * len(_QUALS) * len(_MV_TSS),
+    ),
+)
+
+mv_filter_st = st.one_of(
+    nontruncating_cell_leaf_st,
+    st.builds(
+        lambda tss: ast.TimestampsFilter(tuple(sorted(set(tss)))),
+        st.lists(
+            st.sampled_from([2000, 1000, 500]), min_size=1, max_size=2
+        ),
+    ),
+    scvf_st,
+    st.builds(
+        lambda scvfs, members: ast.FilterList(
+            "MUST_PASS_ALL", tuple(scvfs + members)
+        ),
+        st.lists(scvf_st, min_size=1, max_size=1),
+        st.lists(nontruncating_cell_leaf_st, min_size=0, max_size=2),
+    ),
+    st.builds(ast.SkipFilter, nontruncating_cell_leaf_st),
+)
+
+
+@_SETTINGS
+@given(
+    grid=_MV_VALUE_GRID,
+    f=mv_filter_st,
+    max_versions=st.sampled_from([1, 2]),
+)
+def test_protocol_multi_version(spark, grid, f, max_versions):
+    _run_both_mv(spark, _make_mv_cells(grid), f, max_versions)
+
+
+def test_rejected_newer_version_does_not_consume_quota(spark):
+    """The non-vacuous core of the phase, pinned: on a max_versions=1
+    scan, ValueFilter rejecting the NEWER version lets the OLDER one
+    fill the quota (filter precedes checkVersions) — a version-first
+    engine would return nothing."""
+    grid = lambda r, fam, q, ts: b"old" if ts == 1000 else b"new"  # noqa: E731
+    cells = _make_mv_cells(grid)
+    f = ast.ValueFilter(op="EQUAL", comparator=ast.BinaryComparator(b"old"))
+    meta = TableMeta(
+        name="protomv",
+        families=tuple(FamilyMeta(name=x, max_versions=2) for x in _FAMS),
+    )
+    t = Table(meta, spark.createDataFrame(cells, CELL_SCHEMA), now_ms=10_000)
+    got = {
+        (r["ts"], bytes(r["value"]))
+        for r in t.scan(filter=f, max_versions=1).collect()
+    }
+    assert got == {(1000, b"old")}
+    n = t.scan(filter=f, max_versions=1).count()
+    assert n == len(_ROWS) * len(_FAMS) * len(_QUALS)
 
 
 # ---------------------------------------------------------------------------
