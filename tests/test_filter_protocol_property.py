@@ -1116,7 +1116,7 @@ def _make_mv_cells(value_at):
     return cells
 
 
-def _run_both_mv(spark, cells, f, max_versions):
+def _run_both_mv(spark, cells, f, max_versions, reversed_scan=False):
     meta = TableMeta(
         name="protomv",
         families=tuple(FamilyMeta(name=x, max_versions=2) for x in _FAMS),
@@ -1125,13 +1125,15 @@ def _run_both_mv(spark, cells, f, max_versions):
     got = sorted(
         (bytes(r["row"]), r["family"], bytes(r["qualifier"]), r["ts"],
          None if r["value"] is None else bytes(r["value"]))
-        for r in t.scan(filter=f, max_versions=max_versions).collect()
+        for r in t.scan(
+            filter=f, max_versions=max_versions, reversed=reversed_scan
+        ).collect()
     )
     visible = [(r, fam, q, ts, v) for (r, fam, q, ts, _tp, v, _s) in cells]
     expected = sorted(
         (r, fam, q, ts, v)
         for (r, fam, q, ts, v) in ref_scan(
-            visible, build_ref(f), False, max_versions
+            visible, build_ref(f, reversed_scan), reversed_scan, max_versions
         )
     )
     assert got == expected, f"\nfilter={f} mv={max_versions}\n" \
@@ -1181,6 +1183,19 @@ mv_filter_st = st.one_of(
 )
 def test_protocol_multi_version(spark, grid, f, max_versions):
     _run_both_mv(spark, _make_mv_cells(grid), f, max_versions)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    grid=_MV_VALUE_GRID,
+    f=mv_filter_st,
+    max_versions=st.sampled_from([1, 2]),
+)
+def test_protocol_multi_version_reversed(spark, grid, f, max_versions):
+    _run_both_mv(
+        spark, _make_mv_cells(grid), f, max_versions, reversed_scan=True
+    )
 
 
 def test_rejected_newer_version_does_not_consume_quota(spark):
