@@ -655,16 +655,17 @@ def ref_scan(
                     continue
                 code, hint = flt.filter_cell(cell)
                 if code == INCLUDE:
-                    # checkVersions runs AFTER the filter: the cell was
-                    # consulted (filter state mutated) even when the
-                    # version quota then drops it, and exceeding the
-                    # quota seeks past the rest of the column
+                    # checkVersions runs AFTER the filter (SQM STEP 4):
+                    # the INCLUDE that FILLS the quota returns
+                    # INCLUDE_AND_SEEK_NEXT_COL, so deeper versions of
+                    # the column are never shown to the filter; a
+                    # filter-SKIPped version consumes no quota and the
+                    # filter keeps seeing deeper versions
                     n = included_versions.get(cell[2], 0) + 1
                     included_versions[cell[2]] = n
-                    if n > max_versions:
+                    results.append(cell)
+                    if n >= max_versions:
                         skip_col = cell[2]
-                    else:
-                        results.append(cell)
                 elif code == INCLUDE_AND_NEXT_COL:
                     results.append(cell)
                     skip_col = cell[2]
@@ -1196,6 +1197,34 @@ def test_protocol_multi_version_reversed(spark, grid, f, max_versions):
     _run_both_mv(
         spark, _make_mv_cells(grid), f, max_versions, reversed_scan=True
     )
+
+
+def test_scvf_on_unselected_column_falls_back_to_fim(spark):
+    """STEP 1 of ScanQueryMatcher.match (SQM.java:428-431) checks the
+    scan's column selection BEFORE the filter runs, so an SCVF whose
+    tested column is NOT among the selected columns never sees it —
+    foundColumn stays false and filterIfMissing decides, even though
+    the column exists in the row (the classic 'SCVF needs addColumn'
+    footgun; engine order: projection precedes the filter algebra)."""
+    cells = _make_cells(lambda r, fam, q: b"v1")
+    t = Table(
+        TableMeta(name="sel", families=tuple(FamilyMeta(name=x) for x in _FAMS)),
+        spark.createDataFrame(cells, CELL_SCHEMA),
+        now_ms=10_000,
+    )
+    scvf = lambda fim: ast.SingleColumnValueFilter(  # noqa: E731
+        "fa", b"qa", "EQUAL", ast.BinaryComparator(b"v1"),
+        filter_if_missing=fim, latest_version_only=True,
+    )
+    sel = (("fa", b"qb"), ("fa", b"qc"))
+    # fim=True: every row dropped (tested column invisible to the scan)
+    assert t.scan(columns=sel, filter=scvf(True)).count() == 0
+    # fim=False: every row passes; only the selected columns emitted
+    got = {
+        bytes(r["qualifier"])
+        for r in t.scan(columns=sel, filter=scvf(False)).collect()
+    }
+    assert got == {b"qb", b"qc"}
 
 
 def test_rejected_newer_version_does_not_consume_quota(spark):
