@@ -455,13 +455,22 @@ def _scvf_multi_transform(
         verdict_source is not None or not single_version
     ) and any(f.latest_version_only for f in fs)
 
-    def t(df: DataFrame) -> DataFrame:
+    def t(df: DataFrame, base: DataFrame | None = None) -> DataFrame:
+        # The verdict stream, in precedence order: the scan's explicit
+        # matcher-visible stream (any-version SCVF), else the PRE-sibling-
+        # predicate frame. The reference consults SCVF filterKeyValue
+        # before every sibling in canonical member order, so a sibling
+        # cell predicate (ValueFilter etc.) must NOT hide the tested
+        # column's cells from the verdict — a row whose tested cell the
+        # sibling strips is still found-and-judged, not "missing"
+        # (caught by the r13 protocol walker on AND(OR(SCVF), ValueFilter)).
         any_match = matches[0]
         for m in matches[1:]:
             any_match = any_match | m
-        tested = (df if verdict_source is None else verdict_source).where(
-            any_match
+        src = verdict_source if verdict_source is not None else (
+            base if base is not None else df
         )
+        tested = src.where(any_match)
         newest = F.lit(True)
         if need_version_rank:
             rn = F.row_number().over(
@@ -532,6 +541,7 @@ def _scvf_multi_transform(
                 out = out.where(~cm)
         return out
 
+    t._scvf_verdict = True
     return t
 
 
@@ -1212,5 +1222,12 @@ def apply_filter(
             out.withColumn("_keep", c.pred).where(F.col("_keep")).drop("_keep")
         )
     for t in c.transforms:
-        out = t(out)
+        # SCVF verdict transforms judge the PRE-predicate frame (the
+        # matcher-visible stream) while their semi/anti join still
+        # applies to the filtered output — canonical member order puts
+        # SCVFs before every sibling cell predicate.
+        if getattr(t, "_scvf_verdict", False):
+            out = t(out, df)
+        else:
+            out = t(out)
     return out

@@ -1156,6 +1156,21 @@ _MV_VALUE_GRID = st.builds(
     ),
 )
 
+# Multi-version SCVFs are scoped to latestVersionOnly=true: the engine's
+# DOCUMENTED any-version contract (scvf_source; compiler.py
+# _scvf_multi_transform docstring, pinned at scan level by
+# test_filter_reference_suite.test_scvf_basic_latest_version_only) judges
+# ALL live versions of the tested column even on a maxVersions=1 scan,
+# per the TestSingleColumnValueFilter.java:134-139 protocol test. The
+# raw region walk differs for a LONE lvo=false SCVF: its non-matching
+# newest version is INCLUDEd (SCVF never SKIPs), fills the version
+# quota, and checkVersions seeks past the column, so deeper versions are
+# never consulted — but a sibling that SKIPs the newest version exposes
+# them again, i.e. the reference outcome is composition-dependent. The
+# engine keeps the order-independent any-version contract (same artifact
+# family as the documented mixed-OR divergence); excluded here.
+_mv_scvf_st = scvf_st.filter(lambda f: f.latest_version_only)
+
 mv_filter_st = st.one_of(
     nontruncating_cell_leaf_st,
     st.builds(
@@ -1164,12 +1179,12 @@ mv_filter_st = st.one_of(
             st.sampled_from([2000, 1000, 500]), min_size=1, max_size=2
         ),
     ),
-    scvf_st,
+    _mv_scvf_st,
     st.builds(
         lambda scvfs, members: ast.FilterList(
             "MUST_PASS_ALL", tuple(scvfs + members)
         ),
-        st.lists(scvf_st, min_size=1, max_size=1),
+        st.lists(_mv_scvf_st, min_size=1, max_size=1),
         st.lists(nontruncating_cell_leaf_st, min_size=0, max_size=2),
     ),
     st.builds(ast.SkipFilter, nontruncating_cell_leaf_st),
