@@ -33,6 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
 from hbase_1_3_0_spark.pipeline.text import fingerprint
 
 _MERSENNE_P = (1 << 61) - 1
@@ -115,7 +116,7 @@ def char_shingles(text: Column, n: int = 5) -> Column:
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    return df.select(
+    return fan_out_small_scan(df).select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
     )
@@ -186,7 +187,7 @@ def _shingle_hash_rows(
     every signature aggregates over with codegen'd grouped aggs (the
     higher-order array-lambda form is interpreted per element and would
     re-evaluate the shingle array once per hash function)."""
-    return df.select(
+    return fan_out_small_scan(df).select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), n)).alias("_sh"),
     ).select("_id", F.xxhash64("_sh").alias("_h"))
@@ -334,8 +335,11 @@ def minhash_lsh_candidates(
         .select(
             F.col("_min_id").alias("id_a"), F.col("_id").alias("id_b")
         )
-        .distinct()
     )
+    # one distinct, not two: clone edges (identical signatures) and star
+    # edges (distinct-signature reps) are disjoint by construction, so
+    # the union-level distinct alone dedups the multi-band star
+    # collisions — the inner star .distinct() was a redundant exchange
     return clone_edges.unionByName(star_edges).distinct()
 
 

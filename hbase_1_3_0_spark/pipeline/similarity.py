@@ -42,6 +42,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -78,15 +80,32 @@ def cosine_topk(
 
     Broadcast-joins the query set against the corpus — no shuffle of the
     corpus; the window sort runs per query partition.
+
+    Norms are precomputed ONCE PER SIDE before the pair join (guide §1.2
+    "per-task work"): ``cosine()`` inline would re-derive the corpus
+    vector's norm once per QUERY (Q× redundant O(d) aggregates per corpus
+    row) and the query vector's norm once per corpus row. The value is
+    bit-identical — the same double-precision aggregation in the same
+    order, just evaluated once — so ``dot/(qn*cn)`` equals the inline
+    ``cosine()`` exactly.
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    c = fan_out_small_scan(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = c.join(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (

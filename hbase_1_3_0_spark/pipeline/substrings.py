@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
+
 
 def window_digests(
     df: DataFrame,
@@ -71,7 +73,7 @@ def window_digests(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(
+        fan_out_small_scan(df).select(
             F.col(id_col).alias("_id"),
             F.posexplode(digests).alias("_p0", "digest"),
         )

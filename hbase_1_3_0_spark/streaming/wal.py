@@ -948,9 +948,23 @@ def _neardup_commit_batch(
     )
 
     def killed_ids(cand_pairs: DataFrame, sig_b: DataFrame) -> DataFrame:
-        """(victim _id, neighbor _nid) pairs -> distinct victim ids with
+        """(victim _id, neighbor _nid) pairs -> victim ids with
         est >= threshold; signatures joined back by id so the band join
-        never carries arrays."""
+        never carries arrays.
+
+        The pair set is deduped BEFORE the signature joins (a pair can
+        collide in up to ``bands`` buckets and the est computation is
+        O(num_hashes) per surviving pair), but the victim-id output is
+        deliberately NOT deduped: its only consumer is a left_anti join,
+        which is insensitive to right-side duplicates — the two trailing
+        ``.distinct()`` exchanges this used to pay per micro-batch
+        (guide §2.4: remove shuffles outright) bought nothing. The store
+        chain and the in-batch chain stay SEPARATE on purpose: fusing
+        them behind a tagged union was measured (r13) to force the
+        neighbor-signature scan through a shuffle at history scale
+        (b-neardup-hist 12.9s -> 21.0s), where the per-source chain
+        keeps the deduped pair side broadcast and the big signature
+        store is only ever streamed and probed in place."""
         return (
             cand_pairs.distinct()
             .join(sigs.select(F.col("_id"), F.col("_sig").alias("_sig_a")), "_id")
@@ -962,7 +976,6 @@ def _neardup_commit_batch(
             )
             .where(est >= F.lit(float(threshold)))
             .select("_id")
-            .distinct()
         )
 
     kill = None
@@ -1023,7 +1036,7 @@ def _neardup_commit_batch(
         inbatch,
         sigs.select(F.col("_id").alias("_nid"), F.col("_sig").alias("_nsig")),
     )
-    kill = in_kill if kill is None else kill.unionByName(in_kill).distinct()
+    kill = in_kill if kill is None else kill.unionByName(in_kill)
     survivors = batch_df.join(
         kill.select(F.col("_id").alias(id_col)), id_col, "left_anti"
     ).localCheckpoint()
