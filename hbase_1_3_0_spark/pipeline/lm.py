@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
+
 #: Word tokenizer shared with the oracle: lowercased latin/digit runs
 #: (apostrophes kept so contractions stay one token).
 TOKEN_PATTERN = "[a-z0-9']+"
@@ -40,7 +42,9 @@ def unigram_counts(
     """Corpus unigram counts (word, c); ``vocab_size`` keeps the most
     frequent words (ties broken by word) — REQUIRED at scale so the
     model broadcasts."""
-    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+    toks = fan_out_small_scan(df).select(
+        F.explode(word_tokens(F.col(text_col))).alias("word")
+    )
     return _counts_from_tokens(toks, vocab_size)
 
 
@@ -73,7 +77,7 @@ def perplexity_proxy(
     ``n_words=0`` with NULL oov_rate/bits_per_word instead of vanishing
     at the explode, so a thresholding consumer can't let them bypass
     the filter by absence."""
-    toks = df.select(
+    toks = fan_out_small_scan(df).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
     )
     if checkpoint:
@@ -151,7 +155,7 @@ def bigram_perplexity(
     join on (prev, word), one per-doc agg."""
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    toks = fan_out_small_scan(df).select(
         F.col(id_col),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
     )
@@ -266,7 +270,7 @@ def trigram_perplexity(
     if smoothing not in ("kn", "mkn"):
         raise ValueError(f"smoothing must be 'kn' or 'mkn', got {smoothing!r}")
     d = float(discount)
-    toks = df.select(
+    toks = fan_out_small_scan(df).select(
         F.col(id_col),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
+
 WORD_RE = "[A-Za-z0-9]+"
 
 # tiny high-frequency marker sets per language (public stopword lists)
@@ -538,7 +540,10 @@ def corpus_stats(
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
-    return df.withColumns(
+    # per-row projections only; fan out an under-partitioned corpus so
+    # the regex/token work uses the session's cores (results per-row
+    # identical; see pipeline.parallelism)
+    return fan_out_small_scan(df).withColumns(
         {
             "n_tokens": token_count(t),
             "n_chars_computed": char_count(t),
