@@ -632,6 +632,11 @@ def main() -> None:
     spark.stop()
     shutil.rmtree(bench_root, ignore_errors=True)
     shutil.rmtree(nd_base, ignore_errors=True)
+    # hist_base and the warehouse dir were leaked before r13-opt:
+    # ~1.4 GB of synthetic history plus the bucketed-table warehouse per
+    # run left in /dev/shm, compounding across bench invocations
+    shutil.rmtree(hist_base, ignore_errors=True)
+    shutil.rmtree(warehouse, ignore_errors=True)
 
 
 if __name__ == "__main__":
