@@ -810,6 +810,128 @@ def compact_ingest_store(
             shutil.rmtree(p)
 
 
+def _make_inbatch_kill_kernel(
+    num_hashes: int, threshold: float
+) -> Callable:
+    """Arrow kernel for the in-batch near-dup kill decision, evaluated
+    per (band, bucket) group with vectorized numpy (guide §4.2): doc x
+    dies iff some bucket-mate y with y.id < x.id has signature-estimated
+    Jaccard (matching-minhash fraction) >= ``threshold``.
+
+    Bit-identical to the JVM pair chain it replaces (r13 shape:
+    band self-join -> 28M duplicate pair rows -> distinct exchange ->
+    two signature joins -> interpreted zip_with/aggregate est): the
+    match count is an exact integer equality count over the same 64
+    longs, est = count / float(num_hashes) in float64, compared to the
+    same threshold double. Replacing the pair ENUMERATION removes the
+    quadratic duplicate-pair shuffle (a template-heavy batch puts
+    thousands of near-identical docs in one bucket; 5k sf0.1 docs
+    enumerated 28M pair rows for 4M distinct pairs) — the pairwise
+    comparisons still happen, but as contiguous numpy column ops inside
+    the bucket's task instead of shuffled JVM rows. Worst-case compute
+    is still O(bucket_size^2), exactly like the join it replaces; memory
+    is bounded by row-chunking the comparison matrix (~32 MB per chunk).
+
+    Input partitions must be hash-partitioned AND sorted by
+    (band, bucket); the kernel concatenates the partition's record
+    batches before grouping so a bucket spanning an Arrow batch boundary
+    is never split."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
+        ids = tbl.column("_id").to_numpy(zero_copy_only=False)
+        band = tbl.column("band").to_numpy(zero_copy_only=False)
+        bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        sig = tbl.column("_sig")
+        if sig.num_chunks == 1:
+            sig = sig.chunk(0)
+        else:  # pragma: no cover - combine_chunks yields one chunk
+            sig = sig.combine_chunks()
+        S = np.asarray(sig.flatten()).reshape(n, num_hashes)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        out = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            order = np.argsort(ids[s:e], kind="stable")
+            gids = ids[s:e][order]
+            G = np.ascontiguousarray(S[s:e][order].T)  # hash-major
+            chunk = max(1, min(m, (32 << 20) // max(m, 1)))
+            killed = np.zeros(m, dtype=bool)
+            for i0 in range(1, m, chunk):
+                i1 = min(i0 + chunk, m)
+                cnt = np.zeros((i1 - i0, m), dtype=np.int8)
+                for k in range(num_hashes):
+                    col = G[k]
+                    cnt += col[i0:i1, None] == col[None, :]
+                qual = (cnt / float(num_hashes)) >= threshold
+                # strict y.id < x.id (ids sorted ascending; equality
+                # guard keeps duplicate-id rows from killing themselves,
+                # matching the JVM chain's `y._id < x._id`)
+                qual &= gids[None, :] < gids[i0:i1, None]
+                killed[i0:i1] = qual.any(axis=1)
+            if killed.any():
+                out.append(gids[killed])
+        if out:
+            killed_ids = np.concatenate(out)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(killed_ids)], names=["_id"]
+            )
+
+    return kernel
+
+
+def _inbatch_killed_ids(
+    sigs: DataFrame, *, bands: int, num_hashes: int, threshold: float
+) -> DataFrame:
+    """In-batch near-dup victims: ids of batch docs with a banded
+    smaller-id neighbor at est >= threshold — the greedy first-wins rule
+    of :func:`_neardup_commit_batch`, evaluated per band bucket by
+    :func:`_make_inbatch_kill_kernel`. Output may contain duplicates
+    (a doc killable in several buckets); the sole consumer is a
+    left_anti join, which is right-duplicate insensitive."""
+    rows = num_hashes // bands
+    bw = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("_sig"), bidx * rows + 1, rows)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    # explicit partition count (scale-adaptive, not a constant): AQE
+    # would coalesce this small keyed shuffle to one partition and
+    # serialize the per-bucket kernel work
+    target = sigs.sparkSession.sparkContext.defaultParallelism
+    part = bw.repartition(target, F.col("band"), F.col("bucket"))
+    part = part.sortWithinPartitions("band", "bucket")
+    out_schema = sigs.select("_id").schema
+    return part.mapInArrow(
+        _make_inbatch_kill_kernel(num_hashes, float(threshold)), out_schema
+    )
+
+
 def neardup_ingest_stream(
     spark: SparkSession,
     source_dir: str | Path,
@@ -929,11 +1051,16 @@ def _neardup_commit_batch(
     )
 
     store = _load_ingest_store(spark, store_dir, batch_id)
+    # lazy localCheckpoint: materializes inside the FIRST action that
+    # reads it (the survivor write) instead of as its own eager job —
+    # one fewer scheduled job per micro-batch; every later consumer
+    # (store write, band write, both kill chains) reads the cached
+    # signature partitions exactly as before
     sigs = minhash_signatures(
         batch_df.select(F.col(id_col), F.col(text_col)),
         text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, seed=seed,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     batch_bands = signature_bands(sigs, bands=bands, num_hashes=num_hashes)
     est = (
         F.aggregate(
@@ -958,13 +1085,16 @@ def _neardup_commit_batch(
         deliberately NOT deduped: its only consumer is a left_anti join,
         which is insensitive to right-side duplicates — the two trailing
         ``.distinct()`` exchanges this used to pay per micro-batch
-        (guide §2.4: remove shuffles outright) bought nothing. The store
-        chain and the in-batch chain stay SEPARATE on purpose: fusing
-        them behind a tagged union was measured (r13) to force the
-        neighbor-signature scan through a shuffle at history scale
-        (b-neardup-hist 12.9s -> 21.0s), where the per-source chain
-        keeps the deduped pair side broadcast and the big signature
-        store is only ever streamed and probed in place."""
+        (guide §2.4: remove shuffles outright) bought nothing. Used by
+        the STORE chain only since r14 (the in-batch chain runs the
+        vectorized per-bucket kernel, :func:`_inbatch_killed_ids` — its
+        quadratic duplicate-pair enumeration was the dominant per-batch
+        cost on template-heavy batches; the store chain keeps this
+        join shape because its pair side stays small/broadcastable and
+        the big signature store must stream in place: fusing the chains
+        behind a tagged union was measured (r13) to force the
+        neighbor-signature scan through a shuffle at history scale,
+        b-neardup-hist 12.9s -> 21.0s)."""
         return (
             cand_pairs.distinct()
             .join(sigs.select(F.col("_id"), F.col("_sig").alias("_sig_a")), "_id")
@@ -1025,21 +1155,21 @@ def _neardup_commit_batch(
             "_id", "_nid"
         )
         kill = killed_ids(cross, prior_sigs)
-    # in-batch: smaller-id banded neighbors
-    inbatch = (
-        batch_bands.alias("x")
-        .join(batch_bands.alias("y"), ["band", "bucket"])
-        .where(F.col("y._id") < F.col("x._id"))
-        .select(F.col("x._id").alias("_id"), F.col("y._id").alias("_nid"))
-    )
-    in_kill = killed_ids(
-        inbatch,
-        sigs.select(F.col("_id").alias("_nid"), F.col("_sig").alias("_nsig")),
+    # in-batch: smaller-id banded neighbors, decided per band bucket by
+    # the vectorized Arrow kernel — replaces the r13 JVM chain
+    # (band self-join -> duplicate-pair distinct exchange -> two
+    # signature joins -> interpreted est), whose pair ENUMERATION was
+    # quadratic in hot-bucket size on template-heavy batches (guide
+    # §2.4/§4.2; measured 9.1s -> 1.8s on the sf0.1 corpus with an
+    # identical kill set)
+    in_kill = _inbatch_killed_ids(
+        sigs, bands=bands, num_hashes=num_hashes, threshold=float(threshold)
     )
     kill = in_kill if kill is None else kill.unionByName(in_kill)
+    # lazy for the same one-job-fewer reason as the signature checkpoint
     survivors = batch_df.join(
         kill.select(F.col("_id").alias(id_col)), id_col, "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     (
         survivors.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")

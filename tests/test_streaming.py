@@ -1125,3 +1125,92 @@ def test_catalog_peer_registry_drives_replication(spark, tmp_path):
     ).start()
     q.awaitTermination(120)
     assert got == [(b"r1", "d")]
+
+
+def test_inbatch_kill_kernel_matches_jvm_pair_chain(spark):
+    """The r14 vectorized in-batch kill kernel is decision-identical to
+    the JVM pair chain it replaced (band self-join + distinct + est
+    filter), on a corpus engineered with hot buckets (template
+    near-dups), exact clones, singletons — and with Arrow record
+    batches forced small enough that one (band, bucket) group spans
+    several batches (the kernel must concatenate before grouping)."""
+    from hbase_1_3_0_spark.pipeline.dedup import (
+        minhash_signatures,
+        signature_bands,
+    )
+    from hbase_1_3_0_spark.streaming import wal
+
+    tmpl = (
+        "breaking news from the region tonight a storm swept the coast "
+        "and utility crews restored power to thousands of homes by dawn"
+    )
+    rows = []
+    for i in range(120):  # hot template cluster: tiny edits
+        rows.append((i, tmpl + f" update {i % 7}"))
+    for i in range(120, 140):  # exact clones of one text
+        rows.append((i, tmpl))
+    rows.append((1000, "a totally unrelated sentence about parquet io"))
+    rows.append((1001, "another lone document on query plan exchanges"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sigs = minhash_signatures(
+        df, text_col="text", id_col="doc_id", n=5, num_hashes=64, seed=42
+    ).localCheckpoint()
+
+    # reference: the pre-r14 JVM chain, verbatim
+    bands = signature_bands(sigs, bands=16, num_hashes=64)
+    inb = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .where(F.col("y._id") < F.col("x._id"))
+        .select(F.col("x._id").alias("_id"), F.col("y._id").alias("_nid"))
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_sig_a"), F.col("_sig_b"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(64)
+    )
+    ref = (
+        inb.distinct()
+        .join(sigs.select("_id", F.col("_sig").alias("_sig_a")), "_id")
+        .join(
+            sigs.select(
+                F.col("_id").alias("_nid"), F.col("_sig").alias("_sig_b")
+            ),
+            "_nid",
+        )
+        .where(est >= F.lit(0.8))
+        .select("_id")
+    )
+    expected = {r._id for r in ref.distinct().collect()}
+    assert expected, "fixture must actually kill something"
+    assert 1000 not in expected and 1001 not in expected
+
+    got = {
+        r._id
+        for r in wal._inbatch_killed_ids(
+            sigs, bands=16, num_hashes=64, threshold=0.8
+        ).collect()
+    }
+    assert got == expected
+
+    # force multi-batch partitions: every group of >8 rows spans batches
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        got_small = {
+            r._id
+            for r in wal._inbatch_killed_ids(
+                sigs, bands=16, num_hashes=64, threshold=0.8
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert got_small == expected
