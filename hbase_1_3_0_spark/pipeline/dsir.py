@@ -36,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
 from hbase_1_3_0_spark.pipeline.lm import word_tokens
 
 __all__ = [
@@ -65,7 +64,7 @@ def hashed_ngram_counts(
     the token array and its tail — no second tokenize pass), one
     explode, one count agg. Nothing leaves the JVM.
     """
-    toks = fan_out_small_scan(df).select(
+    toks = df.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_w")
     )
     bigrams = F.when(

@@ -18,14 +18,20 @@ broadcast hash join per token instead of a vocabulary-sized shuffle.
 The corpus-total pass is a 1-row aggregate attached by broadcast
 crossJoin (same pattern as aggregations.py's grand-total). Everything
 is JVM Column expressions.
+
+The tokenize explodes here are deliberately NOT wrapped in
+``fan_out_small_scan`` (r14): a paired A/B (fan-out alternating on/off
+in one session) measured the extra round-robin exchange as a pure loss
+on every lm path (b-lm 0.68s vs 1.25s, b-lm3 2.41s vs 3.32s) — the
+per-row tokenize work is cheap and the next operator (hash agg or
+per-doc window) shuffles anyway, so the fan-out bought parallelism the
+plan already had downstream. See pipeline/parallelism.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
 
 #: Word tokenizer shared with the oracle: lowercased latin/digit runs
 #: (apostrophes kept so contractions stay one token).
@@ -42,7 +48,7 @@ def unigram_counts(
     """Corpus unigram counts (word, c); ``vocab_size`` keeps the most
     frequent words (ties broken by word) — REQUIRED at scale so the
     model broadcasts."""
-    toks = fan_out_small_scan(df).select(
+    toks = df.select(
         F.explode(word_tokens(F.col(text_col))).alias("word")
     )
     return _counts_from_tokens(toks, vocab_size)
@@ -77,7 +83,7 @@ def perplexity_proxy(
     ``n_words=0`` with NULL oov_rate/bits_per_word instead of vanishing
     at the explode, so a thresholding consumer can't let them bypass
     the filter by absence."""
-    toks = fan_out_small_scan(df).select(
+    toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
     )
     if checkpoint:
@@ -155,7 +161,7 @@ def bigram_perplexity(
     join on (prev, word), one per-doc agg."""
     from pyspark.sql.window import Window
 
-    toks = fan_out_small_scan(df).select(
+    toks = df.select(
         F.col(id_col),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
     )
@@ -270,7 +276,7 @@ def trigram_perplexity(
     if smoothing not in ("kn", "mkn"):
         raise ValueError(f"smoothing must be 'kn' or 'mkn', got {smoothing!r}")
     d = float(discount)
-    toks = fan_out_small_scan(df).select(
+    toks = df.select(
         F.col(id_col),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "word"),
     )
