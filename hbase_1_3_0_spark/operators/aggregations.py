@@ -127,6 +127,75 @@ def median_approx_bounded(
     )
 
 
+def _exact_median_partition_walk(vals: DataFrame) -> DataFrame:
+    """Exact unweighted median without a single-node sort buffer — the
+    same two-phase region walk the weighted path uses (guide §5; r14,
+    replacing Catalyst's ``percentile``, whose aggregation buffer holds
+    EVERY value and merges on one node).
+
+    Phase 1: range-partition by value, reduce each partition to
+    (count, min) — a <= num_partitions table — and locate the <= 2
+    partitions holding the interpolation ranks ``floor/ceil(0.5*(N-1))``.
+    Phase 2: rank only WITHIN those partitions and interpolate exactly
+    as Percentile.getPercentile does
+    (``lo + (hi - lo) * (0.5*(N-1) - floor(...))`` in doubles), so the
+    value is bit-identical to the old expression for double inputs and
+    matches the oracle's interpolated median for integral ones."""
+    vals = vals.where(F.col("v").isNotNull())
+    num_parts = max(vals.sparkSession.sparkContext.defaultParallelism, 2)
+    parted = vals.repartitionByRange(num_parts, "v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    per_part = (
+        parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_pc"), F.min("v").alias("_pmin"))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("_pc").over(
+                    Window.orderBy("_pmin", "_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    # N from the per-partition counts — no third pass over the values
+    total = per_part.agg(
+        F.coalesce(F.sum("_pc"), F.lit(0)).alias("_n")
+    ).select(
+        "_n",
+        F.floor(F.lit(0.5) * (F.col("_n") - 1)).alias("_rlo"),
+        F.ceil(F.lit(0.5) * (F.col("_n") - 1)).alias("_rhi"),
+    )
+    targets = (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            (F.col("_cum_before") <= F.col("_rhi"))
+            & ((F.col("_cum_before") + F.col("_pc")) > F.col("_rlo"))
+        )
+        .select("_pid", "_cum_before", "_rlo", "_rhi", "_n")
+    )
+    in_part = parted.join(F.broadcast(targets), "_pid")
+    wr = Window.partitionBy("_pid").orderBy("v")
+    picked = in_part.withColumn(
+        "_rk", F.col("_cum_before") + F.row_number().over(wr) - 1
+    ).where((F.col("_rk") == F.col("_rlo")) | (F.col("_rk") == F.col("_rhi")))
+    vd = F.col("v").cast("double")
+    return picked.agg(
+        F.min(F.when(F.col("_rk") == F.col("_rlo"), vd)).alias("_vlo"),
+        F.min(F.when(F.col("_rk") == F.col("_rhi"), vd)).alias("_vhi"),
+        F.min(
+            F.lit(0.5) * (F.col("_n") - 1) - F.col("_rlo")
+        ).alias("_frac"),
+    ).select(
+        (
+            F.col("_vlo") + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac")
+        ).alias("median")
+    )
+
+
 def median(
     cells: DataFrame,
     family: str,
@@ -141,14 +210,17 @@ def median(
 
     Weighted: the value at which cumulative weight crosses half the total —
     computed with a cumulative-sum window ordered by value, mirroring the
-    reference's cumulative-weight region walk. Unweighted exact uses
-    ``percentile`` (Catalyst's exact percentile agg); ``approximate=True``
+    reference's cumulative-weight region walk. Unweighted exact uses the
+    same two-phase partition walk (:func:`_exact_median_partition_walk` —
+    value-identical to Catalyst's ``percentile`` without its
+    all-values-on-one-node aggregation buffer); ``approximate=True``
     uses ``percentile_approx`` (the 100 TB-scale path: one pass, mergeable
     sketches, no sort)."""
     if weight_qualifier is None:
         vals = _values(cells, family, qualifier, interpreter)
-        fn = F.percentile_approx if approximate else F.percentile
-        return vals.agg(fn("v", 0.5).alias("median"))
+        if approximate:
+            return vals.agg(F.percentile_approx("v", 0.5).alias("median"))
+        return _exact_median_partition_walk(vals)
 
     dec = _decode(interpreter)
     fam = cells.where(F.col("family") == family)

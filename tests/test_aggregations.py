@@ -97,3 +97,34 @@ def test_median_approx_bounded_contract(lineitem):
     # the band brackets the exact median
     exact = df.agg(F.percentile("l_extendedprice", 0.5)).first()[0]
     assert row.median_lo <= exact <= row.median_hi
+
+
+def test_exact_median_partition_walk_matches_percentile(spark):
+    """The r14 two-phase exact median (no single-node sort buffer) is
+    value-identical to Catalyst's percentile(v, 0.5) across the
+    interpolation cases: even/odd N, duplicates, single value, nulls,
+    empty input."""
+    from pyspark.sql import functions as F
+
+    from hbase_1_3_0_spark.operators.aggregations import (
+        _exact_median_partition_walk,
+    )
+
+    cases = [
+        [1.0, 2.0, 3.0, 4.0],          # even: interpolated 2.5
+        [5.0, 1.0, 3.0],               # odd: middle
+        [2.0] * 7 + [9.0] * 6,         # duplicates straddling the middle
+        [42.0],                        # single
+        [1.0, None, 3.0, None, 2.0],   # nulls ignored
+    ]
+    for data in cases:
+        df = spark.createDataFrame([(x,) for x in data], "v double")
+        want = df.agg(F.percentile("v", 0.5).alias("m")).first().m
+        got = _exact_median_partition_walk(df).first().median
+        assert got == want, (data, got, want)
+    empty = spark.createDataFrame([], "v double")
+    rows = _exact_median_partition_walk(empty).collect()
+    assert len(rows) == 1 and rows[0].median is None
+    # integral input interpolates in doubles, like percentile
+    dfl = spark.createDataFrame([(x,) for x in range(10)], "v bigint")
+    assert _exact_median_partition_walk(dfl).first().median == 4.5
