@@ -50,6 +50,13 @@ from pyspark.sql import functions as F
 
 from hbase_1_3_0_spark.pipeline.parallelism import fan_out_small_scan
 
+#: Winner-key packing factor: ``doc_id * POS_PACK + pos`` encodes the
+#: lexicographic (doc_id, pos) order as one long for HashAggregate-able
+#: min. Valid while 1 <= pos < POS_PACK (docs under ~1e6 chars) and
+#: doc_id >= 0 — the bound the DuckDB oracle has assumed since it was
+#: written (it uses this exact key).
+POS_PACK = 1_000_000
+
 
 def window_digests(
     df: DataFrame,
@@ -100,17 +107,25 @@ def repeated_spans(
     2 re-derives the windows and filters them against the broadcast hot
     set inside the scan stage, so non-repeated windows never shuffle."""
     win = window_digests(df, k=k, text_col=text_col, id_col=id_col)
-    # PASS 1 — winner per digest = min (doc, pos); count gates the hot
-    # set; both aggregates combine map-side so the shuffle carries
-    # distinct-digests-per-partition, not raw windows
+    # PASS 1 — winner per digest = min (doc, pos), encoded as the packed
+    # long ``_id * POS_PACK + pos`` (the SAME key the DuckDB oracle has
+    # always used): min over a primitive long keeps the aggregation a
+    # HashAggregate, where min(struct(_id, pos)) forced a SortAggregate
+    # (struct buffers are not mutable-buffer types — r14, guide §5).
+    # The packing assumes 1 <= pos < POS_PACK (documents shorter than
+    # ~1e6 chars; pos is 1-based) and _id >= 0 — both already assumed by
+    # every declared oracle. Count gates the hot set; both aggregates
+    # combine map-side so the shuffle carries
+    # distinct-digests-per-partition, not raw windows.
+    first_key = F.col("_id") * F.lit(POS_PACK) + F.col("pos")
     hot = (
         win.groupBy("digest")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"),
+            F.min(first_key).alias("_first_key"),
         )
         .where(F.col("_n") >= min_count)
-        .select("digest", "_first")
+        .select("digest", "_first_key")
     )
     if broadcast_hot:
         hot = F.broadcast(hot)
@@ -118,12 +133,7 @@ def repeated_spans(
     # hot set; only repeated windows survive into the interval merge
     cut = (
         win.join(hot, "digest")
-        .where(
-            ~(
-                (F.col("_id") == F.col("_first._id"))
-                & (F.col("pos") == F.col("_first.pos"))
-            )
-        )
+        .where(first_key != F.col("_first_key"))
         .select(
             "_id",
             F.col("pos").alias("_s"),
