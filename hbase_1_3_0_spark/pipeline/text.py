@@ -142,7 +142,11 @@ def winnow_fingerprints(
     # for every slice() of every window — O(m^2) digests per doc
     # (measured ~90s for 50 docs); as a stored column each slice is an
     # O(w) array copy and the md5 pass runs once, O(m*w) total.
-    grams = df.where(m >= 1).select(
+    # fan_out: the winnow fold is the heaviest per-row projection in the
+    # pipeline (O(len*w) array work per doc, no shuffle until the tiny
+    # fingerprint explode), so an under-partitioned corpus serializes it
+    # (r14 measured: 17.7s single-task -> 1.6s fanned out, sf0.1)
+    grams = fan_out_small_scan(df).where(m >= 1).select(
         F.col(id_col),
         F.transform(
             F.sequence(F.lit(1), m),
