@@ -53,6 +53,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._prop_budget import ex
+
 from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
 from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_PUT
 from hbase_1_3_0_spark.filters import ast
@@ -1042,7 +1044,7 @@ _VALUE_GRID = st.builds(
 )
 
 _SETTINGS = settings(
-    max_examples=25, deadline=None,
+    max_examples=ex(25), deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 
@@ -1083,7 +1085,7 @@ def test_protocol_leaves_and_page(spark, grid, f, page):
     ))
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(grid=_VALUE_GRID, f=st.one_of(while_st, row_leaf_st, skip_st))
 def test_protocol_reversed(spark, grid, f):
@@ -1201,7 +1203,7 @@ def test_protocol_multi_version(spark, grid, f, max_versions):
     _run_both_mv(spark, _make_mv_cells(grid), f, max_versions)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     grid=_MV_VALUE_GRID,

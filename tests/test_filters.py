@@ -337,6 +337,8 @@ def test_dsl_roundtrip_fuzz():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    from tests._prop_budget import ex
+
     from hbase_1_3_0_spark.filters import ast as fa
     from hbase_1_3_0_spark.filters.parser import parse_filter, to_dsl
 
@@ -399,7 +401,7 @@ def test_dsl_roundtrip_fuzz():
         max_leaves=8,
     )
 
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=ex(300), deadline=None)
     @given(f=tree_st)
     def roundtrip(f):
         assert parse_filter(to_dsl(f)) == f

@@ -11,6 +11,8 @@ UNDEFINED / EXTRAREFERENCES — against a pure-Python replay.
 from __future__ import annotations
 
 import pytest
+
+from tests._prop_budget import ex
 from pyspark.sql import functions as F
 
 from hbase_1_3_0_spark.catalog import TableMeta
@@ -209,7 +211,7 @@ from hypothesis import strategies as st  # noqa: E402
 
 
 @settings(
-    max_examples=12, deadline=None,
+    max_examples=ex(12), deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._prop_budget import ex
+
 from hbase_1_3_0_spark.cells import (
     CELL_SCHEMA,
     TYPE_DELETE_COLUMN,
@@ -98,7 +100,7 @@ def _to_df(spark, cells):
 
 
 @settings(
-    max_examples=30,
+    max_examples=ex(30),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -119,7 +121,7 @@ def test_read_view_matches_model(spark, batch, max_versions):
     assert got == expected
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     deltas=st.lists(
         st.tuples(st.sampled_from(ROWS), st.integers(-100, 100)),
@@ -143,7 +145,7 @@ def test_increment_total_equals_sum_of_deltas(spark, deltas):
     assert total == sum(d for _, d in deltas)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(batch=batch_st)
 def test_compaction_preserves_visible_view(spark, batch):
     """compact(log) then read_view == read_view(log): GC must never change
@@ -195,7 +197,7 @@ put_batch_st = st.lists(put_st, min_size=0, max_size=12)
 
 @given(src_puts=put_batch_st, tgt_puts=put_batch_st)
 @settings(
-    max_examples=12,
+    max_examples=ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -234,7 +236,7 @@ def test_sync_stream_always_converges_target(spark, src_puts, tgt_puts):
     assert got == want
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     ids=st.lists(
         st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60,
@@ -266,7 +268,7 @@ def test_sampling_matches_python_model(spark, ids, rate, seed):
     assert got == expect
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     toks=st.lists(st.integers(min_value=0, max_value=999), min_size=1, max_size=50),
     cap=st.sampled_from([64, 256, 1000]),
@@ -318,7 +320,7 @@ def model_ttl_view(
 
 
 @settings(
-    max_examples=25,
+    max_examples=ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -362,7 +364,7 @@ def test_read_view_ttl_min_versions_matches_model(
 
 
 @settings(
-    max_examples=25,
+    max_examples=ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -527,7 +529,7 @@ def _model_filter(f, cell) -> bool:
     raise AssertionError(f)
 
 
-@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(40), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(f=filter_st)
 def test_filter_algebra_matches_model(spark, f):
     """Random nested FilterList trees over Row/Qualifier/Value filters with
@@ -547,7 +549,7 @@ def test_filter_algebra_matches_model(spark, f):
     assert got == expected
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     batch_d=batch_st,
     batch_e=batch_st,
@@ -604,7 +606,7 @@ def test_multi_family_scan_matches_per_family_models(
     assert got == exp_d | exp_e
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(20), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     vals=st.lists(
         st.integers(min_value=-(2**63), max_value=2**63 - 1),
@@ -632,7 +634,7 @@ def test_ordered_long_encoding_preserves_order(spark, vals):
     assert all(r.v == r.b for r in back)
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(25), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(f=st.one_of(long_leaf_st, st.builds(
     lambda op, fs: fast.FilterList(op, tuple(fs)),
     st.sampled_from(["MUST_PASS_ALL", "MUST_PASS_ONE"]),
@@ -649,7 +651,7 @@ def test_long_comparator_filters_match_model(spark, f):
     assert got == expected
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(20), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     current=st.lists(
         st.tuples(
@@ -904,7 +906,7 @@ def test_fuzz_canonicalize_url_idempotent(spark):
 
 
 @settings(
-    max_examples=12, deadline=None,
+    max_examples=ex(12), deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(
@@ -972,7 +974,7 @@ def test_substring_dedup_matches_python_model(spark, texts, planted, k):
     assert got == model()
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     texts=st.lists(
         st.text(alphabet="ab c", min_size=0, max_size=60),
@@ -1023,7 +1025,7 @@ def test_winnow_fingerprints_match_python_model(spark, texts, k, w):
     assert cover_ok
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=ex(10), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     texts=st.lists(
@@ -1088,7 +1090,7 @@ def test_robust_winnowing_matches_python_model(spark, texts, k, w):
     assert {(d, p) for d, p, _ in got} <= {(d, p) for d, p, _ in std}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(8), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     words=st.lists(
         st.text(alphabet="abc", min_size=1, max_size=6),
@@ -1140,7 +1142,7 @@ def test_bpe_train_matches_python_model(spark, words, num_merges):
     assert got == want
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=ex(8), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     texts=st.lists(
         st.text(alphabet="ab .\n", min_size=0, max_size=80),
@@ -1216,7 +1218,7 @@ _decimal_st = st.decimals(
 )
 
 
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=ex(20), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     vals=st.lists(_decimal_st, min_size=2, max_size=25, unique=True),
@@ -1262,7 +1264,7 @@ def test_ordered_numeric_preserves_order_and_roundtrips(
             assert r.back == Decimal(r.v)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     vals=st.lists(
@@ -1317,7 +1319,7 @@ def test_ordered_numeric_doubles_full_range(spark, vals):
             assert r.back == r.v
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     pairs=st.lists(
@@ -1367,7 +1369,7 @@ def test_ordered_struct_composite_orders_field_wise(spark, pairs):
     assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     blobs=st.lists(
@@ -1407,7 +1409,7 @@ def test_ordered_blob_preserves_byte_order_and_roundtrips(spark, blobs):
             assert bytes(r.back) == bytes(r.v)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     vals=st.lists(
@@ -1464,7 +1466,7 @@ def test_ordered_union_position_orders_by_member_class(spark, vals):
     assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     vals=st.lists(
@@ -1524,7 +1526,7 @@ def _neg_bytes(b):
     return tuple(255 - x for x in b) + (256,)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     blobs=st.lists(
@@ -1566,7 +1568,7 @@ def test_ordered_blob_descending_reverses_and_roundtrips(spark, blobs):
             assert bytes(r.back) == bytes(r.v)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     pairs=st.lists(
@@ -1618,7 +1620,7 @@ def test_ordered_struct_mixed_asc_desc_fields(spark, pairs):
     assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=ex(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     vals=st.lists(
@@ -1688,7 +1690,7 @@ def test_ordered_union_descending_reverses_class_order(spark, vals):
     assert [r.i for r in sorted(enc, key=lambda r: bytes(r.k))] == want
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=ex(8), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     texts=st.lists(
