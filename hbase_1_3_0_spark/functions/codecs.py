@@ -20,6 +20,26 @@ from pyspark.sql import types as T
 _TWO_POW_64 = 18446744073709551616  # 2**64
 _LONG_MAX = (1 << 63) - 1
 
+
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE per row
+    and reference it any number of times in ``body`` without duplicating
+    its subtree (r14, guide §7.3 "planning time itself can become the
+    bottleneck").
+
+    Column composition is TREE-shaped — every reference to a Python
+    ``Column`` variable copies its whole operand subtree into the new
+    expression — so a chain of k derivation steps that each reference the
+    previous step multiplies node count multiplicatively. The ordered
+    numeric codec paid for this: ``decode(encode(v))`` expanded to an
+    expression Catalyst needed ~3 s to optimize and ~2 s per batch to
+    evaluate (the tree outgrew codegen and fell back to interpreted
+    eval). A lambda variable is a true DAG edge: ``transform`` over a
+    one-element array binds ``bound`` to a variable evaluated once, and
+    ``body`` references it by name. Same trick as SQL's lateral column
+    alias, usable inside a single Column expression."""
+    return F.transform(F.array(bound), body)[0]
+
 # ---------------------------------------------------------------------------
 # Bytes.toBytes(long) analog: 8-byte big-endian two's complement
 # ---------------------------------------------------------------------------
@@ -255,57 +275,96 @@ def ordered_numeric_segment(
     into the exponent, so the full ±1e308 double range encodes), which
     needs no dtype introspection and no lossy intermediate cast. NaN
     and infinities (their renderings "NaN"/"Infinity"/"-Infinity") get
-    their own header classes in the reference's order."""
-    full = col.cast(T.StringType())
-    neg = F.substring(full, 1, 1) == "-"
-    s = F.when(neg, F.substring(full, F.lit(2), F.length(full))).otherwise(
-        full
-    )
-    # doubles render large/small magnitudes as "<base>E<e10>"
-    has_e = F.instr(s, "E") > 0
-    base = F.when(has_e, F.substring_index(s, "E", 1)).otherwise(s)
-    e10 = F.when(
-        has_e, F.substring_index(s, "E", -1).cast(T.IntegerType())
-    ).otherwise(F.lit(0))
-    # significand digits + decimal exponent via ONE unified formula —
-    # fewer references to the parse chain keeps the Column tree small
-    # (Column composition DUPLICATES subtrees; a naive int-part/frac-part
-    # split here measured ~3x the expression nodes and pushed composed
-    # plans past a 1g driver's codegen headroom): drop the dot, strip
-    # leading zeros (their count + the dot position give the exponent),
-    # strip trailing zeros for the significand
-    nodot = F.translate(base, ".", "")
-    stripped = F.regexp_replace(nodot, "^0+", "")
-    digits = F.regexp_replace(stripped, "0+$", "")
-    lead = F.length(nodot) - F.length(stripped)
-    dot = F.instr(base, ".")
-    ints = F.when(dot > 0, dot - 1).otherwise(F.length(base))
-    exp = ints - 1 - lead + e10
-    pos_seg = F.concat(
-        F.lit(_NUM_POS),
-        F.lpad((exp + _EXP_BIAS).cast(T.StringType()), 4, "0"),
-        digits,
-        F.lit(_POS_TERM),
-    )
-    neg_seg = F.concat(
-        F.lit(_NUM_NEG),
-        F.lpad((F.lit(_EXP_BIAS) - exp).cast(T.StringType()), 4, "0"),
-        F.translate(digits, "0123456789", "9876543210"),
-        F.lit(_NEG_TERM),
-    )
-    finite = (
-        F.when(F.length(digits) == 0, F.lit(_NUM_ZERO))
-        .when(neg, neg_seg)
-        .otherwise(pos_seg)
-    )
-    out = (
-        F.when(col.isNull(), F.lit(_NUM_NULL))
-        .when(s == "NaN", F.lit(_NUM_NAN))
-        .when(s == "Infinity", F.when(neg, F.lit(_NUM_NEG_INF)).otherwise(
-            F.lit(_NUM_POS_INF)
-        ))
-        .otherwise(finite)
-    )
+    their own header classes in the reference's order.
+
+    Every derivation step is bound through :func:`_let` (r14): the
+    parse chain is 6 steps deep and each step references the previous
+    one 2-3 times, so plain Column composition expanded this to an
+    expression Catalyst spent seconds optimizing (and, composed as
+    ``decode(encode(v))``, fell out of codegen into interpreted eval of
+    a ~100k-node tree). The let-bound form is the same formula with
+    each step evaluated once."""
+
+    def stage6(full, s, digits, exp):
+        neg = F.substring(full, 1, 1) == "-"
+        pos_seg = F.concat(
+            F.lit(_NUM_POS),
+            F.lpad((exp + _EXP_BIAS).cast(T.StringType()), 4, "0"),
+            digits,
+            F.lit(_POS_TERM),
+        )
+        neg_seg = F.concat(
+            F.lit(_NUM_NEG),
+            F.lpad((F.lit(_EXP_BIAS) - exp).cast(T.StringType()), 4, "0"),
+            F.translate(digits, "0123456789", "9876543210"),
+            F.lit(_NEG_TERM),
+        )
+        finite = (
+            F.when(F.length(digits) == 0, F.lit(_NUM_ZERO))
+            .when(neg, neg_seg)
+            .otherwise(pos_seg)
+        )
+        return (
+            F.when(s == "NaN", F.lit(_NUM_NAN))
+            .when(
+                s == "Infinity",
+                F.when(neg, F.lit(_NUM_NEG_INF)).otherwise(
+                    F.lit(_NUM_POS_INF)
+                ),
+            )
+            .otherwise(finite)
+        )
+
+    def stage5(full, s, base, e10, nodot, stripped):
+        # significand digits + decimal exponent via ONE unified formula:
+        # drop the dot, strip leading zeros (their count + the dot
+        # position give the exponent), strip trailing zeros for the
+        # significand
+        digits = F.regexp_replace(stripped, "0+$", "")
+        lead = F.length(nodot) - F.length(stripped)
+        dot = F.instr(base, ".")
+        ints = F.when(dot > 0, dot - 1).otherwise(F.length(base))
+        exp = ints - 1 - lead + e10
+        return _let(
+            digits,
+            lambda d: _let(exp, lambda e: stage6(full, s, d, e)),
+        )
+
+    def stage2(full, s):
+        # doubles render large/small magnitudes as "<base>E<e10>"
+        has_e = F.instr(s, "E") > 0
+        base = F.when(has_e, F.substring_index(s, "E", 1)).otherwise(s)
+        e10 = F.when(
+            has_e, F.substring_index(s, "E", -1).cast(T.IntegerType())
+        ).otherwise(F.lit(0))
+        return _let(
+            base,
+            lambda b: _let(
+                e10,
+                lambda e: _let(
+                    F.translate(b, ".", ""),
+                    lambda nodot: _let(
+                        F.regexp_replace(nodot, "^0+", ""),
+                        lambda stripped: stage5(
+                            full, s, b, e, nodot, stripped
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    def stage1(full):
+        neg = F.substring(full, 1, 1) == "-"
+        abs_rendering = F.when(
+            neg, F.substring(full, F.lit(2), F.length(full))
+        ).otherwise(full)
+        # NULL input: cast preserves null, so full IS NULL <=> col IS
+        # NULL and the class check needs no second reference to col
+        return F.when(full.isNull(), F.lit(_NUM_NULL)).otherwise(
+            _let(abs_rendering, lambda s: stage2(full, s))
+        )
+
+    out = _let(col.cast(T.StringType()), stage1)
     if descending:
         out = F.translate(out, _DESC_SRC, _DESC_DST)
     return out
@@ -331,55 +390,75 @@ def decode_ordered_numeric(
     """Inverse of :func:`encode_ordered_numeric` /
     :func:`ordered_numeric_segment`: binary or string segment back to a
     numeric column (SQL NULL for the NULL class; NaN/±inf only when the
-    target type is float/double)."""
-    s = col.cast(T.StringType())
-    if descending:
-        s = F.translate(s, _DESC_SRC, _DESC_DST)
-    h = F.substring(s, 1, 1)
-    n = F.length(s) - 6  # minus header, 4 exp digits, terminator
-    raw = F.substring(s, F.lit(6), n)
-    pos_exp = F.substring(s, 2, 4).cast(T.IntegerType()) - _EXP_BIAS
-    neg_exp = F.lit(_EXP_BIAS) - F.substring(s, 2, 4).cast(T.IntegerType())
-    digits = F.when(
-        h == _NUM_NEG, F.translate(raw, "0123456789", "9876543210")
-    ).otherwise(raw)
-    exp = F.when(h == _NUM_NEG, neg_exp).otherwise(pos_exp)
-    ndig = F.length(digits)
-    # rebuild the plain decimal rendering from (digits, exp)
-    plain = (
-        F.when(exp >= ndig - 1, F.rpad(digits, exp + 1, "0"))
-        .when(
-            exp >= 0,
-            F.concat(
-                F.substring(digits, F.lit(1), exp + 1),
-                F.lit("."),
-                F.substring(digits, exp + 2, ndig - exp - 1),
-            ),
-        )
-        .otherwise(F.concat(F.lit("0."), F.lpad(digits, ndig - exp - 1, "0")))
-    )
-    signed = F.when(h == _NUM_NEG, F.concat(F.lit("-"), plain)).otherwise(
-        plain
-    )
+    target type is float/double). Let-bound like the encoder (r14) —
+    composed ``decode(encode(v))`` used to duplicate the whole encode
+    tree at every one of decode's input references."""
     dt = (
         T._parse_datatype_string(datatype)
         if isinstance(datatype, str)
         else datatype
     )
     floating = isinstance(dt, (T.FloatType, T.DoubleType))
-    out = (
-        F.when(h == _NUM_NULL, F.lit(None).cast(T.StringType()))
-        .when(h == _NUM_ZERO, F.lit("0"))
-        .otherwise(signed)
-    )
-    if floating:
-        out = (
-            F.when(h == _NUM_NAN, F.lit("NaN"))
-            .when(h == _NUM_POS_INF, F.lit("Infinity"))
-            .when(h == _NUM_NEG_INF, F.lit("-Infinity"))
-            .otherwise(out)
+
+    def rebuild(s, h, digits, exp):
+        ndig = F.length(digits)
+        # rebuild the plain decimal rendering from (digits, exp)
+        plain = (
+            F.when(exp >= ndig - 1, F.rpad(digits, exp + 1, "0"))
+            .when(
+                exp >= 0,
+                F.concat(
+                    F.substring(digits, F.lit(1), exp + 1),
+                    F.lit("."),
+                    F.substring(digits, exp + 2, ndig - exp - 1),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("0."), F.lpad(digits, ndig - exp - 1, "0"))
+            )
         )
-    return out.try_cast(dt)
+        return F.when(
+            h == _NUM_NEG, F.concat(F.lit("-"), plain)
+        ).otherwise(plain)
+
+    def body(s):
+        h = F.substring(s, 1, 1)
+        n = F.length(s) - 6  # minus header, 4 exp digits, terminator
+        raw = F.substring(s, F.lit(6), n)
+        pos_exp = F.substring(s, 2, 4).cast(T.IntegerType()) - _EXP_BIAS
+        neg_exp = F.lit(_EXP_BIAS) - F.substring(s, 2, 4).cast(
+            T.IntegerType()
+        )
+        digits = F.when(
+            h == _NUM_NEG, F.translate(raw, "0123456789", "9876543210")
+        ).otherwise(raw)
+        exp = F.when(h == _NUM_NEG, neg_exp).otherwise(pos_exp)
+        signed = _let(
+            digits, lambda d: _let(exp, lambda e: rebuild(s, h, d, e))
+        )
+        out = (
+            F.when(h == _NUM_NULL, F.lit(None).cast(T.StringType()))
+            .when(h == _NUM_ZERO, F.lit("0"))
+            .otherwise(signed)
+        )
+        return out, h
+
+    s0 = col.cast(T.StringType())
+    if descending:
+        s0 = F.translate(s0, _DESC_SRC, _DESC_DST)
+
+    def full_body(s):
+        out, h = body(s)
+        if floating:
+            out = (
+                F.when(h == _NUM_NAN, F.lit("NaN"))
+                .when(h == _NUM_POS_INF, F.lit("Infinity"))
+                .when(h == _NUM_NEG_INF, F.lit("-Infinity"))
+                .otherwise(out)
+            )
+        return out
+
+    return _let(s0, full_body).try_cast(dt)
 
 
 # DESCENDING string/blob machinery. The reference's Order.DESCENDING is a
