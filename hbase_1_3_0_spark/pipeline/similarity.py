@@ -131,7 +131,7 @@ def hyperplane_signature(
     """Sign-bit signature of the vector against fixed hyperplanes -> long."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = _lit_vector(p)
         sig = sig + F.when(_dot(vec, plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -186,6 +186,30 @@ def lsh_topk(
     )
 
 
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest string that
+    round-trips to the same IEEE-754 double, and the JVM's
+    correctly-rounded parse recovers the identical bits."""
+    x = float(x)
+    if math.isinf(x) or math.isnan(x):
+        # model floats are means/norms of finite data; specials would
+        # need SQL's CAST('Infinity' AS DOUBLE) spelling
+        raise ValueError(f"non-finite model literal: {x}")
+    return repr(x) + "D"
+
+
+def _sql_vector(vec: list[float]) -> str:
+    return "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+
+
+def _lit_vector(vec: list[float]) -> Column:
+    """A vector as ONE literal array Column, built with a single
+    Python->JVM call (r14: per-element ``F.lit`` composition cost ~1 ms
+    of py4j round-trip per element — ~1 s of DRIVER time per k x dim
+    centroid matrix per Lloyd iteration, at any data scale)."""
+    return F.expr(_sql_vector(vec))
+
+
 def _lit_matrix(vecs: list[list[float]]) -> Column:
     """A list of vectors as ONE constant-foldable literal 2D array.
 
@@ -194,9 +218,25 @@ def _lit_matrix(vecs: list[list[float]]) -> Column:
     as k separate dot-subtrees builds O(k x dim) Catalyst nodes per use;
     a ``transform`` over this literal keeps the dot expression in the
     tree ONCE and the whole centroid matrix collapses to a single
-    Literal after constant folding."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in v]) for v in vecs]
+    Literal after constant folding. Built as ONE parsed SQL string
+    (r14): the per-element ``F.lit``/``F.array`` composition paid
+    ~1000 py4j round-trips (~1 s of driver wall-clock) per use — the
+    dominant cost of a Lloyd iteration on a small corpus."""
+    return F.expr(
+        "array(" + ",".join(_sql_vector(v) for v in vecs) + ")"
+    )
+
+
+def _avg_vector_expr(vec_col: str, dim: int) -> Column:
+    """Element-wise mean of an array column as ONE parsed expression —
+    an array of ``dim`` avg aggregates (r14): ``dim`` separately-built
+    ``F.avg(col[i])`` columns cost ~5 py4j round-trips each per Lloyd
+    iteration; the parsed form is a single call and collects as one
+    array row field. Identical aggregate expressions after parsing."""
+    return F.expr(
+        "array("
+        + ",".join(f"avg(`{vec_col}`[{i}])" for i in range(dim))
+        + ")"
     )
 
 
@@ -269,11 +309,11 @@ def kmeans_centroids(
         )
         rows = (
             assigned.groupBy("ivf_list")
-            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)])
+            .agg(_avg_vector_expr(vec_col, dim).alias("c"))
             .collect()
         )
         for r in rows:
-            vals = [r[f"c{i}"] for i in range(dim)]
+            vals = list(r["c"])
             if all(v is not None for v in vals):
                 # spherical k-means: assignment is by dot product, so the
                 # mean must be re-projected to the unit sphere or longer
@@ -405,11 +445,11 @@ def pq_train(
         rows = (
             subv.withColumn("code", code)
             .groupBy("sub", "code")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(sub)])
+            .agg(_avg_vector_expr("v", sub).alias("c"))
             .collect()
         )
         for r in rows:
-            vals = [r[f"c{i}"] for i in range(sub)]
+            vals = list(r["c"])
             if all(x is not None for x in vals):
                 books[r["sub"]][r["code"]] = [float(x) for x in vals]
     return books
@@ -430,19 +470,17 @@ def _pq_sub_assign(
     m=8, k=16 (round-4 lesson: expression-node count is the tax).
     ``round_to`` rounds the score before the argmax (ties -> larger
     code) so a SQL oracle can reproduce the code choice exactly."""
-    lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                        F.lit(sum(x * x for x in c) / 2.0).alias("b"),
-                    )
-                    for c in book
-                ]
-            )
+    # ONE parsed SQL string (r14): the per-element lit/struct build paid
+    # ~m*k*(dim/m) py4j round-trips (~1 s driver time) per Lloyd pass
+    lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                f"named_struct('c',{_sql_vector(c)},"
+                f"'b',{_sql_double(sum(x * x for x in c) / 2.0)})"
+                for c in book
+            ) + ")"
             for book in books
-        ]
+        ) + ")"
     )
     book_for_sub = F.element_at(lit, sub.cast("int") + 1)
     scored = F.transform(
@@ -532,14 +570,12 @@ def _pq_sub_assign_aniso(
     (v.v - c.v)^2 / v.v (zero vectors fall back to plain L2). The dot
     appears once in the tree inside a transform (literal-matrix
     lesson); ties break to the lowest code via struct array_min."""
-    lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                F.lit(sum(x * x for x in c)).alias("n2"),
-            )
+    lit = F.expr(
+        "array(" + ",".join(
+            f"named_struct('c',{_sql_vector(c)},"
+            f"'n2',{_sql_double(sum(x * x for x in c))})"
             for c in book
-        ]
+        ) + ")"
     )
     # two-level transform so the O(sub) dot evaluates ONCE per candidate
     # and the cost only reuses its scalar result
@@ -652,10 +688,9 @@ def pq_reconstruct(
     codebook arrays — constant-folded, O(m) per row)."""
     parts = []
     for j, book in enumerate(codebooks):
-        lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        parts.append(
+            F.element_at(_lit_matrix(book), F.element_at(code, j + 1) + 1)
         )
-        parts.append(F.element_at(lit, F.element_at(code, j + 1) + 1))
     return F.concat(*parts)
 
 
@@ -1073,12 +1108,12 @@ def ivf_list_means(
     lists anchor at the zero vector (residual = the vector itself)."""
     rows = (
         assigned.groupBy(list_col)
-        .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)])
+        .agg(_avg_vector_expr(vec_col, dim).alias("c"))
         .collect()
     )
     anchors = [[0.0] * dim for _ in range(num_lists)]
     for r in rows:
-        vals = [r[f"c{i}"] for i in range(dim)]
+        vals = list(r["c"])
         if all(v is not None for v in vals):
             anchors[r[list_col]] = [float(v) for v in vals]
     return anchors

@@ -563,7 +563,15 @@ def test_check_and_put_existence(spark):
 
 def test_check_and_put_with_compare_op(spark):
     """testCheckAndPutWithCompareOp (:4766) — the exact sequence: the
-    check passes iff probe <op> cellValue (reference operand order)."""
+    check passes iff probe <op> cellValue (reference operand order).
+
+    Two forms (r14 — 19 engine-chained steps cost ~75 s of per-step
+    Catalyst planning): a chained PREFIX keeps the state-evolution
+    coverage (each step's check reads the previous step's engine
+    output), then the FULL direction table runs as ONE batched
+    check_and_mutate over 19 independent rows whose pre-states are the
+    reference sequence's pinned intermediate values — same verdict and
+    same (op, probe, cell) coverage per step, two actions total."""
     a, b, c, d = b"aaaa", b"bbbb", b"cccc", b"dddd"
     steps = [
         # (op, probe, put_value, expected_applied)
@@ -587,11 +595,45 @@ def test_check_and_put_with_compare_op(spark):
         ("LESS_OR_EQUAL", b, b, True),         # -> bbbb
         ("EQUAL", b, c, True),                 # -> cccc
     ]
+    # chained prefix: engine output feeds the next step's check
     t = fresh_table(spark, [])
-    for i, (op, probe, val, expect) in enumerate(steps):
+    for i, (op, probe, val, expect) in enumerate(steps[:5]):
         t, ok = _cas(spark, t, op, probe, "put", val, 1_000 * (i + 1))
         assert ok is expect, (i, op, probe)
-    assert _cell_value(t, 1_000 * len(steps)) == c
+    assert _cell_value(t, 5_000) == b
+
+    # full table, batched over independent rows: pre-state per step =
+    # the value the reference sequence pins at that point
+    pre, cur = [], None
+    for op, probe, val, expect in steps:
+        pre.append(cur)
+        if expect:
+            cur = val
+    seed = [
+        (b"r%02d" % i, "d", b"q", 500, TYPE_PUT, pv, 1)
+        for i, pv in enumerate(pre)
+        if pv is not None
+    ]
+    muts = spark.createDataFrame(
+        [
+            ("put", b"r%02d" % i, "d", b"q", 1_000, val,
+             "d", b"q", op, probe, i + 1)
+            for i, (op, probe, val, expect) in enumerate(steps)
+        ],
+        CAS_SCHEMA,
+    )
+    t = fresh_table(spark, seed)
+    t2, verdicts = Table(t.meta, t.cells, now_ms=1_000).check_and_mutate(
+        muts
+    )
+    got = {bytes(r.row): r.applied for r in verdicts.collect()}
+    for i, (op, probe, val, expect) in enumerate(steps):
+        assert got[b"r%02d" % i] is expect, (i, op, probe)
+    final = cellmap(Table(t2.meta, t2.cells, now_ms=2_000).scan())
+    for i, (op, probe, val, expect) in enumerate(steps):
+        want = val if expect else pre[i]
+        have = final.get((b"r%02d" % i, "d", b"q"))
+        assert (have[0] if have else None) == want, (i, op, probe)
 
 
 def test_check_and_delete_with_compare_op(spark):
@@ -620,9 +662,11 @@ def test_check_and_delete_with_compare_op(spark):
         (b, "LESS_OR_EQUAL", b, True),
         (b, "EQUAL", b, True),
     ]
+    # chained prefix: engine output (including the tombstone left by a
+    # passing delete) feeds the next step's check
     t = fresh_table(spark, [])
     now = 0
-    for i, (reput, op, probe, expect) in enumerate(steps):
+    for i, (reput, op, probe, expect) in enumerate(steps[:5]):
         if reput is not None:
             now += 1_000
             t = Table(t.meta, t.cells, now_ms=now).put(spark.createDataFrame(
@@ -633,3 +677,39 @@ def test_check_and_delete_with_compare_op(spark):
         t, ok = _cas(spark, t, op, probe, "delete_column", None, now)
         assert ok is expect, (i, op, probe)
     assert _cell_value(t, now) is None
+
+    # full table, batched over independent rows (r14, same protocol as
+    # the put form above): pre-state per step = the value the reference
+    # sequence pins after its reput
+    pre, cur = [], None
+    for reput, op, probe, expect in steps:
+        if reput is not None:
+            cur = reput
+        pre.append(cur)
+        if expect:
+            cur = None
+    seed = [
+        (b"r%02d" % i, "d", b"q", 500, TYPE_PUT, pv, 1)
+        for i, pv in enumerate(pre)
+        if pv is not None
+    ]
+    muts = spark.createDataFrame(
+        [
+            ("delete_column", b"r%02d" % i, "d", b"q", 1_000, None,
+             "d", b"q", op, probe, i + 1)
+            for i, (reput, op, probe, expect) in enumerate(steps)
+        ],
+        CAS_SCHEMA,
+    )
+    t = fresh_table(spark, seed)
+    t2, verdicts = Table(t.meta, t.cells, now_ms=1_000).check_and_mutate(
+        muts
+    )
+    got = {bytes(r.row): r.applied for r in verdicts.collect()}
+    for i, (reput, op, probe, expect) in enumerate(steps):
+        assert got[b"r%02d" % i] is expect, (i, op, probe)
+    final = cellmap(Table(t2.meta, t2.cells, now_ms=2_000).scan())
+    for i, (reput, op, probe, expect) in enumerate(steps):
+        want = None if expect else pre[i]
+        have = final.get((b"r%02d" % i, "d", b"q"))
+        assert (have[0] if have else None) == want, (i, op, probe)

@@ -218,15 +218,24 @@ def test_stateful_ttl_counters_accumulate_across_batches(spark, tmp_path):
         .start()
     )
     # a processing-time-timeout stream never quiesces (timeout-check
-    # batches run forever by design); wait long enough for both input
-    # batches to land, then read the accumulated state
-    q.awaitTermination(45)
+    # batches run forever by design); poll the sink for the accumulated
+    # state instead of sleeping a fixed window (r14 — this test spent a
+    # hard-coded 45 s in awaitTermination), with the same 45 s ceiling
+    import time as _time
+
+    deadline = _time.time() + 45
+    rows, last = [], {}
+    while _time.time() < deadline:
+        rows = spark.table("ttl_ctrs").collect()
+        last = {}
+        for r in rows:
+            last[bytes(r.row)] = r.counter
+        # state accumulated across micro-batches: the LAST update for
+        # r1 is 10 once both input batches have committed
+        if last.get(b"r1") == 10 and b"r2" in last:
+            break
+        _time.sleep(0.5)
     q.stop()
-    rows = spark.table("ttl_ctrs").collect()
-    # state accumulated across micro-batches: the LAST update for r1 is 10
-    last = {}
-    for r in rows:
-        last[bytes(r.row)] = r.counter
     assert last[b"r1"] == 10
     assert last[b"r2"] == 1
     assert all(r.expired is False for r in rows)
