@@ -22,6 +22,8 @@ from hbase_1_3_0_spark.catalog import FamilyMeta, TableMeta
 from hbase_1_3_0_spark.cells import CELL_SCHEMA, TYPE_DELETE_COLUMN, TYPE_DELETE_FAMILY, TYPE_PUT
 from hbase_1_3_0_spark.table import Get, Scan, Table
 
+from tests._concurrent import gather
+
 ROWS = [b"testRow" + str(i).encode() for i in range(3)]
 FAM = [f"testFamily{i}" for i in range(10)]
 Q = [b"testQualifier" + str(i).encode() for i in range(10)]
@@ -152,31 +154,44 @@ def test_delete_interplay(spark):
         (ROWS[0], FAM[6], Q[7], 4000, TYPE_DELETE_COLUMN, None, 14),
     ]
     t = _table(spark, cells)
-    assert _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[7]),)))) == []
-    assert _got(t.scan(columns=((FAM[6], Q[7]),))) == []
-    assert _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[6]),)))) == [
-        _cell(6, 6, 6)]
-    assert _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[8]),)))) == [
-        _cell(6, 8, 8)]
+    # independent reads of one immutable state: overlapped (guide §2.6)
+    r = gather(
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[7]),)))),
+        lambda: _got(t.scan(columns=((FAM[6], Q[7]),))),
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[6]),)))),
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[8]),)))),
+    )
+    assert r[0] == []
+    assert r[1] == []
+    assert r[2] == [_cell(6, 6, 6)]
+    assert r[3] == [_cell(6, 8, 8)]
 
     cells.append((ROWS[0], FAM[6], Q[8], 5000, TYPE_DELETE_COLUMN, None, 15))
     t = _table(spark, cells)
-    assert _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[8]),)))) == []
-    assert _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[9]),)))) == [
-        _cell(6, 9, 9)]
+    r = gather(
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[8]),)))),
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[9]),)))),
+    )
+    assert r[0] == []
+    assert r[1] == [_cell(6, 9, 9)]
 
     cells.append((ROWS[0], FAM[4], None, 6000, TYPE_DELETE_FAMILY, None, 16))
     t = _table(spark, cells)
-    for probe in (
-        Get(ROWS[0], columns=((FAM[4], Q[4]),)),
-        Get(ROWS[0], columns=((FAM[4], Q[3]),)),
-        Get(ROWS[0], families=(FAM[4],)),
-    ):
-        assert _got(t.get(probe)) == []
-    assert _got(t.scan(columns=((FAM[4], Q[4]),))) == []
-    assert _got(t.scan(families=(FAM[4],))) == []
-    assert _got(t.get(Get(ROWS[0], columns=((FAM[2], Q[2]),)))) == [
-        _cell(2, 2, 2)]
-    assert _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[9]),)))) == [
-        _cell(6, 9, 9)]
-    assert _got(t.scan(columns=((FAM[6], Q[6]),))) == [_cell(6, 6, 6)]
+    r = gather(
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[4], Q[4]),)))),
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[4], Q[3]),)))),
+        lambda: _got(t.get(Get(ROWS[0], families=(FAM[4],)))),
+        lambda: _got(t.scan(columns=((FAM[4], Q[4]),))),
+        lambda: _got(t.scan(families=(FAM[4],))),
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[2], Q[2]),)))),
+        lambda: _got(t.get(Get(ROWS[0], columns=((FAM[6], Q[9]),)))),
+        lambda: _got(t.scan(columns=((FAM[6], Q[6]),))),
+    )
+    assert r[0] == []
+    assert r[1] == []
+    assert r[2] == []
+    assert r[3] == []
+    assert r[4] == []
+    assert r[5] == [_cell(2, 2, 2)]
+    assert r[6] == [_cell(6, 9, 9)]
+    assert r[7] == [_cell(6, 6, 6)]
